@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the engine.
+  *
+  * Settings are chosen for correctness parity with the DuckDB oracle (UTC
+  * session time zone) and for local[32] bench runs (32 shuffle partitions —
+  * matching core count, not the 200 default that over-schedules tiny
+  * shuffles). On a real cluster the same builder is used with
+  * `spark.sql.shuffle.partitions` sized to ~2-3× total cores and AQE left on
+  * to coalesce / skew-split at runtime.
+  */
+object Graft {
+  def session(master: String = "local[*]", appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loader for the driver-generated fixture tables (TESTDATA.md).
+  *
+  * Every operator takes `(SparkSession, sfDir)` and reads through here so a
+  * cluster deployment only has to change the path scheme (e.g. s3://…). The
+  * dimension tables (`region`, `nation`, `supplier`, `part`, `customer`) are
+  * small at every scale factor relative to the facts (`lineitem`, `orders`,
+  * `events`) — join code broadcasts them explicitly.
+  */
+object Tables {
+  val fact = Seq("orders", "lineitem", "events", "documents", "embeddings")
+  val dims = Seq("region", "nation", "customer", "supplier", "part")
+  val all: Seq[String] = dims ++ fact
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view (for spark.sql queries). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** A declared operator: a Spark implementation plus (when SQL-expressible)
+  * a DuckDB oracle over the same parquet tables. The driver hash-compares
+  * the two at sf0.01, so every query must be *deterministic*: totally
+  * ordered output, doubles rounded, timestamps rendered as strings.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryModule {
+  def defs: Seq[QueryDef]
+}
