@@ -11,7 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    operators.AggQueries
+    operators.AggQueries,
+    operators.JoinQueries,
+    operators.WindowQueries,
+    operators.SetOpQueries,
+    operators.ScalarQueries,
+    operators.ArrayMapJsonQueries
   )
 
   lazy val allDefs: Seq[QueryDef] = {

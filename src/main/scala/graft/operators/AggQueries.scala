@@ -49,7 +49,178 @@ object AggQueries extends QueryModule {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** count(DISTINCT …) and sum(DISTINCT …) — planned as expand + two-phase
+    * aggregate by Catalyst; scales via partial distinct on the mappers.
+    */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_suppliers"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_distinct_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val distinctCountsSql =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_suppliers,
+      |  round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP with grouping_id — hierarchical totals in one pass (Expand). */
+  def rollupOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  private val rollupOrdersSql =
+    """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** CUBE over the lineitem flag pair. */
+  def cubeFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(avg("l_discount"), 4).as("avg_disc"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val cubeFlagsSql =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(l_discount), 4) AS avg_disc
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS (explicit set list, SQL form). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** collect_list sorted for determinism (sampled keys to bound output). */
+  def collectLinenumbers(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .groupBy("l_orderkey")
+      .agg(
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("linenumbers"),
+        array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags"))
+      .orderBy("l_orderkey")
+
+  private val collectLinenumbersSql =
+    """SELECT l_orderkey,
+      |  array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+      |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+      |FROM lineitem WHERE l_orderkey % 100 = 0
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Exact percentiles / median per group (interpolating, Spark
+    * `percentile` ≙ DuckDB `quantile_cont`).
+    */
+  def percentilesByFlag(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("median(l_quantity)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      .orderBy("l_returnflag")
+
+  private val percentilesByFlagSql =
+    """SELECT l_returnflag,
+      |  round(median(l_quantity), 4) AS median_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Statistical aggregates: stddev / variance / corr / covar. */
+  def statsByFlag(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+
+  private val statsByFlagSql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** min/max/first-order aggregates incl. min_by/max_by (argmin/argmax). */
+  def minMaxBy(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        min("o_orderkey").as("min_key"),
+        expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("key_of_max_price"),
+        expr("min_by(o_orderkey, struct(o_totalprice, -o_orderkey))").as("key_of_min_price"))
+      .orderBy("o_orderstatus")
+
+  private val minMaxBySql =
+    """WITH ext AS (
+      |  SELECT o_orderstatus, max(o_totalprice) AS mx, min(o_totalprice) AS mn
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o.o_orderstatus,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  min(o_orderkey) AS min_key,
+      |  max(CASE WHEN o_totalprice = mx THEN o_orderkey END) AS key_of_max_price,
+      |  max(CASE WHEN o_totalprice = mn THEN o_orderkey END) AS key_of_min_price
+      |FROM orders o JOIN ext e ON o.o_orderstatus = e.o_orderstatus
+      |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin
+
+  /** HyperLogLog approximate distinct — no hash oracle (approximate);
+    * correctness asserted by error-bound property test instead
+    * (AggSpec."approx_count_distinct within rsd").
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql))
+    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QueryDef("agg_distinct_counts", distinctCounts, Some(distinctCountsSql)),
+    QueryDef("agg_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
+    QueryDef("agg_cube_flags", cubeFlags, Some(cubeFlagsSql)),
+    QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("agg_collect_linenumbers", collectLinenumbers, Some(collectLinenumbersSql)),
+    QueryDef("agg_percentiles_by_flag", percentilesByFlag, Some(percentilesByFlagSql)),
+    QueryDef("agg_stats_by_flag", statsByFlag, Some(statsByFlagSql)),
+    QueryDef("agg_min_max_by", minMaxBy, Some(minMaxBySql)),
+    QueryDef("agg_approx_distinct", approxDistinct, None)
   )
 }

@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2 Part B "Joins").
+  *
+  * Scale discipline: dimension tables (`region`, `nation`, `supplier`,
+  * `part`) are broadcast explicitly — at 100 TB the facts shuffle on their
+  * join keys once and every dim join is map-side. `customer` is NOT
+  * broadcast (it grows with SF); customer⋈orders is a shuffled join on the
+  * key both sides already aggregate on. Non-equi joins are always anchored
+  * on an equi key so they plan as hash joins with a residual range filter,
+  * never as a cartesian product.
+  */
+object JoinQueries extends QueryModule {
+
+  /** TPC-H Q5 shape: 6-way star join, revenue by nation within one region.
+    * lineitem⋈orders⋈customer shuffle on their keys; supplier/nation/region
+    * broadcast.
+    */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val revenueByNationSql =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Left outer join keeping customers with zero orders (count = 0). */
+  def ordersPerCustomer(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+      .orderBy("c_custkey")
+
+  private val ordersPerCustomerSql =
+    """SELECT c_custkey, c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
+
+  /** Right outer join (same relation, opposite build side). */
+  def rightJoinSegments(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  private val rightJoinSegmentsSql =
+    """SELECT c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Full outer join: parts ever shipped vs. large parts; classify matches. */
+  def fullOuterParts(s: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(s, dir).select(col("l_partkey")).distinct()
+    val large = Tables.part(s, dir).filter(col("p_size") > 25).select(col("p_partkey"))
+    shipped.join(large, col("l_partkey") === col("p_partkey"), "full")
+      .select(
+        when(col("l_partkey").isNotNull && col("p_partkey").isNotNull, "both")
+          .when(col("l_partkey").isNotNull, "shipped_only")
+          .otherwise("large_only").as("side"))
+      .groupBy("side").agg(count(lit(1)).as("n"))
+      .orderBy("side")
+  }
+
+  private val fullOuterPartsSql =
+    """SELECT side, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NOT NULL THEN 'both'
+      |              WHEN l_partkey IS NOT NULL THEN 'shipped_only'
+      |              ELSE 'large_only' END AS side
+      |  FROM (SELECT DISTINCT l_partkey FROM lineitem) s
+      |  FULL JOIN (SELECT p_partkey FROM part WHERE p_size > 25) l
+      |    ON l_partkey = p_partkey
+      |) GROUP BY side ORDER BY side""".stripMargin
+
+  /** Left-semi join = EXISTS: customers having at least one urgent order. */
+  def semiJoinUrgent(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  private val semiJoinUrgentSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer c WHERE EXISTS (
+      |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join = NOT EXISTS: customers with no orders at all. */
+  def antiJoinNoOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val antiJoinNoOrdersSql =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Cross join of the two tiny dims (125·SF rows — bounded). */
+  def crossNationRegion(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).crossJoin(Tables.region(s, dir))
+      .select(col("n_name"), col("r_name"),
+        (col("n_regionkey") === col("r_regionkey")).as("home"))
+      .orderBy("n_name", "r_name")
+
+  private val crossNationRegionSql =
+    """SELECT n_name, r_name, (n_regionkey = r_regionkey) AS home
+      |FROM nation CROSS JOIN region ORDER BY n_name, r_name""".stripMargin
+
+  /** Equi + range join: ships within 90 days of order date. Plans as a hash
+    * join on the order key with the range as a residual filter — no nested
+    * loop, scales linearly.
+    */
+  def rangeJoinShipLag(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_quick_ships"),
+        round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4).as("avg_lag_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val rangeJoinShipLagSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_quick_ships,
+      |  round(avg(CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE)), 4) AS avg_lag_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Pure theta (band) join: suppliers × one customer segment on an acctbal
+    * band. Broadcast nested-loop with the tiny supplier side broadcast.
+    */
+  def thetaBandAcctbal(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val sup = Tables.supplier(s, dir)
+    c.join(broadcast(sup),
+        col("c_acctbal") >= col("s_acctbal") - 100 && col("c_acctbal") <= col("s_acctbal") + 100)
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_near_customers"))
+      .orderBy("s_suppkey")
+  }
+
+  private val thetaBandAcctbalSql =
+    """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_near_customers
+      |FROM customer JOIN supplier
+      |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
+
+  /** As-of join (composed): for each event, the latest order date of the
+    * matching customer at-or-before the event time. No native Spark as-of
+    * join — expressed as equi-join + range predicate + max-aggregate, which
+    * shuffles once on the user key and once on the event id (both bounded).
+    */
+  def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"))
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .groupBy("event_id", "user_id")
+      .agg(date_format(max("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+      .orderBy("event_id")
+  }
+
+  private val asofLastOrderSql =
+    """SELECT event_id, user_id,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date
+      |FROM events LEFT JOIN orders
+      |  ON user_id = o_custkey AND o_orderdate <= ts
+      |GROUP BY event_id, user_id ORDER BY event_id""".stripMargin
+
+  /** Self join: pairs of orders by the same customer placed within 30 days. */
+  def selfJoinOrderPairs(s: SparkSession, dir: String): DataFrame = {
+    val o1 = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey").as("k1"),
+      col("o_orderdate").as("d1"), col("o_orderstatus").as("st1"))
+    val o2 = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey2"), col("o_orderkey").as("k2"),
+      col("o_orderdate").as("d2"), col("o_orderstatus").as("st2"))
+    o1.join(o2,
+        col("custkey") === col("custkey2") && col("d1") < col("d2") &&
+          col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("st1"), col("st2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("st1", "st2")
+  }
+
+  private val selfJoinOrderPairsSql =
+    """SELECT a.o_orderstatus AS st1, b.o_orderstatus AS st2,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderdate < b.o_orderdate
+      |  AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+      |GROUP BY st1, st2 ORDER BY st1, st2""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
+    QueryDef("join_left_orders_per_customer", ordersPerCustomer, Some(ordersPerCustomerSql)),
+    QueryDef("join_right_segments", rightJoinSegments, Some(rightJoinSegmentsSql)),
+    QueryDef("join_full_outer_parts", fullOuterParts, Some(fullOuterPartsSql)),
+    QueryDef("join_semi_urgent", semiJoinUrgent, Some(semiJoinUrgentSql)),
+    QueryDef("join_anti_no_orders", antiJoinNoOrders, Some(antiJoinNoOrdersSql)),
+    QueryDef("join_cross_nation_region", crossNationRegion, Some(crossNationRegionSql)),
+    QueryDef("join_range_ship_lag", rangeJoinShipLag, Some(rangeJoinShipLagSql)),
+    QueryDef("join_theta_band_acctbal", thetaBandAcctbal, Some(thetaBandAcctbalSql)),
+    QueryDef("join_asof_last_order", asofLastOrder, Some(asofLastOrderSql)),
+    QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql))
+  )
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2 Part B "Scalar function families"):
+  * string, date/time, math, conditional/null, hash. All row-parallel,
+  * whole-stage-codegen'd projections — no shuffle except the final declared
+  * sort.
+  */
+object ScalarQueries extends QueryModule {
+
+  /** String family over part names/brands/types. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        trim(lit("  pad  ")).as("trimmed"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first_word"),
+        size(split(col("p_name"), " ", -1)).as("name_words"),
+        instr(col("p_name"), "a").as("first_a"),
+        levenshtein(col("p_brand"), lit("Brand#00")).as("lev_brand"))
+      .orderBy("p_partkey")
+
+  private val stringFuncsSql =
+    """SELECT p_partkey,
+      |  upper(p_name) AS up_name,
+      |  lower(p_brand) AS lo_brand,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  substring(p_name, 1, 5) AS name_pfx,
+      |  concat_ws('#', p_brand, p_type) AS brand_type,
+      |  lpad(p_brand, 12, '*') AS brand_pad,
+      |  trim('  pad  ') AS trimmed,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
+      |  CAST(len(string_split(p_name, ' ')) AS INT) AS name_words,
+      |  CAST(instr(p_name, 'a') AS INT) AS first_a,
+      |  CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS lev_brand
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time family over order dates (timestamps pinned UTC both sides). */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("yyyymm"),
+        date_format(col("o_orderdate"), "EEEE").as("dow_name"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch0"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  private val dateFuncsSql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  strftime(o_orderdate, '%Y-%m') AS yyyymm,
+      |  dayname(o_orderdate) AS dow_name,
+      |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+      |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_epoch0,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math family over lineitem prices. exp/ln/sqrt round to 6 to absorb
+    * any libm last-bit differences.
+    */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_extendedprice") - 30000).as("price_dev"),
+        round(pow(lit(1) + col("l_discount"), 2), 6).as("disc_sq"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(exp(col("l_discount")), 6).as("disc_exp"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        signum(col("l_discount") - 0.05).as("disc_sign"))
+      .orderBy("l_orderkey")
+
+  private val mathFuncsSql =
+    """SELECT l_orderkey,
+      |  round(l_extendedprice, 1) AS price_r1,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  abs(l_extendedprice - 30000) AS price_dev,
+      |  round(pow(1 + l_discount, 2), 6) AS disc_sq,
+      |  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+      |  round(exp(l_discount), 6) AS disc_exp,
+      |  round(ln(l_extendedprice), 6) AS price_ln,
+      |  ((l_orderkey % 7) + 7) % 7 AS key_mod7,
+      |  CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1 WHEN l_discount - 0.05 < 0 THEN -1 ELSE 0 END AS DOUBLE) AS disc_sign
+      |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+
+  /** Conditional / null family: CASE WHEN, coalesce, nullif, greatest,
+    * least, null-safe equality.
+    */
+  def condFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "standard")
+          .otherwise("premium").as("band"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(redacted)")).as("seg"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_floor0"),
+        round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_cap1k"),
+        (col("c_nationkey") <=> nullif(col("c_nationkey"), lit(5))).as("nullsafe_eq"),
+        isnull(nullif(col("c_mktsegment"), lit("MACHINERY"))).as("is_machinery"))
+      .orderBy("c_custkey")
+
+  private val condFuncsSql =
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+      |       WHEN c_acctbal < 5000 THEN 'standard'
+      |       ELSE 'premium' END AS band,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg,
+      |  round(greatest(c_acctbal, 0.0), 2) AS bal_floor0,
+      |  round(least(c_acctbal, 1000.0), 2) AS bal_cap1k,
+      |  (c_nationkey IS NOT DISTINCT FROM nullif(c_nationkey, 5)) AS nullsafe_eq,
+      |  (nullif(c_mktsegment, 'MACHINERY') IS NULL) AS is_machinery
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Cryptographic hash family (dedup keys): md5 / sha-256 hex parity. */
+  def hashFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("md5_name"),
+        sha2(col("c_name").cast("binary"), 256).as("sha256_name"))
+      .orderBy("c_custkey")
+
+  private val hashFuncsSql =
+    """SELECT c_custkey, md5(c_name) AS md5_name, sha256(c_name) AS sha256_name
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Non-portable hash functions (xxhash64 with Spark's seed, crc32) —
+    * engine-specific by design, so no DuckDB oracle; pinned by golden
+    * values in ScalarSpec instead.
+    */
+  def hashEngineSpecific(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        xxhash64(col("c_name")).as("xx_name"),
+        crc32(col("c_name").cast("binary")).as("crc_name"),
+        hash(col("c_name"), col("c_nationkey")).as("murmur_name"))
+      .orderBy("c_custkey")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("str_funcs", stringFuncs, Some(stringFuncsSql)),
+    QueryDef("dt_funcs", dateFuncs, Some(dateFuncsSql)),
+    QueryDef("math_funcs", mathFuncs, Some(mathFuncsSql)),
+    QueryDef("cond_funcs", condFuncs, Some(condFuncsSql)),
+    QueryDef("hash_funcs", hashFuncs, Some(hashFuncsSql)),
+    QueryDef("hash_engine_specific", hashEngineSpecific, None)
+  )
+}

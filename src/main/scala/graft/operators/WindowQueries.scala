@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2 Part B "Window functions").
+  *
+  * Every window spec orders by a key made total with explicit tiebreakers
+  * (orderkey / linenumber) so running frames are deterministic across both
+  * engines and across shuffles. At scale each query is a single shuffle on
+  * the partition key followed by a partition-local sort — no global sort in
+  * the window itself.
+  */
+object WindowQueries extends QueryModule {
+
+  /** Ranking family + top-k per group (row_number filter ≤ 3). */
+  def rankTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("rn"), col("rnk"), col("drnk"), col("quartile"), col("pct_rank"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val rankTopOrdersSql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+      |  CAST(quartile AS INT) AS quartile, pct_rank
+      |FROM (
+      |  SELECT *,
+      |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |    ntile(4) OVER w AS quartile, round(percent_rank() OVER w, 4) AS pct_rank
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Analytic family: lag / lead / first / last over customer order history. */
+  def lagLeadOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+        round(first("o_totalprice").over(wFull), 2).as("first_price"),
+        round(last("o_totalprice").over(wFull), 2).as("last_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val lagLeadOrdersSql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+      |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+      |  round(first_value(o_totalprice) OVER w2, 2) AS first_price,
+      |  round(last_value(o_totalprice) OVER w2, 2) AS last_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Frames: running sum (unbounded→current) and sliding 4-row average per
+    * supplier, over recent lineitems.
+    */
+  def runningSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running_qty"),
+        round(avg("l_extendedprice").over(w.rowsBetween(-3, 0)), 4).as("sliding_avg_price"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val runningSupplierVolumeSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+      |  round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS sliding_avg_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** RANGE frame over a time interval: 90-day trailing spend per customer.
+    * Range frames include peers (equal order dates) symmetrically in both
+    * engines, so the result is deterministic even with date ties.
+    */
+  def rangeTrailingSpend(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_w")
+    s.sql("""SELECT o_custkey, o_orderkey,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS trailing_90d_spend
+        |FROM orders_w""".stripMargin)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val rangeTrailingSpendSql =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS trailing_90d_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_rank_top_orders", rankTopOrders, Some(rankTopOrdersSql)),
+    QueryDef("win_lag_lead_orders", lagLeadOrders, Some(lagLeadOrdersSql)),
+    QueryDef("win_running_supplier_volume", runningSupplierVolume, Some(runningSupplierVolumeSql)),
+    QueryDef("win_range_trailing_spend", rangeTrailingSpend, Some(rangeTrailingSpendSql))
+  )
+}
