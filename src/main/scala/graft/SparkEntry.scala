@@ -16,7 +16,11 @@ object SparkEntry {
     operators.WindowQueries,
     operators.SetOpQueries,
     operators.ScalarQueries,
-    operators.ArrayMapJsonQueries
+    operators.ArrayMapJsonQueries,
+    operators.TextQueries,
+    operators.DedupQueries,
+    operators.SimilarityQueries,
+    multimodal.MediaPipeline
   )
 
   lazy val allDefs: Seq[QueryDef] = {

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Row-level vector kernels shared by interpreted eval and generated code.
+  * Loops accumulate in double, index order 0..n — the same order the DuckDB
+  * oracle's list functions use, so results are bitwise identical.
+  */
+object VectorOps {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def normSq(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+    acc
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val na = normSq(a)
+    val nb = normSq(b)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Native Catalyst expression for cosine similarity of two float vectors.
+  *
+  * Chosen over a Scala UDF (SURVEY.md §4 contingency list) because it stays
+  * inside whole-stage codegen: `doGenCode` emits a direct static call with
+  * no serialization, boxing, or iterator breaks, so a brute-force similarity
+  * scan keeps the same pipeline as the parquet read.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Same shape for the raw dot product. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SQL registration for the custom expressions: `cosine_sim(a, b)`,
+  * `dot_product(a, b)` become usable inside `expr(...)` strings and
+  * `spark.sql` once registered. Idempotent.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (exact, n-gram
+  * Jaccard, SimHash, MinHash+LSH, embedding cosine).
+  *
+  * Scale design: nothing here is all-pairs over the corpus. Pair generation
+  * is always *blocked* — by `source` for text (the candidate join keys on
+  * (source, shingle)), by `label` for embeddings, by LSH band buckets for
+  * MinHash — so candidate counts stay near-linear and every stage is a
+  * hash shuffle on a bounded key, never a cartesian product.
+  */
+object DedupQueries extends QueryModule {
+
+  private val toks = "filter(split(text, ' ', -1), t -> t <> '')"
+  private val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Exact dedup: normalize whitespace/case, sha-256, keep min doc_id per
+    * hash. One hash-shuffle on the content key.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("content_hash",
+        sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"), 256))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+      .orderBy("survivor_id")
+
+  private val exactDedupSql =
+    """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+      |  min(doc_id) AS survivor_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin
+
+  /** Word 4-gram shingles, distinct, as an exploded (doc, shingle) view. */
+  private def shingleFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 4)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, size(tk) - 3),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
+          .as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked by source: candidates are
+    * pairs sharing ≥1 shingle *within a source* (inverted-index self-join),
+    * then exact J = |∩| / |∪| with a threshold. Any pair above the
+    * threshold necessarily shares a shingle, so blocking loses nothing
+    * within a source.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleFrame(s, dir)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+    val inter = a.join(b,
+        col("source") === col("source_b") && col("shingle") === col("shingle_b") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.1)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+       |    range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3])))) AS shingle
+       |  FROM (SELECT doc_id, source, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+       |FROM inter JOIN counts ca ON doc_a = ca.doc_id
+       |JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Portable 32-bit SimHash over distinct tokens (md5-nibble bits,
+    * identical arithmetic in both engines). Spark computes it with nested
+    * higher-order functions — no explode, no shuffle per token — then
+    * counts bucket sizes per fingerprint.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val bitExpr =
+      "((instr('0123456789abcdef', substring(md5(CAST(t AS BINARY)), CAST(b / 4 AS INT) + 1, 1)) - 1) >> (b % 4)) & 1"
+    val sim = Tables.documents(s, dir)
+      .withColumn("acc", expr(
+        s"""aggregate(
+           |  array_distinct($toks),
+           |  transform(sequence(0, 31), z -> 0L),
+           |  (acc, t) -> zip_with(acc,
+           |    transform(sequence(0, 31), b -> IF(($bitExpr) = 1, 1L, -1L)),
+           |    (x, y) -> x + y))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(zip_with(acc, sequence(0, 31),
+          |  (a, b) -> IF(a > 0, shiftleft(1L, b), 0L)), 0L, (x, y) -> x + y)""".stripMargin))
+    sim.select(col("doc_id"), col("simhash"))
+      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("simhash")))
+      .orderBy("doc_id")
+  }
+
+  private val simhashSql =
+    s"""WITH dt AS (
+       |  SELECT doc_id, unnest(list_distinct($dToks)) AS t FROM documents
+       |), bits AS (
+       |  SELECT doc_id, r.range AS b,
+       |    CASE WHEN ((instr('0123456789abcdef', substr(md5(t), CAST(r.range // 4 AS INT) + 1, 1)) - 1)
+       |      >> (r.range % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+       |  FROM dt CROSS JOIN range(0, 32) r
+       |), acc AS (
+       |  SELECT doc_id, b, sum(v) AS sv FROM bits GROUP BY doc_id, b
+       |), fp AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+       |  FROM acc GROUP BY doc_id)
+       |SELECT doc_id, simhash,
+       |  CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
+       |FROM fp ORDER BY doc_id""".stripMargin
+
+  /** MinHash + LSH near-dup detection (probabilistic, xxhash64-based —
+    * engine-specific hashing, so no SQL oracle; recall/estimate quality is
+    * property-tested in DedupSpec). 16-component signature, 4 bands × 4
+    * rows; candidates join on (band, band-hash) buckets; survivors verified
+    * with exact Jaccard on the shingle sets (array intersect, no shuffle).
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 4)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(1, size(tk) - 3),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+          |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
+      .withColumn("sig", expr(
+        """transform(sequence(0, 15),
+          |  h -> array_min(transform(shingles, sh -> xxhash64(h, sh))))""".stripMargin))
+      .select("doc_id", "shingles", "sig")
+    val banded = docs.select(
+      col("doc_id"), col("shingles"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> named_struct('band', b, 'bhash', xxhash64(slice(sig, b * 4 + 1, 4))))""".stripMargin))
+        .as("bb"))
+      .select(col("doc_id"), col("shingles"), col("sig"),
+        col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val l = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band").as("band_r"), col("bhash").as("bhash_r"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
+    l.join(r, col("band") === col("band_r") && col("bhash") === col("bhash_r") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_jaccard", round(expr(
+        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / 16D"), 4))
+      .withColumn("exact_jaccard", round(expr(
+        """CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) /
+          |CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)""".stripMargin), 4))
+      .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup: top-5 closest pairs per label block by cosine.
+    * Pair generation is label-blocked (the 100 TB pattern: block key =
+    * coarse cluster id); ranking is a per-block window, so the shuffle key
+    * is the label, never the full corpus.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val w = Window.partitionBy("label")
+      .orderBy(desc("cos"), asc("id_a"), asc("id_b"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", expr("cosine_sim(emb_a, emb_b)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy("label", "rn")
+  }
+
+  private val embeddingNearDupSql =
+    """WITH pairs AS (
+      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |), ranked AS (
+      |  SELECT label, id_a, id_b, cos,
+      |    row_number() OVER (PARTITION BY label ORDER BY cos DESC, id_a ASC, id_b ASC) AS rn
+      |  FROM pairs)
+      |SELECT label, id_a, id_b, round(cos, 4) AS cosine, CAST(rn AS INT) AS rn
+      |FROM ranked WHERE rn <= 5 ORDER BY label, rn""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),
+    QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_simhash", simhash, Some(simhashSql)),
+    QueryDef("dedup_minhash_lsh", minhashLsh, None),
+    QueryDef("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.{GraftFunctions, VectorCentroid}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY.md §2 LLM
+  * extensions): brute-force cosine top-k as the exact baseline, and an
+  * IVF-style variant (coarse quantizer = per-label centroids) as the scale
+  * path — a query probes one inverted list instead of the whole corpus.
+  *
+  * Scale shape: the query set is small and broadcast; candidates stream
+  * through a codegen'd cosine (custom Catalyst expression) and per-query
+  * top-k is a bounded window. At 100 TB the same plan holds: broadcast
+  * queries × partitioned candidate scan, no all-pairs shuffle.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val cosineSqlDuck =
+    """list_sum(list_transform(list_zip(QA, QB), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(QA, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(QB, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Brute-force exact top-5 neighbors for each of 10 query vectors. */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val bruteTopKSql = {
+    val cos = cosineSqlDuck.replace("QA", "q.embedding").replace("QB", "c.embedding")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cos AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+       |  FROM scored)
+       |SELECT q_id, c_id, round(cos, 4) AS cosine, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** IVF-style ANN: coarse centroids per label (computed with the
+    * VectorCentroid typed Aggregator), each query probes only its nearest
+    * list. Returns top-3 within the probed list.
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val centroidUdaf = udaf(new VectorCentroid, ExpressionEncoder[Seq[Float]]())
+    val e = Tables.embeddings(s, dir)
+    val centroids = e.groupBy("label")
+      .agg(centroidUdaf(col("embedding")).as("centroid_d"))
+      .withColumn("centroid", expr("transform(centroid_d, x -> CAST(x AS FLOAT))"))
+      .select(col("label").as("c_label"), col("centroid"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // assign each query to its nearest centroid (probe 1 list)
+    val wAssign = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_label"))
+    val assigned = q.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", expr("cosine_sim(q_emb, centroid)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("q_id"), col("q_emb"), col("c_label").as("probe_label"))
+    val cand = e.select(col("label"), col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    cand.join(broadcast(assigned),
+        col("label") === col("probe_label") && col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("probe_label"), col("c_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val ivfTopKSql = {
+    // centroid in double (avg per dimension), then cast to float to match
+    // the Spark side's FloatType centroid column before the double cosine.
+    val cosQC = cosineSqlDuck.replace("QA", "q.embedding").replace("QB", "c.centroid")
+    val cosQE = cosineSqlDuck.replace("QA", "a.q_emb").replace("QB", "e.embedding")
+    s"""WITH centroids AS (
+       |  SELECT label AS c_label,
+       |    list_transform(list(avg_v ORDER BY dim), x -> CAST(x AS FLOAT)) AS centroid
+       |  FROM (
+       |    SELECT label, dim, avg(CAST(v AS DOUBLE)) AS avg_v
+       |    FROM (SELECT label, unnest(embedding) AS v,
+       |            generate_subscripts(embedding, 1) AS dim
+       |          FROM embeddings)
+       |    GROUP BY label, dim)
+       |  GROUP BY label
+       |), assigned AS (
+       |  SELECT q_id, q_emb, c_label AS probe_label FROM (
+       |    SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.c_label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosQC DESC, c.c_label ASC) AS arn
+       |    FROM embeddings q CROSS JOIN centroids c
+       |    WHERE q.vec_id < 10)
+       |  WHERE arn = 1
+       |), ranked AS (
+       |  SELECT a.q_id, a.probe_label, e.vec_id AS c_id, $cosQE AS cos,
+       |    row_number() OVER (PARTITION BY a.q_id ORDER BY $cosQE DESC, e.vec_id ASC) AS rn
+       |  FROM assigned a JOIN embeddings e
+       |    ON e.label = a.probe_label AND e.vec_id <> a.q_id)
+       |SELECT q_id, probe_label, c_id, round(cos, 4) AS cosine, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** Per-label centroid vectors themselves, exploded per dimension —
+    * exercises the typed Aggregator end-to-end against an avg-per-dim
+    * oracle.
+    */
+  def centroids(s: SparkSession, dir: String): DataFrame = {
+    val centroidUdaf = udaf(new VectorCentroid, ExpressionEncoder[Seq[Float]]())
+    Tables.embeddings(s, dir)
+      .groupBy("label")
+      .agg(centroidUdaf(col("embedding")).as("centroid"), count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("n_vectors"), posexplode(col("centroid")))
+      .select(col("label"), col("n_vectors"), col("pos").as("dim"),
+        round(col("col"), 6).as("val"))
+      .orderBy("label", "dim")
+  }
+
+  private val centroidsSql =
+    """SELECT label, n_vectors, dim, round(avg_v, 6) AS val
+      |FROM (
+      |  SELECT label, CAST(dim - 1 AS INT) AS dim, avg(CAST(v AS DOUBLE)) AS avg_v,
+      |    CAST(count(*) AS BIGINT) AS n_vectors
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS dim
+      |        FROM embeddings)
+      |  GROUP BY label, dim)
+      |ORDER BY label, dim""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
+    QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    QueryDef("sim_label_centroids", centroids, Some(centroidsSql))
+  )
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: quality
+  * scoring, language ID, token counting, document fingerprinting. All are
+  * codegen'd per-row projections over `documents` — embarrassingly parallel
+  * at any scale; the only shuffle is the declared output sort.
+  */
+object TextQueries extends QueryModule {
+
+  /** Non-empty whitespace tokens (Spark-side fragment). */
+  private val toks = "filter(split(text, ' ', -1), t -> t <> '')"
+  /** Same in DuckDB. */
+  private val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Gopher-style quality stats: length, token count, mean word length,
+    * symbol ratio, stopword ratio, shortness flag.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr(s"size($toks)"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        col("n_tokens"),
+        round(expr(s"aggregate($toks, 0D, (a, t) -> a + length(t)) / greatest(CAST(n_tokens AS DOUBLE), 1D)"), 4)
+          .as("mean_word_len"),
+        round(expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1D)"), 4)
+          .as("symbol_ratio"),
+        round(expr(s"CAST(size(filter($toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1D)"), 4)
+          .as("stopword_ratio"),
+        (col("n_tokens") < 10).as("is_short"))
+      .orderBy("doc_id")
+
+  private val textStatsSql =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INT) AS len_chars,
+       |  CAST(len($dToks) AS INT) AS n_tokens,
+       |  round(list_sum(list_transform($dToks, t -> length(t)))
+       |    / greatest(CAST(len($dToks) AS DOUBLE), 1), 4) AS mean_word_len,
+       |  round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / greatest(CAST(length(text) AS DOUBLE), 1), 4) AS symbol_ratio,
+       |  round(CAST(len(list_filter($dToks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+       |    / greatest(CAST(len($dToks) AS DOUBLE), 1), 4) AS stopword_ratio,
+       |  (len($dToks) < 10) AS is_short
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** N-gram-heuristic language ID: score by per-language marker-word hits,
+    * deterministic priority tie-break, compared against the labeled lang.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val sets = Map(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+      "es" -> Seq("el", "la", "de", "los", "que", "y", "es"),
+      "fr" -> Seq("le", "la", "de", "les", "et", "un", "est"),
+      "de" -> Seq("der", "die", "das", "und", "ein", "ist"))
+    def score(lang: String): String = {
+      val lits = sets(lang).map(w => s"'$w'").mkString(", ")
+      s"size(filter($toks, t -> t IN ($lits)))"
+    }
+    Tables.documents(s, dir)
+      .withColumn("s_en", expr(score("en")))
+      .withColumn("s_es", expr(score("es")))
+      .withColumn("s_fr", expr(score("fr")))
+      .withColumn("s_de", expr(score("de")))
+      .withColumn("predicted",
+        expr("""CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unknown'
+                |  WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+                |  WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+                |  WHEN s_fr >= s_de THEN 'fr'
+                |  ELSE 'de' END""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        (col("lang") === col("predicted")).as("correct"),
+        col("s_en"), col("s_es"), col("s_fr"), col("s_de"))
+      .orderBy("doc_id")
+  }
+
+  private def dScore(words: Seq[String]): String = {
+    val lits = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter($dToks, t -> t IN ($lits))) AS INT)"
+  }
+
+  private val langIdSql =
+    s"""SELECT doc_id, lang, predicted, (lang = predicted) AS correct, s_en, s_es, s_fr, s_de
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ${dScore(Seq("the", "a", "of", "and", "to", "in", "is"))} AS s_en,
+       |    ${dScore(Seq("el", "la", "de", "los", "que", "y", "es"))} AS s_es,
+       |    ${dScore(Seq("le", "la", "de", "les", "et", "un", "est"))} AS s_fr,
+       |    ${dScore(Seq("der", "die", "das", "und", "ein", "ist"))} AS s_de
+       |  FROM documents),
+       |  LATERAL (SELECT CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unknown'
+       |    WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+       |    WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+       |    WHEN s_fr >= s_de THEN 'fr'
+       |    ELSE 'de' END AS predicted)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single symbols).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        expr(s"size($toks)").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))").as("bpe_tokens"),
+        expr(s"size(array_distinct($toks))").as("distinct_ws_tokens"),
+        round(expr(s"CAST(size(array_distinct($toks)) AS DOUBLE) / greatest(CAST(size($toks) AS DOUBLE), 1D)"), 4)
+          .as("ttr"))
+      .orderBy("doc_id")
+
+  private val tokenCountSql =
+    s"""SELECT doc_id,
+       |  CAST(len($dToks) AS INT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_tokens,
+       |  CAST(len(list_distinct($dToks)) AS INT) AS distinct_ws_tokens,
+       |  round(CAST(len(list_distinct($dToks)) AS DOUBLE)
+       |    / greatest(CAST(len($dToks) AS DOUBLE), 1), 4) AS ttr
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprints: sequence-sensitive rolling hash (positional
+    * polynomial mod 1000003), content-set hash, and raw-text hash.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val tokCode =
+      "aggregate(sequence(1, length(t)), 0L, (acc, ci) -> (acc * 31 + ascii(substring(t, ci, 1))) % 1000003)"
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_seq"),
+        expr(s"md5(CAST(array_join(array_sort(array_distinct($toks)), ' ') AS BINARY))").as("fp_set"),
+        expr(
+          s"""aggregate(
+             |  zip_with($toks, sequence(1, size($toks)), (t, pos) -> (($tokCode) * pos) % 1000003),
+             |  0L, (acc, x) -> (acc + x) % 1000003)""".stripMargin).as("fp_rolling"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprintSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |), codes AS (
+       |  SELECT doc_id, pos,
+       |    list_reduce(
+       |      list_concat([CAST(0 AS BIGINT)],
+       |        list_transform(range(1, length(t) + 1), ci -> CAST(ascii(substr(t, ci, 1)) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000003) AS code
+       |  FROM tok)
+       |SELECT d.doc_id,
+       |  md5(d.text) AS fp_seq,
+       |  md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS fp_set,
+       |  coalesce(c.fp, 0) AS fp_rolling
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, sum((code * pos) % 1000003) % 1000003 AS fp FROM codes GROUP BY doc_id
+       |) c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_stats", textStats, Some(textStatsSql)),
+    QueryDef("text_langid", langId, Some(langIdSql)),
+    QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql))
+  )
+}
