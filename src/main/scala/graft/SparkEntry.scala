@@ -20,7 +20,8 @@ object SparkEntry {
     operators.TextQueries,
     operators.DedupQueries,
     operators.SimilarityQueries,
-    multimodal.MediaPipeline
+    multimodal.MediaPipeline,
+    streaming.StreamingQueries
   )
 
   lazy val allDefs: Seq[QueryDef] = {

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's stream-record model, rebuilt from the reference's Kinesis
+  * record surface (SURVEY.md §1.3):
+  * payload bytes + partition key + sequence number + shard id + arrival ts
+  * (reference: AmazonKinesisRecordProducerSample.java:127-135,
+  * AmazonKinesisApplicationSampleRecordProcessor.java:99-110).
+  */
+case class KinesisLikeRecord(
+    partitionKey: String,
+    data: Array[Byte],
+    sequenceNumber: String,
+    shardId: String,
+    arrivalTs: java.sql.Timestamp)
+
+object RecordStream {
+
+  /** Number of shards the reference provisions
+    * (AmazonKinesisRecordProducerSample.java:66,94-95).
+    */
+  val NumShards = 2
+
+  /** Producer parity [REF A1]: the reference emits one record per 500 ms
+    * (`Thread.sleep(500)`, AmazonKinesisRecordProducerSample.java:133,136)
+    * with payload `"testData-" + LocalDateTime.now()` (:128-129) and a
+    * fresh epoch-millis partition key (:126,130). Rebuilt on the `rate`
+    * source: 2 rows/s, shard = value % 2, monotonically increasing
+    * sequence numbers per shard (the rate source's `value`).
+    */
+  def generator(spark: SparkSession, rowsPerSecond: Int = 2): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        concat(lit("partitionKey-"), (col("timestamp").cast("double") * 1000).cast("long"))
+          .as("partitionKey"),
+        encode(
+          concat(lit("testData-"), date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS")),
+          "UTF-8").as("data"),
+        col("value").cast("string").as("sequenceNumber"),
+        concat(lit("shardId-"), lpad(pmod(col("value"), lit(NumShards)).cast("string"), 12, "0"))
+          .as("shardId"),
+        col("timestamp").as("arrivalTs"))
+
+  /** Decode-with-error-channel [REF A8/A9]: strict UTF-8 decode + payload
+    * parse. The reference logs-and-skips malformed records
+    * (…SampleRecordProcessor.java:105-108); Spark task retries are
+    * per-task, not per-record, so poison-pill semantics become an explicit
+    * error column: `parsed` is null iff the record is malformed, and
+    * `decode_error` says why. Downstream splits on it (dead-letter).
+    */
+  def decodePayload(records: DataFrame): DataFrame =
+    records
+      .withColumn("text", col("data").cast("string"))
+      .withColumn("event_ts",
+        expr("try_to_timestamp(regexp_extract(text, '^testData-(.+)$', 1), " +
+          "\"yyyy-MM-dd'T'HH:mm:ss.SSS\")"))
+      .withColumn("decode_error",
+        when(col("text").isNull, "malformed-utf8")
+          .when(col("event_ts").isNull, "bad-payload-format"))
+      .withColumn("parsed",
+        when(col("decode_error").isNull,
+          struct(lit("testData").as("tag"), col("event_ts"))))
+
+  /** Dead-letter split [REF A9]: good records flow on; failures are
+    * retained with their error, not dropped (the reference's skip-after-10-
+    * retries becomes an auditable side channel).
+    */
+  def splitDeadLetter(decoded: DataFrame): (DataFrame, DataFrame) =
+    (decoded.filter(col("decode_error").isNull),
+      decoded.filter(col("decode_error").isNotNull))
+
+  /** The streaming-shaped events table: the fixture `events.parquet`
+    * replayed through the file stream source (all-distributed, no driver
+    * round-trip). `ts` arrives as TIMESTAMP(NANOS) → read as long nanos,
+    * truncated to µs exactly like the batch reader (Tables.events).
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      // glob, not a bare file path: the file stream source requires a
+      // directory or glob (basePath must be a directory)
+      .parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Events as a *multi-batch* stream for watermark-driven operators
+    * (append-mode session windows): the fixture file is staged into a temp
+    * dir followed by two far-future sentinel records in their own files.
+    * With maxFilesPerTrigger=1 the sentinels arrive as later micro-batches,
+    * advancing the watermark past every real session's end so append mode
+    * finalizes and emits them; the sentinels' own windows stay pending and
+    * are never emitted. This is the deterministic replacement for
+    * wall-clock waits (SURVEY.md §7 hard-point 3).
+    */
+  def eventsStreamWithSentinels(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Files.createTempDirectory("graft_stream_").toString
+    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$stage/batch0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    def sentinel(i: Int, tsNanos: Long): Unit = {
+      import org.apache.spark.sql.Row
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(-1L, tsNanos, -1L, "sentinel", 0.0, "{}")), eventsSchema)
+      val tmp = s"$stage/_tmp_sentinel$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // relocate the single part file so the stream glob sees a plain file
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(s"$stage/sentinel$i.parquet"))
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      Thread.sleep(5) // distinct mod-times => deterministic file order
+    }
+    // 2030-01-01 and 2030-01-02 UTC, far beyond the 2024 fixture range
+    sentinel(1, 1893456000000000000L)
+    sentinel(2, 1893542400000000000L)
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the accumulated table. `processAllAvailable` + explicit stop keeps the
+    * run deterministic (SURVEY.md §7 "genuinely hard" #3).
+    */
+  def runToMemory(
+      spark: SparkSession,
+      stream: DataFrame,
+      name: String,
+      mode: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      q.awaitTermination(20000) // graceful-stop budget [REF A15]
+    }
+    spark.table(name)
+  }
+}

@@ -1,0 +1,210 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+    value: Double, ts: java.sql.Timestamp)
+case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+    n_purchases: Long, last_ts: java.sql.Timestamp)
+
+/** Structured Streaming operators (SURVEY.md §2 "Streaming"), each run as a
+  * real streaming query (file source → transforms → memory sink, drained
+  * synchronously) whose final table is oracle-checked against batch SQL
+  * over the same events. Timestamps are rendered to µs strings; window
+  * starts are epoch-floored so both engines agree on alignment.
+  */
+object StreamingQueries extends QueryModule {
+
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val DTsFmt = "%Y-%m-%d %H:%M:%S.%f"
+
+  /** Tumbling 1-hour windows by event type (complete mode). */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    val agg = RecordStream.eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    RecordStream.runToMemory(s, agg, "stream_tumbling_sink", "complete")
+      .select(date_format(col("w.start"), TsFmt).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  private val tumblingSql =
+    s"""SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)), '$DTsFmt')
+       |    AS window_start,
+       |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding 1-hour windows every 30 minutes (complete mode). */
+  def sliding(s: SparkSession, dir: String): DataFrame = {
+    val agg = RecordStream.eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    RecordStream.runToMemory(s, agg, "stream_sliding_sink", "complete")
+      .select(date_format(col("w.start"), TsFmt).as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  private val slidingSql =
+    s"""SELECT strftime(to_timestamp(ws), '$DTsFmt') AS window_start,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (
+       |  SELECT unnest([CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+       |                 CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800]) AS ws
+       |  FROM events)
+       |GROUP BY ws ORDER BY window_start""".stripMargin
+
+  /** Session windows: 30-minute gap per user, append mode. Sessions only
+    * emit once the watermark passes their end; the sentinel micro-batches
+    * (RecordStream.eventsStreamWithSentinels) advance it deterministically.
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    val agg = RecordStream.eventsStreamWithSentinels(s, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    RecordStream.runToMemory(s, agg, "stream_sessions_sink", "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("w.start"), TsFmt).as("session_start"),
+        date_format(col("w.end"), TsFmt).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val sessionsSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), numbered AS (
+       |  SELECT user_id, ts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked)
+       |SELECT user_id,
+       |  strftime(min(ts), '$DTsFmt') AS session_start,
+       |  strftime(max(ts) + INTERVAL 30 MINUTE, '$DTsFmt') AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM numbered GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Streaming dedup on a key subset (dropDuplicates with the stream's
+    * state store); output projected to the key so the surviving set is
+    * deterministic.
+    */
+  def dedup(s: SparkSession, dir: String): DataFrame = {
+    val dd = RecordStream.eventsStream(s, dir)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    RecordStream.runToMemory(s, dd, "stream_dedup_sink", "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  private val dedupSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Stream-static join: streaming events against the static customer dim
+    * (broadcast — the static side is loaded per micro-batch).
+    */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = RecordStream.eventsStream(s, dir)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    RecordStream.runToMemory(s, joined, "stream_static_join_sink", "complete")
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  private val streamStaticJoinSql =
+    """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+
+  /** Custom per-key state with mapGroupsWithState [REF A7/A10]: running
+    * per-user counters, the rebuilt form of the reference's per-shard
+    * processor state.
+    */
+  def statefulUserStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = RecordStream.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[Ev]
+    val stats = ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[Ev], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L, new java.sql.Timestamp(0)))
+          var n = prev.n_events
+          var total = prev.total_value
+          var purchases = prev.n_purchases
+          var last = prev.last_ts
+          events.foreach { e =>
+            n += 1
+            total += e.value
+            if (e.event_type == "purchase") purchases += 1
+            if (e.ts.after(last)) last = e.ts
+          }
+          val next = UserStats(uid, n, total, purchases, last)
+          state.update(next)
+          next
+      }
+    RecordStream.runToMemory(s, stats.toDF(), "stream_stateful_sink", "update")
+      .select(col("user_id"), col("n_events"), round(col("total_value"), 2).as("total_value"),
+        col("n_purchases"), date_format(col("last_ts"), TsFmt).as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  private val statefulUserStatsSql =
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  round(sum(value), 2) AS total_value,
+       |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+       |  strftime(max(ts), '$DTsFmt') AS last_ts
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** The reference's full dataflow [REF A1→A8→A9→A11], replayed
+    * deterministically: payload strings in the producer's format (with a
+    * deterministic corruption for every 97th record), strict decode with
+    * error channel, dead-letter split, per-type accounting.
+    */
+  def payloadPipeline(s: SparkSession, dir: String): DataFrame = {
+    val records = RecordStream.eventsStream(s, dir)
+      .withColumn("data", encode(
+        when(col("event_id") % 97 === 0, concat(lit("garbage-"), col("event_id")))
+          .otherwise(concat(lit("testData-"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"))),
+        "UTF-8"))
+    val decoded = RecordStream.decodePayload(records)
+    val counted = decoded
+      .groupBy("event_type")
+      .agg(count(when(col("decode_error").isNull, 1)).as("n_good"),
+        count(when(col("decode_error").isNotNull, 1)).as("n_dead_letter"))
+    RecordStream.runToMemory(s, counted, "stream_payload_sink", "complete")
+      .orderBy("event_type")
+  }
+
+  private val payloadPipelineSql =
+    """SELECT event_type,
+      |  CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
+      |  CAST(count(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS n_dead_letter
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_tumbling_counts", tumbling, Some(tumblingSql)),
+    QueryDef("stream_sliding_counts", sliding, Some(slidingSql)),
+    QueryDef("stream_session_windows", sessions, Some(sessionsSql)),
+    QueryDef("stream_dedup", dedup, Some(dedupSql)),
+    QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
+    QueryDef("stream_stateful_user_stats", statefulUserStats, Some(statefulUserStatsSql)),
+    QueryDef("stream_payload_pipeline", payloadPipeline, Some(payloadPipelineSql))
+  )
+}
