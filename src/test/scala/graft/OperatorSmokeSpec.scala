@@ -1,0 +1,30 @@
+package graft
+
+/** Every declared query runs at sf0.001 and returns a well-formed result.
+  * (Value-level correctness is enforced by the DuckDB oracle gate at
+  * sf0.01 — tools/check.py; this suite is the fast in-build smoke.)
+  */
+class OperatorSmokeSpec extends SparkSuite {
+
+  SparkEntry.allDefs.foreach { d =>
+    test(s"${d.name} runs and is non-degenerate") {
+      val df = d.run(spark, Sf)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.columns.nonEmpty)
+      // queries expected to be non-empty on the fixture
+      val mayBeEmpty = Set("join_anti_no_orders", "dedup_ngram_jaccard", "dedup_minhash_lsh")
+      if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} returned 0 rows")
+    }
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either an oracle or a documented exemption") {
+    val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
+    // approximate / engine-specific-hash ops are exempt by design
+    assert(noOracle == Set("agg_approx_distinct", "hash_engine_specific", "dedup_minhash_lsh"))
+  }
+}

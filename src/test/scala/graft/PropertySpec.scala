@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic-law property tests (SURVEY.md §5.3): engine results vs. a
+  * Scala reference model on generated data. Deterministic: ScalaCheck
+  * generators driven from a fixed seed (scalatestplus glue is not in the
+  * offline cache, so sampling is done directly).
+  */
+class PropertySpec extends SparkSuite {
+
+  /** Evaluate `body` over `n` deterministic samples of `g`. */
+  private def forAll[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(42L + i)).get)
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 8)(body: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(
+        ga.apply(Gen.Parameters.default, Seed(42L + i)).get,
+        gb.apply(Gen.Parameters.default, Seed(1042L + i)).get)
+    }
+
+  private val smallLists = Gen.listOfN(30, Gen.chooseNum(0, 9))
+
+  test("union / intersect / except agree with the Set model") {
+    import spark.implicits._
+    forAll2(smallLists, smallLists) { (xs: List[Int], ys: List[Int]) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      val inter = a.intersect(b).as[Int].collect().toSet
+      val exc = a.except(b).as[Int].collect().toSet
+      val uni = a.union(b).distinct().as[Int].collect().toSet
+      assert(inter == (xs.toSet & ys.toSet))
+      assert(exc == (xs.toSet -- ys.toSet))
+      assert(uni == (xs.toSet | ys.toSet))
+    }
+  }
+
+  test("intersectAll / exceptAll agree with the multiset model") {
+    import spark.implicits._
+    forAll2(smallLists, smallLists) { (xs: List[Int], ys: List[Int]) =>
+      def bag(l: Seq[Int]) = l.groupBy(identity).view.mapValues(_.size).toMap
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      val gotI = bag(a.intersectAll(b).as[Int].collect().toSeq)
+      val wantI = (bag(xs) map { case (k, n) => k -> math.min(n, bag(ys).getOrElse(k, 0)) })
+        .filter(_._2 > 0)
+      assert(gotI == wantI)
+      val gotE = bag(a.exceptAll(b).as[Int].collect().toSeq)
+      val wantE = (bag(xs) map { case (k, n) => k -> (n - bag(ys).getOrElse(k, 0)) })
+        .filter(_._2 > 0)
+      assert(gotE == wantE)
+    }
+  }
+
+  test("running window sum equals brute-force prefix sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    forAll(Gen.listOfN(25, Gen.chooseNum(-100, 100))) { (xs: List[Int]) =>
+      val df = xs.zipWithIndex.toDF("v", "i")
+      val w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+      val got = df.withColumn("r", sum("v").over(w)).orderBy("i")
+        .select("r").as[Long].collect().toList
+      val want = xs.scanLeft(0L)(_ + _).tail
+      assert(got == want)
+    }
+  }
+
+  test("payload decode(encode(s)) round-trips [REF A8]") {
+    import spark.implicits._
+    val asciiGen = Gen.listOfN(20, Gen.alphaNumChar).map(_.mkString)
+    forAll(asciiGen) { (s: String) =>
+      val df = Seq(s).toDF("t")
+        .select(decode(encode(col("t"), "UTF-8"), "UTF-8").as("rt"))
+      assert(df.as[String].head() == s)
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    import spark.implicits._
+    forAll(smallLists) { (xs: List[Int]) =>
+      val once = xs.toDF("v").dropDuplicates("v")
+      val twice = once.dropDuplicates("v")
+      assert(once.count() == twice.count())
+    }
+  }
+
+  test("minhash signature equality rate estimates Jaccard within tolerance") {
+    import spark.implicits._
+    // two planted near-duplicates: 80 shared tokens out of 100
+    val base = (1 to 100).map(i => s"tok$i")
+    val other = base.take(80) ++ (1 to 20).map(i => s"alt$i")
+    val docs = Seq((0L, base.mkString(" "), "s"), (1L, other.mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("mh_docs")
+    val sig = docs
+      .withColumn("tk", expr("filter(split(text, ' ', -1), t -> t <> '')"))
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, size(tk) - 3),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+          |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 63), h -> array_min(transform(sh, s2 -> xxhash64(h, s2))))"))
+      .select("doc_id", "sh", "sig")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1).toSet, r.getSeq[Long](2)))
+      .toMap
+    val (shA, sigA) = sig(0L)
+    val (shB, sigB) = sig(1L)
+    val trueJ = (shA & shB).size.toDouble / (shA | shB).size
+    val estJ = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / 64
+    assert(math.abs(trueJ - estJ) < 0.2, s"true=$trueJ est=$estJ")
+  }
+
+  test("cosine_sim matches a plain-Scala reference") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10, 10).map(_.toFloat))
+    forAll2(vecGen, vecGen) { (a: List[Float], b: List[Float]) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(expr("cosine_sim(a, b)").as("c"))
+      val got = df.as[Double].head()
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      val want = if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      assert(math.abs(got - want) < 1e-9, s"got=$got want=$want")
+    }
+  }
+}

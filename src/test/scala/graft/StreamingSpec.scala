@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.RecordStream
+
+/** Streaming semantics tests (SURVEY.md §5.2/5.4): checkpointed
+  * restart-recovery, watermark late-data drop, producer-format parity,
+  * dead-letter accounting, graceful stop budget. All deterministic —
+  * processAllAvailable / explicit sentinels, no sleeps for data timing.
+  */
+class StreamingSpec extends SparkSuite {
+
+  test("restart from checkpoint resumes without loss [REF A10]") {
+    val stage = Files.createTempDirectory("graft_ckpt_stage_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val out = "restart_sink"
+    import spark.implicits._
+
+    def writeBatch(name: String, from: Int, until: Int): Unit = {
+      val tmp = s"$stage/_tmp_$name"
+      (from until until).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .coalesce(1).write.parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(s"$stage/$name.parquet")))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+
+    val outDir = Files.createTempDirectory("graft_ckpt_out_").toString
+
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("id LONG, payload STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$stage/*")
+      stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet") // file sink: supports checkpoint recovery, exactly-once
+        .option("path", outDir)
+        .start()
+    }
+
+    writeBatch("a", 0, 50)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(spark.read.parquet(outDir).count() == 50)
+    q1.stop() // kill mid-stream (before later data arrives)
+
+    writeBatch("b", 50, 80)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    val ids = spark.read.parquet(outDir).select("id").as[Long].collect().toList
+    q2.stop()
+    // recovery from the offset log: nothing lost, nothing reprocessed
+    assert(ids.size == 80, s"expected 80 rows after restart, got ${ids.size}")
+    assert(ids.toSet == (0 until 80).map(_.toLong).toSet)
+  }
+
+  test("watermark drops data later than the delay [MANDATE late-data]") {
+    val stage = Files.createTempDirectory("graft_late_").toString
+    import spark.implicits._
+    def file(name: String, rows: Seq[(java.sql.Timestamp, String)]): Unit = {
+      val tmp = s"$stage/_t_$name"
+      rows.toDF("ts", "k").coalesce(1).write.parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(s"$stage/$name.parquet")))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      Thread.sleep(5)
+    }
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // Spark finalizes a window one batch *after* the watermark passes its
+    // end (eviction happens at the commit where wm already covers it), so a
+    // genuinely-droppable late row must arrive ≥2 batches after the head
+    // that advanced the watermark. Sequence (10-min watermark):
+    //   b0: 10:00 on-time + 10:30 head  → commit: wm = 10:20
+    //   b1: 10:50 filler                → [10:00,10:10) finalized, wm = 10:40
+    //   b2: 10:05 late                  → window gone, wm 10:40 → DROPPED
+    //   b3: 12:00 sentinel              → flushes remaining windows
+    file("b0", Seq((ts(10, 0), "on-time"), (ts(10, 30), "head")))
+    file("b1", Seq((ts(10, 50), "filler")))
+    file("b2", Seq((ts(10, 5), "late")))
+    file("b3", Seq((ts(12, 0), "flush-sentinel")))
+    val agg = spark.readStream
+      .schema("ts TIMESTAMP, k STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/*")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .count()
+    val rows = RecordStream.runToMemory(spark, agg.toDF(), "late_sink", "append")
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("count"))
+      .as[(String, Long)].collect().toMap
+    // [10:00,10:10) finalized with ONLY the on-time row; the late one dropped
+    assert(rows.get("10:00").contains(1L), s"late row leaked or on-time lost: $rows")
+    assert(rows.get("10:30").contains(1L) && rows.get("10:50").contains(1L))
+  }
+
+  test("rate-source generator emits the reference payload format [REF A1]") {
+    val gen = RecordStream.generator(spark, rowsPerSecond = 100)
+    val q = gen.writeStream.outputMode("append")
+      .format("memory").queryName("gen_sink").start()
+    try {
+      // rate source needs wall-clock to emit; bounded wait for >0 rows
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("gen_sink").isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("gen_sink")
+    assert(!rows.isEmpty, "rate generator produced nothing in 15s")
+    val decoded = RecordStream.decodePayload(rows)
+    assert(decoded.filter(col("decode_error").isNotNull).count() == 0)
+    val shards = decoded.select("shardId").distinct().collect().map(_.getString(0)).toSet
+    assert(shards.subsetOf(Set("shardId-000000000000", "shardId-000000000001")))
+    assert(decoded.filter(col("text").startsWith("testData-")).count() == rows.count())
+    assert(decoded.filter(col("partitionKey").startsWith("partitionKey-")).count() == rows.count())
+  }
+
+  test("poison payloads go to the dead letter channel, good ones survive [REF A9]") {
+    import spark.implicits._
+    val payloads = Seq(
+      "testData-2024-01-01T10:00:00.123",
+      "testData-2024-01-01T10:00:01.456",
+      "garbage-record",
+      "testData-not-a-timestamp")
+    val df = payloads.toDF("s").select(encode(col("s"), "UTF-8").as("data"))
+    val (good, dead) = RecordStream.splitDeadLetter(RecordStream.decodePayload(df))
+    assert(good.count() == 2)
+    assert(dead.count() == 2)
+    assert(dead.select("decode_error").as[String].collect().toSet == Set("bad-payload-format"))
+    // the parsed struct carries the event-time for downstream watermarking
+    assert(good.select(col("parsed.event_ts")).na.drop().count() == 2)
+  }
+
+  test("graceful stop completes within the 20s budget [REF A15]") {
+    val q = RecordStream.generator(spark, rowsPerSecond = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stop_sink")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    val t0 = System.nanoTime()
+    q.stop()
+    q.awaitTermination(20000)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(!q.isActive)
+    assert(elapsedMs < 20000, s"stop took ${elapsedMs}ms")
+  }
+}
