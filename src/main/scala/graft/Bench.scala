@@ -1,24 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): runs every declared query on
+  * SPARK_GRAFT_SF_DIR at local[32], forcing full materialization through
+  * the noop sink (count() can short-circuit column reads; noop cannot),
+  * and prints one JSON line with per-query seconds.
+  *
+  * The parquet footers/fs cache are warmed with a metadata pass first so
+  * query timings measure compute, not first-touch I/O.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm: footer reads + buffer cache + codegen of the scan paths
+    // (events.ts is TIMESTAMP(NANOS) — needs the nanos-as-long legacy conf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+
+    val results = SparkEntry.allDefs.map { d =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          d.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+            false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      d.name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
