@@ -65,9 +65,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every fixture table as a temp view (for spark.sql queries). */
+  /** Register every fixture table as a temp view (for spark.sql queries).
+    * Goes through the typed accessors so `events` gets its nanos→µs
+    * timestamp handling regardless of query order.
+    */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
 
 /** A declared operator: a Spark implementation plus (when SQL-expressible)

@@ -18,6 +18,9 @@ object SparkEntry {
     operators.ScalarQueries,
     operators.ArrayMapJsonQueries,
     operators.TextQueries,
+    operators.SubqueryQueries,
+    operators.MiscQueries,
+    sources.SourceQueries,
     operators.DedupQueries,
     operators.SimilarityQueries,
     multimodal.MediaPipeline,

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pivot/unpivot, UDF surface, try_-functions, bit manipulation, and
+  * explicit repartitioning (SURVEY.md §2 remainder).
+  */
+object MiscQueries extends QueryModule {
+
+  /** Pivot (explicit value list for a deterministic schema): order counts
+    * and spend per segment × status.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("c_mktsegment")
+
+  private val pivotStatusSql =
+    """SELECT c_mktsegment,
+      |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+      |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+      |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Unpivot (melt): wide lineitem metrics to long (key, metric, value). */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 500 === 0 && col("l_linenumber") === 1)
+      .select(col("l_orderkey"), round(col("l_quantity"), 2).as("quantity"),
+        round(col("l_extendedprice"), 2).as("extendedprice"),
+        round(col("l_discount"), 2).as("discount"), round(col("l_tax"), 2).as("tax"))
+      .unpivot(Array(col("l_orderkey")), "metric", "value")
+      .orderBy("l_orderkey", "metric")
+
+  private val unpivotMetricsSql =
+    """SELECT l_orderkey, metric, value FROM (
+      |  SELECT l_orderkey, 'quantity' AS metric, round(l_quantity, 2) AS value
+      |  FROM lineitem WHERE l_orderkey % 500 = 0 AND l_linenumber = 1
+      |  UNION ALL
+      |  SELECT l_orderkey, 'extendedprice', round(l_extendedprice, 2)
+      |  FROM lineitem WHERE l_orderkey % 500 = 0 AND l_linenumber = 1
+      |  UNION ALL
+      |  SELECT l_orderkey, 'discount', round(l_discount, 2)
+      |  FROM lineitem WHERE l_orderkey % 500 = 0 AND l_linenumber = 1
+      |  UNION ALL
+      |  SELECT l_orderkey, 'tax', round(l_tax, 2)
+      |  FROM lineitem WHERE l_orderkey % 500 = 0 AND l_linenumber = 1
+      |) ORDER BY l_orderkey, metric""".stripMargin
+
+  /** Scala UDF surface (udf() registration). Built-ins are preferred
+    * everywhere else (SURVEY.md §2 "UDF surface") — this declares the
+    * escape hatch works and stays oracle-parity when the logic is pure.
+    */
+  def udfTokenRatio(s: SparkSession, dir: String): DataFrame = {
+    val tokenRatio = udf { (text: String) =>
+      if (text == null) 0.0
+      else {
+        val toks = text.split(" ", -1).filter(_.nonEmpty)
+        if (toks.isEmpty) 0.0 else toks.distinct.length.toDouble / toks.length
+      }
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), round(tokenRatio(col("text")), 4).as("token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val udfTokenRatioSql =
+    """SELECT doc_id,
+      |  round(CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) = 0 THEN 0.0
+      |    ELSE CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+      |       / len(list_filter(string_split(text, ' '), t -> t <> '')) END, 4) AS token_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** try_* family: errors become nulls instead of task failures (the
+    * batch analogue of the reference's poison-record skip [REF A9]).
+    */
+  def tryFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        expr("try_divide(value, CAST(event_id % 5 AS DOUBLE))").as("div_or_null"),
+        expr("try_cast(concat('x', event_id) AS INT)").as("bad_cast"),
+        expr("try_cast(event_id AS INT)").as("good_cast"),
+        expr("try_to_timestamp(props)").as("bad_ts"))
+      .select(col("event_id"), round(col("div_or_null"), 4).as("div_or_null"),
+        col("bad_cast"), col("good_cast"), col("bad_ts").cast("string").as("bad_ts"))
+      .orderBy("event_id")
+
+  private val tryFuncsSql =
+    """SELECT event_id,
+      |  round(CASE WHEN event_id % 5 = 0 THEN NULL
+      |    ELSE value / CAST(event_id % 5 AS DOUBLE) END, 4) AS div_or_null,
+      |  try_cast(concat('x', event_id) AS INT) AS bad_cast,
+      |  try_cast(event_id AS INT) AS good_cast,
+      |  CAST(NULL AS VARCHAR) AS bad_ts
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Bit manipulation: shifts, and/or/xor, hex rendering. */
+  def bitFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .select(
+        col("n_nationkey"),
+        expr("shiftleft(CAST(n_nationkey AS BIGINT), 3)").as("shl3"),
+        expr("shiftright(CAST(n_nationkey AS BIGINT), 1)").as("shr1"),
+        expr("CAST(n_nationkey AS BIGINT) & 6").as("band"),
+        expr("CAST(n_nationkey AS BIGINT) | 9").as("bor"),
+        expr("CAST(n_nationkey AS BIGINT) ^ 21").as("bxor"),
+        lower(hex(col("n_nationkey").cast("long"))).as("hexed"))
+      .orderBy("n_nationkey")
+
+  private val bitFuncsSql =
+    """SELECT n_nationkey,
+      |  CAST(n_nationkey AS BIGINT) << 3 AS shl3,
+      |  CAST(n_nationkey AS BIGINT) >> 1 AS shr1,
+      |  CAST(n_nationkey AS BIGINT) & 6 AS band,
+      |  CAST(n_nationkey AS BIGINT) | 9 AS bor,
+      |  xor(CAST(n_nationkey AS BIGINT), 21) AS bxor,
+      |  lower(to_hex(CAST(n_nationkey AS BIGINT))) AS hexed
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** Explicit repartition + partition-local sort: same result as the plain
+    * aggregate (the oracle), but the plan pins the partitioning — the knob
+    * used to co-locate joins / bucket writes at scale.
+    */
+  def repartitionAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .repartition(8, col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey", "l_orderkey")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_suppkey")
+
+  private val repartitionAggSql =
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_pivot_status", pivotStatus, Some(pivotStatusSql)),
+    QueryDef("misc_unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)),
+    QueryDef("misc_udf_token_ratio", udfTokenRatio, Some(udfTokenRatioSql)),
+    QueryDef("misc_try_funcs", tryFuncs, Some(tryFuncsSql)),
+    QueryDef("misc_bit_funcs", bitFuncs, Some(bitFuncsSql)),
+    QueryDef("misc_repartition_agg", repartitionAgg, Some(repartitionAggSql))
+  )
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Subquery surface (SURVEY.md §4 "Subquery decorrelation"): correlated
+  * scalar, IN / NOT IN, uncorrelated scalar, LATERAL. All hit Catalyst's
+  * RewriteCorrelatedScalarSubquery / RewritePredicateSubquery — each plans
+  * as a join, not a per-row re-execution, which is what makes them viable
+  * at 100 TB.
+  */
+object SubqueryQueries extends QueryModule {
+
+  private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(q)
+  }
+
+  private val scalarCorrSpark =
+    """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      |FROM customer c
+      |WHERE c_acctbal > 1.8 * (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                         WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val inSubSpark =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'HOUSEHOLD')
+      |  AND o_totalprice > 300000
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val notInSubSpark =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  private val scalarUncorrSpark =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders
+      |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val lateralSpark =
+    """SELECT c_custkey, round(top_spend, 2) AS top_spend, n_big
+      |FROM customer,
+      |LATERAL (SELECT max(o_totalprice) AS top_spend,
+      |                count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big
+      |         FROM orders WHERE o_custkey = c_custkey) t
+      |WHERE top_spend IS NOT NULL
+      |ORDER BY c_custkey""".stripMargin
+
+  // DuckDB twin needs only count→BIGINT casts where applicable
+  private val lateralDuck =
+    """SELECT c_custkey, round(top_spend, 2) AS top_spend,
+      |  CAST(n_big AS BIGINT) AS n_big
+      |FROM customer,
+      |LATERAL (SELECT max(o_totalprice) AS top_spend,
+      |                count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big
+      |         FROM orders WHERE o_custkey = c_custkey) t
+      |WHERE top_spend IS NOT NULL
+      |ORDER BY c_custkey""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("sub_scalar_correlated",
+      (s, d) => sql(s, d, scalarCorrSpark), Some(scalarCorrSpark)),
+    QueryDef("sub_in_predicate",
+      (s, d) => sql(s, d, inSubSpark), Some(inSubSpark)),
+    QueryDef("sub_not_in_predicate",
+      (s, d) => sql(s, d, notInSubSpark), Some(notInSubSpark)),
+    QueryDef("sub_scalar_uncorrelated",
+      (s, d) => sql(s, d, scalarUncorrSpark), Some(scalarUncorrSpark)),
+    QueryDef("sub_lateral_join",
+      (s, d) => sql(s, d, lateralSpark), Some(lateralDuck))
+  )
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink formats beyond parquet (SURVEY.md §2 "Sources / sinks"):
+  * CSV, JSON and text scans exercised as write→read round-trips of the
+  * fixture tables, then aggregated; the oracle runs the same aggregate on
+  * the original parquet, so any loss or mis-parse in the round-trip fails
+  * the hash-compare.
+  */
+object SourceQueries extends QueryModule {
+
+  /** CSV round-trip with header + explicit schema on read. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csv_").toString + "/customer"
+    Tables.customer(s, dir)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.option("header", "true").schema(schema).csv(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"),
+        countDistinct("c_nationkey").as("n_nations"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val csvRoundtripSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(c_acctbal), 2) AS total_bal,
+      |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** JSON lines round-trip with schema inference on read. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_json_").toString + "/supplier"
+    Tables.supplier(s, dir).write.mode("overwrite").json(tmp)
+    s.read.json(tmp)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** Text-format round-trip: one document per line (the reference's
+    * line-of-text record format [REF A1]), re-read and measured.
+    */
+  def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_text_").toString + "/docs"
+    Tables.documents(s, dir).select("text").write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .select(length(col("value")).as("len"))
+      .agg(count(lit(1)).as("n_lines"), sum("len").as("total_chars"),
+        min("len").as("min_len"), max("len").as("max_len"))
+  }
+
+  private val textRoundtripSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(min(length(text)) AS INT) AS min_len,
+      |  CAST(max(length(text)) AS INT) AS max_len
+      |FROM documents""".stripMargin
+
+  /** Partitioned parquet write → partition-pruned read: only two partition
+    * directories may be scanned (the scale-out layout pattern: partition by
+    * low-cardinality routing key, prune at read).
+    */
+  def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_part_").toString + "/orders_by_status"
+    Tables.orders(s, dir).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_orderstatus").isin("F", "P")) // partition pruning
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val partitionedWriteSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders WHERE o_orderstatus IN ('F', 'P')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    QueryDef("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    QueryDef("src_text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
+    QueryDef("src_partitioned_pruned", partitionedWrite, Some(partitionedWriteSql))
+  )
+}
