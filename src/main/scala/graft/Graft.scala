@@ -19,6 +19,7 @@ object Graft {
       .builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
