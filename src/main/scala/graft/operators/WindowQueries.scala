@@ -118,7 +118,30 @@ object WindowQueries extends QueryModule {
       |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS trailing_90d_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Same top-3-per-customer as win_rank_top_orders, but through the native
+    * TopKPerGroup operator (graft.plans): one shuffle on the group key, then
+    * a k-bounded heap per group instead of a full per-partition sort —
+    * O(n log k) and O(groups·k) memory at any scale.
+    */
+  def topkNative(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    graft.plans.GroupTopK(base, 3, Seq("o_custkey"), Seq(desc("price"), asc("o_orderkey")))
+      .withColumnRenamed("gtk_rank", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val topkNativeSql =
+    """SELECT o_custkey, o_orderkey, price, CAST(rn AS INT) AS rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_topk_native", topkNative, Some(topkNativeSql)),
     QueryDef("win_rank_top_orders", rankTopOrders, Some(rankTopOrdersSql)),
     QueryDef("win_lag_lead_orders", lagLeadOrders, Some(lagLeadOrdersSql)),
     QueryDef("win_running_supplier_volume", runningSupplierVolume, Some(runningSupplierVolumeSql)),

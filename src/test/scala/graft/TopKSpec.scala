@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native TopKPerGroup operator: plan shape and equivalence with the
+  * window-function formulation.
+  */
+class TopKSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-topk-test")
+    .withExtensions(new plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("plans as TopKPerGroupExec, not Window+Filter") {
+    val base = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val q = plans.GroupTopK(base, 3, Seq("o_custkey"), Seq(desc("o_totalprice")))
+    val physical = q.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the "Exec" suffix in plan strings
+    assert(physical.contains("TopKPerGroup"), physical)
+    assert(!physical.contains("Window"), physical)
+  }
+
+  test("matches the window row_number formulation exactly") {
+    import spark.implicits._
+    val base = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val native = plans.GroupTopK(base, 3, Seq("o_custkey"),
+        Seq(desc("o_totalprice"), asc("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), col("gtk_rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == windowed)
+  }
+
+  test("handles ties and groups smaller than k") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0), (1L, 13L, 5.0), // 4-way tie
+      (2L, 20L, 1.0) // group smaller than k
+    ).toDF("g", "id", "v")
+    val got = plans.GroupTopK(df, 3, Seq("g"), Seq(desc("v"), asc("id")))
+      .select(col("g"), col("id"), col("gtk_rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 20L, 1)))
+  }
+
+  test("rejects unknown columns with a clear error") {
+    val base = Tables.orders(spark, Sf)
+    val e = intercept[IllegalArgumentException] {
+      plans.GroupTopK(base, 3, Seq("nope"), Seq(desc("o_totalprice")))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
