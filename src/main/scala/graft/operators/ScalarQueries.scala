@@ -168,7 +168,31 @@ object ScalarQueries extends QueryModule {
         hash(col("c_name"), col("c_nationkey")).as("murmur_name"))
       .orderBy("c_custkey")
 
+  /** Predicate surface in one filter: AND/OR/NOT, IN, BETWEEN, LIKE,
+    * IS NULL — pushed into the parquet scan where possible.
+    */
+  def filterPredicates(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(
+        (col("p_name").like("%a%") &&
+          col("p_size").between(10, 40) &&
+          col("p_brand").isin("Brand#11", "Brand#22", "Brand#33") &&
+          !(col("p_type").startsWith("small"))) ||
+          col("p_retailprice").isNull)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .orderBy("p_partkey")
+
+  private val filterPredicatesSql =
+    """SELECT p_partkey, p_brand, p_size FROM part
+      |WHERE (p_name LIKE '%a%'
+      |  AND p_size BETWEEN 10 AND 40
+      |  AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      |  AND NOT (p_type LIKE 'small%'))
+      |  OR p_retailprice IS NULL
+      |ORDER BY p_partkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("filter_predicates", filterPredicates, Some(filterPredicatesSql)),
     QueryDef("str_funcs", stringFuncs, Some(stringFuncsSql)),
     QueryDef("dt_funcs", dateFuncs, Some(dateFuncsSql)),
     QueryDef("math_funcs", mathFuncs, Some(mathFuncsSql)),

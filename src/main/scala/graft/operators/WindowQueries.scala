@@ -140,7 +140,30 @@ object WindowQueries extends QueryModule {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** Distribution analytics: cume_dist and nth_value over order history. */
+  def cumeNth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(cume_dist().over(w), 4).as("cd"),
+        round(nth_value(col("o_totalprice"), 2).over(wFull), 2).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val cumeNthSql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(cume_dist() OVER w, 4) AS cd,
+      |  round(nth_value(o_totalprice, 2) OVER w2, 2) AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_cume_nth", cumeNth, Some(cumeNthSql)),
     QueryDef("win_topk_native", topkNative, Some(topkNativeSql)),
     QueryDef("win_rank_top_orders", rankTopOrders, Some(rankTopOrdersSql)),
     QueryDef("win_lag_lead_orders", lagLeadOrders, Some(lagLeadOrdersSql)),

@@ -9,6 +9,8 @@ case class Ev(event_id: Long, user_id: Long, event_type: String,
     value: Double, ts: java.sql.Timestamp)
 case class UserStats(user_id: Long, n_events: Long, total_value: Double,
     n_purchases: Long, last_ts: java.sql.Timestamp)
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
 
 /** Structured Streaming operators (SURVEY.md §2 "Streaming"), each run as a
   * real streaming query (file source → transforms → memory sink, drained
@@ -198,7 +200,69 @@ object StreamingQueries extends QueryModule {
       |  CAST(count(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS n_dead_letter
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Custom sessionization with flatMapGroupsWithState (the general-state
+    * sibling of session_window): splits each user's events on 30-minute
+    * gaps and emits (start, end=last event, count) per session. Input
+    * arrives as one micro-batch so the in-function sort is total; in a
+    * live stream the state would fold incrementally with a timeout.
+    */
+  def statefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapMs = 30L * 60 * 1000
+    val ds = RecordStream.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[Ev]
+    val sessions = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[Ev], state: GroupState[Long]) =>
+          val sorted = events.toIndexedSeq.sortBy(_.ts.getTime)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[SessionOut]
+            var start = sorted.head.ts
+            var last = sorted.head.ts
+            var n = 1L
+            sorted.tail.foreach { e =>
+              if (e.ts.getTime - last.getTime > gapMs) {
+                out += SessionOut(uid, start, last, n)
+                start = e.ts; n = 0L
+              }
+              last = e.ts; n += 1
+            }
+            out += SessionOut(uid, start, last, n)
+            out.result().iterator
+          }
+      }
+    RecordStream.runToMemory(s, sessions.toDF(), "stream_fmgws_sink", "append")
+      .select(col("user_id"),
+        date_format(col("session_start"), TsFmt).as("session_start"),
+        date_format(col("session_end"), TsFmt).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val statefulSessionsSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), numbered AS (
+       |  SELECT user_id, ts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked)
+       |SELECT user_id,
+       |  strftime(min(ts), '$DTsFmt') AS session_start,
+       |  strftime(max(ts), '$DTsFmt') AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM numbered GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
     QueryDef("stream_tumbling_counts", tumbling, Some(tumblingSql)),
     QueryDef("stream_sliding_counts", sliding, Some(slidingSql)),
     QueryDef("stream_session_windows", sessions, Some(sessionsSql)),

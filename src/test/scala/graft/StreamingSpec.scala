@@ -136,6 +136,53 @@ class StreamingSpec extends SparkSuite {
     assert(good.select(col("parsed.event_ts")).na.drop().count() == 2)
   }
 
+  test("foreachBatch splits good/dead-letter with app-level retry [REF A9]") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft_feb_in_").toString
+    val goodDir = Files.createTempDirectory("graft_feb_good_").toString
+    val deadDir = Files.createTempDirectory("graft_feb_dead_").toString
+    Seq("testData-2024-01-01T10:00:00.123", "garbage-1",
+        "testData-2024-01-01T10:00:01.456", "garbage-2", "testData-not-a-ts")
+      .toDF("s").coalesce(1).write.parquet(s"$stage/in.parquet")
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = spark.readStream.schema("s STRING").parquet(s"$stage/*")
+      .select(encode(col("s"), "UTF-8").as("data"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val decoded = RecordStream.decodePayload(batch).cache()
+        try {
+          val (good, dead) = RecordStream.splitDeadLetter(decoded)
+          // app-level retry policy [REF A9]: first attempt of the batch
+          // fails, the retry succeeds — the batch must not be lost
+          if (failedOnce.compareAndSet(false, true))
+            throw new RuntimeException("transient sink failure")
+          good.select(col("text")).write.mode("append").parquet(goodDir)
+          dead.select(col("text"), col("decode_error")).write.mode("append").parquet(deadDir)
+        } finally decoded.unpersist()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("graft_feb_ck_").toString)
+      .start()
+    // first attempt throws -> query fails; restart resumes the same epoch
+    intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    val q2 = spark.readStream.schema("s STRING").parquet(s"$stage/*")
+      .select(encode(col("s"), "UTF-8").as("data"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val (good, dead) = RecordStream.splitDeadLetter(RecordStream.decodePayload(batch))
+        good.select(col("text")).write.mode("append").parquet(goodDir)
+        dead.select(col("text"), col("decode_error")).write.mode("append").parquet(deadDir)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("graft_feb_ck2_").toString)
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(goodDir).count() == 2)
+    val dead = spark.read.parquet(deadDir)
+    assert(dead.count() == 3)
+    assert(dead.select("decode_error").as[String].collect().toSet ==
+      Set("bad-payload-format"))
+  }
+
   test("graceful stop completes within the 20s budget [REF A15]") {
     val q = RecordStream.generator(spark, rowsPerSecond = 2)
       .writeStream.outputMode("append")
