@@ -100,14 +100,16 @@ object DedupQueries extends QueryModule {
     * counts bucket sizes per fingerprint.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    // hash each distinct token ONCE (the md5 is hoisted out of the 32-bit
+    // loop via a transform over the token array), then fold bit votes
     val bitExpr =
-      "((instr('0123456789abcdef', substring(md5(CAST(t AS BINARY)), CAST(b / 4 AS INT) + 1, 1)) - 1) >> (b % 4)) & 1"
+      "((instr('0123456789abcdef', substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1) >> (b % 4)) & 1"
     val sim = Tables.documents(s, dir)
       .withColumn("acc", expr(
         s"""aggregate(
-           |  array_distinct($toks),
+           |  transform(array_distinct($toks), t -> md5(CAST(t AS BINARY))),
            |  transform(sequence(0, 31), z -> 0L),
-           |  (acc, t) -> zip_with(acc,
+           |  (acc, h) -> zip_with(acc,
            |    transform(sequence(0, 31), b -> IF(($bitExpr) = 1, 1L, -1L)),
            |    (x, y) -> x + y))""".stripMargin))
       .withColumn("simhash", expr(
