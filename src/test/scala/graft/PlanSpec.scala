@@ -1,0 +1,58 @@
+package graft
+
+/** Explain-plan assertions (SURVEY.md §7 Phase 5): the physical plans the
+  * engine relies on at scale actually materialize — pushdown, pruning,
+  * broadcast, whole-stage codegen, and the custom operator.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to parquet, columns pruned, codegen on") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, Sf)
+    df.collect() // run THIS execution so AQE finalizes (count() would plan afresh)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // '*'-prefixed nodes are inside WholeStageCodegen spans
+    assert("""\+\- \* """.r.findAllIn(p).size >= 4, p)
+    // pruned: only the 7 needed columns in ReadSchema, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan("join_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("brute-force similarity broadcasts the query side, never the corpus") {
+    val p = plan("sim_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("native top-k plans one exchange and no Window sort") {
+    val p = plan("win_topk_native")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("partition-pruned read scans only the selected partitions") {
+    val df = SparkEntry.queries("src_partitioned_pruned")(spark, Sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("o_orderstatus"), scan)
+  }
+
+  test("predicate-subquery rewrites to semi/anti join, not per-row subquery") {
+    val p = plan("sub_in_predicate")
+    assert(p.contains("LeftSemi"), p)
+    val p2 = plan("sub_not_in_predicate")
+    assert(p2.contains("LeftAnti"), p2)
+  }
+}
