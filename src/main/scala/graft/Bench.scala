@@ -47,8 +47,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    // Streaming throughput vs the reference's 2 rec/s producer ceiling
+    // (BASELINE.md): events/s through the full [REF] decode pipeline —
+    // stream read → payload build → decode → dead-letter accounting.
+    val streamRate =
+      try {
+        val nEvents = Tables.events(spark, sfDir).count()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("stream_payload_pipeline")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        nEvents / ((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => -1.0 }
+
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_events_per_sec":$streamRate%.0f}""")
     spark.stop()
   }
 }

@@ -150,7 +150,33 @@ object ArrayMapJsonQueries extends QueryModule {
       |  CAST(CAST(props->>'$.k' AS BIGINT) * 2 AS VARCHAR) AS doubled_vals
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Map higher-order functions: transform_keys / transform_values /
+    * map_filter / map_zip_with over the parsed props map.
+    */
+  def mapHof(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(
+        col("event_id"),
+        element_at(expr("transform_values(m, (k, v) -> v * 10)"), "k").as("k_x10"),
+        size(expr("map_filter(m, (k, v) -> v > 50)")).as("n_large"),
+        array_join(map_keys(expr("transform_keys(m, (k, v) -> upper(k))")), ",").as("upper_keys"),
+        element_at(expr(
+          "map_zip_with(m, transform_values(m, (k, v) -> v + 1), (k, v1, v2) -> v1 + v2)"), "k")
+          .as("k_sum"))
+      .orderBy("event_id")
+
+  private val mapHofSql =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS BIGINT) * 10 AS k_x10,
+      |  CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50 THEN 1 ELSE 0 END AS n_large,
+      |  'K' AS upper_keys,
+      |  CAST(props->>'$.k' AS BIGINT) * 2 + 1 AS k_sum
+      |FROM events ORDER BY event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("map_hof_funcs", mapHof, Some(mapHofSql)),
     QueryDef("arr_numeric_hof", arrayNumeric, Some(arrayNumericSql)),
     QueryDef("arr_string_funcs", arrayStrings, Some(arrayStringsSql)),
     QueryDef("arr_explode_vectors", explodeVectors, Some(explodeVectorsSql)),
