@@ -261,7 +261,38 @@ object StreamingQueries extends QueryModule {
        |FROM numbered GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Stream-stream inner join: each purchase joined to the same user's
+    * clicks in the preceding hour. Both sides carry watermarks and the
+    * join has a time-range bound, so state for either side is dropped once
+    * the watermark passes the range — bounded state at any scale.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val purchases = RecordStream.eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = RecordStream.eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    RecordStream.runToMemory(s, joined.select("p_id", "c_id"), "stream_ss_join_sink", "append")
+      .orderBy("p_id", "c_id")
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p_id, c_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
     QueryDef("stream_tumbling_counts", tumbling, Some(tumblingSql)),
     QueryDef("stream_sliding_counts", sliding, Some(slidingSql)),

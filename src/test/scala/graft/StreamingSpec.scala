@@ -136,6 +136,38 @@ class StreamingSpec extends SparkSuite {
     assert(good.select(col("parsed.event_ts")).na.drop().count() == 2)
   }
 
+  test("stateful aggregation recovers its state store across restart [REF A10]") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft_aggck_in_").toString
+    val ckpt = Files.createTempDirectory("graft_aggck_").toString
+    val out = "aggck_sink"
+    def file(name: String, rows: Seq[(String, Int)]): Unit = {
+      val tmp = s"$stage/_t_$name"
+      rows.toDF("k", "v").coalesce(1).write.parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(s"$stage/$name.parquet")))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    def startQuery() =
+      spark.readStream.schema("k STRING, v INT").parquet(s"$stage/*")
+        .groupBy("k").agg(sum("v").as("total"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(out).start()
+
+    file("a", Seq(("x", 1), ("y", 10)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    file("b", Seq(("x", 2), ("z", 100)))
+    val q2 = startQuery() // must resume with x=1,y=10 already in the store
+    q2.processAllAvailable()
+    val got = spark.table(out).as[(String, Long)].collect().toMap
+    q2.stop()
+    assert(got == Map("x" -> 3L, "y" -> 10L, "z" -> 100L), got.toString)
+  }
+
   test("foreachBatch splits good/dead-letter with app-level retry [REF A9]") {
     import spark.implicits._
     val stage = Files.createTempDirectory("graft_feb_in_").toString
