@@ -20,6 +20,7 @@ object SparkEntry {
     operators.TextQueries,
     operators.SubqueryQueries,
     operators.MiscQueries,
+    operators.TypedQueries,
     sources.SourceQueries,
     operators.DedupQueries,
     operators.SimilarityQueries,
