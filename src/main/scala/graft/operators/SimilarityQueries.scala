@@ -143,7 +143,43 @@ object SimilarityQueries extends QueryModule {
       |  GROUP BY label, dim)
       |ORDER BY label, dim""".stripMargin
 
+  /** Random-hyperplane LSH ANN (the other scale path besides IVF):
+    * 4 signed pseudo-random hyperplanes (xxhash64-derived ±1 coefficients,
+    * fully deterministic) bucket every vector into one of 16 cells; a query
+    * probes only its own cell. Engine-specific hashing ⇒ no SQL oracle;
+    * recall vs. the exact brute-force top-k is pinned in SimilaritySpec.
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bucketExpr = expr(
+      """aggregate(
+        |  zip_with(
+        |    transform(sequence(0, 3), p -> IF(
+        |      aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+        |        (x, d) -> CAST(x AS DOUBLE) * IF(xxhash64(p, d) % 2 = 0, 1D, -1D)),
+        |        0D, (a, x) -> a + x) > 0D, 1, 0)),
+        |    sequence(0, 3), (b, i) -> shiftleft(b, i)),
+        |  0, (a, x) -> a + x)""".stripMargin)
+    val e = Tables.embeddings(s, dir).withColumn("bucket", bucketExpr)
+    // multi-probe: the query's own cell plus its 4 Hamming-1 neighbors —
+    // the standard recall/latency dial for hyperplane LSH
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(expr("array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)"))
+          .as("probe"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    cand.join(broadcast(q), col("bucket") === col("probe") && col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("bucket"), col("c_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_lsh_topk", lshTopK, None),
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
     QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     QueryDef("sim_label_centroids", centroids, Some(centroidsSql))

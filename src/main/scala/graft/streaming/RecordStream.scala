@@ -116,8 +116,14 @@ object RecordStream {
     def sentinel(i: Int, tsNanos: Long): Unit = {
       import org.apache.spark.sql.Row
       import scala.jdk.CollectionConverters._
+      // one 'purchase' + one 'click' row per sentinel: event-type filters
+      // get pushed BELOW the watermark node by Catalyst, so a sentinel with
+      // its own type would never advance a type-filtered side's clock.
+      // user_id/event_id are negative so downstream queries filter them.
       val df = spark.createDataFrame(
-        java.util.List.of(Row(-1L, tsNanos, -1L, "sentinel", 0.0, "{}")), eventsSchema)
+        java.util.List.of(
+          Row(-(2L * i), tsNanos, -1L, "purchase", 0.0, "{}"),
+          Row(-(2L * i + 1), tsNanos, -1L, "click", 0.0, "{}")), eventsSchema)
       val tmp = s"$stage/_tmp_sentinel$i"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       // relocate the single part file so the stream glob sees a plain file
@@ -128,9 +134,14 @@ object RecordStream {
         .forEach(p => Files.deleteIfExists(p))
       Thread.sleep(5) // distinct mod-times => deterministic file order
     }
-    // 2030-01-01 and 2030-01-02 UTC, far beyond the 2024 fixture range
+    // 2030-01-01/02/03 UTC, far beyond the 2024 fixture range. Three of
+    // them: stateful operators evict/emit one batch *after* the watermark
+    // covers a group, and outer joins hold left rows until the watermark
+    // passes the end of their admissible right-side window — the third
+    // sentinel guarantees a batch in which every real group is flushable.
     sentinel(1, 1893456000000000000L)
     sentinel(2, 1893542400000000000L)
+    sentinel(3, 1893628800000000000L)
     spark.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")

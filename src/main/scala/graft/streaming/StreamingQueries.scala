@@ -291,7 +291,49 @@ object StreamingQueries extends QueryModule {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** LEFT OUTER stream-stream join: purchases with no click in the prior
+    * hour must still emit (with nulls) — but only once the watermark
+    * proves no match can arrive. The sentinel micro-batches advance the
+    * watermark past the fixture so every unmatched row is flushed
+    * deterministically.
+    */
+  def streamStreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    // watermark BEFORE the type filter: the far-future sentinels are not
+    // purchases/clicks, but they must still advance the event-time clock —
+    // a filter upstream of withWatermark would starve it and unmatched
+    // rows would never flush
+    val purchases = RecordStream.eventsStreamWithSentinels(s, dir)
+      .withWatermark("ts", "1 minute")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = RecordStream.eventsStreamWithSentinels(s, dir)
+      .withWatermark("ts", "1 minute")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    RecordStream.runToMemory(s, joined.select(col("p_id"), col("c_id")),
+        "stream_ss_left_sink", "append")
+      .filter(col("p_id") >= 0) // drop watermark-sentinel rows
+      .groupBy("p_id")
+      .agg(count(col("c_id")).as("n_clicks"))
+      .orderBy("p_id")
+  }
+
+  private val streamStreamLeftJoinSql =
+    """SELECT p.event_id AS p_id,
+      |  CAST(count(c.event_id) AS BIGINT) AS n_clicks
+      |FROM events p LEFT JOIN events c
+      |  ON p.user_id = c.user_id AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id ORDER BY p_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_stream_left_join", streamStreamLeftJoin, Some(streamStreamLeftJoinSql)),
     QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
     QueryDef("stream_tumbling_counts", tumbling, Some(tumblingSql)),

@@ -25,6 +25,6 @@ class OperatorSmokeSpec extends SparkSuite {
   test("every query name has either an oracle or a documented exemption") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
     // approximate / engine-specific-hash ops are exempt by design
-    assert(noOracle == Set("agg_approx_distinct", "hash_engine_specific", "dedup_minhash_lsh"))
+    assert(noOracle == Set("agg_approx_distinct", "hash_engine_specific", "dedup_minhash_lsh", "sim_lsh_topk"))
   }
 }
