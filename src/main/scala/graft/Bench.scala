@@ -29,6 +29,18 @@ object Bench {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
 
+    // Streaming throughput vs the reference's 2 rec/s producer ceiling
+    // (BASELINE.md): events/s through the full [REF] decode pipeline.
+    // Measured right after warmup, before the query sweep perturbs the JVM.
+    val streamRate =
+      try {
+        val nEvents = Tables.events(spark, sfDir).count()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("stream_payload_pipeline")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        nEvents / ((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => -1.0 }
+
     val results = SparkEntry.allDefs.map { d =>
       val t0 = System.nanoTime()
       val ok =
@@ -47,19 +59,6 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-
-    // Streaming throughput vs the reference's 2 rec/s producer ceiling
-    // (BASELINE.md): events/s through the full [REF] decode pipeline —
-    // stream read → payload build → decode → dead-letter accounting.
-    val streamRate =
-      try {
-        val nEvents = Tables.events(spark, sfDir).count()
-        val t0 = System.nanoTime()
-        SparkEntry.queries("stream_payload_pipeline")(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-        nEvents / ((System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => -1.0 }
-
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_events_per_sec":$streamRate%.0f}""")
     spark.stop()

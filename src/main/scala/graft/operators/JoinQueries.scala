@@ -192,15 +192,22 @@ object JoinQueries extends QueryModule {
 
   /** As-of join (composed): for each event, the latest order date of the
     * matching customer at-or-before the event time. No native Spark as-of
-    * join — expressed as equi-join + range predicate + max-aggregate, which
-    * shuffles once on the user key and once on the event id (both bounded).
+    * join — and the naive equi-join + range + max-aggregate materializes
+    * |events| × |orders-per-user| intermediate rows. Instead: fold each
+    * user's order dates into one sorted array (one shuffle, bounded by
+    * per-key order count), join events to that single row per user, and
+    * binary-search-equivalent filter+max inside a codegen'd HOF. Probe side
+    * never expands.
     */
   def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"))
-    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
-      .groupBy("event_id", "user_id")
-      .agg(date_format(max("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+    val od = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderdate"))).as("dates"))
+    e.join(od, col("user_id") === col("o_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        date_format(expr("array_max(filter(dates, d -> d <= ts))"), "yyyy-MM-dd")
+          .as("last_order_date"))
       .orderBy("event_id")
   }
 

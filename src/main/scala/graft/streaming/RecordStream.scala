@@ -107,7 +107,8 @@ object RecordStream {
     * are never emitted. This is the deterministic replacement for
     * wall-clock waits (SURVEY.md §7 hard-point 3).
     */
-  def eventsStreamWithSentinels(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStreamWithSentinels(spark: SparkSession, dir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = Files.createTempDirectory("graft_stream_").toString
@@ -144,7 +145,7 @@ object RecordStream {
     sentinel(3, 1893628800000000000L)
     spark.readStream
       .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(s"$stage/*")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
