@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
+    e.injectOptimizerRule(_ => RewriteWindowTopK)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -60,6 +60,51 @@ class TopKSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 20L, 1)))
   }
 
+  test("RewriteWindowTopK turns the row_number idiom into the native operator") {
+    import spark.implicits._
+    val base = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val idiom = base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val physical = idiom.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroup"), physical)
+    assert(!physical.contains("Window"), physical)
+    // and values equal the un-extended session's window semantics:
+    // rank must survive as the same attribute for downstream use
+    val got = idiom.select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = plans.GroupTopK(base, 3, Seq("o_custkey"),
+        Seq(desc("o_totalprice"), asc("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), col("gtk_rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("rewrite does NOT fire for rank() (tie semantics differ)") {
+    val base = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val q = base.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    assert(q.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("rewrite keeps residual filter conjuncts") {
+    import spark.implicits._
+    val base = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("o_totalprice") > 100000)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val viaWindow = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .filter(col("o_totalprice") > 100000)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(q.select("o_orderkey").as[Long].collect().toSet == viaWindow)
+  }
+
   test("rejects unknown columns with a clear error") {
     val base = Tables.orders(spark, Sf)
     val e = intercept[IllegalArgumentException] {
