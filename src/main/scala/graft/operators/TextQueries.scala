@@ -160,7 +160,50 @@ object TextQueries extends QueryModule {
        |) c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Gopher-style quality gate: per-doc signals + the keep/drop verdict.
+    * Repetition ratio (most frequent token's share) is the classic
+    * boilerplate detector; bounds follow the published heuristics
+    * (mean word length 3–10, stopword presence, low repetition).
+    */
+  def qualityFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .withColumn("n_tokens", expr("size(tk)"))
+      .withColumn("mean_wl", expr("aggregate(tk, 0D, (a, t) -> a + length(t)) / greatest(CAST(n_tokens AS DOUBLE), 1D)"))
+      .withColumn("top_tok_share", expr(
+        """CAST(array_max(transform(array_distinct(tk),
+          |  d -> size(filter(tk, t -> t = d)))) AS DOUBLE)
+          |/ greatest(CAST(n_tokens AS DOUBLE), 1D)""".stripMargin))
+      .withColumn("has_stopword", expr("size(filter(tk, t -> t IN ('the', 'a', 'of', 'and'))) > 0"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("mean_wl"), 4).as("mean_word_len"),
+        round(col("top_tok_share"), 4).as("repetition_ratio"),
+        col("has_stopword"),
+        (col("n_tokens") >= 10 && col("mean_wl") >= 3 && col("mean_wl") <= 10 &&
+          col("top_tok_share") <= 0.2).as("keep"))
+      .orderBy("doc_id")
+
+  private val qualityFlagsSql =
+    s"""SELECT doc_id,
+       |  CAST(len(tk) AS INT) AS n_tokens,
+       |  round(mean_wl, 4) AS mean_word_len,
+       |  round(top_share, 4) AS repetition_ratio,
+       |  len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and'))) > 0 AS has_stopword,
+       |  (len(tk) >= 10 AND mean_wl >= 3 AND mean_wl <= 10 AND top_share <= 0.2) AS keep
+       |FROM (
+       |  SELECT doc_id, tk,
+       |    list_sum(list_transform(tk, t -> length(t)))
+       |      / greatest(CAST(len(tk) AS DOUBLE), 1) AS mean_wl,
+       |    CAST(list_max(list_transform(list_distinct(tk),
+       |      d -> len(list_filter(tk, t -> t = d)))) AS DOUBLE)
+       |      / greatest(CAST(len(tk) AS DOUBLE), 1) AS top_share
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_quality_flags", qualityFlags, Some(qualityFlagsSql)),
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
