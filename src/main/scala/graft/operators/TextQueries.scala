@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: quality
@@ -202,7 +203,58 @@ object TextQueries extends QueryModule {
        |  FROM (SELECT doc_id, $dToks AS tk FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** The composed training-data curation pipeline: exact-dedup survivors
+    * ∩ quality keep ∩ language allowlist, with per-source yield accounting.
+    * One pass builds every signal (hash, tokens, quality) in a single
+    * codegen'd projection; the dedup is the only shuffle.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("content_hash",
+        sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"), 256))
+      .withColumn("tk", expr(toks))
+      .withColumn("n_tokens", expr("size(tk)"))
+      .withColumn("mean_wl",
+        expr("aggregate(tk, 0D, (a, t) -> a + length(t)) / greatest(CAST(n_tokens AS DOUBLE), 1D)"))
+      .withColumn("survivor",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("content_hash")))
+      .withColumn("quality_keep",
+        col("n_tokens") >= 10 && col("mean_wl") >= 3 && col("mean_wl") <= 10)
+      .withColumn("lang_keep", col("lang").isin("en", "fr"))
+    docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("survivor") && col("quality_keep") && col("lang_keep"), 1))
+          .as("n_curated"),
+        round(sum(when(col("survivor") && col("quality_keep") && col("lang_keep"),
+          col("n_tokens")).otherwise(lit(0))), 2).as("curated_tokens"))
+      .orderBy("source")
+  }
+
+  private val curationPipelineSql =
+    s"""WITH enriched AS (
+       |  SELECT source, doc_id, lang,
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+       |    len($dToks) AS n_tokens,
+       |    list_sum(list_transform($dToks, t -> length(t)))
+       |      / greatest(CAST(len($dToks) AS DOUBLE), 1) AS mean_wl
+       |  FROM documents
+       |), flagged AS (
+       |  SELECT source, n_tokens,
+       |    (doc_id = min(doc_id) OVER (PARTITION BY content_hash)) AS survivor,
+       |    (n_tokens >= 10 AND mean_wl >= 3 AND mean_wl <= 10) AS quality_keep,
+       |    (lang IN ('en', 'fr')) AS lang_keep
+       |  FROM enriched)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(CASE WHEN survivor AND quality_keep AND lang_keep THEN 1 END) AS BIGINT)
+       |    AS n_curated,
+       |  round(sum(CASE WHEN survivor AND quality_keep AND lang_keep
+       |    THEN n_tokens ELSE 0 END), 2) AS curated_tokens
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("text_quality_flags", qualityFlags, Some(qualityFlagsSql)),
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
