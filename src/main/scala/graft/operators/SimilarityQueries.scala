@@ -146,8 +146,9 @@ object SimilarityQueries extends QueryModule {
   /** Random-hyperplane LSH ANN (the other scale path besides IVF):
     * 4 signed pseudo-random hyperplanes (xxhash64-derived ±1 coefficients,
     * fully deterministic) bucket every vector into one of 16 cells; a query
-    * probes only its own cell. Engine-specific hashing ⇒ no SQL oracle;
-    * recall vs. the exact brute-force top-k is pinned in SimilaritySpec.
+    * probes its own cell plus the 4 Hamming-1 neighbors (multi-probe, the
+    * standard recall/latency dial). Engine-specific hashing ⇒ no SQL
+    * oracle; recall vs. exact brute-force is pinned in SimilaritySpec.
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
