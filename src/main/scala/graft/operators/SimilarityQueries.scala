@@ -179,7 +179,49 @@ object SimilarityQueries extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** Int8 scalar quantization — the 4× storage/bandwidth reduction step a
+    * 100 TB vector corpus runs before indexing. Symmetric per-vector scale
+    * (max|x|/127), round-half-up to match both engines, then measure the
+    * cosine drift of the dequantized vector against the original. All in
+    * codegen'd HOFs; parity is exact because both sides quantize in double.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .withColumn("scale", expr(
+        "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127D"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT))"))
+      .withColumn("dq", expr("transform(q, v -> CAST(v * scale AS FLOAT))"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        expr("aggregate(q, 0, (a, v) -> greatest(a, abs(v)))").as("max_q"),
+        round(expr("cosine_sim(embedding, dq)"), 4).as("cos_vs_original"))
+      .orderBy("vec_id")
+  }
+
+  private val quantizeInt8Sql = {
+    val cos = cosineSqlDuck.replace("QA", "embedding").replace("QB", "dq")
+    s"""SELECT vec_id, round(scale, 6) AS scale,
+       |  CAST(list_max(list_transform(q, v -> abs(v))) AS INT) AS max_q,
+       |  round($cos, 4) AS cos_vs_original
+       |FROM (
+       |  SELECT vec_id, embedding, scale,
+       |    list_transform(q, v -> CAST(v * scale AS FLOAT)) AS dq, q
+       |  FROM (
+       |    SELECT vec_id, embedding, scale,
+       |      list_transform(embedding,
+       |        x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q
+       |    FROM (
+       |      SELECT vec_id, embedding,
+       |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+       |      FROM embeddings)))
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_lsh_topk", lshTopK, None),
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
     QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
