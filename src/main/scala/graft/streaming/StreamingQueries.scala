@@ -113,6 +113,24 @@ object StreamingQueries extends QueryModule {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** dropDuplicatesWithinWatermark: dedup whose state expires with the
+    * watermark instead of growing forever — the unbounded-stream-safe form.
+    * Same output as exact dedup when all duplicates fall inside the
+    * watermark horizon (here: one batch).
+    */
+  def dedupWithinWatermark(s: SparkSession, dir: String): DataFrame = {
+    val dd = RecordStream.eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    RecordStream.runToMemory(s, dd, "stream_dedup_wm_sink", "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  private val dedupWithinWatermarkSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Stream-static join: streaming events against the static customer dim
     * (broadcast — the static side is loaded per micro-batch).
     */
@@ -342,6 +360,8 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_sliding_counts", sliding, Some(slidingSql)),
     QueryDef("stream_session_windows", sessions, Some(sessionsSql)),
     QueryDef("stream_dedup", dedup, Some(dedupSql)),
+    QueryDef("stream_dedup_within_watermark", dedupWithinWatermark,
+      Some(dedupWithinWatermarkSql)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("stream_stateful_user_stats", statefulUserStats, Some(statefulUserStatsSql)),
     QueryDef("stream_payload_pipeline", payloadPipeline, Some(payloadPipelineSql))
