@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's background-run service copies the ENTIRE classpath (~all of
+// /opt/spark/jars) to a temp dir on every `runMain`, concurrently with the
+// forked JVM — an I/O storm that distorts every benchmark run shorter than
+// the copy. The classes are never recompiled mid-run here, so run in place.
+bgCopyClasspath := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

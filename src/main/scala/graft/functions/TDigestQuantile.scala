@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Serializable t-digest state: compressed centroids plus an uncompressed
+  * per-row buffer (bounded at [[TDigestQuantile.MaxPending]]).
+  */
+case class TDigestState(
+    means: Seq[Double],
+    weights: Seq[Double],
+    pending: Seq[Double])
+
+/** Bounded-memory approximate quantiles: a merging t-digest (Dunning &
+  * Ertl, "Computing Extremely Accurate Quantiles Using t-Digests", 2019 —
+  * public algorithm). Memory is O(compression) regardless of input size —
+  * the 100 TB answer to exact `percentile`, whose state is O(n) per group.
+  *
+  * Distributed shape: `reduce` folds rows into a bounded pending buffer,
+  * `merge` concatenates centroid sets and recompresses — both
+  * associative-enough for Spark's partial aggregation (map-side combine),
+  * so each executor ships at most ~2·compression centroids per group.
+  *
+  * The scale function is the classic k₀ bound (cluster weight ≤
+  * 4·W·q·(1-q)/δ): accurate at the tails, coarser mid-distribution.
+  * Estimates depend on partition merge order (like every t-digest), so
+  * oracle-facing queries expose the *accuracy contract* (estimate within
+  * tolerance of exact) rather than the raw estimate; rank-error bounds are
+  * pinned in TDigestSpec.
+  */
+class TDigestQuantile(qs: Seq[Double], compression: Double = 100.0)
+    extends Aggregator[Double, TDigestState, Seq[Double]] {
+
+  import TDigestQuantile.MaxPending
+
+  override def zero: TDigestState = TDigestState(Nil, Nil, Nil)
+
+  override def reduce(b: TDigestState, x: Double): TDigestState = {
+    val p = x +: b.pending
+    if (p.size >= MaxPending) compressed(b.means.zip(b.weights), p)
+    else b.copy(pending = p)
+  }
+
+  override def merge(a: TDigestState, b: TDigestState): TDigestState =
+    compressed(a.means.zip(a.weights) ++ b.means.zip(b.weights),
+      a.pending ++ b.pending)
+
+  override def finish(b: TDigestState): Seq[Double] = {
+    val cs = compress(b.means.zip(b.weights) ++ b.pending.map((_, 1.0)))
+    qs.map(quantile(cs, _))
+  }
+
+  override def bufferEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+
+  private def compressed(cs: Seq[(Double, Double)], pending: Seq[Double]): TDigestState = {
+    val merged = compress(cs ++ pending.map((_, 1.0)))
+    TDigestState(merged.map(_._1), merged.map(_._2), Nil)
+  }
+
+  /** Sort by mean, then greedily absorb neighbors while the merged cluster
+    * stays under the k₀ weight limit for its quantile midpoint.
+    */
+  private[functions] def compress(cs: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    if (cs.isEmpty) return cs
+    val sorted = cs.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var (m, w) = sorted.head
+    var cum = 0.0 // total weight already emitted
+    sorted.tail.foreach { case (m2, w2) =>
+      val q = (cum + (w + w2) / 2) / total
+      val limit = 4.0 * total * q * (1.0 - q) / compression
+      if (w + w2 <= limit) {
+        m = (m * w + m2 * w2) / (w + w2); w += w2
+      } else {
+        out += ((m, w)); cum += w; m = m2; w = w2
+      }
+    }
+    out += ((m, w))
+    out.toSeq
+  }
+
+  /** Linear interpolation between centroid weight-midpoints. */
+  private[functions] def quantile(cs: Seq[(Double, Double)], q: Double): Double = {
+    if (cs.isEmpty) return Double.NaN
+    val total = cs.iterator.map(_._2).sum
+    val target = q * total
+    var cum = 0.0
+    val pts = cs.map { case (m, w) => val c = cum + w / 2; cum += w; (c, m) }
+    if (target <= pts.head._1) return cs.head._1
+    if (target >= pts.last._1) return cs.last._1
+    pts.sliding(2).foreach {
+      case Seq((c1, m1), (c2, m2)) =>
+        if (target >= c1 && target <= c2) {
+          val f = if (c2 == c1) 0.0 else (target - c1) / (c2 - c1)
+          return m1 + f * (m2 - m1)
+        }
+      case _ =>
+    }
+    cs.last._1
+  }
+}
+
+object TDigestQuantile {
+  /** Rows buffered uncompressed in `reduce` before a compression pass. */
+  val MaxPending = 256
+}

@@ -89,21 +89,18 @@ object MediaPipeline extends QueryModule {
   // The oracle replays the stub's byte arithmetic in SQL: document text is
   // ASCII, so byte k of the UTF-8 payload is ascii(substr(text, k+1, 1)).
   private val extractFeaturesSql =
-    """WITH chars AS (
-      |  SELECT doc_id, sum(CAST(ascii(substr(text, r.range + 1, 1)) AS BIGINT)) AS bytesum
-      |  FROM documents CROSS JOIN range(0, 4096) r
-      |  WHERE r.range < length(text)
-      |  GROUP BY doc_id)
-      |SELECT d.doc_id,
+    """SELECT d.doc_id,
       |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
       |    AS media_type,
       |  CAST(length(d.text) AS INT) AS n_bytes,
-      |  c.bytesum % 1000003 AS checksum,
+      |  CAST(list_sum(list_transform(range(0, length(d.text)),
+      |    i -> CAST(ascii(substr(d.text, CAST(i AS INT) + 1, 1)) AS BIGINT))) % 1000003 AS BIGINT)
+      |    AS checksum,
       |  CAST(ascii(substr(d.text, (0 * length(d.text)) // 4 + 1, 1)) AS INT) AS sample0,
       |  CAST(ascii(substr(d.text, (1 * length(d.text)) // 4 + 1, 1)) AS INT) AS sample1,
       |  CAST(ascii(substr(d.text, (2 * length(d.text)) // 4 + 1, 1)) AS INT) AS sample2,
       |  CAST(ascii(substr(d.text, (3 * length(d.text)) // 4 + 1, 1)) AS INT) AS sample3
-      |FROM documents d JOIN chars c ON d.doc_id = c.doc_id
+      |FROM documents d
       |ORDER BY d.doc_id""".stripMargin
 
   /** Metadata-driven filtering/partitioning over the media table: the

@@ -153,6 +153,40 @@ object AggQueries extends QueryModule {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Bounded-memory approximate percentiles via the t-digest Aggregator
+    * ([[graft.functions.TDigestQuantile]]) — the 100 TB replacement for
+    * exact `percentile`, whose per-group state is O(n). The digest's raw
+    * estimate depends on partition merge order, so the oracle-facing output
+    * is the *accuracy contract*: exact percentiles (deterministic) plus a
+    * boolean per quantile asserting the t-digest estimate landed within
+    * 2% relative error — if digest accuracy regresses, the flag flips and
+    * the hash compare fails. Rank-error bounds are pinned in TDigestSpec.
+    */
+  def tdigestQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val td = udaf(new graft.functions.TDigestQuantile(Seq(0.5, 0.9), 100.0),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("x50"),
+        expr("percentile(o_totalprice, 0.9)").as("x90"),
+        td(col("o_totalprice")).as("td"))
+      .select(
+        col("o_orderstatus"),
+        round(col("x50"), 2).as("exact_p50"),
+        round(col("x90"), 2).as("exact_p90"),
+        (abs(element_at(col("td"), 1) - col("x50")) / col("x50") < 0.02).as("p50_within_2pct"),
+        (abs(element_at(col("td"), 2) - col("x90")) / col("x90") < 0.02).as("p90_within_2pct"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val tdigestQuantilesSql =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+      |  true AS p50_within_2pct, true AS p90_within_2pct
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Statistical aggregates: stddev / variance / corr / covar. */
   def statsByFlag(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -219,6 +253,7 @@ object AggQueries extends QueryModule {
     QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("agg_collect_linenumbers", collectLinenumbers, Some(collectLinenumbersSql)),
     QueryDef("agg_percentiles_by_flag", percentilesByFlag, Some(percentilesByFlagSql)),
+    QueryDef("agg_tdigest_quantiles", tdigestQuantiles, Some(tdigestQuantilesSql)),
     QueryDef("agg_stats_by_flag", statsByFlag, Some(statsByFlagSql)),
     QueryDef("agg_min_max_by", minMaxBy, Some(minMaxBySql)),
     QueryDef("agg_approx_distinct", approxDistinct, None)

@@ -47,14 +47,34 @@ object DedupQueries extends QueryModule {
             |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
           .as("shingle"))
 
+  /** A shingle shared by more than this many documents within a source is
+    * boilerplate: it contributes O(df²) candidate pairs in the inverted-
+    * index self-join (the classic hot-key blowup at 100 TB) while carrying
+    * almost no similarity signal. Capping document frequency bounds the
+    * per-shingle join fan-out; the Jaccard space becomes "informative
+    * shingles only", applied identically on both engine and oracle sides.
+    */
+  val MaxShingleDf = 50
+
   /** Exact n-gram Jaccard near-dup pairs, blocked by source: candidates are
-    * pairs sharing ≥1 shingle *within a source* (inverted-index self-join),
-    * then exact J = |∩| / |∪| with a threshold. Any pair above the
-    * threshold necessarily shares a shingle, so blocking loses nothing
-    * within a source.
+    * pairs sharing ≥1 *informative* shingle within a source (inverted-index
+    * self-join over shingles with document frequency ≤ [[MaxShingleDf]]),
+    * then exact J = |∩| / |∪| over that capped shingle space. Any pair
+    * above the threshold necessarily shares an informative shingle, so
+    * blocking loses nothing within a source; the df cap keeps the worst
+    * shingle's fan-out bounded regardless of corpus size.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // df cap as a window over (source, shingle): one hash shuffle of the
+    // shingle frame, computed in the same pass that feeds the candidate
+    // join (measured faster here than a count+broadcast-anti-join variant,
+    // which shingles the corpus twice; at cluster scale either works — the
+    // essential property is that no shingle can fan out more than MaxDf²)
     val sh = shingleFrame(s, dir)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("source", "shingle")))
+      .filter(col("df") <= MaxShingleDf)
+      .drop("df")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
@@ -74,12 +94,18 @@ object DedupQueries extends QueryModule {
   }
 
   private val ngramJaccardSql =
-    s"""WITH sh AS (
+    s"""WITH sh_raw AS (
        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
        |    range(1, len(tk) - 2),
        |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3])))) AS shingle
        |  FROM (SELECT doc_id, source, $dToks AS tk FROM documents)
        |  WHERE len(tk) >= 4
+       |), sh AS (
+       |  SELECT doc_id, source, shingle FROM (
+       |    SELECT doc_id, source, shingle,
+       |      count(*) OVER (PARTITION BY source, shingle) AS df
+       |    FROM sh_raw)
+       |  WHERE df <= 50
        |), counts AS (
        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
        |), inter AS (
@@ -132,19 +158,41 @@ object DedupQueries extends QueryModule {
        |  SELECT doc_id, b, sum(v) AS sv FROM bits GROUP BY doc_id, b
        |), fp AS (
        |  SELECT doc_id,
-       |    sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+       |    CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM acc GROUP BY doc_id)
        |SELECT doc_id, simhash,
        |  CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
        |FROM fp ORDER BY doc_id""".stripMargin
 
-  /** MinHash + LSH near-dup detection (probabilistic, xxhash64-based —
-    * engine-specific hashing, so no SQL oracle; recall/estimate quality is
-    * property-tested in DedupSpec). 16-component signature, 4 bands × 4
-    * rows; candidates join on (band, band-hash) buckets; survivors verified
-    * with exact Jaccard on the shingle sets (array intersect, no shuffle).
+  /** MinHash + LSH near-dup detection. 16-component signature via the
+    * Kirsch-Mitzenmacher construction — one *portable* md5 per shingle
+    * yields two 52-bit integers (nibble folds of hex chars 1-13 and 14-26),
+    * and component k is `min over shingles of (h1 + k*h2)` — so the exact
+    * same arithmetic runs in DuckDB and the query is oracle-checked, unlike
+    * an engine-hash (xxhash64) signature. 4 bands × 4 rows; candidates join
+    * on (band, band-hash) buckets. The band bucket key itself stays
+    * xxhash64: bucket equality ⟺ 4-tuple equality, so any injective-enough
+    * hash yields identical candidate pairs while keeping the shuffle key an
+    * 8-byte long (the oracle joins on the md5 of the same 4-tuple).
+    *
+    * Candidate dedup is on (doc_a, doc_b) KEYS ONLY — the wide shingle/sig
+    * arrays are re-joined after `.distinct()`, so the dedup shuffle moves
+    * 16-byte pairs, not whole documents' shingle sets (the 100 TB shape).
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // 52-bit integer from 13 hex chars: codegen'd conv() (DuckDB mirrors it
+    // with a '0x…' cast — verified to produce identical values)
+    def hexFold(lo: Int, len: Int): String =
+      s"CAST(conv(substring(m, $lo, $len), 16, 10) AS BIGINT)"
+    // ONE expression computes the whole signature in a single pass over the
+    // shingles (md5 + both hex folds run once per shingle; the fold takes
+    // component-wise minima). Splitting hseed into its own column looks
+    // cleaner but is a trap: Catalyst inlines a referenced-once projection
+    // into its consumer, and inside a 16-component transform that would
+    // re-evaluate every md5 16× per row. The frame is consumed 3× (banding
+    // + both verify joins) so it is cached — shuffle-free signature
+    // computation, done once; at cluster scale this is the frame you would
+    // checkpoint (16 longs + shingle set per doc).
     val docs = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 4)
@@ -153,24 +201,31 @@ object DedupQueries extends QueryModule {
           |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
           |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
       .withColumn("sig", expr(
-        """transform(sequence(0, 15),
-          |  h -> array_min(transform(shingles, sh -> xxhash64(h, sh))))""".stripMargin))
+        s"""aggregate(
+           |  transform(transform(shingles, sh -> md5(CAST(sh AS BINARY))),
+           |    m -> named_struct('h1', ${hexFold(1, 13)}, 'h2', ${hexFold(14, 13)})),
+           |  transform(sequence(0, 15), z -> 9223372036854775807L),
+           |  (acc, s) -> zip_with(acc, sequence(0, 15), (a, k) -> least(a, s.h1 + k * s.h2)))""".stripMargin))
       .select("doc_id", "shingles", "sig")
+      .cache()
     val banded = docs.select(
-      col("doc_id"), col("shingles"), col("sig"),
+      col("doc_id"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> named_struct('band', b, 'bhash', xxhash64(slice(sig, b * 4 + 1, 4))))""".stripMargin))
         .as("bb"))
-      .select(col("doc_id"), col("shingles"), col("sig"),
-        col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    val l = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band").as("band_r"), col("bhash").as("bhash_r"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
-    l.join(r, col("band") === col("band_r") && col("bhash") === col("bhash_r") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b", "sig_a", "sig_b").distinct()
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard", round(expr(
         "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / 16D"), 4))
       .withColumn("exact_jaccard", round(expr(
@@ -179,6 +234,38 @@ object DedupQueries extends QueryModule {
       .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  private val minhashLshSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3]))) AS shingles
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4
+       |), sigs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(range(0, 16), k -> list_min(list_transform(list_zip(
+       |      list_transform(shingles, sh -> CAST(('0x' || substr(md5(sh), 1, 13)) AS BIGINT)),
+       |      list_transform(shingles, sh -> CAST(('0x' || substr(md5(sh), 14, 13)) AS BIGINT))),
+       |      p -> p[1] + k * p[2]))) AS sig
+       |  FROM docs
+       |), banded AS (
+       |  SELECT doc_id, r.range AS band,
+       |    md5(concat_ws(',', sig[CAST(r.range * 4 + 1 AS INT)], sig[CAST(r.range * 4 + 2 AS INT)],
+       |                       sig[CAST(r.range * 4 + 3 AS INT)], sig[CAST(r.range * 4 + 4 AS INT)])) AS bhash
+       |  FROM sigs CROSS JOIN range(0, 4) r
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS DOUBLE) / 16, 4)
+       |    AS est_jaccard,
+       |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE), 4)
+       |    AS exact_jaccard
+       |FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Embedding near-dup: top-5 closest pairs per label block by cosine.
     * Pair generation is label-blocked (the 100 TB pattern: block key =
@@ -220,7 +307,7 @@ object DedupQueries extends QueryModule {
     QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
-    QueryDef("dedup_minhash_lsh", minhashLsh, None),
+    QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql))
   )
 }

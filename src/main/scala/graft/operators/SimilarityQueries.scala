@@ -144,23 +144,27 @@ object SimilarityQueries extends QueryModule {
       |ORDER BY label, dim""".stripMargin
 
   /** Random-hyperplane LSH ANN (the other scale path besides IVF):
-    * 4 signed pseudo-random hyperplanes (xxhash64-derived ±1 coefficients,
-    * fully deterministic) bucket every vector into one of 16 cells; a query
-    * probes its own cell plus the 4 Hamming-1 neighbors (multi-probe, the
-    * standard recall/latency dial). Engine-specific hashing ⇒ no SQL
-    * oracle; recall vs. exact brute-force is pinned in SimilaritySpec.
+    * 4 signed pseudo-random hyperplanes bucket every vector into one of 16
+    * cells; a query probes its own cell plus the 4 Hamming-1 neighbors
+    * (multi-probe, the standard recall/latency dial). The ±1 plane
+    * coefficients come from the parity of the first md5 nibble of "p:d" —
+    * *portable* arithmetic, so the same bucketing runs in DuckDB and the
+    * query is oracle-checked; recall vs. exact brute-force stays pinned in
+    * SimilaritySpec.
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
+    val sign =
+      """IF((instr('0123456789abcdef', substring(
+        |  md5(CAST(concat(CAST(p AS STRING), ':', CAST(d AS STRING)) AS BINARY)), 1, 1)) - 1) % 2 = 0,
+        |  1D, -1D)""".stripMargin
     val bucketExpr = expr(
-      """aggregate(
-        |  zip_with(
-        |    transform(sequence(0, 3), p -> IF(
-        |      aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-        |        (x, d) -> CAST(x AS DOUBLE) * IF(xxhash64(p, d) % 2 = 0, 1D, -1D)),
-        |        0D, (a, x) -> a + x) > 0D, 1, 0)),
-        |    sequence(0, 3), (b, i) -> shiftleft(b, i)),
-        |  0, (a, x) -> a + x)""".stripMargin)
+      s"""aggregate(
+         |  transform(sequence(0, 3), p -> IF(
+         |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+         |      (x, d) -> CAST(x AS DOUBLE) * $sign),
+         |      0D, (a, x) -> a + x) > 0D, shiftleft(1, p), 0)),
+         |  0, (a, x) -> a + x)""".stripMargin)
     val e = Tables.embeddings(s, dir).withColumn("bucket", bucketExpr)
     // multi-probe: the query's own cell plus its 4 Hamming-1 neighbors —
     // the standard recall/latency dial for hyperplane LSH
@@ -177,6 +181,31 @@ object SimilarityQueries extends QueryModule {
       .select(col("q_id"), col("bucket"), col("c_id"),
         round(col("cos"), 4).as("cosine"), col("rn"))
       .orderBy("q_id", "rn")
+  }
+
+  private val lshTopKSql = {
+    val cos = cosineSqlDuck.replace("QA", "p.q_emb").replace("QB", "c.embedding")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(0, 4), p ->
+       |      CASE WHEN list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
+       |        pr -> CAST(pr[1] AS DOUBLE) *
+       |          (CASE WHEN (instr('0123456789abcdef',
+       |             substr(md5(concat_ws(':', p, pr[2])), 1, 1)) - 1) % 2 = 0
+       |           THEN 1 ELSE -1 END))) > 0
+       |      THEN (1 << CAST(p AS INT)) ELSE 0 END)) AS INT) AS bucket
+       |  FROM embeddings
+       |), probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+       |  FROM bucketed WHERE vec_id < 10
+       |), ranked AS (
+       |  SELECT p.q_id, c.bucket, c.vec_id AS c_id, $cos AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY $cos DESC, c.vec_id ASC) AS rn
+       |  FROM probes p JOIN bucketed c ON c.bucket = p.probe AND c.vec_id <> p.q_id
+       |)
+       |SELECT q_id, bucket, c_id, round(cos, 4) AS cosine, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
   }
 
   /** Int8 scalar quantization — the 4× storage/bandwidth reduction step a
@@ -222,7 +251,7 @@ object SimilarityQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
-    QueryDef("sim_lsh_topk", lshTopK, None),
+    QueryDef("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
     QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     QueryDef("sim_label_centroids", centroids, Some(centroidsSql))

@@ -155,9 +155,10 @@ object TextQueries extends QueryModule {
        |SELECT d.doc_id,
        |  md5(d.text) AS fp_seq,
        |  md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS fp_set,
-       |  coalesce(c.fp, 0) AS fp_rolling
+       |  CAST(coalesce(c.fp, 0) AS BIGINT) AS fp_rolling
        |FROM documents d LEFT JOIN (
-       |  SELECT doc_id, sum((code * pos) % 1000003) % 1000003 AS fp FROM codes GROUP BY doc_id
+       |  SELECT doc_id, CAST(sum((code * pos) % 1000003) % 1000003 AS BIGINT) AS fp
+       |  FROM codes GROUP BY doc_id
        |) c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
@@ -228,7 +229,7 @@ object TextQueries extends QueryModule {
         count(when(col("survivor") && col("quality_keep") && col("lang_keep"), 1))
           .as("n_curated"),
         round(sum(when(col("survivor") && col("quality_keep") && col("lang_keep"),
-          col("n_tokens")).otherwise(lit(0))), 2).as("curated_tokens"))
+          col("n_tokens")).otherwise(lit(0))).cast("double"), 2).as("curated_tokens"))
       .orderBy("source")
   }
 
@@ -249,8 +250,8 @@ object TextQueries extends QueryModule {
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(CASE WHEN survivor AND quality_keep AND lang_keep THEN 1 END) AS BIGINT)
        |    AS n_curated,
-       |  round(sum(CASE WHEN survivor AND quality_keep AND lang_keep
-       |    THEN n_tokens ELSE 0 END), 2) AS curated_tokens
+       |  round(CAST(sum(CASE WHEN survivor AND quality_keep AND lang_keep
+       |    THEN n_tokens ELSE 0 END) AS DOUBLE), 2) AS curated_tokens
        |FROM flagged GROUP BY source ORDER BY source""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -91,7 +91,48 @@ object SourceQueries extends QueryModule {
       |FROM orders WHERE o_orderstatus IN ('F', 'P')
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Catalog DDL round-trip [REF A2-A5]: the reference checks stream
+    * existence, creates it, waits for ACTIVE, and lists streams
+    * (AmazonKinesisRecordProducerSample.java:73-112). The engine-side
+    * analogue is the table catalog: `saveAsTable` (create), `tableExists`
+    * (status — a saved table is immediately ACTIVE; no poll loop needed),
+    * `listTables` (list), `spark.table` (use). The returned frame carries
+    * the existence/listing assertions as columns so the oracle checks them.
+    */
+  def catalogRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_catalog_demo"
+    // idempotent lifecycle: drop any prior incarnation AND its managed
+    // location (a crashed run can leave the directory behind with a fresh
+    // in-memory catalog, which fails CREATE with LOCATION_ALREADY_EXISTS)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = java.nio.file.Paths.get(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    val loc = wh.resolve(tbl)
+    if (java.nio.file.Files.exists(loc)) {
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    Tables.nation(s, dir)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"))
+      .write.mode("overwrite").saveAsTable(tbl) // create [REF A3]
+    val exists = s.catalog.tableExists(tbl) // status [REF A2/A4]
+    val listedOnce = // list [REF A5]
+      s.catalog.listTables().filter(_.name == tbl).count() == 1
+    s.table(tbl)
+      .withColumn("table_exists", lit(exists))
+      .withColumn("listed_once", lit(listedOnce))
+      .orderBy("n_regionkey")
+  }
+
+  private val catalogRoundtripSql =
+    """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+      |  true AS table_exists, true AS listed_once
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("src_catalog_ddl", catalogRoundtrip, Some(catalogRoundtripSql)),
     QueryDef("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("src_text_roundtrip", textRoundtrip, Some(textRoundtripSql)),

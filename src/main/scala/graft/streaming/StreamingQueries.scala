@@ -11,6 +11,12 @@ case class UserStats(user_id: Long, n_events: Long, total_value: Double,
     n_purchases: Long, last_ts: java.sql.Timestamp)
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long)
+/** One still-open session interval (event times in epoch MICROseconds —
+  * millis would truncate the fixture's µs timestamps).
+  */
+case class SessionAcc(startUs: Long, endUs: Long, n: Long)
+/** Per-user fMGWS state: the open (not-yet-watermark-closed) intervals. */
+case class SessionState(open: Seq[SessionAcc])
 
 /** Structured Streaming operators (SURVEY.md §2 "Streaming"), each run as a
   * real streaming query (file source → transforms → memory sink, drained
@@ -65,7 +71,10 @@ object StreamingQueries extends QueryModule {
     * (RecordStream.eventsStreamWithSentinels) advance it deterministically.
     */
   def sessions(s: SparkSession, dir: String): DataFrame = {
-    val agg = RecordStream.eventsStreamWithSentinels(s, dir)
+    // 2 files per trigger → batch 1 = data + sentinel1 (advances the
+    // watermark past every real session), batch 2 = sentinels 2+3 (flushes
+    // them) — half the state-store commit rounds of one-file-per-trigger
+    val agg = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -191,68 +200,91 @@ object StreamingQueries extends QueryModule {
        |  strftime(max(ts), '$DTsFmt') AS last_ts
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** The reference's full dataflow [REF A1→A8→A9→A11], replayed
-    * deterministically: payload strings in the producer's format (with a
-    * deterministic corruption for every 97th record), strict decode with
-    * error channel, dead-letter split, per-type accounting.
+  /** The reference's full dataflow [REF A1→A8→A9→A11], replayed through
+    * the NATIVE shard-ordered DataSourceV2 source (KinesisLikeProvider):
+    * shard logs in the producer's payload format (with a deterministic
+    * corruption for every 97th record), strict decode with error channel,
+    * dead-letter split, per-shard accounting — the same per-shard totals
+    * the reference's record processors would observe.
     */
   def payloadPipeline(s: SparkSession, dir: String): DataFrame = {
-    val records = RecordStream.eventsStream(s, dir)
-      .withColumn("data", encode(
-        when(col("event_id") % 97 === 0, concat(lit("garbage-"), col("event_id")))
-          .otherwise(concat(lit("testData-"),
-            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"))),
-        "UTF-8"))
+    val records = RecordStream.kinesisSource(s, dir)
     val decoded = RecordStream.decodePayload(records)
     val counted = decoded
-      .groupBy("event_type")
+      .groupBy("shardId")
       .agg(count(when(col("decode_error").isNull, 1)).as("n_good"),
         count(when(col("decode_error").isNotNull, 1)).as("n_dead_letter"))
     RecordStream.runToMemory(s, counted, "stream_payload_sink", "complete")
-      .orderBy("event_type")
+      .orderBy("shardId")
   }
 
   private val payloadPipelineSql =
-    """SELECT event_type,
-      |  CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
-      |  CAST(count(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS n_dead_letter
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    s"""SELECT concat('shardId-', lpad(CAST(user_id % ${RecordStream.NumShards} AS VARCHAR), 12, '0'))
+       |    AS shardId,
+       |  CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
+       |  CAST(count(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS n_dead_letter
+       |FROM events GROUP BY 1 ORDER BY shardId""".stripMargin
 
   /** Custom sessionization with flatMapGroupsWithState (the general-state
-    * sibling of session_window): splits each user's events on 30-minute
-    * gaps and emits (start, end=last event, count) per session. Input
-    * arrives as one micro-batch so the in-function sort is total; in a
-    * live stream the state would fold incrementally with a timeout.
+    * sibling of session_window): a TRUE incremental fold. Per-user state is
+    * the set of still-open session intervals; each micro-batch's events are
+    * merged in (interval-merge within the 30-minute gap), and a session is
+    * emitted only once the event-time watermark proves it closed
+    * (`end + gap <= watermark`, via `EventTimeTimeout`). Input may arrive
+    * split across any number of micro-batches — multi-batch correctness is
+    * pinned by StreamingSpec's 3-batch MemoryStream test.
     */
+  def sessionize(ds: org.apache.spark.sql.Dataset[Ev]): org.apache.spark.sql.Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapUs = 30L * 60 * 1000 * 1000
+    // state/gap arithmetic in MICROseconds: Timestamp.getTime is millis and
+    // would silently truncate the fixture's microsecond event times
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def fromUs(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, events: Iterator[Ev], state: GroupState[SessionState]) =>
+          val incoming = events.map(e => SessionAcc(toUs(e.ts), toUs(e.ts), 1L)).toSeq
+          val all = (state.getOption.map(_.open).getOrElse(Seq.empty) ++ incoming)
+            .sortBy(a => (a.startUs, a.endUs))
+          // interval-merge: adjacent accs belong to one session iff the gap
+          // between them is <= 30 min (same rule as the batch oracle)
+          val merged = all.foldLeft(List.empty[SessionAcc]) { (acc, cur) =>
+            acc match {
+              case head :: tail if cur.startUs - head.endUs <= gapUs =>
+                SessionAcc(head.startUs, math.max(head.endUs, cur.endUs), head.n + cur.n) :: tail
+              case _ => cur :: acc
+            }
+          }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(a => a.endUs + gapUs <= wmUs)
+          if (open.nonEmpty) {
+            state.update(SessionState(open))
+            // earliest possible close, CEILed to ms: retained intervals have
+            // end+gap > wm (µs), so the ceiling is strictly > watermark ms —
+            // setTimeoutTimestamp rejects timestamps at or before the wm
+            state.setTimeoutTimestamp((open.map(_.endUs).min + gapUs + 999L) / 1000L)
+          } else {
+            state.remove()
+          }
+          closed.iterator.map(c => SessionOut(uid, fromUs(c.startUs), fromUs(c.endUs), c.n))
+      }
+  }
+
   def statefulSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
-    val gapMs = 30L * 60 * 1000
-    val ds = RecordStream.eventsStream(s, dir)
+    val ds = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
+      .withWatermark("ts", "0 seconds")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       .as[Ev]
-    val sessions = ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, events: Iterator[Ev], state: GroupState[Long]) =>
-          val sorted = events.toIndexedSeq.sortBy(_.ts.getTime)
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val out = Seq.newBuilder[SessionOut]
-            var start = sorted.head.ts
-            var last = sorted.head.ts
-            var n = 1L
-            sorted.tail.foreach { e =>
-              if (e.ts.getTime - last.getTime > gapMs) {
-                out += SessionOut(uid, start, last, n)
-                start = e.ts; n = 0L
-              }
-              last = e.ts; n += 1
-            }
-            out += SessionOut(uid, start, last, n)
-            out.result().iterator
-          }
-      }
-    RecordStream.runToMemory(s, sessions.toDF(), "stream_fmgws_sink", "append")
+    RecordStream.runToMemory(s, sessionize(ds).toDF(), "stream_fmgws_sink", "append")
+      .filter(col("user_id") >= 0) // drop watermark-sentinel sessions
       .select(col("user_id"),
         date_format(col("session_start"), TsFmt).as("session_start"),
         date_format(col("session_end"), TsFmt).as("session_end"),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.RecordStream
+
+/** The native shard-ordered DataSourceV2 source (KinesisLikeProvider):
+  * exactly-once replay, dense per-shard sequence numbers, within-shard
+  * arrival order, shard routing, and checkpointed restart-recovery — the
+  * reference consumer's contract (AmazonKinesisApplicationSampleRecord
+  * Processor.java:117-148) rebuilt natively.
+  */
+class NativeSourceSpec extends SparkSuite {
+
+  private val Shard0 = "shardId-000000000000"
+  private val Shard1 = "shardId-000000000001"
+
+  test("replays all shards exactly once with dense ordered sequences [REF A7/A8]") {
+    val df = RecordStream.kinesisSource(spark, Sf)
+    val got = RecordStream.runToMemory(spark, df, "native_all_sink", "append")
+    val rows = got.select("shardId", "sequenceNumber", "arrivalTs", "partitionKey").collect()
+    val n = Tables.events(spark, Sf).count()
+    assert(rows.length == n, s"expected $n records, got ${rows.length}")
+    val byShard = rows.groupBy(_.getString(0))
+    assert(byShard.keySet == Set(Shard0, Shard1))
+    byShard.foreach { case (shard, rs) =>
+      // dense 0..n-1, each exactly once: no loss, no duplication
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until rs.length.toLong),
+        s"$shard sequence numbers not dense")
+      // within-shard order: arrival time nondecreasing along the sequence
+      val ts = rs.sortBy(_.getLong(1)).map(_.getTimestamp(2).getTime)
+      assert(ts.zip(ts.tail).forall { case (a, b) => a <= b },
+        s"$shard arrival order violated")
+      // partition-key routing: key mod NumShards picked this shard
+      val want = if (shard == Shard1) 1L else 0L
+      assert(rs.forall(_.getString(3).toLong % RecordStream.NumShards == want))
+    }
+  }
+
+  test("restart from checkpoint resumes per-shard offsets exactly [REF A10]") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kin_ck_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_kin_out_").toString
+    val n = Tables.events(spark, Sf).count()
+    val perBatch = 200L
+    def start(trigger: Option[Trigger]) = {
+      val w = RecordStream.kinesisSource(spark, Sf, maxRecordsPerShardPerBatch = perBatch)
+        .select("shardId", "sequenceNumber")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+      trigger.fold(w)(w.trigger).start()
+    }
+    // one rate-limited micro-batch, then stop mid-stream
+    val q1 = start(Some(Trigger.Once()))
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0 && afterFirst < n,
+      s"first batch should be a strict prefix, got $afterFirst of $n")
+    // restart: must resume from the checkpointed per-shard offsets
+    val q2 = start(None)
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == n, s"expected $n rows after restart, got ${out.count()}")
+    // (shard, seq) pairs are unique: nothing reprocessed, nothing lost
+    assert(out.distinct().count() == n)
+  }
+
+  test("payload pipeline over the native source matches the batch truth") {
+    val got = streaming.StreamingQueries.payloadPipeline(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Tables.events(spark, Sf)
+      .selectExpr(
+        s"concat('shardId-', lpad(CAST(user_id % ${RecordStream.NumShards} AS STRING), 12, '0')) AS shardId",
+        "CAST(event_id % 97 <> 0 AS INT) AS good")
+      .groupBy("shardId")
+      .agg(org.apache.spark.sql.functions.expr("CAST(sum(good) AS BIGINT)").as("n_good"),
+        org.apache.spark.sql.functions.expr("CAST(sum(1 - good) AS BIGINT)").as("n_dead_letter"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+}

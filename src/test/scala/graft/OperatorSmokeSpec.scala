@@ -24,7 +24,9 @@ class OperatorSmokeSpec extends SparkSuite {
 
   test("every query name has either an oracle or a documented exemption") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // approximate / engine-specific-hash ops are exempt by design
-    assert(noOracle == Set("agg_approx_distinct", "hash_engine_specific", "dedup_minhash_lsh", "sim_lsh_topk"))
+    // only the genuinely approximate / engine-specific-hash ops are exempt:
+    // minhash-LSH and hyperplane-LSH moved to portable md5-based hashing in
+    // round 2 and are now oracle-checked like everything else
+    assert(noOracle == Set("agg_approx_distinct", "hash_engine_specific"))
   }
 }

@@ -215,6 +215,53 @@ class StreamingSpec extends SparkSuite {
       Set("bad-payload-format"))
   }
 
+  test("incremental sessionization folds state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Ev, StreamingQueries}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(id: Long, uid: Long, min: Int) =
+      Ev(id, uid, "click", 1.0, new java.sql.Timestamp(base + min * 60000L))
+    val ms = MemoryStream[Ev]
+    val sessions = StreamingQueries.sessionize(
+      ms.toDS().withWatermark("ts", "0 seconds").as[Ev])
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("mb_sessions").start()
+    try {
+      // batch 1: user 1 opens a session (0,10); user 2 opens one (5)
+      ms.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5))
+      q.processAllAvailable()
+      // batch 2: user 1 EXTENDS the open session (20 — within the 30-min
+      // gap, must merge with batch 1's state); user 2 starts a second
+      // session (50 — gap 45 min)
+      ms.addData(ev(4, 1, 20), ev(5, 2, 50))
+      q.processAllAvailable()
+      // batch 3: user 1 starts a second session (120)
+      ms.addData(ev(6, 1, 120))
+      q.processAllAvailable()
+      // two watermark-advancing sentinels: the first moves the watermark
+      // past every real session, the second forces the batch in which the
+      // last timeouts fire
+      ms.addData(ev(7, -1, 100000))
+      q.processAllAvailable()
+      ms.addData(ev(8, -1, 100100))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mb_sessions")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    // sessions must be identical to a batch computation over all events:
+    // state folded across three micro-batches, not per-batch
+    assert(got == Set(
+      (1L, "10:00", "10:20", 3L),
+      (1L, "12:00", "12:00", 1L),
+      (2L, "10:05", "10:05", 1L),
+      (2L, "10:50", "10:50", 1L)), got.toString)
+  }
+
   test("graceful stop completes within the 20s budget [REF A15]") {
     val q = RecordStream.generator(spark, rowsPerSecond = 2)
       .writeStream.outputMode("append")

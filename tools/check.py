@@ -17,11 +17,12 @@ def canon(df):
     def s(v):
         if v is None:
             return "NULL"
+        # Do NOT collapse 746.0 -> "746": the driver's hash distinguishes a
+        # float column from an integer one (DuckDB HUGEINT/DOUBLE widening is
+        # exactly the class of oracle bug this harness must catch locally).
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
             return repr(v)
         return str(v)
     rows = sorted(tuple(s(v) for v in row) for row in df.itertuples(index=False, name=None))
