@@ -1,0 +1,88 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Row-level MinHash kernel shared by interpreted eval and generated code.
+  *
+  * Semantics are EXACTLY the portable md5 construction the DuckDB oracle
+  * replays (DedupQueries.minhashLshSql): h1/h2 are the integer values of
+  * md5-hex characters 1-13 and 14-26 (two 52-bit words, read here straight
+  * from the digest bytes nibble-wise — no hex string materialized), and
+  * component k of the signature is min over shingles of (h1 + k·h2)
+  * (Kirsch-Mitzenmacher). One native loop per row: no interpreted
+  * higher-order functions, no per-component re-hashing.
+  */
+object MinhashOps {
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** 52-bit big-endian value of 13 hex nibbles starting at `startNibble`. */
+  private def h52(d: Array[Byte], startNibble: Int): Long = {
+    var v = 0L
+    var i = startNibble
+    val end = startNibble + 13
+    while (i < end) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
+  def signature(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val digest = md5.get()
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val d = digest.digest(shingles.getUTF8String(i).getBytes)
+      val h1 = h52(d, 0)
+      val h2 = h52(d, 13)
+      var h = h1
+      var j = 0
+      while (j < k) {
+        if (h < sig(j)) sig(j) = h
+        h += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Native Catalyst expression: `minhash_sig(array<string>, k) -> array<long>`.
+  *
+  * Chosen over the equivalent aggregate/transform/zip_with HOF pipeline
+  * (which stays interpreted and costs ~10× here) per the SURVEY §4
+  * preference order: the kernel runs inside whole-stage codegen as one
+  * static call. Values are identical to the HOF form, so the DuckDB oracle
+  * is unchanged.
+  */
+case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, positive k), got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashOps.signature(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashOps.signature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -107,5 +107,8 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinhashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

@@ -100,9 +100,15 @@ object ArrayMapJsonQueries extends QueryModule {
       |  CAST(len(list_concat(range(1, 4), range(4, 6))) AS INT) AS concat_len
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
-  /** JSON family over events.props (a JSON object string). */
+  /** JSON family over events.props (a JSON object string). The fixture is
+    * one parquet row-group, so without a repartition every per-row Jackson
+    * parse/generate runs on a single core — spread the codec work across
+    * the session's parallelism (at cluster scale the scan splits naturally
+    * and this exchange coalesces away under AQE).
+    */
   def jsonFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+      .repartition(col("event_id"))
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_get"),

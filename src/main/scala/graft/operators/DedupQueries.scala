@@ -180,19 +180,13 @@ object DedupQueries extends QueryModule {
     * 16-byte pairs, not whole documents' shingle sets (the 100 TB shape).
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // 52-bit integer from 13 hex chars: codegen'd conv() (DuckDB mirrors it
-    // with a '0x…' cast — verified to produce identical values)
-    def hexFold(lo: Int, len: Int): String =
-      s"CAST(conv(substring(m, $lo, $len), 16, 10) AS BIGINT)"
-    // ONE expression computes the whole signature in a single pass over the
-    // shingles (md5 + both hex folds run once per shingle; the fold takes
-    // component-wise minima). Splitting hseed into its own column looks
-    // cleaner but is a trap: Catalyst inlines a referenced-once projection
-    // into its consumer, and inside a 16-component transform that would
-    // re-evaluate every md5 16× per row. The frame is consumed 3× (banding
-    // + both verify joins) so it is cached — shuffle-free signature
-    // computation, done once; at cluster scale this is the frame you would
-    // checkpoint (16 longs + shingle set per doc).
+    graft.functions.GraftFunctions.register(s)
+    // The signature is computed by the native codegen'd MinhashSignature
+    // expression (functions.MinhashOps): one md5 per shingle, component-
+    // wise minima of h1 + k*h2 in a single loop — bit-identical to the
+    // DuckDB oracle's conv()-based hex arithmetic. The frame is consumed
+    // 3× (banding + both verify joins) so it is cached; at cluster scale
+    // this is the frame you would checkpoint (16 longs + shingle set/doc).
     val docs = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 4)
@@ -200,12 +194,7 @@ object DedupQueries extends QueryModule {
         """array_distinct(transform(sequence(1, size(tk) - 3),
           |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
           |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
-      .withColumn("sig", expr(
-        s"""aggregate(
-           |  transform(transform(shingles, sh -> md5(CAST(sh AS BINARY))),
-           |    m -> named_struct('h1', ${hexFold(1, 13)}, 'h2', ${hexFold(14, 13)})),
-           |  transform(sequence(0, 15), z -> 9223372036854775807L),
-           |  (acc, s) -> zip_with(acc, sequence(0, 15), (a, k) -> least(a, s.h1 + k * s.h2)))""".stripMargin))
+      .withColumn("sig", expr("minhash_sig(shingles, 16)"))
       .select("doc_id", "shingles", "sig")
       .cache()
     val banded = docs.select(

@@ -42,6 +42,28 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("minhash LSH shuffles keys, never shingle arrays") {
+    val p = plan("dedup_minhash_lsh")
+    // candidate dedup (HashAggregate over Exchange) must key on the two doc
+    // ids only — no array-typed column may appear in any shuffle key
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach { e =>
+      assert(!e.contains("shingles") && !e.contains("sh_a") && !e.contains("sh_b") &&
+        !e.contains("sig"), s"array-typed shuffle key in: $e")
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("native kinesis-like source plans one partition per shard") {
+    val staged = streaming.RecordStream.kinesisFixture(spark, Sf)
+    val mb = new streaming.source.KinesisLikeMicroBatch(staged, Long.MaxValue, "graft-events")
+    val parts = mb.planInputPartitions(mb.initialOffset(),
+      mb.latestOffset(mb.initialOffset(),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
+    assert(parts.length == streaming.RecordStream.NumShards, parts.mkString(","))
+  }
+
   test("partition-pruned read scans only the selected partitions") {
     val df = SparkEntry.queries("src_partitioned_pruned")(spark, Sf)
     val scan = df.queryExecution.executedPlan.toString
