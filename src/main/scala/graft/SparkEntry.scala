@@ -23,6 +23,7 @@ object SparkEntry {
     operators.TypedQueries,
     sources.SourceQueries,
     operators.DedupQueries,
+    operators.CurationQueries,
     operators.SimilarityQueries,
     multimodal.MediaPipeline,
     streaming.StreamingQueries

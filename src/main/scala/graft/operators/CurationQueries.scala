@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the round-1 set (SURVEY.md §2
+  * LLM extensions): context-window chunking, deterministic train/val/test
+  * splitting, boilerplate-shingle flagging, token-budget packing, and
+  * benchmark-contamination detection. All are oracle-checked; every pair
+  * generator is keyed (shingle inverted index), never all-pairs.
+  */
+object CurationQueries extends QueryModule {
+
+  private val toks = "filter(split(text, ' ', -1), t -> t <> '')"
+  private val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Context-window chunking: 50-token windows with stride 40 (10-token
+    * overlap) — the standard pretraining tokenize-and-chunk step. Pure
+    * per-row generator (explode of a sequence), embarrassingly parallel.
+    */
+  def chunking(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0, CAST((size(tk) - 1) div 40 AS INT))")).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("int").as("chunk_id"),
+        expr("CAST(1 + 40 * chunk_id AS INT)").as("start_tok"),
+        expr("CAST(least(50, size(tk) - 40 * chunk_id) AS INT)").as("n_chunk_tokens"),
+        expr("element_at(tk, 1 + 40 * chunk_id)").as("head_token"),
+        expr("element_at(tk, 40 * chunk_id + least(50, size(tk) - 40 * chunk_id))")
+          .as("tail_token"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkingSql =
+    s"""WITH tks AS (
+       |  SELECT doc_id, $dToks AS tk FROM documents WHERE len($dToks) >= 1
+       |), chunks AS (
+       |  SELECT doc_id, tk, unnest(range(0, (len(tk) - 1) // 40 + 1)) AS chunk_id FROM tks
+       |)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(1 + 40 * chunk_id AS INT) AS start_tok,
+       |  CAST(least(50, len(tk) - 40 * chunk_id) AS INT) AS n_chunk_tokens,
+       |  tk[CAST(1 + 40 * chunk_id AS INT)] AS head_token,
+       |  tk[CAST(40 * chunk_id + least(50, len(tk) - 40 * chunk_id) AS INT)] AS tail_token
+       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Deterministic hash-based train/val/test split (~80/10/10): the bucket
+    * is the first md5 byte of the doc id, so membership is stable across
+    * runs, engines and cluster sizes — the property that matters when the
+    * corpus is rewritten incrementally. Shuffle-free per-row projection.
+    */
+  def trainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 2), 16, 10) AS INT)"))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum(expr(s"size($toks)")).as("n_tokens"))
+      .orderBy("split")
+
+  private val trainSplitSql =
+    s"""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |  CAST(sum(len($dToks)) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT *, CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+       |          AS bucket FROM documents))
+       |GROUP BY split ORDER BY split""".stripMargin
+
+  /** Boilerplate flagging: a 4-gram shingle appearing in more than 5
+    * documents corpus-wide is boilerplate; documents whose shingles are
+    * majority-boilerplate get dropped (the CCNet/Gopher repetition gate at
+    * the corpus level). One hash shuffle on the shingle key.
+    */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 4)
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, size(tk) - 3),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
+          .as("shingle"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") > 5, 1)).as("n_boilerplate"))
+      .withColumn("boiler_ratio",
+        round(col("n_boilerplate").cast("double") / col("n_shingles"), 4))
+      .withColumn("keep", col("boiler_ratio") <= 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3])))) AS shingle
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4
+       |), flagged AS (
+       |  SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(CASE WHEN df > 5 THEN 1 END) AS BIGINT) AS n_boilerplate,
+       |  round(CAST(count(CASE WHEN df > 5 THEN 1 END) AS DOUBLE) / count(*), 4)
+       |    AS boiler_ratio,
+       |  (round(CAST(count(CASE WHEN df > 5 THEN 1 END) AS DOUBLE) / count(*), 4) <= 0.5)
+       |    AS keep
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Token-budget packing: documents in doc_id order are packed greedily
+    * into 2048-token context windows (a document goes to the pack where its
+    * running-total START falls — the standard streaming approximation). The
+    * global running sum is a single-partition window here; at 100 TB the
+    * same query packs per shard (partition key prepended to pack_id), which
+    * changes only the window's partitionBy.
+    */
+  def tokenPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr(s"size($toks)").cast("long"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id", expr("CAST((cum - n_tokens) div 2048 AS INT)"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("pack_id")
+  }
+
+  private val tokenPackingSql =
+    s"""WITH cum AS (
+       |  SELECT doc_id, CAST(len($dToks) AS BIGINT) AS n_tokens,
+       |    sum(CAST(len($dToks) AS BIGINT))
+       |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM documents
+       |)
+       |SELECT CAST((cum - n_tokens) // 2048 AS INT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin
+
+  /** Benchmark-contamination check: treat every 97th document as the held-
+    * out eval set; a training document is contaminated if it shares a
+    * 3-gram with any eval document (n is a dial — real corpora use longer
+    * n-grams; the fixture's tiny vocabulary needs n=3 to exercise the
+    * operator). The join is an inverted-index equi-join on the shingle
+    * (distinct eval shingles broadcast — the eval set is always tiny
+    * relative to the corpus), never a cross product.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    def shingles3(df: DataFrame): DataFrame = df
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |    element_at(tk, i + 2))))""".stripMargin))
+          .as("shingle"))
+    val docs = Tables.documents(s, dir)
+    val evalSh = shingles3(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val trainSh = shingles3(docs.filter(col("doc_id") % 97 =!= 0))
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))) AS shingle
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 3
+       |)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles,
+       |  CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+       |FROM sh t JOIN sh e ON t.shingle = e.shingle
+       |  AND e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_chunking", chunking, Some(chunkingSql)),
+    QueryDef("curation_train_split", trainSplit, Some(trainSplitSql)),
+    QueryDef("curation_boilerplate", boilerplate, Some(boilerplateSql)),
+    QueryDef("curation_token_packing", tokenPacking, Some(tokenPackingSql)),
+    QueryDef("curation_contamination", contamination, Some(contaminationSql))
+  )
+}

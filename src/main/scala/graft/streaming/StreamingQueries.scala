@@ -384,7 +384,29 @@ object StreamingQueries extends QueryModule {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id ORDER BY p_id""".stripMargin
 
+  /** Tumbling windowed counts per shard over the NATIVE shard-ordered
+    * source — the reference's per-shard processing with event-time
+    * windowing layered on top, end-to-end through the DataSourceV2 path.
+    */
+  def nativeWindowedCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = RecordStream.kinesisSource(s, dir)
+      .groupBy(window(col("arrivalTs"), "1 hour").as("w"), col("shardId"))
+      .agg(count(lit(1)).as("n"))
+    RecordStream.runToMemory(s, agg, "stream_native_win_sink", "complete")
+      .select(date_format(col("w.start"), TsFmt).as("window_start"), col("shardId"), col("n"))
+      .orderBy("window_start", "shardId")
+  }
+
+  private val nativeWindowedCountsSql =
+    s"""SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)), '$DTsFmt')
+       |    AS window_start,
+       |  concat('shardId-', lpad(CAST(user_id % ${RecordStream.NumShards} AS VARCHAR), 12, '0'))
+       |    AS shardId,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, shardId""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_native_windowed", nativeWindowedCounts, Some(nativeWindowedCountsSql)),
     QueryDef("stream_stream_left_join", streamStreamLeftJoin, Some(streamStreamLeftJoinSql)),
     QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),

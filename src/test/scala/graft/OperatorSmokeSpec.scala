@@ -13,7 +13,8 @@ class OperatorSmokeSpec extends SparkSuite {
       assert(n >= 0)
       assert(df.columns.nonEmpty)
       // queries expected to be non-empty on the fixture
-      val mayBeEmpty = Set("join_anti_no_orders", "dedup_ngram_jaccard", "dedup_minhash_lsh")
+      val mayBeEmpty = Set("join_anti_no_orders", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "curation_contamination")
       if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} returned 0 rows")
     }
   }
