@@ -110,5 +110,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinhashSignature(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_bucket", exprs => HyperplaneBucket(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

@@ -154,17 +154,12 @@ object SimilarityQueries extends QueryModule {
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val sign =
-      """IF((instr('0123456789abcdef', substring(
-        |  md5(CAST(concat(CAST(p AS STRING), ':', CAST(d AS STRING)) AS BINARY)), 1, 1)) - 1) % 2 = 0,
-        |  1D, -1D)""".stripMargin
-    val bucketExpr = expr(
-      s"""aggregate(
-         |  transform(sequence(0, 3), p -> IF(
-         |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-         |      (x, d) -> CAST(x AS DOUBLE) * $sign),
-         |      0D, (a, x) -> a + x) > 0D, shiftleft(1, p), 0)),
-         |  0, (a, x) -> a + x)""".stripMargin)
+    // native codegen'd bucket (functions.HyperplaneOps): the md5-parity
+    // sign matrix is computed once per shape, each row costs 4×64 fused
+    // multiply-adds — bit-identical to the HOF/oracle arithmetic, and
+    // immune to being inlined into the broadcast join condition (which
+    // made the interpreted HOF form re-evaluate per candidate×probe pair)
+    val bucketExpr = expr("hyperplane_bucket(embedding, 4)")
     val e = Tables.embeddings(s, dir).withColumn("bucket", bucketExpr)
     // multi-probe: the query's own cell plus its 4 Hamming-1 neighbors —
     // the standard recall/latency dial for hyperplane LSH
