@@ -101,18 +101,7 @@ object SourceQueries extends QueryModule {
     */
   def catalogRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tbl = "graft_catalog_demo"
-    // idempotent lifecycle: drop any prior incarnation AND its managed
-    // location (a crashed run can leave the directory behind with a fresh
-    // in-memory catalog, which fails CREATE with LOCATION_ALREADY_EXISTS)
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val wh = java.nio.file.Paths.get(
-      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
-    val loc = wh.resolve(tbl)
-    if (java.nio.file.Files.exists(loc)) {
-      java.nio.file.Files.walk(loc)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    dropManaged(s, tbl)
     Tables.nation(s, dir)
       .groupBy("n_regionkey")
       .agg(count(lit(1)).as("n_nations"))
@@ -131,7 +120,51 @@ object SourceQueries extends QueryModule {
       |  true AS table_exists, true AS listed_once
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Remove a managed table idempotently, including a leftover location
+    * from a crashed run (fresh in-memory catalog + existing dir would fail
+    * CREATE with LOCATION_ALREADY_EXISTS).
+    */
+  private def dropManaged(s: SparkSession, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = java.nio.file.Paths.get(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    val loc = wh.resolve(tbl)
+    if (java.nio.file.Files.exists(loc)) {
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Bucketed co-located join: both sides pre-bucketed (and sorted) on the
+    * join key, so the join itself needs NO exchange — at 100 TB this is the
+    * difference between re-shuffling two fact tables per query and reading
+    * co-located buckets (PlanSpec asserts the shuffle-free join). The
+    * aggregation after the join still shuffles on its own (tiny) key.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    dropManaged(s, "graft_orders_bkt")
+    dropManaged(s, "graft_customer_bkt")
+    Tables.orders(s, dir).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_orders_bkt")
+    Tables.customer(s, dir).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_customer_bkt")
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val bucketedJoinSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("src_catalog_ddl", catalogRoundtrip, Some(catalogRoundtripSql)),
     QueryDef("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),

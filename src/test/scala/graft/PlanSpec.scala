@@ -64,6 +64,23 @@ class PlanSpec extends SparkSuite {
     assert(parts.length == streaming.RecordStream.NumShards, parts.mkString(","))
   }
 
+  test("bucketed join never shuffles the join key") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("src_bucketed_join")(spark, Sf)
+      df.collect() // finalize AQE on this execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      // the only exchange allowed is the post-join aggregation key — the
+      // join itself reads co-located buckets
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { e =>
+        assert(!e.contains("custkey"), s"join key shuffled: $e")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partition-pruned read scans only the selected partitions") {
     val df = SparkEntry.queries("src_partitioned_pruned")(spark, Sf)
     val scan = df.queryExecution.executedPlan.toString
