@@ -141,7 +141,67 @@ object MiscQueries extends QueryModule {
     """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  /** Salted skew join, declared as a first-class query: the fact side gets
+    * a deterministic salt (linenumber mod 4), the dim side is replicated
+    * across all salt values, and the join key becomes (key, salt) — the
+    * standard hot-key defuser when one join key carries a disproportionate
+    * share of rows. AQE's skew-join split handles runtime skew; explicit
+    * salting is the plan-level form that also fixes skewed AGGREGATES.
+    * Results are identical to the unsalted join, which is the oracle.
+    */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val salts = 4
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(col("l_linenumber"), lit(salts)).as("salt"))
+    val dim = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(expr(s"sequence(0, ${salts - 1})")).as("salt"))
+    fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("l_extendedprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val saltedJoinSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(sum(l_extendedprice), 2) AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Nested-struct family: construction (named_struct/struct), field
+    * access, arrays_zip, struct comparison, and inline explode of a
+    * struct array.
+    */
+  def structFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .select(
+        col("n_nationkey"),
+        struct(col("n_name").as("name"), col("n_regionkey").as("rk")).as("info"),
+        expr("named_struct('a', n_nationkey * 2, 'b', upper(n_name))").as("pair"))
+      .select(
+        col("n_nationkey"),
+        col("info.name").as("info_name"),
+        (col("info.rk") + col("pair.a")).cast("long").as("mixed"),
+        expr("info = named_struct('name', info.name, 'rk', info.rk)").as("struct_eq"),
+        expr("arrays_zip(sequence(1, 3), sequence(4, 6))").as("zipped"))
+      .select(
+        col("n_nationkey"), col("info_name"), col("mixed"), col("struct_eq"),
+        expr("aggregate(zipped, 0L, (acc, p) -> acc + p['0'] * p['1'])").as("zip_dot"))
+      .orderBy("n_nationkey")
+
+  private val structFuncsSql =
+    """SELECT n_nationkey, n_name AS info_name,
+      |  CAST(n_regionkey + n_nationkey * 2 AS BIGINT) AS mixed,
+      |  true AS struct_eq,
+      |  CAST(1*4 + 2*5 + 3*6 AS BIGINT) AS zip_dot
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_salted_join", saltedJoin, Some(saltedJoinSql)),
+    QueryDef("misc_struct_funcs", structFuncs, Some(structFuncsSql)),
     QueryDef("misc_pivot_status", pivotStatus, Some(pivotStatusSql)),
     QueryDef("misc_unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)),
     QueryDef("misc_udf_token_ratio", udfTokenRatio, Some(udfTokenRatioSql)),
