@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The native codegen kernels (MinhashOps, HyperplaneOps) pinned against
+  * independent plain-Scala reimplementations of the ORACLE arithmetic
+  * (md5-hex parsing via BigInt, sign from first-hex-char parity) — the same
+  * math the DuckDB SQL replays. Pure unit tests, no SparkSession.
+  */
+class NativeKernelSpec extends AnyFunSuite {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("MinhashOps.signature matches the oracle's hex arithmetic") {
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val shingles = Seq.fill(1 + rnd.nextInt(40))(
+        Seq.fill(4)("w" + rnd.nextInt(50)).mkString(" ")).distinct
+      // oracle form: h1/h2 = integer value of md5-hex chars 1-13 / 14-26
+      val seeds = shingles.map { sh =>
+        val h = md5hex(sh)
+        (BigInt(h.substring(0, 13), 16).toLong, BigInt(h.substring(13, 26), 16).toLong)
+      }
+      val want = (0 until 16).map { k =>
+        seeds.map { case (h1, h2) => h1 + k.toLong * h2 }.min
+      }
+      val got = graft.functions.MinhashOps.signature(
+        new GenericArrayData(shingles.map(s => UTF8String.fromString(s): Any).toArray), 16)
+      assert((0 until 16).forall(i => got.getLong(i) == want(i)),
+        s"shingles=$shingles got=$got want=$want")
+    }
+  }
+
+  test("HyperplaneOps.bucket matches the oracle's md5-parity signs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 20).foreach { _ =>
+      val dims = 64
+      val emb = Array.fill(dims)((rnd.nextFloat() - 0.5f))
+      val want = (0 until 4).map { p =>
+        val dot = (0 until dims).map { d =>
+          val firstHex = Integer.parseInt(md5hex(s"$p:$d").substring(0, 1), 16)
+          emb(d).toDouble * (if (firstHex % 2 == 0) 1.0 else -1.0)
+        }.sum
+        if (dot > 0) 1 << p else 0
+      }.sum
+      val got = graft.functions.HyperplaneOps.bucket(
+        new GenericArrayData(emb.map(f => Float.box(f): Any)), 4)
+      assert(got == want, s"got=$got want=$want")
+    }
+  }
+}
