@@ -34,7 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * head (the analogue of a shard iterator), which changes none of the
   * plumbing here.
   */
-class KinesisLikeProvider extends TableProvider {
+class KinesisLikeProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** Short name for `spark.readStream.format("kinesis-like")` (registered
+    * via META-INF/services).
+    */
+  override def shortName(): String = "kinesis-like"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KinesisLikeSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -352,13 +352,15 @@ object StreamingQueries extends QueryModule {
     // purchases/clicks, but they must still advance the event-time clock —
     // a filter upstream of withWatermark would starve it and unmatched
     // rows would never flush
-    // 2 files per trigger → 2 micro-batches (data+sentinel, sentinels):
-    // enough to advance + flush, half the state-store commit rounds
-    val purchases = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
+    // 4 files per trigger → ONE data micro-batch (fixture + all sentinels;
+    // inner matches emit, watermark jumps past the fixture at commit) plus
+    // the engine's watermark-advance batch that flushes every unmatched
+    // left row — the minimum number of state-store commit rounds
+    val purchases = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
       .withWatermark("ts", "1 minute")
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val clicks = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
+    val clicks = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
       .withWatermark("ts", "1 minute")
       .filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
