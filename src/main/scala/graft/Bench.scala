@@ -68,22 +68,32 @@ object Bench {
     val firstPass = benched.map(d => d -> timeOne(d))
     // This host has multi-minute throttle windows (2-100× slowdowns on a
     // contiguous run segment). Re-measure gross outliers — queries over 5 s
-    // AND over 5× the sweep median — once, and report the min: a query's
-    // cost is what the engine needs, not what the noisy neighbor allowed.
+    // AND over 5× the sweep median — once, and report the min; the raw
+    // first-pass figure is kept in queries_raw so best-of and as-measured
+    // are both visible in the artifact.
     val oks = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
     val median = if (oks.isEmpty) 0.0 else oks(oks.size / 2)
+    val raw = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = firstPass.map { case (d, sec) =>
       if (sec > 5.0 && median > 0 && sec > 5.0 * median) {
         val again = timeOne(d)
+        raw(d.name) = sec
         d.name -> (if (again >= 0) math.min(sec, again) else sec)
       } else d.name -> sec
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_events_per_sec":$streamRate%.0f}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"queries_raw":${jsonMap(raw)},"sf":"$sfDir","stream_events_per_sec":$streamRate%.0f}"""
+    println(line)
+    // The stdout line can be lost to log-tail truncation; the file copy
+    // makes the bench artifact self-contained.
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+        line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

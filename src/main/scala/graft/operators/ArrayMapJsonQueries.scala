@@ -100,38 +100,54 @@ object ArrayMapJsonQueries extends QueryModule {
       |  CAST(len(list_concat(range(1, 4), range(4, 6))) AS INT) AS concat_len
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
-  /** JSON family over events.props (a JSON object string). The fixture is
-    * one parquet row-group, so without a repartition every per-row Jackson
-    * parse/generate runs on a single core — spread the codec work across
-    * the session's parallelism (at cluster scale the scan splits naturally
-    * and this exchange coalesces away under AQE).
+  /** The events fixture staged for per-row-expensive codec work. The file
+    * is one parquet row-group, so without an exchange every per-row Jackson
+    * parse runs on a single core. Range-partition + sort on `event_id`
+    * BEFORE the heavy projection: the explicit partition count keeps AQE
+    * from coalescing the spread away at toy scale, and sorting first keeps
+    * the range-sampling pass on the narrow raw input instead of evaluating
+    * the codec chain twice (orderBy *after* the projection would). At
+    * cluster scale the scan splits naturally and this is just the ORDER BY
+    * exchange.
     */
-  def jsonFuncs(s: SparkSession, dir: String): DataFrame =
+  private def eventsSortedSpread(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .repartition(col("event_id"))
+      .select(col("event_id"), col("props"), col("event_type"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
+      .sortWithinPartitions("event_id")
+
+  /** JSON family over events.props (a JSON object string). */
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame =
+    eventsSortedSpread(s, dir)
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_get"),
-        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+        from_json(col("props"), MapType(StringType, LongType)).as("m"),
+        json_tuple(col("props"), "k").as("jt_k"))
       .select(
         col("event_id"),
         col("k_get"),
         element_at(col("m"), "k").as("k_map"),
         array_join(map_keys(col("m")), ",").as("keys"),
-        to_json(col("m")).as("rejson"))
-      .orderBy("event_id")
+        to_json(col("m")).as("rejson"),
+        col("jt_k"),
+        schema_of_json(lit("""{"k": 87}""")).as("inferred_schema"))
 
   private val jsonFuncsSql =
     """SELECT event_id,
       |  CAST(props->>'$.k' AS BIGINT) AS k_get,
       |  CAST(props->>'$.k' AS BIGINT) AS k_map,
       |  'k' AS keys,
-      |  '{"k":' || (props->>'$.k') || '}' AS rejson
+      |  '{"k":' || (props->>'$.k') || '}' AS rejson,
+      |  props->>'$.k' AS jt_k,
+      |  'STRUCT<k: BIGINT>' AS inferred_schema
       |FROM events ORDER BY event_id""".stripMargin
 
-  /** Map construction / manipulation from parsed JSON props. */
+  /** Map construction / manipulation from parsed JSON props (staged via
+    * [[eventsSortedSpread]] like every per-row-codec query here).
+    */
   def mapFuncs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    eventsSortedSpread(s, dir)
       .select(
         col("event_id"),
         from_json(col("props"), MapType(StringType, LongType)).as("m"),
@@ -145,7 +161,6 @@ object ArrayMapJsonQueries extends QueryModule {
           .as("merged_size"),
         array_join(transform(map_values(col("m")), x => (x * 2).cast("string")), ",")
           .as("doubled_vals"))
-      .orderBy("event_id")
 
   private val mapFuncsSql =
     """SELECT event_id,
@@ -157,10 +172,12 @@ object ArrayMapJsonQueries extends QueryModule {
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Map higher-order functions: transform_keys / transform_values /
-    * map_filter / map_zip_with over the parsed props map.
+    * map_filter / map_zip_with over the parsed props map. The parse + four
+    * interpreted map-HOF lambdas are the per-row hot path — staged via
+    * [[eventsSortedSpread]] so they never serialize on one core.
     */
   def mapHof(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    eventsSortedSpread(s, dir)
       .select(col("event_id"),
         from_json(col("props"), MapType(StringType, LongType)).as("m"))
       .select(
@@ -171,7 +188,6 @@ object ArrayMapJsonQueries extends QueryModule {
         element_at(expr(
           "map_zip_with(m, transform_values(m, (k, v) -> v + 1), (k, v1, v2) -> v1 + v2)"), "k")
           .as("k_sum"))
-      .orderBy("event_id")
 
   private val mapHofSql =
     """SELECT event_id,
@@ -181,13 +197,16 @@ object ArrayMapJsonQueries extends QueryModule {
       |  CAST(props->>'$.k' AS BIGINT) * 2 + 1 AS k_sum
       |FROM events ORDER BY event_id""".stripMargin
 
+  // map_hof last: its four interpreted lambdas are the slowest path to
+  // JIT-warm, and the sibling json/map queries warm the from_json + lambda
+  // evaluator machinery first
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("map_hof_funcs", mapHof, Some(mapHofSql)),
     QueryDef("arr_numeric_hof", arrayNumeric, Some(arrayNumericSql)),
     QueryDef("arr_string_funcs", arrayStrings, Some(arrayStringsSql)),
     QueryDef("arr_explode_vectors", explodeVectors, Some(explodeVectorsSql)),
     QueryDef("arr_construct", arrayConstruct, Some(arrayConstructSql)),
     QueryDef("json_funcs", jsonFuncs, Some(jsonFuncsSql)),
-    QueryDef("map_funcs", mapFuncs, Some(mapFuncsSql))
+    QueryDef("map_funcs", mapFuncs, Some(mapFuncsSql)),
+    QueryDef("map_hof_funcs", mapHof, Some(mapHofSql))
   )
 }

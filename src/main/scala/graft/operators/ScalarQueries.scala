@@ -114,7 +114,7 @@ object ScalarQueries extends QueryModule {
       |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
 
   /** Conditional / null family: CASE WHEN, coalesce, nullif, greatest,
-    * least, null-safe equality.
+    * least, null-safe equality, nanvl.
     */
   def condFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -127,7 +127,11 @@ object ScalarQueries extends QueryModule {
         round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_floor0"),
         round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_cap1k"),
         (col("c_nationkey") <=> nullif(col("c_nationkey"), lit(5))).as("nullsafe_eq"),
-        isnull(nullif(col("c_mktsegment"), lit("MACHINERY"))).as("is_machinery"))
+        isnull(nullif(col("c_mktsegment"), lit("MACHINERY"))).as("is_machinery"),
+        // nanvl: NaN-aware fallback (coalesce only covers NULL) — negative
+        // balances become NaN, nanvl repairs them to 0
+        round(nanvl(when(col("c_acctbal") < 0, lit(Double.NaN))
+          .otherwise(col("c_acctbal")), lit(0.0)), 2).as("bal_nan0"))
       .orderBy("c_custkey")
 
   private val condFuncsSql =
@@ -139,7 +143,8 @@ object ScalarQueries extends QueryModule {
       |  round(greatest(c_acctbal, 0.0), 2) AS bal_floor0,
       |  round(least(c_acctbal, 1000.0), 2) AS bal_cap1k,
       |  (c_nationkey IS NOT DISTINCT FROM nullif(c_nationkey, 5)) AS nullsafe_eq,
-      |  (nullif(c_mktsegment, 'MACHINERY') IS NULL) AS is_machinery
+      |  (nullif(c_mktsegment, 'MACHINERY') IS NULL) AS is_machinery,
+      |  round(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END, 2) AS bal_nan0
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   /** Cryptographic hash family (dedup keys): md5 / sha-256 hex parity. */

@@ -231,9 +231,10 @@ object RecordStream {
       spark: SparkSession,
       stream: DataFrame,
       name: String,
-      mode: String): DataFrame = {
+      mode: String,
+      shufflePartitions: String = StreamShufflePartitions): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     try {
       val q = stream.writeStream
         .outputMode(mode)

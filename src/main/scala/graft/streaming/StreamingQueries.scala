@@ -317,19 +317,30 @@ object StreamingQueries extends QueryModule {
     * the watermark passes the range — bounded state at any scale.
     */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val purchases = RecordStream.eventsStream(s, dir)
+    // Same single-data-micro-batch staging as the left join: 4 files per
+    // trigger puts the fixture plus all sentinels in ONE batch per side
+    // (inner matches emit immediately; the watermark jump lets the join
+    // state evict at commit instead of lingering until stop). Sentinel
+    // rows can self-match (same user/ts) — dropped by the p_id filter.
+    val purchases = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "1 minute")
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
-    val clicks = RecordStream.eventsStream(s, dir)
+    val clicks = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "1 minute")
       .filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
     val joined = purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"))
-    RecordStream.runToMemory(s, joined.select("p_id", "c_id"), "stream_ss_join_sink", "append")
+    // 4 shuffle partitions, not the stateful default 8: a stream-stream
+    // join runs FOUR state stores per partition (left/right ×
+    // keyToNumValues/keyWithIndexToValue) — per-batch commit overhead is
+    // 4x an agg's, so halve the instance count at this state size
+    RecordStream.runToMemory(s, joined.select("p_id", "c_id"), "stream_ss_join_sink", "append",
+        shufflePartitions = "4")
+      .filter(col("p_id") >= 0) // drop watermark-sentinel self-matches
       .orderBy("p_id", "c_id")
   }
 
@@ -370,7 +381,7 @@ object StreamingQueries extends QueryModule {
         col("c_ts") <= col("p_ts"),
       "left_outer")
     RecordStream.runToMemory(s, joined.select(col("p_id"), col("c_id")),
-        "stream_ss_left_sink", "append")
+        "stream_ss_left_sink", "append", shufflePartitions = "4") // see streamStreamJoin
       .filter(col("p_id") >= 0) // drop watermark-sentinel rows
       .groupBy("p_id")
       .agg(count(col("c_id")).as("n_clicks"))
