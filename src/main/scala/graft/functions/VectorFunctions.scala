@@ -111,6 +111,9 @@ object GraftFunctions {
       "minhash_sig", exprs => MinhashSignature(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
       "hyperplane_bucket", exprs => HyperplaneBucket(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }

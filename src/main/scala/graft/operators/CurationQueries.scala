@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries extends QueryModule {
 
-  private val toks = "filter(split(text, ' ', -1), t -> t <> '')"
+  // array_remove(...,'') over a codegen'd split — value-identical to the
+  // interpreted-HOF form filter(split(...), t -> t <> '') the oracles mirror
+  private val toks = "array_remove(split(text, ' ', -1), '')"
   private val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   /** Context-window chunking: 50-token windows with stride 40 (10-token
@@ -83,15 +85,12 @@ object CurationQueries extends QueryModule {
     * the corpus level). One hash shuffle on the shingle key.
     */
   def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val sh = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 4)
       .select(col("doc_id"),
-        explode(expr(
-          """array_distinct(transform(sequence(1, size(tk) - 3),
-            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-            |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
-          .as("shingle"))
+        explode(expr("word_shingles(tk, 4)")).as("shingle"))
     sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -160,15 +159,12 @@ object CurationQueries extends QueryModule {
     * relative to the corpus), never a cross product.
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     def shingles3(df: DataFrame): DataFrame = df
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"),
-        explode(expr(
-          """array_distinct(transform(sequence(1, size(tk) - 2),
-            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-            |    element_at(tk, i + 2))))""".stripMargin))
-          .as("shingle"))
+        explode(expr("word_shingles(tk, 3)")).as("shingle"))
     val docs = Tables.documents(s, dir)
     val evalSh = shingles3(docs.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id").as("eval_id"), col("shingle"))

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryModule {
 
-  private val toks = "filter(split(text, ' ', -1), t -> t <> '')"
+  // array_remove(...,'') over a codegen'd split — value-identical to the
+  // interpreted-HOF form filter(split(...), t -> t <> '') the oracles mirror
+  private val toks = "array_remove(split(text, ' ', -1), '')"
   private val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   /** Exact dedup: normalize whitespace/case, sha-256, keep min doc_id per
@@ -35,17 +37,17 @@ object DedupQueries extends QueryModule {
       |  min(doc_id) AS survivor_id, CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin
 
-  /** Word 4-gram shingles, distinct, as an exploded (doc, shingle) view. */
-  private def shingleFrame(s: SparkSession, dir: String): DataFrame =
+  /** Word 4-gram shingles, distinct, as an exploded (doc, shingle) view
+    * (native codegen'd kernel — functions.ShingleOps).
+    */
+  private def shingleFrame(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 4)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          """array_distinct(transform(sequence(1, size(tk) - 3),
-            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-            |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
-          .as("shingle"))
+        explode(expr("word_shingles(tk, 4)")).as("shingle"))
+  }
 
   /** A shingle shared by more than this many documents within a source is
     * boilerplate: it contributes O(df²) candidate pairs in the inverted-
@@ -190,10 +192,7 @@ object DedupQueries extends QueryModule {
     val docs = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 4)
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(1, size(tk) - 3),
-          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-          |                 element_at(tk, i + 2), element_at(tk, i + 3))))""".stripMargin))
+      .withColumn("shingles", expr("word_shingles(tk, 4)"))
       .withColumn("sig", expr("minhash_sig(shingles, 16)"))
       .select("doc_id", "shingles", "sig")
       .cache()
@@ -210,11 +209,16 @@ object DedupQueries extends QueryModule {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-        col("sig").as("sig_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-        col("sig").as("sig_b")), "doc_b")
+    // Verify joins stream the docs cache map-side against the BROADCAST
+    // candidate set (LSH keeps candidates near-linear and tiny relative to
+    // the corpus) — no shuffle of the wide shingle/sig columns at any
+    // point, and no re-plan round for AQE to discover the same thing.
+    val withA = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a"))
+      .join(broadcast(cand), "doc_a")
+    docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b"))
+      .join(broadcast(withA), "doc_b")
       .withColumn("est_jaccard", round(expr(
         "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / 16D"), 4))
       .withColumn("exact_jaccard", round(expr(

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
 object TextQueries extends QueryModule {
 
   /** Non-empty whitespace tokens (Spark-side fragment). */
-  private val toks = "filter(split(text, ' ', -1), t -> t <> '')"
+  // array_remove(...,'') over a codegen'd split — value-identical to the
+  // interpreted-HOF form filter(split(...), t -> t <> '') the oracles mirror
+  private val toks = "array_remove(split(text, ' ', -1), '')"
   /** Same in DuckDB. */
   private val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 

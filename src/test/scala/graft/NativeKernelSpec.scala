@@ -35,6 +35,22 @@ class NativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleOps.shingles matches the distinct-transform-concat_ws form") {
+    val rnd = new scala.util.Random(17)
+    (1 to 30).foreach { _ =>
+      val n = 2 + rnd.nextInt(3)
+      val toks = Seq.fill(rnd.nextInt(30))("w" + rnd.nextInt(8))
+      // oracle form: distinct (first occurrence) space-joined n-grams
+      val want =
+        if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      val got = graft.functions.ShingleOps.shingles(
+        new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray), n)
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == want, s"n=$n toks=$toks got=$gotSeq want=$want")
+    }
+  }
+
   test("HyperplaneOps.bucket matches the oracle's md5-parity signs") {
     val rnd = new scala.util.Random(23)
     (1 to 20).foreach { _ =>
