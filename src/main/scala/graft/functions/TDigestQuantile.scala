@@ -5,12 +5,16 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Serializable t-digest state: compressed centroids plus an uncompressed
-  * per-row buffer (bounded at [[TDigestQuantile.MaxPending]]).
+  * per-row buffer (fixed capacity [[TDigestQuantile.MaxPending]], first
+  * `nPending` slots valid). Primitive arrays, not Seq: `reduce` runs once
+  * per input row, and a boxed `x +: pending` there cost an O(pending)
+  * copy + box per row (~100× the arithmetic).
   */
 case class TDigestState(
-    means: Seq[Double],
-    weights: Seq[Double],
-    pending: Seq[Double])
+    means: Array[Double],
+    weights: Array[Double],
+    pending: Array[Double],
+    nPending: Int)
 
 /** Bounded-memory approximate quantiles: a merging t-digest (Dunning &
   * Ertl, "Computing Extremely Accurate Quantiles Using t-Digests", 2019 —
@@ -34,29 +38,45 @@ class TDigestQuantile(qs: Seq[Double], compression: Double = 100.0)
 
   import TDigestQuantile.MaxPending
 
-  override def zero: TDigestState = TDigestState(Nil, Nil, Nil)
+  override def zero: TDigestState =
+    TDigestState(Array.emptyDoubleArray, Array.emptyDoubleArray,
+      new Array[Double](MaxPending), 0)
 
   override def reduce(b: TDigestState, x: Double): TDigestState = {
-    val p = x +: b.pending
-    if (p.size >= MaxPending) compressed(b.means.zip(b.weights), p)
-    else b.copy(pending = p)
+    // in-place append into the fixed-capacity buffer — the per-row hot
+    // path allocates nothing beyond the state wrapper. The encoder can
+    // hand back a short array after a shuffle round-trip; re-grow then.
+    val p =
+      if (b.pending.length >= MaxPending) b.pending
+      else java.util.Arrays.copyOf(b.pending, MaxPending)
+    p(b.nPending) = x
+    val n = b.nPending + 1
+    if (n >= MaxPending) compressed(centroids(b), p, n)
+    else TDigestState(b.means, b.weights, p, n)
   }
 
   override def merge(a: TDigestState, b: TDigestState): TDigestState =
-    compressed(a.means.zip(a.weights) ++ b.means.zip(b.weights),
-      a.pending ++ b.pending)
+    compressed(centroids(a) ++ centroids(b),
+      java.util.Arrays.copyOf(a.pending, a.nPending) ++
+        java.util.Arrays.copyOf(b.pending, b.nPending), a.nPending + b.nPending)
 
   override def finish(b: TDigestState): Seq[Double] = {
-    val cs = compress(b.means.zip(b.weights) ++ b.pending.map((_, 1.0)))
+    val cs = compress(centroids(b) ++
+      java.util.Arrays.copyOf(b.pending, b.nPending).map((_, 1.0)))
     qs.map(quantile(cs, _))
   }
 
   override def bufferEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 
-  private def compressed(cs: Seq[(Double, Double)], pending: Seq[Double]): TDigestState = {
-    val merged = compress(cs ++ pending.map((_, 1.0)))
-    TDigestState(merged.map(_._1), merged.map(_._2), Nil)
+  private def centroids(s: TDigestState): Seq[(Double, Double)] =
+    s.means.indices.map(i => (s.means(i), s.weights(i)))
+
+  private def compressed(cs: Seq[(Double, Double)], pending: Array[Double],
+      n: Int): TDigestState = {
+    val merged = compress(cs ++ pending.iterator.take(n).map((_, 1.0)))
+    TDigestState(merged.map(_._1).toArray, merged.map(_._2).toArray,
+      new Array[Double](MaxPending), 0)
   }
 
   /** Sort by mean, then greedily absorb neighbors while the merged cluster

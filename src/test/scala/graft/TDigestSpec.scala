@@ -33,7 +33,7 @@ class TDigestSpec extends SparkSuite {
     val xs = Seq.fill(50000)(rnd.nextDouble() * 1e6)
     val td = new TDigestQuantile(Seq(0.5), 100.0)
     val state = digestOf(td, xs, chunks = 32)
-    val nCentroids = state.means.size + state.pending.size
+    val nCentroids = state.means.size + state.nPending
     // a single greedy k0 pass admits up to ~4*compression clusters (the
     // fully-compacted bound is ~2δ, reached only after repeated merges);
     // the essential property is O(compression), independent of n=50k
