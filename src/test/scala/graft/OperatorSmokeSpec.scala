@@ -23,6 +23,21 @@ class OperatorSmokeSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("documents fixture is ASCII-only (multimodal oracle invariant)") {
+    // The multimodal oracle equates UTF-8 payload byte k with
+    // ascii(substr(text, k+1, 1)) — true only while the fixture's text is
+    // pure ASCII (MediaPipeline.extractFeaturesSql). If a future fixture
+    // adds multi-byte characters this must fail loudly here, not as a
+    // mysterious checksum mismatch in the driver's compare.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, Sf)
+      .filter(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text; the multimodal oracle's " +
+        "byte==codepoint equivalence no longer holds")
+  }
+
   test("every query name has either an oracle or a documented exemption") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
     // only the genuinely approximate / engine-specific-hash ops are exempt:

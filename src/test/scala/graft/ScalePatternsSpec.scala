@@ -32,6 +32,52 @@ class ScalePatternsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The complementary mitigation to manual salting above: AQE's
+    // OptimizeSkewedJoin detects an oversized shuffle partition AFTER the
+    // map stage runs and splits it into sub-partitions, replicating the
+    // matching build rows. Thresholds are lowered to make the toy fixture
+    // register as skewed; at 100 TB the defaults (256 MB) do the same job.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "24KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "12KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of lineitem piles onto one hot supplier key; the padding
+      // column makes the hot partition's bytes cross the lowered threshold
+      val li = Tables.lineitem(spark, Sf)
+        // the toy file is a single scan task; AQE splits a skewed reduce
+        // partition along MAPPER boundaries, so give the shuffle several
+        // map outputs to split at (a real cluster always has them)
+        .repartition(8)
+        .select(
+          when(col("l_orderkey") % 10 < 9, lit(1L)).otherwise(col("l_suppkey"))
+            .as("k"),
+          col("l_quantity"),
+          concat_ws("", array_repeat(concat_ws(",", col("l_orderkey"),
+            col("l_partkey"), col("l_extendedprice"), col("l_shipdate")), 8)).as("pad"))
+      val sup = Tables.supplier(spark, Sf)
+        .select(col("s_suppkey").as("k"), col("s_name"))
+      val joined = li.join(sup, "k").groupBy("s_name")
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("bytes"))
+      val rows = joined.collect()
+      assert(rows.nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      // AQEShuffleRead marks the split partitions "skewed"
+      assert(plan.contains("skewed"), plan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("persist() reuses the cached relation and preserves results") {
     val base = Tables.lineitem(spark, Sf)
       .filter(col("l_quantity") > 25)
