@@ -29,10 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-shard record processor provides.
   *
   * Scale shape: shards map 1:1 to input partitions, so parallelism = shard
-  * count (exactly the reference's model); a production reader would keep a
-  * byte-offset index per sequence number instead of skipping lines from the
-  * head (the analogue of a shard iterator), which changes none of the
-  * plumbing here.
+  * count (exactly the reference's model). The driver keeps a per-shard
+  * byte-offset seek index (the analogue of a shard iterator): each planned
+  * slice carries the byte position of its first record, so a resumed or
+  * rate-limited reader seeks straight to `fromSeq` instead of re-reading
+  * the log from the head.
   */
 class KinesisLikeProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -45,7 +46,17 @@ class KinesisLikeProvider extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new KinesisLikeTable(opts.get("path"),
+    // fail fast at table resolution: a missing/typo'd path would otherwise
+    // surface as a bare NullPointerException deep inside planning
+    val path = opts.get("path")
+    if (path == null || path.isEmpty)
+      throw new IllegalArgumentException(
+        "kinesis-like source requires a 'path' option pointing at a shard-log directory")
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory)
+      throw new IllegalArgumentException(
+        s"kinesis-like path '$path' does not exist or is not a directory")
+    new KinesisLikeTable(path,
       Option(opts.get("maxRecordsPerShardPerBatch")).map(_.toLong)
         .getOrElse(Long.MaxValue),
       Option(opts.get("streamName")).getOrElse("graft-events"))
@@ -65,10 +76,15 @@ object KinesisLikeSource {
     StructField("data", BinaryType),
     StructField("arrivalTs", TimestampType)))
 
-  def shardFiles(path: String): Seq[java.io.File] =
-    new java.io.File(path).listFiles()
+  def shardFiles(path: String): Seq[java.io.File] = {
+    val listed = new java.io.File(path).listFiles()
+    if (listed == null)
+      throw new IllegalArgumentException(
+        s"kinesis-like path '$path' does not exist or is not a readable directory")
+    listed
       .filter(f => f.getName.startsWith("shard-") && f.getName.endsWith(".txt"))
       .sortBy(_.getName).toSeq
+  }
 
   def shardIdOf(fileName: String): String =
     "shardId-" + fileName.stripPrefix("shard-").stripSuffix(".txt").reverse
@@ -113,31 +129,69 @@ class KinesisLikeMicroBatch(path: String, maxPerBatch: Long, streamName: String)
 
   private val files: Seq[java.io.File] = KinesisLikeSource.shardFiles(path)
 
-  /** Total records per shard (the shard's end sequence number), computed
-    * once — the analogue of the consumer's shard-end discovery [REF A14].
+  /** Per-shard seek index: `index(i)` is the byte offset of sequence number
+    * i's line (one extra trailing entry = file length). The shard-iterator
+    * analogue — planInputPartitions hands each slice its start byte so a
+    * reader seeks instead of re-reading from the head. One raw byte pass
+    * per shard file, shared with shard-end discovery [REF A14]. (At this
+    * fixture's scale the full index fits trivially; a production reader
+    * would index every Nth sequence number and scan the tail.)
     */
-  private lazy val shardEnds: Map[String, Long] = files.map { f =>
-    val src = scala.io.Source.fromFile(f, "UTF-8")
-    try KinesisLikeSource.shardIdOf(f.getName) -> src.getLines().size.toLong
-    finally src.close()
+  private lazy val shardIndex: Map[String, Array[Long]] = files.map { f =>
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16)
+    val offs = scala.collection.mutable.ArrayBuffer(0L)
+    try {
+      var pos = 0L
+      var b = in.read()
+      while (b != -1) {
+        pos += 1
+        if (b == '\n') offs += pos
+        b = in.read()
+      }
+      if (pos > offs.last) offs += pos // tolerate a missing final newline
+    } finally in.close()
+    KinesisLikeSource.shardIdOf(f.getName) -> offs.toArray
   }.toMap
+
+  /** Total records per shard (the shard's end sequence number). */
+  private lazy val shardEnds: Map[String, Long] =
+    shardIndex.map { case (s, idx) => s -> (idx.length - 1).toLong }
 
   override def initialOffset(): Offset =
     ShardOffsets(shardEnds.keys.map(_ -> 0L).toMap)
+
+  /** Smallest ReadMaxRows cap in the engine-supplied limit, if any
+    * (composite limits hold several; min is the conservative read).
+    */
+  private def engineMaxRows(limit: ReadLimit): Option[Long] = limit match {
+    case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      Some(r.maxRows())
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      val caps = c.getReadLimits.toSeq.flatMap(l => engineMaxRows(l))
+      if (caps.isEmpty) None else Some(caps.min)
+    case _ => None
+  }
 
   /** Rate-limited advance from the engine-provided start — the
     * SupportsAdmissionControl form receives the restored start offset on
     * restart, so a resumed query continues from its checkpoint (the no-arg
     * latestOffset has no start and cannot express per-shard rate limits).
+    * The per-shard option composes with any engine ReadMaxRows (e.g. a
+    * Trigger.AvailableNow composite): the option caps each shard, the
+    * engine cap bounds the batch total, allotted in sorted shard order.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[ShardOffsets].offsets
-    ShardOffsets(shardEnds.map { case (s, end) =>
+    var totalBudget = engineMaxRows(limit).getOrElse(Long.MaxValue)
+    ShardOffsets(shardEnds.toSeq.sortBy(_._1).map { case (s, end) =>
       val c = cur.getOrElse(s, 0L)
       // saturating add: maxPerBatch defaults to Long.MaxValue
       val capped = if (Long.MaxValue - maxPerBatch < c) Long.MaxValue else c + maxPerBatch
-      s -> math.max(c, math.min(end, capped))
-    })
+      val next = math.max(c, math.min(end, math.min(capped,
+        if (Long.MaxValue - totalBudget < c) Long.MaxValue else c + totalBudget)))
+      totalBudget -= next - c
+      s -> next
+    }.toMap)
   }
 
   /** Unreachable when SupportsAdmissionControl is implemented; report
@@ -152,7 +206,8 @@ class KinesisLikeMicroBatch(path: String, maxPerBatch: Long, streamName: String)
       val shard = KinesisLikeSource.shardIdOf(f.getName)
       val (from, until) = (s.getOrElse(shard, 0L), e.getOrElse(shard, 0L))
       if (until > from)
-        Some(KinesisShardPartition(f.getAbsolutePath, shard, from, until, streamName))
+        Some(KinesisShardPartition(f.getAbsolutePath, shard, from, until, streamName,
+          shardIndex(shard)(from.toInt)))
       else None
     }.toArray
   }
@@ -165,33 +220,49 @@ class KinesisLikeMicroBatch(path: String, maxPerBatch: Long, streamName: String)
   override def stop(): Unit = ()
 }
 
-/** One shard slice: [fromSeq, untilSeq) of the shard's ordered log. */
+/** One shard slice: [fromSeq, untilSeq) of the shard's ordered log,
+  * starting at byte `fromByte` (the planner's seek index entry for
+  * fromSeq — the shard-iterator analogue).
+  */
 case class KinesisShardPartition(file: String, shardId: String,
-    fromSeq: Long, untilSeq: Long, streamName: String) extends InputPartition
+    fromSeq: Long, untilSeq: Long, streamName: String, fromByte: Long)
+  extends InputPartition
 
 class KinesisShardReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KinesisShardPartition]
     new PartitionReader[InternalRow] {
+      private val stream = new java.io.FileInputStream(p.file)
+      locally {
+        // seek straight to the slice's first record — no head re-read
+        var toSkip = p.fromByte
+        while (toSkip > 0) {
+          val skipped = stream.skip(toSkip)
+          if (skipped <= 0) throw new IllegalStateException(
+            s"could not seek to byte ${p.fromByte} (sequenceNumber ${p.fromSeq}) in ${p.file}")
+          toSkip -= skipped
+        }
+      }
       private val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(
-          new java.io.FileInputStream(p.file), java.nio.charset.StandardCharsets.UTF_8))
-      private var seq = 0L
-      locally { while (seq < p.fromSeq && reader.readLine() != null) seq += 1 }
+        new java.io.InputStreamReader(stream, java.nio.charset.StandardCharsets.UTF_8))
+      private var seq = p.fromSeq
       private var row: InternalRow = _
 
       override def next(): Boolean = {
         if (seq >= p.untilSeq) return false
         val line = reader.readLine()
         if (line == null) return false
-        val Array(tsNanos, key, payload) = line.split("\t", 3)
+        val parts = line.split("\t", 3)
+        if (parts.length != 3) throw new IllegalStateException(
+          s"malformed shard-log line in ${p.file} at sequenceNumber $seq " +
+            s"(expected tsNanos\\tpartitionKey\\tpayload): '${line.take(120)}'")
         row = new GenericInternalRow(Array[Any](
           UTF8String.fromString(p.streamName),
           UTF8String.fromString(p.shardId),
-          UTF8String.fromString(key),
+          UTF8String.fromString(parts(1)),
           seq,
-          payload.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          tsNanos.toLong / 1000L)) // nanos -> micros
+          parts(2).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          parts(0).toLong / 1000L)) // nanos -> micros
         seq += 1
         true
       }

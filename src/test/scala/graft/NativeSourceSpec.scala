@@ -65,6 +65,47 @@ class NativeSourceSpec extends SparkSuite {
     assert(out.distinct().count() == n)
   }
 
+  test("mid-log slice seeks to its start byte and reads exactly [fromSeq, untilSeq)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val staged = RecordStream.kinesisFixture(spark, Sf)
+    val mb = new streaming.source.KinesisLikeMicroBatch(staged, Long.MaxValue, "graft-events")
+    val all = mb.latestOffset(mb.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[streaming.source.ShardOffsets].offsets
+    val (shard, end) = all.toSeq.minBy(_._1)
+    assert(end > 100, s"fixture shard too small: $end")
+    // a strict mid-log slice: the reader must seek (fromByte > 0), not
+    // re-read from the head, and produce exactly the right sequence range
+    val from = end / 3
+    val until = from + 50
+    val parts = mb.planInputPartitions(
+      streaming.source.ShardOffsets(all.map { case (s, _) => s -> (if (s == shard) from else 0L) }),
+      streaming.source.ShardOffsets(all.map { case (s, _) => s -> (if (s == shard) until else 0L) }))
+    assert(parts.length == 1)
+    val p = parts.head.asInstanceOf[streaming.source.KinesisShardPartition]
+    assert(p.fromByte > 0, "mid-log slice should start at a nonzero byte offset")
+    val reader = new streaming.source.KinesisShardReaderFactory().createReader(p)
+    val seqs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try while (reader.next()) seqs += reader.get().getLong(3)
+    finally reader.close()
+    assert(seqs.toSeq == (from until until), s"got ${seqs.take(5)}..${seqs.takeRight(5)}")
+  }
+
+  test("engine ReadMaxRows composes with the per-shard batch cap") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val staged = RecordStream.kinesisFixture(spark, Sf)
+    val mb = new streaming.source.KinesisLikeMicroBatch(staged, 100L, "graft-events")
+    val start = mb.initialOffset()
+    // engine cap below the option total (2 shards x 100): total advance <= 150
+    val capped = mb.latestOffset(start, ReadLimit.maxRows(150L))
+      .asInstanceOf[streaming.source.ShardOffsets].offsets
+    assert(capped.values.sum == 150L, s"total advance should hit the engine cap: $capped")
+    assert(capped.values.forall(_ <= 100L), s"per-shard option cap violated: $capped")
+    // engine cap above the option total: the option is the binding limit
+    val loose = mb.latestOffset(start, ReadLimit.maxRows(10000L))
+      .asInstanceOf[streaming.source.ShardOffsets].offsets
+    assert(loose.values.forall(_ == 100L), s"expected option cap to bind: $loose")
+  }
+
   test("payload pipeline over the native source matches the batch truth") {
     val got = streaming.StreamingQueries.payloadPipeline(spark, Sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
