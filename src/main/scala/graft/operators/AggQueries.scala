@@ -140,9 +140,15 @@ object AggQueries extends QueryModule {
       .groupBy("l_returnflag")
       .agg(
         round(expr("median(l_quantity)"), 4).as("median_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        // one percentile call for all three price quantiles: separate
+        // calls would each keep and sort their own per-group value buffer
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("p"))
+      .select(
+        col("l_returnflag"),
+        col("median_qty"),
+        round(element_at(col("p"), 1), 4).as("p50_price"),
+        round(element_at(col("p"), 2), 4).as("p90_price"),
+        round(element_at(col("p"), 3), 4).as("p99_price"))
       .orderBy("l_returnflag")
 
   private val percentilesByFlagSql =
