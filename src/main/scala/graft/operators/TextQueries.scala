@@ -256,12 +256,106 @@ object TextQueries extends QueryModule {
        |    THEN n_tokens ELSE 0 END) AS DOUBLE), 2) AS curated_tokens
        |FROM flagged GROUP BY source ORDER BY source""".stripMargin
 
+  /** Intra-document repetition ratio (the Gopher/CCNet repetitiveness
+    * gate): 1 − distinct 3-grams / total 3-grams. A doc that repeats the
+    * same phrases scores high and is flagged. Pure per-row projection via
+    * the native [[graft.functions.WordShingles]] kernel (which returns the
+    * DISTINCT shingle set; total count is positional).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .select(
+        col("doc_id"),
+        greatest(size(col("tk")) - 2, lit(0)).as("n_3grams"),
+        expr("size(word_shingles(tk, 3))").as("n_distinct_3grams"))
+      .select(
+        col("doc_id"),
+        col("n_3grams"),
+        col("n_distinct_3grams"),
+        when(col("n_3grams") > 0,
+          round(lit(1.0) - col("n_distinct_3grams").cast("double") / col("n_3grams"), 4))
+          .otherwise(0.0).as("rep_ratio"))
+      .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    s"""SELECT doc_id, n_3grams, n_distinct_3grams,
+       |  CASE WHEN n_3grams > 0
+       |    THEN round(1.0 - CAST(n_distinct_3grams AS DOUBLE) / n_3grams, 4)
+       |    ELSE 0.0 END AS rep_ratio,
+       |  (CASE WHEN n_3grams > 0
+       |    THEN round(1.0 - CAST(n_distinct_3grams AS DOUBLE) / n_3grams, 4)
+       |    ELSE 0.0 END) > 0.2 AS is_repetitive
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(tk) - 2, 0) AS INT) AS n_3grams,
+       |    CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+       |      i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))) AS INT)
+       |      AS n_distinct_3grams
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus TF-IDF: top-3 terms per document. The inverted index (term →
+    * document frequency) is one hash shuffle on the term; per-doc term
+    * counts map-side-combine before it. Ranking is by the INTEGER triple
+    * (tf DESC, df ASC, term ASC) — monotone in tf·idf for any monotone idf,
+    * and exactly reproducible in another engine, where a float-score
+    * ordering could flip near-ties; the reported tfidf score itself is
+    * informational (ln-based, rounded).
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
+    val ranked = tf
+      .join(broadcast(df), "term") // vocabulary ≪ corpus: broadcast the df side
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)))
+      .filter(col("rank") <= 3)
+    ranked.select(
+        col("doc_id"),
+        col("rank"),
+        col("term"),
+        col("tf"),
+        col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfTopTermsSql =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(tk) AS term
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+       |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("text_quality_flags", qualityFlags, Some(qualityFlagsSql)),
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
-    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql))
+    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("text_repetition", repetition, Some(repetitionSql)),
+    QueryDef("text_tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql))
   )
 }
