@@ -228,8 +228,12 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val minhashLshSql =
-    s"""WITH docs AS (
+  /** Shared oracle CTEs: documents → shingles → portable minhash sigs →
+    * LSH bands → distinct candidate pairs (used by both the pair query and
+    * the connected-components clustering query).
+    */
+  private val lshCandCtes =
+    s"""docs AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 2),
        |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3]))) AS shingles
        |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
@@ -250,7 +254,10 @@ object DedupQueries extends QueryModule {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+
+  private val minhashLshSql =
+    s"""WITH $lshCandCtes
        |SELECT doc_a, doc_b,
        |  round(CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS DOUBLE) / 16, 4)
        |    AS est_jaccard,
@@ -296,11 +303,87 @@ object DedupQueries extends QueryModule {
       |SELECT label, id_a, id_b, round(cos, 4) AS cosine, CAST(rn AS INT) AS rn
       |FROM ranked WHERE rn <= 5 ORDER BY label, rn""".stripMargin
 
+  /** Near-duplicate survivorship: connected components over the LSH
+    * candidate-pair graph, each doc labeled with its component's min
+    * doc_id, one survivor per cluster. Label propagation (the HashToMin
+    * shape): every round is one distributed min-aggregation keyed on
+    * doc_id; the driver only checks convergence (a count), never touches
+    * rows. Rounds are bounded by component diameter — near-dup components
+    * are short chains in practice, and the cap (25) makes a pathological
+    * path graph fail loudly instead of looping forever. The oracle is the
+    * same closure as a DuckDB recursive CTE over identical candidates.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select("doc_a", "doc_b").cache()
+    // the dup-pair graph is orders of magnitude smaller than the corpus
+    // (LSH already pruned it); size the propagation's shuffle width to the
+    // graph, not the corpus — the same "partitions follow state size" dial
+    // as the streaming queries. Restored after the loop.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    var labels: DataFrame = null
+    try {
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      def propagate(l: DataFrame): DataFrame =
+        edges.join(l, edges("doc_b") === l("doc_id"))
+          .select(edges("doc_a").as("doc_id"), col("label"))
+          .union(l) // own label participates in the min
+          .groupBy("doc_id").agg(min("label").as("label"))
+      labels = propagate( // 2 rounds composed LAZILY into one plan: every
+        propagate( // Spark action costs a full job round-trip, so
+          edges.select(col("doc_a").as("doc_id")) // convergence is checked
+            .distinct() // once per 2 hops, not once per hop
+            .withColumn("label", col("doc_id")))).cache()
+      var rounds = 2
+      var changed = propagate(labels).withColumnRenamed("label", "next_label")
+        .join(labels, "doc_id")
+        .filter(col("next_label") =!= col("label")).count()
+      // near-dup components are near-cliques: 2 hops almost always closes
+      // them, and the capped tail loop handles a pathological long chain
+      // (failing loudly rather than looping forever)
+      while (changed > 0 && rounds < 30) {
+        val next = propagate(labels).cache()
+        changed = next.withColumnRenamed("label", "next_label")
+          .join(labels, "doc_id")
+          .filter(col("next_label") =!= col("label")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // cluster size as a window over the converged labels: one shuffle on
+    // the label key, not an aggregate plus a join back
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |undirected AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand
+       |), reach AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM undirected)
+       |  UNION
+       |  SELECT e.u, reach.r FROM undirected e JOIN reach ON e.v = reach.u
+       |), comp AS (
+       |  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+       |)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       |  doc_id = cluster_id AS is_survivor
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql))
   )
 }

@@ -14,7 +14,7 @@ class OperatorSmokeSpec extends SparkSuite {
       assert(df.columns.nonEmpty)
       // queries expected to be non-empty on the fixture
       val mayBeEmpty = Set("join_anti_no_orders", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "curation_contamination")
+        "dedup_clusters", "curation_contamination")
       if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} returned 0 rows")
     }
   }
