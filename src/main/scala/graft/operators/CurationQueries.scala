@@ -189,11 +189,161 @@ object CurationQueries extends QueryModule {
        |  AND e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Deterministic stratified sampling: each language stratum keeps rows
+    * whose salted-md5 bucket falls under a per-stratum threshold (x/256) —
+    * the mixture-rebalance step of corpus curation. Membership is a pure
+    * per-row hash projection: stable across runs, engines, cluster sizes,
+    * and incremental corpus rewrites (no RNG, no global state). The salt
+    * decorrelates it from [[trainSplit]]'s unsalted buckets — otherwise
+    * "sampled" and "train" would be the same coin flip.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(concat('strat', CAST(doc_id AS STRING)) AS BINARY)), 1, 2), 16, 10) AS INT)"))
+      .withColumn("threshold", expr(
+        "CASE lang WHEN 'en' THEN 230 WHEN 'de' THEN 192 WHEN 'fr' THEN 153 " +
+          "WHEN 'es' THEN 128 WHEN 'zh' THEN 102 ELSE 64 END"))
+      .withColumn("keep", col("bucket") < col("threshold"))
+      .groupBy("lang")
+      .agg(
+        max("threshold").as("threshold"),
+        count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("min_kept_id"),
+        max(when(col("keep"), col("doc_id"))).as("max_kept_id"),
+        sum(when(col("keep"), expr(s"size($toks)").cast("long")).otherwise(lit(0L)))
+          .as("kept_tokens"))
+      .withColumn("achieved_rate",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy("lang")
+
+  private val stratifiedSampleSql =
+    s"""WITH flagged AS (
+       |  SELECT lang, doc_id, CAST(len($dToks) AS BIGINT) AS n_tokens,
+       |    CASE lang WHEN 'en' THEN 230 WHEN 'de' THEN 192 WHEN 'fr' THEN 153
+       |      WHEN 'es' THEN 128 WHEN 'zh' THEN 102 ELSE 64 END AS threshold,
+       |    CAST(('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+       |      AS bucket
+       |  FROM documents
+       |)
+       |SELECT lang, max(threshold) AS threshold,
+       |  CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(count(CASE WHEN bucket < threshold THEN 1 END) AS BIGINT) AS n_kept,
+       |  min(CASE WHEN bucket < threshold THEN doc_id END) AS min_kept_id,
+       |  max(CASE WHEN bucket < threshold THEN doc_id END) AS max_kept_id,
+       |  CAST(sum(CASE WHEN bucket < threshold THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  round(CAST(count(CASE WHEN bucket < threshold THEN 1 END) AS DOUBLE)
+       |    / count(*), 4) AS achieved_rate
+       |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin
+
+  // One pattern constant per PII class, shared verbatim by the Spark query
+  // (Java regex) and the DuckDB oracle (RE2) — both engines treat \d, \b and
+  // {m,n} identically over ASCII, which the fixture invariant guarantees.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val phonePat = "\\+1-555-\\d{4}"
+
+  /** PII redaction: count and mask emails / IPv4s / phone numbers. The
+    * fixture text is digit- and @-free (asserted in OperatorSmokeSpec), so
+    * the query first APPENDS pseudo-PII derived deterministically from
+    * doc_id — same derivation in the oracle — then redacts it; the md5 of
+    * the redacted text pins byte-exact replacement semantics, not just
+    * match counts. Pure per-row projection, shuffle-free; the regexes are
+    * anchored word-level so Java and RE2 agree.
+    */
+  def piiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("text2", format_string(
+        "%s contact u%d@example.com or u%d@mail.test from 10.%d.0.%d call +1-555-%04d",
+        col("text"), col("doc_id"), col("doc_id"),
+        col("doc_id") % 200, col("doc_id") % 250, col("doc_id") % 10000))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+        ipPat, "<IP>"),
+      phonePat, "<PHONE>")
+    docs.select(
+        col("doc_id"),
+        regexp_count(col("text2"), lit(emailPat)).cast("int").as("n_emails"),
+        regexp_count(col("text2"), lit(ipPat)).cast("int").as("n_ips"),
+        regexp_count(col("text2"), lit(phonePat)).cast("int").as("n_phones"),
+        length(redacted).cast("int").as("red_len"),
+        md5(redacted.cast("binary")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val piiRedactionSql =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    printf('%s contact u%d@example.com or u%d@mail.test from 10.%d.0.%d call +1-555-%04d',
+       |      text, doc_id, doc_id, doc_id % 200, doc_id % 250, doc_id % 10000) AS text2
+       |  FROM documents
+       |), red AS (
+       |  SELECT doc_id, text2,
+       |    regexp_replace(regexp_replace(regexp_replace(text2,
+       |      '$emailPat', '<EMAIL>', 'g'),
+       |      '$ipPat', '<IP>', 'g'),
+       |      '$phonePat', '<PHONE>', 'g') AS redacted
+       |  FROM aug
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text2, '$emailPat')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text2, '$ipPat')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text2, '$phonePat')) AS INT) AS n_phones,
+       |  CAST(length(redacted) AS INT) AS red_len,
+       |  md5(redacted) AS red_md5
+       |FROM red ORDER BY doc_id""".stripMargin
+
+  /** Mixture planning: per-source sampling rates that equalize the token
+    * contribution of each source (the "data mixture" step before training).
+    * Planned tokens use INTEGER arithmetic (min(src, total div n)) so the
+    * plan is exactly reproducible; only the reported rate is a rounded
+    * double. Two tiny aggregations; the totals side is a broadcast scalar.
+    */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"size($toks)").cast("long")).as("src_tokens"))
+    val totals = perSrc.agg(
+      sum("src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(totals))
+      .withColumn("target_tokens", expr("total_tokens div n_sources"))
+      .withColumn("planned_tokens", least(col("src_tokens"), col("target_tokens")))
+      .withColumn("sample_rate",
+        round(col("planned_tokens").cast("double") / col("src_tokens"), 4))
+      .select("source", "n_docs", "src_tokens", "target_tokens",
+        "planned_tokens", "sample_rate")
+      .orderBy("source")
+  }
+
+  private val mixturePlanSql =
+    s"""WITH per_src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($dToks)) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_sources
+       |  FROM per_src
+       |)
+       |SELECT source, n_docs, src_tokens,
+       |  total_tokens // n_sources AS target_tokens,
+       |  least(src_tokens, total_tokens // n_sources) AS planned_tokens,
+       |  round(CAST(least(src_tokens, total_tokens // n_sources) AS DOUBLE)
+       |    / src_tokens, 4) AS sample_rate
+       |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_chunking", chunking, Some(chunkingSql)),
     QueryDef("curation_train_split", trainSplit, Some(trainSplitSql)),
     QueryDef("curation_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("curation_token_packing", tokenPacking, Some(tokenPackingSql)),
-    QueryDef("curation_contamination", contamination, Some(contaminationSql))
+    QueryDef("curation_contamination", contamination, Some(contaminationSql)),
+    QueryDef("curation_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("curation_pii_redaction", piiRedaction, Some(piiRedactionSql)),
+    QueryDef("curation_mixture_plan", mixturePlan, Some(mixturePlanSql))
   )
 }

@@ -348,8 +348,34 @@ object TextQueries extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Token-length histogram per language: fixed 16-token-wide buckets via
+    * integer division (exactly portable, unlike float log-buckets), with
+    * per-bucket doc counts and char volume — the corpus-shape profile that
+    * drives chunking/packing parameter choices. One hash-agg shuffle with
+    * map-side combine; bucket cardinality is bounded by max doc length,
+    * not corpus size.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr(s"size($toks)"))
+      .withColumn("bucket", expr("CAST(n_tokens div 16 AS INT)"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "bucket")
+
+  private val lengthHistogramSql =
+    s"""SELECT lang, CAST(n_tokens // 16 AS INT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM (SELECT lang, CAST(len($dToks) AS INT) AS n_tokens, n_chars FROM documents)
+       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
+    QueryDef("text_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("text_quality_flags", qualityFlags, Some(qualityFlagsSql)),
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
