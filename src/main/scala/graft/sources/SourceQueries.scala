@@ -51,6 +51,27 @@ object SourceQueries extends QueryModule {
       |  round(sum(s_acctbal), 2) AS total_bal
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** ORC round-trip (the columnar alternative to parquet; exercises the
+    * second native columnar reader incl. TIMESTAMP round-trip fidelity).
+    * Oracle aggregates the original parquet, so any type drift through the
+    * ORC writer/reader fails the hash-compare.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_orc_").toString + "/orders"
+    Tables.orders(s, dir).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"),
+        min("o_orderdate").as("first_order"), max("o_orderdate").as("last_order"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total_price,
+      |  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Text-format round-trip: one document per line (the reference's
     * line-of-text record format [REF A1]), re-read and measured.
     */
@@ -169,6 +190,7 @@ object SourceQueries extends QueryModule {
     QueryDef("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("src_text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
+    QueryDef("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("src_partitioned_pruned", partitionedWrite, Some(partitionedWriteSql))
   )
 }

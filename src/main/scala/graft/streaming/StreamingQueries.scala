@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 case class Ev(event_id: Long, user_id: Long, event_type: String,
     value: Double, ts: java.sql.Timestamp)
@@ -11,6 +12,38 @@ case class UserStats(user_id: Long, n_events: Long, total_value: Double,
     n_purchases: Long, last_ts: java.sql.Timestamp)
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long)
+case class UserTypeStats(user_id: Long, event_type: String,
+    n_events: Long, total_value: Double)
+case class TypeAgg(n: Long, total: Double)
+
+/** State-v2 (`transformWithState`) processor: per-user MapState keyed by
+  * event type — the composite-state shape the v1 `GroupState` API forces
+  * into one serialized blob (full rewrite per key per batch), while v2
+  * persists each (user, type) entry as its own RocksDB key (point
+  * reads/writes, no blob amplification at 10⁶-type scale). Emits the
+  * updated (user, type) rows per batch.
+  */
+class UserTypeStatsProcessor extends StatefulProcessor[Long, Ev, UserTypeStats] {
+  @transient private var byType: MapState[String, TypeAgg] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    byType = getHandle.getMapState[String, TypeAgg]("by_type",
+      Encoders.STRING, Encoders.product[TypeAgg], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[UserTypeStats] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { e =>
+      val prev = if (byType.containsKey(e.event_type)) byType.getValue(e.event_type)
+        else TypeAgg(0L, 0.0)
+      byType.updateValue(e.event_type, TypeAgg(prev.n + 1, prev.total + e.value))
+      touched += e.event_type
+    }
+    touched.toList.map { t =>
+      val agg = byType.getValue(t)
+      UserTypeStats(key, t, agg.n, agg.total)
+    }.iterator
+  }
+}
+
 /** One still-open session interval (event times in epoch MICROseconds —
   * millis would truncate the fixture's µs timestamps).
   */
@@ -199,6 +232,43 @@ object StreamingQueries extends QueryModule {
        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
        |  strftime(max(ts), '$DTsFmt') AS last_ts
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** State-v2 `transformWithState` [REF A7/A10]: per-(user, event_type)
+    * running aggregates via [[UserTypeStatsProcessor]]'s MapState. Requires
+    * the RocksDB provider (the only store implementing state v2) — set for
+    * this query and restored after. The staged source delivers the fixture
+    * in one data micro-batch, so update-mode emits each (user, type) row
+    * exactly once and the memory sink is the final table (same contract as
+    * [[statefulUserStats]]).
+    */
+  def twsUserTypeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = RecordStream.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+        .as[Ev]
+      val stats = ds.groupByKey(_.user_id)
+        .transformWithState(new UserTypeStatsProcessor, TimeMode.None(), OutputMode.Update())
+      RecordStream.runToMemory(s, stats.toDF(), "stream_tws_sink", "update")
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "event_type")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
+  private val twsUserTypeStatsSql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
 
   /** The reference's full dataflow [REF A1→A8→A9→A11], replayed through
     * the NATIVE shard-ordered DataSourceV2 source (KinesisLikeProvider):
@@ -431,6 +501,7 @@ object StreamingQueries extends QueryModule {
       Some(dedupWithinWatermarkSql)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("stream_stateful_user_stats", statefulUserStats, Some(statefulUserStatsSql)),
+    QueryDef("stream_tws_user_type_stats", twsUserTypeStats, Some(twsUserTypeStatsSql)),
     QueryDef("stream_payload_pipeline", payloadPipeline, Some(payloadPipelineSql))
   )
 }

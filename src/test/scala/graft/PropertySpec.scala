@@ -131,4 +131,31 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(got - want) < 1e-9, s"got=$got want=$want")
     }
   }
+
+  test("dedup_clusters is the transitive closure of the LSH pair graph") {
+    // sf0.01: the sf0.001 fixture has no LSH candidate pairs (vacuous)
+    val dir = "/root/testdata/sf0.01"
+    val pairs = operators.DedupQueries.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must produce candidate pairs")
+    val rows = operators.DedupQueries.dedupClusters(spark, dir).collect()
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1. every candidate edge is intra-cluster (closure covers the graph)
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) crosses clusters")
+    }
+    // 2. the cluster id is the component's min doc_id, and exactly the
+    //    survivor carries it
+    val byLabel = rows.groupBy(_.getLong(1))
+    byLabel.foreach { case (l, members) =>
+      assert(members.map(_.getLong(0)).min == l, s"cluster $l id is not its min doc_id")
+      val survivors = members.filter(_.getBoolean(3))
+      assert(survivors.map(_.getLong(0)).toSeq == Seq(l), s"cluster $l survivor mismatch")
+      assert(members.forall(_.getLong(2) == members.length), s"cluster $l size mismatch")
+    }
+    // 3. no singleton clusters: only docs that appear in some pair are listed
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.map(_.getLong(0)).toSet == inPairs)
+  }
 }
