@@ -181,21 +181,30 @@ object DedupQueries extends QueryModule {
     * arrays are re-joined after `.distinct()`, so the dedup shuffle moves
     * 16-byte pairs, not whole documents' shingle sets (the 100 TB shape).
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  // The signature is computed by the native codegen'd MinhashSignature
+  // expression (functions.MinhashOps): one md5 per shingle, component-
+  // wise minima of h1 + k*h2 in a single loop — bit-identical to the
+  // DuckDB oracle's conv()-based hex arithmetic. The frame is consumed
+  // at least twice by every caller (band self-join; minhashLsh adds two
+  // verify joins) so it is cached; at cluster scale this is the frame you
+  // would checkpoint (16 longs + shingle set/doc). Same plan in both
+  // callers → one shared cache entry.
+  private def lshDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // The signature is computed by the native codegen'd MinhashSignature
-    // expression (functions.MinhashOps): one md5 per shingle, component-
-    // wise minima of h1 + k*h2 in a single loop — bit-identical to the
-    // DuckDB oracle's conv()-based hex arithmetic. The frame is consumed
-    // 3× (banding + both verify joins) so it is cached; at cluster scale
-    // this is the frame you would checkpoint (16 longs + shingle set/doc).
-    val docs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 4)
       .withColumn("shingles", expr("word_shingles(tk, 4)"))
       .withColumn("sig", expr("minhash_sig(shingles, 16)"))
       .select("doc_id", "shingles", "sig")
       .cache()
+  }
+
+  /** Distinct LSH candidate pairs (doc_a < doc_b), keys only — the shared
+    * front half of [[minhashLsh]] (which re-joins the wide columns for
+    * verification) and [[dedupClusters]] (which needs only the edges).
+    */
+  private def lshCandidates(docs: DataFrame): DataFrame = {
     val banded = docs.select(
       col("doc_id"),
       explode(expr(
@@ -203,12 +212,17 @@ object DedupQueries extends QueryModule {
           |  b -> named_struct('band', b, 'bhash', xxhash64(slice(sig, b * 4 + 1, 4))))""".stripMargin))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    val cand = banded.as("l")
+    banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = lshDocs(s, dir)
+    val cand = lshCandidates(docs)
     // Verify joins stream the docs cache map-side against the BROADCAST
     // candidate set (LSH keeps candidates near-linear and tiny relative to
     // the corpus) — no shuffle of the wide shingle/sig columns at any
@@ -314,7 +328,9 @@ object DedupQueries extends QueryModule {
     * same closure as a DuckDB recursive CTE over identical candidates.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select("doc_a", "doc_b").cache()
+    // candidates only — skips minhashLsh's verify joins and global sort,
+    // which the closure never looks at
+    val pairs = lshCandidates(lshDocs(s, dir)).cache()
     // the dup-pair graph is orders of magnitude smaller than the corpus
     // (LSH already pruned it); size the propagation's shuffle width to the
     // graph, not the corpus — the same "partitions follow state size" dial
