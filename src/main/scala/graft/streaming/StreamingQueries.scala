@@ -44,6 +44,75 @@ class UserTypeStatsProcessor extends StatefulProcessor[Long, Ev, UserTypeStats] 
   }
 }
 
+/** Timestamp ⇄ epoch-µs conversions (millis would truncate the fixture's
+  * microsecond event times).
+  */
+private[streaming] object TimeUs {
+  def toUs(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  def fromUs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+}
+
+/** State-v2 sessionizer: the same incremental interval-merge fold as
+  * [[StreamingQueries.sessionize]] (fMGWS), re-expressed on
+  * `transformWithState` — open intervals live in a ListState (v2 appends
+  * are per-element RocksDB puts, not a read-modify-write of one state
+  * blob), and closure is driven by EVENT-TIME TIMERS: after each batch the
+  * key registers a timer at the earliest possible close (min open end +
+  * gap), and `handleExpiredTimer` emits every interval the advancing
+  * watermark has proven closed. A superseded timer that fires early finds
+  * nothing closable and simply re-arms — timer callbacks are idempotent.
+  */
+class TwsSessionizer extends StatefulProcessor[Long, Ev, SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState}
+  private val gapUs = 30L * 60 * 1000 * 1000
+  @transient private var open: ListState[SessionAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getListState[SessionAcc]("open",
+      Encoders.product[SessionAcc], TTLConfig.NONE)
+
+  /** Merge sorted-by-start intervals whose gap is ≤ 30 min (same rule as
+    * the batch oracle), then split at the watermark: emit what is provably
+    * closed, keep the rest and arm a timer at its earliest possible close.
+    */
+  private def fold(key: Long, incoming: Seq[SessionAcc],
+      wmUs: Long): Iterator[SessionOut] = {
+    val all = (open.get().toSeq ++ incoming).sortBy(a => (a.startUs, a.endUs))
+    val merged = all.foldLeft(List.empty[SessionAcc]) { (acc, cur) =>
+      acc match {
+        case head :: tail if cur.startUs - head.endUs <= gapUs =>
+          SessionAcc(head.startUs, math.max(head.endUs, cur.endUs), head.n + cur.n) :: tail
+        case _ => cur :: acc
+      }
+    }.reverse
+    val (closed, stillOpen) = merged.partition(a => a.endUs + gapUs <= wmUs)
+    open.clear()
+    if (stillOpen.nonEmpty) {
+      open.appendList(stillOpen.toArray)
+      // CEIL to ms: retained ends satisfy end+gap > wm in µs, so the timer
+      // lands strictly after the current watermark and cannot mis-fire now
+      getHandle.registerTimer((stillOpen.map(_.endUs).min + gapUs + 999L) / 1000L)
+    }
+    closed.iterator.map(c =>
+      SessionOut(key, TimeUs.fromUs(c.startUs), TimeUs.fromUs(c.endUs), c.n))
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[SessionOut] = {
+    val incoming = rows.map(e => SessionAcc(TimeUs.toUs(e.ts), TimeUs.toUs(e.ts), 1L)).toSeq
+    fold(key, incoming, timerValues.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+    fold(key, Seq.empty, timerValues.getCurrentWatermarkInMs() * 1000L)
+}
+
 /** One still-open session interval (event times in epoch MICROseconds —
   * millis would truncate the fixture's µs timestamps).
   */
@@ -241,34 +310,61 @@ object StreamingQueries extends QueryModule {
     * exactly once and the memory sink is the final table (same contract as
     * [[statefulUserStats]]).
     */
-  def twsUserTypeStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** transformWithState only runs on the RocksDB store (the one provider
+    * implementing state v2); set it for the wrapped query, restore after.
+    */
+  private def withRocksDB[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ds = RecordStream.eventsStream(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
-        .as[Ev]
-      val stats = ds.groupByKey(_.user_id)
-        .transformWithState(new UserTypeStatsProcessor, TimeMode.None(), OutputMode.Update())
-      RecordStream.runToMemory(s, stats.toDF(), "stream_tws_sink", "update")
-        .select(col("user_id"), col("event_type"), col("n_events"),
-          round(col("total_value"), 2).as("total_value"))
-        .orderBy("user_id", "event_type")
-    } finally {
-      prev match {
-        case Some(p) => s.conf.set(key, p)
-        case None => s.conf.unset(key)
-      }
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
     }
+  }
+
+  def twsUserTypeStats(s: SparkSession, dir: String): DataFrame = withRocksDB(s) {
+    import s.implicits._
+    val ds = RecordStream.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[Ev]
+    val stats = ds.groupByKey(_.user_id)
+      .transformWithState(new UserTypeStatsProcessor, TimeMode.None(), OutputMode.Update())
+    RecordStream.runToMemory(s, stats.toDF(), "stream_tws_sink", "update")
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "event_type")
   }
 
   private val twsUserTypeStatsSql =
     """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
       |  round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+
+  /** State-v2 sessionization [REF A7/A10]: [[TwsSessionizer]] (ListState +
+    * event-time timers) over the sentinel-staged stream; same output
+    * contract — and same batch oracle — as the fMGWS [[statefulSessions]].
+    * Multi-batch state folding is pinned by StreamingSpec's TWS 3-batch
+    * MemoryStream test.
+    */
+  def twsSessions(s: SparkSession, dir: String): DataFrame = withRocksDB(s) {
+    import s.implicits._
+    val ds = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[Ev]
+    val sessions = ds.groupByKey(_.user_id)
+      .transformWithState(new TwsSessionizer, TimeMode.EventTime(), OutputMode.Append())
+    RecordStream.runToMemory(s, sessions.toDF(), "stream_tws_sessions_sink", "append")
+      .filter(col("user_id") >= 0) // drop watermark-sentinel sessions
+      .select(col("user_id"),
+        date_format(col("session_start"), TsFmt).as("session_start"),
+        date_format(col("session_end"), TsFmt).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
 
   /** The reference's full dataflow [REF A1→A8→A9→A11], replayed through
     * the NATIVE shard-ordered DataSourceV2 source (KinesisLikeProvider):
@@ -493,6 +589,8 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_stream_left_join", streamStreamLeftJoin, Some(streamStreamLeftJoinSql)),
     QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
+    // same closure contract, state-v2 realization → same batch oracle
+    QueryDef("stream_tws_sessions", twsSessions, Some(statefulSessionsSql)),
     QueryDef("stream_tumbling_counts", tumbling, Some(tumblingSql)),
     QueryDef("stream_sliding_counts", sliding, Some(slidingSql)),
     QueryDef("stream_session_windows", sessions, Some(sessionsSql)),

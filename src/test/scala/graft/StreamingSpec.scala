@@ -262,6 +262,56 @@ class StreamingSpec extends SparkSuite {
       (2L, "10:50", "10:50", 1L)), got.toString)
   }
 
+  test("TWS sessionizer folds ListState + timers across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{Ev, TwsSessionizer}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      def ev(id: Long, uid: Long, min: Int) =
+        Ev(id, uid, "click", 1.0, new java.sql.Timestamp(base + min * 60000L))
+      val ms = MemoryStream[Ev]
+      val sessions = ms.toDS().withWatermark("ts", "0 seconds").as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new TwsSessionizer, TimeMode.EventTime(), OutputMode.Append())
+      val q = sessions.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("tws_mb_sessions").start()
+      try {
+        // same 3-batch split as the fMGWS test: extension across batches,
+        // gap-separated second sessions, then two watermark sentinels so
+        // the final timers fire
+        ms.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5))
+        q.processAllAvailable()
+        ms.addData(ev(4, 1, 20), ev(5, 2, 50))
+        q.processAllAvailable()
+        ms.addData(ev(6, 1, 120))
+        q.processAllAvailable()
+        ms.addData(ev(7, -1, 100000))
+        q.processAllAvailable()
+        ms.addData(ev(8, -1, 100100))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_mb_sessions")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), date_format(col("session_start"), "HH:mm").as("s"),
+          date_format(col("session_end"), "HH:mm").as("e"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(got == Set(
+        (1L, "10:00", "10:20", 3L),
+        (1L, "12:00", "12:00", 1L),
+        (2L, "10:05", "10:05", 1L),
+        (2L, "10:50", "10:50", 1L)), got.toString)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("graceful stop completes within the 20s budget [REF A15]") {
     val q = RecordStream.generator(spark, rowsPerSecond = 2)
       .writeStream.outputMode("append")
