@@ -312,6 +312,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("observed metrics surface per-batch counts (KCL CloudWatch analogue)") {
+    // The reference's KCL publishes per-shard processing metrics to
+    // CloudWatch (MetricsConfig, AmazonKinesisRecordConsumerSample.java:78);
+    // the Spark-native analogue is Dataset.observe + the query-progress
+    // stream: per-batch aggregates computed inside the running query, no
+    // second pass over the data.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val observed = ms.toDF().toDF("id", "value")
+      .observe("batch_metrics", count(lit(1)).as("n_rows"),
+        sum("value").as("total_value"),
+        count(when(col("value") < 0, 1)).as("n_negative"))
+    val q = observed.writeStream.outputMode("append")
+      .format("memory").queryName("observe_sink").start()
+    try {
+      ms.addData((1L, 1.5), (2L, -2.0), (3L, 3.0))
+      q.processAllAvailable()
+      val progress = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("batch_metrics"))).last
+      assert(progress.getAs[Long]("n_rows") == 3L)
+      assert(math.abs(progress.getAs[Double]("total_value") - 2.5) < 1e-9)
+      assert(progress.getAs[Long]("n_negative") == 1L)
+      // the state-free observation must not change the query result
+      assert(spark.table("observe_sink").count() == 3L)
+    } finally q.stop()
+  }
+
   test("graceful stop completes within the 20s budget [REF A15]") {
     val q = RecordStream.generator(spark, rowsPerSecond = 2)
       .writeStream.outputMode("append")
