@@ -224,6 +224,37 @@ object AggQueries extends QueryModule {
       |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Deterministic MODE per group: most frequent value with an explicit
+    * tie-break (count DESC, value ASC) — the built-in `mode()` leaves ties
+    * engine-defined, which can never hash-match another engine. Two-level:
+    * map-side-combined counts, then a tiny per-group ranking window over
+    * |distinct values| rows, not |rows|.
+    */
+  def modePerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(Window.partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_quantity").asc)))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"),
+        col("n").as("mode_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val modePerGroupSql =
+    """WITH counts AS (
+      |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY n DESC, l_quantity ASC) AS rk
+      |  FROM counts)
+      |SELECT l_returnflag, l_quantity AS mode_quantity, n AS mode_count
+      |FROM ranked WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+
   /** min/max/first-order aggregates incl. min_by/max_by (argmin/argmax). */
   def minMaxBy(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -272,6 +303,7 @@ object AggQueries extends QueryModule {
     QueryDef("agg_tdigest_quantiles", tdigestQuantiles, Some(tdigestQuantilesSql)),
     QueryDef("agg_stats_by_flag", statsByFlag, Some(statsByFlagSql)),
     QueryDef("agg_min_max_by", minMaxBy, Some(minMaxBySql)),
+    QueryDef("agg_mode_per_group", modePerGroup, Some(modePerGroupSql)),
     QueryDef("agg_approx_distinct", approxDistinct, None)
   )
 }

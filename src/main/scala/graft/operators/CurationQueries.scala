@@ -336,6 +336,45 @@ object CurationQueries extends QueryModule {
        |    / src_tokens, 4) AS sample_rate
        |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** Tukey-fence outlier gate: per-language 1.5×IQR fences on token count,
+    * flagging freak-length documents (the standard pre-training length
+    * filter, computed from the corpus itself instead of fixed thresholds).
+    * Exact interpolating percentiles per group (bounded: one buffer per
+    * language, the t-digest path covers unbounded-cardinality keys); the
+    * tiny fence table re-joins broadcast.
+    */
+  def outlierGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), expr(s"CAST(size($toks) AS DOUBLE)").as("nt"))
+    val fences = d.groupBy("lang")
+      .agg(expr("percentile(nt, array(0.25, 0.75))").as("q"))
+      .select(col("lang"),
+        (element_at(col("q"), 1) - lit(1.5) * (element_at(col("q"), 2) - element_at(col("q"), 1)))
+          .as("lo"),
+        (element_at(col("q"), 2) + lit(1.5) * (element_at(col("q"), 2) - element_at(col("q"), 1)))
+          .as("hi"))
+    d.join(broadcast(fences), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("nt") < col("lo") || col("nt") > col("hi"), 1)).as("n_outliers"),
+        round(max("lo"), 4).as("lo_fence"), round(max("hi"), 4).as("hi_fence"))
+      .orderBy("lang")
+  }
+
+  private val outlierGateSql =
+    s"""WITH d AS (
+       |  SELECT lang, CAST(len($dToks) AS DOUBLE) AS nt FROM documents
+       |), f AS (
+       |  SELECT lang,
+       |    quantile_cont(nt, 0.25) - 1.5 * (quantile_cont(nt, 0.75) - quantile_cont(nt, 0.25)) AS lo,
+       |    quantile_cont(nt, 0.75) + 1.5 * (quantile_cont(nt, 0.75) - quantile_cont(nt, 0.25)) AS hi
+       |  FROM d GROUP BY lang
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(CASE WHEN nt < lo OR nt > hi THEN 1 END) AS BIGINT) AS n_outliers,
+       |  round(max(lo), 4) AS lo_fence, round(max(hi), 4) AS hi_fence
+       |FROM d JOIN f USING (lang) GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_chunking", chunking, Some(chunkingSql)),
     QueryDef("curation_train_split", trainSplit, Some(trainSplitSql)),
@@ -344,6 +383,7 @@ object CurationQueries extends QueryModule {
     QueryDef("curation_contamination", contamination, Some(contaminationSql)),
     QueryDef("curation_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("curation_pii_redaction", piiRedaction, Some(piiRedactionSql)),
-    QueryDef("curation_mixture_plan", mixturePlan, Some(mixturePlanSql))
+    QueryDef("curation_mixture_plan", mixturePlan, Some(mixturePlanSql)),
+    QueryDef("curation_outlier_gate", outlierGate, Some(outlierGateSql))
   )
 }

@@ -190,6 +190,32 @@ object JoinQueries extends QueryModule {
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
 
+  /** Binned band join: the SAME band-join result as [[thetaBandAcctbal]],
+    * rewritten as an EQUI join on interval bins — the 100 TB path. A pure
+    * theta join can only plan as (broadcast-)nested-loop, O(|L|·|R|) and
+    * impossible once neither side broadcasts; binning with width = band
+    * width maps each probe row to one bin and each ±100 interval to at most
+    * 2 bins (exploded, deduped), so the join is hash-partitionable on the
+    * bin key and the band becomes a residual filter — O(|L|+|R|+matches)
+    * with a plain shuffle. PlanSpec asserts no nested-loop/cartesian
+    * operator survives; the oracle is the plain band join (parity, like the
+    * salted-join query).
+    */
+  def binnedBandAcctbal(s: SparkSession, dir: String): DataFrame = {
+    val W = 200 // bin width = full band width (±100)
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .withColumn("bin", floor(col("c_acctbal") / W))
+    val sup = Tables.supplier(s, dir)
+      .withColumn("bin", explode(array_distinct(array(
+        floor((col("s_acctbal") - 100) / W), floor((col("s_acctbal") + 100) / W)))))
+    c.join(sup, "bin")
+      .filter(col("c_acctbal") >= col("s_acctbal") - 100 &&
+        col("c_acctbal") <= col("s_acctbal") + 100)
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_near_customers"))
+      .orderBy("s_suppkey")
+  }
+
   /** As-of join (composed): for each event, the latest order date of the
     * matching customer at-or-before the event time. No native Spark as-of
     * join — and the naive equi-join + range + max-aggregate materializes
@@ -252,6 +278,8 @@ object JoinQueries extends QueryModule {
     QueryDef("join_cross_nation_region", crossNationRegion, Some(crossNationRegionSql)),
     QueryDef("join_range_ship_lag", rangeJoinShipLag, Some(rangeJoinShipLagSql)),
     QueryDef("join_theta_band_acctbal", thetaBandAcctbal, Some(thetaBandAcctbalSql)),
+    // binned rewrite must reproduce the band join exactly (parity oracle)
+    QueryDef("join_binned_band_acctbal", binnedBandAcctbal, Some(thetaBandAcctbalSql)),
     QueryDef("join_asof_last_order", asofLastOrder, Some(asofLastOrderSql)),
     QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql))
   )

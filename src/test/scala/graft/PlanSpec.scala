@@ -29,6 +29,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("binned band join plans as an equi join, never a nested loop") {
+    val p = plan("join_binned_band_acctbal")
+    // the theta sibling MUST nested-loop; the binned rewrite must not —
+    // that is the whole point of the bin key
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("brute-force similarity broadcasts the query side, never the corpus") {
     val p = plan("sim_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
