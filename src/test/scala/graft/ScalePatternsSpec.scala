@@ -78,6 +78,74 @@ class ScalePatternsSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter prunes the big side of a selective join") {
+    // Third join-scale lever beside salting and AQE skew split: Catalyst's
+    // InjectRuntimeFilter builds a bloom filter from the SELECTIVE small
+    // side and applies it to the big side's scan, cutting shuffle volume
+    // before the join. Size thresholds are lowered for the toy fixture;
+    // the defaults fire in exactly this plan shape at cluster scale.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity")
+      val hot = Tables.orders(spark, Sf)
+        .filter(col("o_totalprice") > 400000) // selective creation side
+        .select("o_orderkey")
+      val joined = li.join(hot, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        optimized)
+      // and the filtered result is still exactly the unfiltered join's
+      val plainConf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+      val got = joined.head()
+      spark.conf.set(plainConf, "false")
+      val want = li.join(hot, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty")).head()
+      assert(got == want, s"$got vs $want")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning skips fact partitions at runtime") {
+    // The partition-level sibling of the bloom filter: a filter on the dim
+    // side becomes a runtime subquery predicate on the fact's PARTITION
+    // column, so unneeded partition directories are never read. Static
+    // pruning (src_partitioned_pruned) covers literal predicates; this
+    // covers predicates only discoverable through the join.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_dpp_").toString
+    Tables.events(spark, Sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/events")
+    val fact = spark.read.parquet(s"$base/events")
+    // the dim filter column must round-trip through storage: written as an
+    // expression over the join key, Catalyst would constant-fold it into a
+    // STATIC partition filter (constraint propagation) and DPP would never
+    // be needed — read back as opaque data, only a runtime subquery can
+    // discover which partitions survive
+    Tables.events(spark, Sf)
+      .select("event_type").distinct()
+      .withColumn("type_len", length(col("event_type")))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val joined = fact
+      .join(dim.filter(col("type_len") === "purchase".length), "event_type")
+      .agg(count(lit(1)).as("n"))
+    val n = joined.head().getLong(0)
+    val want = Tables.events(spark, Sf).filter(col("event_type") === "purchase").count()
+    assert(n == want)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("persist() reuses the cached relation and preserves results") {
     val base = Tables.lineitem(spark, Sf)
       .filter(col("l_quantity") > 25)
