@@ -29,6 +29,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join strategy hints select the physical join") {
+    // the user-facing strategy escape hatch: same logical join, three
+    // different physical operators on request (the optimizer's choice is
+    // only a default, not a cage)
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, Sf).select("o_orderkey")
+    def planOf(hinted: org.apache.spark.sql.DataFrame): String =
+      hinted.join(li, col("o_orderkey") === col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf(o.hint("broadcast")).contains("BroadcastHashJoin"))
+    assert(planOf(o.hint("merge")).contains("SortMergeJoin"))
+    assert(planOf(o.hint("shuffle_hash")).contains("ShuffledHashJoin"))
+  }
+
   test("binned band join plans as an equi join, never a nested loop") {
     val p = plan("join_binned_band_acctbal")
     // the theta sibling MUST nested-loop; the binned rewrite must not —
