@@ -375,8 +375,60 @@ object CurationQueries extends QueryModule {
        |  round(max(lo), 4) AS lo_fence, round(max(hi), 4) AS hi_fence
        |FROM d JOIN f USING (lang) GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic pseudo-URL host for each document (the fixture has no
+    * URL column, so one is derived identically in both engines via
+    * format_string ≙ printf — the same device the PII query uses).
+    */
+  private val BlockedHosts = Seq("host03.example.com", "host07.example.com", "host11.example.com")
+
+  /** Domain-blocklist filtering — the opt-out / quality blocklist pass
+    * every web-scale corpus runs before anything else: extract the host
+    * from the document URL, drop documents whose host is on a blocklist,
+    * report per-source kept/blocked counts. The blocklist is a tiny
+    * in-memory table joined with a broadcast LEFT ANTI — at 100 TB the
+    * blocklist side stays a broadcast (even million-entry blocklists are
+    * a few MB) and the corpus side never shuffles at all; the only
+    * exchange is the final per-source count agg.
+    */
+  def domainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("url", format_string("https://host%02d.example.com/%s/doc/%d",
+        col("doc_id") % 13, col("source"), col("doc_id")))
+      .withColumn("domain", regexp_extract(col("url"), "https://([^/]+)/", 1))
+    val bl = BlockedHosts.toDF("domain")
+    val kept = docs.join(broadcast(bl), Seq("domain"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_blocked", col("n_total") - col("n_kept"))
+      .select("source", "n_total", "n_kept", "n_blocked")
+      .orderBy("source")
+  }
+
+  private val domainBlocklistSql = {
+    val blValues = BlockedHosts.map(h => s"('$h')").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT source,
+       |    regexp_extract(printf('https://host%02d.example.com/%s/doc/%d',
+       |      doc_id % 13, source, doc_id), 'https://([^/]+)/', 1) AS domain
+       |  FROM documents
+       |), bl(domain) AS (VALUES $blValues),
+       |kept AS (
+       |  SELECT source, count(*) AS n_kept FROM docs
+       |  WHERE domain NOT IN (SELECT domain FROM bl) GROUP BY 1
+       |), tot AS (
+       |  SELECT source, count(*) AS n_total FROM docs GROUP BY 1)
+       |SELECT tot.source, CAST(n_total AS BIGINT) AS n_total,
+       |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(n_total - coalesce(n_kept, 0) AS BIGINT) AS n_blocked
+       |FROM tot LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_chunking", chunking, Some(chunkingSql)),
+    QueryDef("curation_domain_blocklist", domainBlocklist, Some(domainBlocklistSql)),
     QueryDef("curation_train_split", trainSplit, Some(trainSplitSql)),
     QueryDef("curation_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("curation_token_packing", tokenPacking, Some(tokenPackingSql)),

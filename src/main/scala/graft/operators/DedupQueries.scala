@@ -394,8 +394,167 @@ object DedupQueries extends QueryModule {
        |  doc_id = cluster_id AS is_survivor
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Substring-level duplication (token granularity, à la "Deduplicating
+    * Training Data Makes Language Models Better": duplicated SPANS inside
+    * otherwise-unique documents, which whole-doc dedup cannot see).
+    * Positional 8-token shingles; a shingle occurring in ≥2 distinct docs
+    * marks its [p, p+7] token interval as duplicated; overlapping/adjacent
+    * intervals are consolidated per document (gaps-and-islands over a
+    * running max(end)); output is per-doc consolidated span count, total
+    * duplicated tokens, and the duplicated-token ratio. Scale shape: one
+    * shingle-keyed shuffle for the cross-doc document frequency, one
+    * doc-keyed window for interval merging — integer arithmetic end to
+    * end, no all-pairs joins (the df side never expands, unlike the
+    * Jaccard candidate join).
+    */
+  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), size(col("tk")).as("n_tok"),
+        explode(expr("sequence(1, size(tk) - 7)")).as("p"),
+        col("tk"))
+      .withColumn("sh", expr("concat_ws(' ', slice(tk, p, 8))"))
+      .drop("tk")
+    val shared = pos.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val dupPos = pos.join(shared, "sh").select("doc_id", "n_tok", "p")
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dupPos
+      .withColumn("prev_end", max(col("p") + 7).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1).otherwise(0))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy("doc_id", "n_tok", "island")
+      .agg(min("p").as("span_start"), max(col("p") + 7).as("span_end"))
+      .groupBy("doc_id", "n_tok")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      .withColumn("dup_ratio", round(col("dup_tokens").cast("double") / col("n_tok"), 4))
+      .select("doc_id", "n_tok", "n_spans", "dup_tokens", "dup_ratio")
+      .orderBy("doc_id")
+  }
+
+  private val substringSpansSql =
+    s"""WITH pos AS (
+       |  SELECT doc_id, CAST(len(tk) AS INT) AS n_tok, CAST(p AS INT) AS p,
+       |    array_to_string(tk[p:p + 7], ' ') AS sh
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS p
+       |        FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |        WHERE len(tk) >= 8)
+       |), shared AS (
+       |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM pos)
+       |  GROUP BY sh HAVING count(*) >= 2
+       |), dup_pos AS (
+       |  SELECT doc_id, n_tok, p FROM pos JOIN shared USING (sh)
+       |), islands AS (
+       |  SELECT doc_id, n_tok, p,
+       |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM (
+       |    SELECT doc_id, n_tok, p,
+       |      CASE WHEN prev_end IS NULL OR p > prev_end + 1 THEN 1 ELSE 0 END AS new_island
+       |    FROM (
+       |      SELECT doc_id, n_tok, p,
+       |        max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM dup_pos))
+       |), spans AS (
+       |  SELECT doc_id, n_tok, island,
+       |    min(p) AS span_start, max(p + 7) AS span_end
+       |  FROM islands GROUP BY 1, 2, 3)
+       |SELECT doc_id, n_tok, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       |  round(CAST(sum(span_end - span_start + 1) AS DOUBLE) / n_tok, 4) AS dup_ratio
+       |FROM spans GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
+
+  /** SemDeDup-style semantic dedup: embeddings are assigned to their
+    * nearest learned centroid (the label centroids double as the k-means
+    * codebook — the same deterministic coarse quantizer the IVF query
+    * uses), then within each cluster a vector is a duplicate if its cosine
+    * to any LOWER-id cluster-mate reaches τ = 0.3 (keep-first-seen, the
+    * deterministic greedy rule). Scale shape: the codebook is broadcast;
+    * pair generation is cluster-blocked (never corpus-wide); the per-vector
+    * "max cosine to a prior mate" is one cluster-keyed aggregation.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    graft.functions.GraftFunctions.register(s)
+    val centroidUdaf = udaf(new graft.functions.VectorCentroid, ExpressionEncoder[Seq[Float]]())
+    val e = Tables.embeddings(s, dir)
+    val centroids = e.groupBy("label")
+      .agg(centroidUdaf(col("embedding")).as("centroid_d"))
+      .withColumn("centroid", expr("transform(centroid_d, x -> CAST(x AS FLOAT))"))
+      .select(col("label").as("c_id"), col("centroid"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", expr("cosine_sim(embedding, centroid)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    val a = assigned.select(col("cluster").as("cluster_a"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cluster").as("cluster_b"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val maxPrior = a.join(b, col("cluster_a") === col("cluster_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", expr("cosine_sim(emb_a, emb_b)"))
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(max("cos").as("max_prior_cos"))
+    assigned.join(maxPrior, Seq("vec_id"), "left")
+      .withColumn("max_prior_cos", round(coalesce(col("max_prior_cos"), lit(-1d)), 4))
+      .withColumn("is_dup", col("max_prior_cos") >= 0.3)
+      .select("cluster", "vec_id", "max_prior_cos", "is_dup")
+      .orderBy("cluster", "vec_id")
+  }
+
+  private val semanticDedupSql = {
+    val cosEC =
+      """list_sum(list_transform(list_zip(e.embedding, c.centroid),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    val cosAB =
+      """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH centroids AS (
+       |  SELECT label AS c_id,
+       |    list_transform(list(avg_v ORDER BY dim), x -> CAST(x AS FLOAT)) AS centroid
+       |  FROM (
+       |    SELECT label, dim, avg(CAST(v AS DOUBLE)) AS avg_v
+       |    FROM (SELECT label, unnest(embedding) AS v,
+       |            generate_subscripts(embedding, 1) AS dim
+       |          FROM embeddings)
+       |    GROUP BY label, dim)
+       |  GROUP BY label
+       |), assigned AS (
+       |  SELECT vec_id, embedding, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cosEC DESC, c.c_id ASC) AS arn
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE arn = 1
+       |), mp AS (
+       |  SELECT b.vec_id, max($cosAB) AS max_prior_cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  GROUP BY 1)
+       |SELECT cluster, vec_id,
+       |  round(coalesce(max_prior_cos, -1), 4) AS max_prior_cos,
+       |  round(coalesce(max_prior_cos, -1), 4) >= 0.3 AS is_dup
+       |FROM assigned LEFT JOIN mp USING (vec_id)
+       |ORDER BY cluster, vec_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),
+    QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
+    QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),

@@ -244,7 +244,76 @@ object SimilarityQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** BM25 lexical retrieval (k1 = 1.2, b = 0.75) — the sparse-retrieval
+    * complement to the dense top-k queries: every 100th document is a
+    * query; candidates are scored through the classic inverted-index shape
+    * (postings keyed by term, query term set broadcast), so the only wide
+    * shuffle is the per-(query, doc) partial-sum aggregation — the same
+    * plan a 100 TB corpus would run, with the postings list disk-resident
+    * and the query side always the broadcast side. Ranking follows the
+    * float-ordering rule: row_number over the ROUNDED score with a doc-id
+    * tie-break, identical in both engines.
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val toks = "array_remove(split(text, ' ', -1), '')"
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+    val q = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("term").as("q_term"))
+    val scored = tf
+      .join(broadcast(q), col("term") === col("q_term") && col("doc_id") =!= col("q_id"))
+      .join(dfT, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tfn",
+        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("idf") * col("tfn")), 4).as("bm25"))
+    val w = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("doc_id").as("d_id"), col("bm25"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val bm25TopKSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM t GROUP BY 1
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+      |), q AS (
+      |  SELECT doc_id AS q_id, term AS q_term FROM tf WHERE doc_id % 100 = 0
+      |), scored AS (
+      |  SELECT q.q_id, tf.doc_id AS d_id,
+      |    round(sum(
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))), 4) AS bm25
+      |  FROM tf JOIN q ON tf.term = q.q_term AND tf.doc_id <> q.q_id
+      |  JOIN df USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT q_id, d_id, bm25,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, d_id ASC) AS rn
+      |  FROM scored)
+      |SELECT q_id, d_id, bm25, CAST(rn AS INT) AS rn
+      |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),

@@ -373,8 +373,49 @@ object TextQueries extends QueryModule {
        |FROM (SELECT lang, CAST(len($dToks) AS INT) AS n_tokens, n_chars FROM documents)
        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** Corpus unigram-LM likelihood scoring (KenLM-style quality filter at
+    * unigram order): the corpus's own term frequencies define a unigram
+    * model; each document is scored by the mean natural-log probability of
+    * its token instances, and the low-likelihood tail is flagged (threshold
+    * −3.45 sits between the fixture's p10 and min, so the flag is
+    * non-degenerate at both SFs). Scale shape: one term-keyed shuffle for
+    * the counts, one term-keyed join back (vocabulary-sized, broadcastable
+    * when the vocab is small), one broadcast scalar for the total — no
+    * per-document state, no all-pairs anything.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+    val termCounts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = termCounts.agg(sum("cnt").cast("double").as("total"))
+    terms.join(termCounts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("avg_logprob"))
+      .withColumn("is_low_likelihood", col("avg_logprob") < -3.45)
+      .orderBy("doc_id")
+  }
+
+  private val unigramLogprobSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest($dToks) AS term FROM documents
+       |), tc AS (
+       |  SELECT term, count(*) AS cnt FROM t GROUP BY term
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM tc
+       |), scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+       |  FROM t JOIN tc USING (term) CROSS JOIN tot
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, avg_logprob,
+       |  avg_logprob < -3.45 AS is_low_likelihood
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
+    QueryDef("text_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     QueryDef("text_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("text_quality_flags", qualityFlags, Some(qualityFlagsSql)),
     QueryDef("text_stats", textStats, Some(textStatsSql)),
