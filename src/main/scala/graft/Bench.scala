@@ -63,6 +63,19 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
           -1.0
+      } finally {
+        // Post-timing sweep hygiene: memory-sink tables (one per streaming
+        // query, up to fixture-sized) and intra-query .cache()s otherwise
+        // accumulate on the driver heap across the 120+ query sweep and
+        // tax late queries with GC — measured as a 1.5-2.5x in-sweep vs
+        // solo gap on the last streaming queries. Each query (re)creates
+        // its own views, so dropping temp views between queries is safe.
+        try {
+          spark.catalog.clearCache()
+          spark.catalog.listTables().collect()
+            .filter(_.isTemporary)
+            .foreach(t => spark.catalog.dropTempView(t.name))
+        } catch { case _: Throwable => () }
       }
     }
     val firstPass = benched.map(d => d -> timeOne(d))

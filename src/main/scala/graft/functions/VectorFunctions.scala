@@ -116,5 +116,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "hyperplane_bucket", exprs => HyperplaneBucket(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "max_token_count", exprs => MaxTokenMultiplicity(exprs(0)), "built-in")
   }
 }

@@ -29,7 +29,7 @@ object TextQueries extends QueryModule {
         col("doc_id"),
         length(col("text")).as("len_chars"),
         col("n_tokens"),
-        round(expr(s"aggregate($toks, 0D, (a, t) -> a + length(t)) / greatest(CAST(n_tokens AS DOUBLE), 1D)"), 4)
+        round(expr(s"CAST(length(array_join($toks, '')) AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1D)"), 4)
           .as("mean_word_len"),
         round(expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1D)"), 4)
           .as("symbol_ratio"),
@@ -169,16 +169,24 @@ object TextQueries extends QueryModule {
     * boilerplate detector; bounds follow the published heuristics
     * (mean word length 3–10, stopword presence, low repetition).
     */
-  def qualityFlags(s: SparkSession, dir: String): DataFrame =
+  def qualityFlags(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .withColumn("n_tokens", expr("size(tk)"))
-      .withColumn("mean_wl", expr("aggregate(tk, 0D, (a, t) -> a + length(t)) / greatest(CAST(n_tokens AS DOUBLE), 1D)"))
+      // sum of token lengths == length of the separator-free concatenation
+      // (codegen'd) — value-identical to the interpreted
+      // aggregate(tk, 0D, (a, t) -> a + length(t)) the oracle replays
+      .withColumn("mean_wl", expr("CAST(length(array_join(tk, '')) AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1D)"))
+      // native kernel (functions.TokenOps) — value-identical to the HOF
+      // form array_max(transform(array_distinct(tk), d -> size(filter(tk,
+      // t -> t = d)))) the oracle replays, incl. NULL on empty input
       .withColumn("top_tok_share", expr(
-        """CAST(array_max(transform(array_distinct(tk),
-          |  d -> size(filter(tk, t -> t = d)))) AS DOUBLE)
+        """CAST(CASE WHEN n_tokens = 0 THEN CAST(NULL AS INT)
+          |  ELSE max_token_count(tk) END AS DOUBLE)
           |/ greatest(CAST(n_tokens AS DOUBLE), 1D)""".stripMargin))
-      .withColumn("has_stopword", expr("size(filter(tk, t -> t IN ('the', 'a', 'of', 'and'))) > 0"))
+      // arrays_overlap is codegen'd; value-identical to the filter-count>0
+      .withColumn("has_stopword", expr("arrays_overlap(tk, array('the', 'a', 'of', 'and'))"))
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -188,6 +196,7 @@ object TextQueries extends QueryModule {
         (col("n_tokens") >= 10 && col("mean_wl") >= 3 && col("mean_wl") <= 10 &&
           col("top_tok_share") <= 0.2).as("keep"))
       .orderBy("doc_id")
+  }
 
   private val qualityFlagsSql =
     s"""SELECT doc_id,
@@ -218,7 +227,7 @@ object TextQueries extends QueryModule {
       .withColumn("tk", expr(toks))
       .withColumn("n_tokens", expr("size(tk)"))
       .withColumn("mean_wl",
-        expr("aggregate(tk, 0D, (a, t) -> a + length(t)) / greatest(CAST(n_tokens AS DOUBLE), 1D)"))
+        expr("CAST(length(array_join(tk, '')) AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1D)"))
       .withColumn("survivor",
         col("doc_id") === min("doc_id").over(Window.partitionBy("content_hash")))
       .withColumn("quality_keep",

@@ -173,10 +173,10 @@ object StreamingQueries extends QueryModule {
     * (RecordStream.eventsStreamWithSentinels) advance it deterministically.
     */
   def sessions(s: SparkSession, dir: String): DataFrame = {
-    // 2 files per trigger → batch 1 = data + sentinel1 (advances the
-    // watermark past every real session), batch 2 = sentinels 2+3 (flushes
-    // them) — half the state-store commit rounds of one-file-per-trigger
-    val agg = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
+    // 4 files per trigger → ONE data batch (fixture + all sentinels; its
+    // commit advances the watermark past everything) + the engine's
+    // watermark-advance flush batch — the minimum state-store commit rounds
+    val agg = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -315,13 +315,25 @@ object StreamingQueries extends QueryModule {
     */
   private def withRocksDB[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = s.conf.getOption(key)
+    val prevCl = s.conf.getOption(clKey)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing: commit uploads the per-batch delta instead
+    // of a full RocksDB snapshot — the production setting for frequent
+    // small commits, and measurably cheaper even at fixture scale.
+    s.conf.set(clKey, "true")
     try body
-    finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None => s.conf.unset(key)
+    finally {
+      (prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      })
+      (prevCl match {
+        case Some(p) => s.conf.set(clKey, p)
+        case None => s.conf.unset(clKey)
+      })
     }
   }
 
@@ -351,7 +363,12 @@ object StreamingQueries extends QueryModule {
     */
   def twsSessions(s: SparkSession, dir: String): DataFrame = withRocksDB(s) {
     import s.implicits._
-    val ds = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
+    // 4 files/trigger: fixture + all sentinels in ONE data batch (watermark
+    // jumps past every session at its commit), then the engine's
+    // watermark-advance batch fires all event-time timers — two RocksDB
+    // commit rounds total instead of three. Multi-batch folding is pinned
+    // separately by StreamingSpec's 3-batch MemoryStream test.
+    val ds = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
       .withWatermark("ts", "0 seconds")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       .as[Ev]
@@ -445,7 +462,9 @@ object StreamingQueries extends QueryModule {
 
   def statefulSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ds = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
+    // 4 files/trigger: one data batch + the watermark-advance batch (see
+    // sessions above); multi-batch folding is pinned by StreamingSpec
+    val ds = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
       .withWatermark("ts", "0 seconds")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       .as[Ev]
