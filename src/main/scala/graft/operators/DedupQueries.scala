@@ -491,11 +491,15 @@ object DedupQueries extends QueryModule {
       .withColumn("centroid", expr("transform(centroid_d, x -> CAST(x AS FLOAT))"))
       .select(col("label").as("c_id"), col("centroid"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    // cached: consumed three times (both pair sides + the final join) —
+    // without it each consumer re-runs the centroid agg and the broadcast
+    // assign; at cluster scale this is the checkpointed assignment frame
     val assigned = e.join(broadcast(centroids), lit(true))
       .withColumn("c_cos", expr("cosine_sim(embedding, centroid)"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .cache()
     val a = assigned.select(col("cluster").as("cluster_a"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = assigned.select(col("cluster").as("cluster_b"), col("vec_id").as("id_b"),

@@ -68,4 +68,18 @@ class NativeKernelSpec extends AnyFunSuite {
       assert(got == want, s"got=$got want=$want")
     }
   }
+
+  test("TokenOps.maxMultiplicity matches the nested-HOF multiplicity form") {
+    val rnd = new scala.util.Random(29)
+    (1 to 40).foreach { _ =>
+      val toks = Seq.fill(1 + rnd.nextInt(60))("w" + rnd.nextInt(12))
+      // oracle form: max over distinct tokens of the count of that token
+      val want = toks.distinct.map(d => toks.count(_ == d)).max
+      val got = graft.functions.TokenOps.maxMultiplicity(
+        new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray))
+      assert(got == want, s"toks=$toks got=$got want=$want")
+    }
+    assert(graft.functions.TokenOps.maxMultiplicity(
+      new GenericArrayData(new Array[Any](0))) == 0)
+  }
 }

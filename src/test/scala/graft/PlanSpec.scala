@@ -118,4 +118,35 @@ class PlanSpec extends SparkSuite {
     val p2 = plan("sub_not_in_predicate")
     assert(p2.contains("LeftAnti"), p2)
   }
+
+  test("bm25 keeps the postings join keyed — no cartesian, query side broadcast") {
+    val p = plan("sim_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop is the broadcast of the 1-row corpus stats
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("domain blocklist filters with a broadcast anti join, corpus never shuffles for it") {
+    val p = plan("curation_domain_blocklist")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("semantic dedup blocks pairs by cluster — no corpus-wide cartesian") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop is the tiny broadcast codebook assign, computed
+    // once: every consumer reads the cached assignment frame (the BNLJ
+    // string recurs only inside InMemoryRelation descriptions)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .size <= "InMemoryRelation".r.findAllIn(p).size, p)
+  }
+
+  test("substring spans: shingle df join is an equi join on the shingle key") {
+    val p = plan("dedup_substring_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -158,4 +158,75 @@ class PropertySpec extends SparkSuite {
     val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(rows.map(_.getLong(0)).toSet == inPairs)
   }
+
+  test("dedup_substring_spans: consolidated spans are bounded and consistent") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = operators.DedupQueries.substringSpans(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture must contain cross-doc duplicated 8-grams")
+    rows.foreach { r =>
+      val (nTok, nSpans, dupTokens, ratio) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // every span covers >= one 8-gram; spans are disjoint so the total
+      // duplicated-token count fits inside the document
+      assert(nSpans >= 1 && dupTokens >= 8L * nSpans && dupTokens <= nTok)
+      assert(math.abs(ratio - dupTokens.toDouble / nTok) < 1e-3)
+    }
+  }
+
+  test("dedup_semantic: exactly the cluster-min vector has no prior mate") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = operators.DedupQueries.semanticDedup(spark, dir).collect()
+    val all = rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // total partition: every vector appears exactly once
+    assert(all.map(_._2).distinct.length == all.length)
+    all.groupBy(_._1).foreach { case (cluster, members) =>
+      val noPrior = members.filter(_._3 == -1.0)
+      assert(noPrior.map(_._2).toSeq == Seq(members.map(_._2).min),
+        s"cluster $cluster: exactly the min vec_id must lack a prior mate")
+      members.foreach { case (_, id, maxPrior, isDup) =>
+        assert(isDup == (maxPrior >= 0.3), s"vec $id dup flag inconsistent")
+      }
+    }
+    assert(all.exists(_._4), "tau=0.3 must be non-degenerate on the fixture")
+  }
+
+  test("sim_bm25_topk: ranked, self-excluded, per-query bounded") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityQueries.bm25TopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to rs.length))
+      // scores non-increasing in rank; the query never retrieves itself
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      })
+      assert(rs.forall(_.getLong(1) != q))
+    }
+  }
+
+  test("curation_domain_blocklist: counts partition the corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = operators.CurationQueries.domainBlocklist(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"${r.getString(0)} split")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "blocklist must be non-degenerate")
+  }
+
+  test("text_unigram_logprob: probabilities are proper and flags consistent") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = operators.TextQueries.unigramLogprob(spark, dir).collect()
+    assert(rows.length == Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val (lp, flag) = (r.getDouble(2), r.getBoolean(3))
+      assert(lp < 0.0, "log prob of a <1 probability must be negative")
+      assert(flag == (lp < -3.45))
+    }
+    assert(rows.exists(_.getBoolean(3)), "low-likelihood tail must be non-empty")
+  }
 }
