@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{Column, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -125,7 +125,16 @@ object ShardOffsets {
 }
 
 class KinesisLikeMicroBatch(path: String, maxPerBatch: Long, streamName: String)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow contract: fix the end target at query start so
+    * rate-limited batches walk to exactly that point and the query stops.
+    * The shard logs are immutable fixtures, so the discovered shardEnds IS
+    * the snapshot — materializing the (lazy) index here pins it; a live
+    * service would copy the current per-shard tips instead.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = { val _ = shardEnds }
 
   private val files: Seq[java.io.File] = KinesisLikeSource.shardFiles(path)
 

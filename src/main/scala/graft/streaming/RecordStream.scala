@@ -232,17 +232,23 @@ object RecordStream {
       stream: DataFrame,
       name: String,
       mode: String,
-      shufflePartitions: String = StreamShufflePartitions): DataFrame = {
+      shufflePartitions: String = StreamShufflePartitions,
+      availableNow: Boolean = false): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     try {
-      val q = stream.writeStream
+      val writer = stream.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(name)
-        .start()
+      // AvailableNow terminates by itself once the start-time snapshot is
+      // drained (in rate-limited batches); continuous queries are drained
+      // with processAllAvailable + explicit stop.
+      val q = (if (availableNow)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else writer).start()
       try {
-        q.processAllAvailable()
+        if (availableNow) q.awaitTermination() else q.processAllAvailable()
       } finally {
         q.stop()
         q.awaitTermination(20000) // graceful-stop budget [REF A15]

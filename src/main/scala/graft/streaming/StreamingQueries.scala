@@ -586,6 +586,38 @@ object StreamingQueries extends QueryModule {
     * source — the reference's per-shard processing with event-time
     * windowing layered on top, end-to-end through the DataSourceV2 path.
     */
+  /** Trigger.AvailableNow backfill through the native source [REF A6/A10]:
+    * the production "process the whole backlog, rate-limited, then stop"
+    * path. The source snapshots its shard tips at query start
+    * (SupportsTriggerAvailableNow) and the per-shard admission-control cap
+    * slices the backlog into bounded micro-batches — at sf0.1 this runs
+    * ≥3 rate-limited batches before terminating on its own. Output is the
+    * per-shard backlog accounting a KCL operator would reconcile against
+    * the stream's tip after a catch-up run.
+    */
+  def availableNowBackfill(s: SparkSession, dir: String): DataFrame = {
+    val records = RecordStream.kinesisSource(s, dir, maxRecordsPerShardPerBatch = 20000)
+    // no DISTINCT aggregates on streams — backlog accounting sticks to
+    // record counts, the seq range, and the poison-pill tally [REF A9]
+    val agg = records.groupBy("shardId")
+      .agg(count(lit(1)).as("n_records"),
+        min("sequenceNumber").as("first_seq"),
+        max("sequenceNumber").as("last_seq"),
+        count(when(col("data").startsWith("garbage-"), 1)).as("n_poison"))
+    RecordStream.runToMemory(s, agg, "stream_available_now_sink", "complete",
+        availableNow = true)
+      .orderBy("shardId")
+  }
+
+  private val availableNowBackfillSql =
+    s"""SELECT concat('shardId-', lpad(CAST(user_id % ${RecordStream.NumShards} AS VARCHAR), 12, '0'))
+       |    AS shardId,
+       |  CAST(count(*) AS BIGINT) AS n_records,
+       |  CAST(0 AS BIGINT) AS first_seq,
+       |  CAST(count(*) - 1 AS BIGINT) AS last_seq,
+       |  CAST(count(*) FILTER (event_id % 97 = 0) AS BIGINT) AS n_poison
+       |FROM events GROUP BY 1 ORDER BY shardId""".stripMargin
+
   def nativeWindowedCounts(s: SparkSession, dir: String): DataFrame = {
     val agg = RecordStream.kinesisSource(s, dir)
       .groupBy(window(col("arrivalTs"), "1 hour").as("w"), col("shardId"))
@@ -605,6 +637,7 @@ object StreamingQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("stream_native_windowed", nativeWindowedCounts, Some(nativeWindowedCountsSql)),
+    QueryDef("stream_available_now", availableNowBackfill, Some(availableNowBackfillSql)),
     QueryDef("stream_stream_left_join", streamStreamLeftJoin, Some(streamStreamLeftJoinSql)),
     QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),

@@ -106,6 +106,30 @@ class NativeSourceSpec extends SparkSuite {
     assert(loose.values.forall(_ == 100L), s"expected option cap to bind: $loose")
   }
 
+  test("Trigger.AvailableNow drains the backlog in rate-limited batches, then stops [REF A6/A10]") {
+    // sf0.001 has ~250 records/shard; a 60/shard/batch cap forces >= 5
+    // rate-limited micro-batches before the snapshot target is reached
+    val df = RecordStream.kinesisSource(spark, Sf, maxRecordsPerShardPerBatch = 60)
+      .groupBy("shardId").count()
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("native_avnow_sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // self-termination is the AvailableNow contract — no stop() needed
+    assert(q.awaitTermination(120000), "AvailableNow query must terminate on its own")
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 5, s"expected >= 5 rate-limited batches, got $dataBatches")
+    val got = spark.table("native_avnow_sink").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, Sf)
+      .selectExpr(s"concat('shardId-', lpad(CAST(user_id % ${RecordStream.NumShards} AS STRING), 12, '0')) AS shardId")
+      .groupBy("shardId").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("payload pipeline over the native source matches the batch truth") {
     val got = streaming.StreamingQueries.payloadPipeline(spark, Sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
