@@ -199,7 +199,62 @@ object MiscQueries extends QueryModule {
       |  CAST(1*4 + 2*5 + 3*6 AS BIGINT) AS zip_dot
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** The full generator (UDTF-shaped) surface beyond plain explode:
+    * posexplode_outer (positions + a NULL row for a NULL input array),
+    * inline (array-of-struct flattening), and stack (constant unpivot) —
+    * normalized into one (doc_id, gen, pos, value) table. Generators are
+    * per-row lateral expansions: embarrassingly parallel, no shuffle
+    * except the declared output sort. The fixture guarantees ≥10 tokens
+    * per doc, so every slice below is total.
+    */
+  def generatorFuncs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .withColumn("tk", expr("array_remove(split(text, ' ', -1), '')"))
+    // posexplode_outer: non-en docs get a NULL array -> one all-NULL row
+    val posOuter = docs
+      .select(col("doc_id"), lit("pos_outer").as("gen"),
+        posexplode_outer(expr("CASE WHEN lang = 'en' THEN slice(tk, 1, 3) END")))
+      .select(col("doc_id"), col("gen"), col("pos"), col("col").as("value"))
+    // inline: flatten an array of (token, next-token) structs
+    val inl = docs
+      .select(col("doc_id"), lit("inline").as("gen"),
+        expr("inline(arrays_zip(slice(tk, 1, 2), slice(tk, 2, 2)))"))
+      .select(col("doc_id"), col("gen"), lit(null).cast("int").as("pos"),
+        concat(col("0"), lit("+"), col("1")).as("value"))
+    // stack: constant-width unpivot of (first, last) token
+    val stk = docs
+      .select(col("doc_id"), lit("stack").as("gen"),
+        expr("stack(2, 'first', element_at(tk, 1), 'last', element_at(tk, size(tk)))"))
+      .select(col("doc_id"), col("gen"), lit(null).cast("int").as("pos"),
+        concat(col("col0"), lit("="), col("col1")).as("value"))
+    posOuter.unionByName(inl).unionByName(stk)
+      .orderBy(col("doc_id"), col("gen"), col("pos").asc_nulls_first, col("value").asc_nulls_first)
+  }
+
+  private val generatorFuncsSql =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents WHERE doc_id < 100
+      |), pos_outer AS (
+      |  SELECT doc_id, 'pos_outer' AS gen, CAST(p AS INT) AS pos, tk[p + 1] AS value
+      |  FROM docs, unnest(range(0, 3)) AS u(p) WHERE lang = 'en'
+      |  UNION ALL
+      |  SELECT doc_id, 'pos_outer', NULL, NULL FROM docs WHERE lang <> 'en'
+      |), inl AS (
+      |  SELECT doc_id, 'inline' AS gen, CAST(NULL AS INT) AS pos,
+      |    tk[i] || '+' || tk[i + 1] AS value
+      |  FROM docs, unnest(range(1, 3)) AS u(i)
+      |), stk AS (
+      |  SELECT doc_id, 'stack', CAST(NULL AS INT), 'first=' || tk[1] FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, 'stack', CAST(NULL AS INT), 'last=' || tk[len(tk)] FROM docs)
+      |SELECT * FROM (
+      |  SELECT * FROM pos_outer UNION ALL SELECT * FROM inl UNION ALL SELECT * FROM stk)
+      |ORDER BY doc_id, gen, pos NULLS FIRST, value NULLS FIRST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_generator_funcs", generatorFuncs, Some(generatorFuncsSql)),
     QueryDef("misc_salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("misc_struct_funcs", structFuncs, Some(structFuncsSql)),
     QueryDef("misc_pivot_status", pivotStatus, Some(pivotStatusSql)),

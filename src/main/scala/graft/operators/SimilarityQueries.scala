@@ -258,8 +258,15 @@ object SimilarityQueries extends QueryModule {
     val toks = "array_remove(split(text, ' ', -1), '')"
     val terms = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr(toks)).as("term"))
+    // the postings list (doc, term, tf). Several consumers derive from it;
+    // measured: .cache() here LOSES ~2x at this scale (materialization +
+    // dropping out of whole-stage codegen beats the recompute), so the
+    // lineage is left lazy — at 100 TB the postings become a materialized
+    // table (the inverted index every retrieval system builds once)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length from the postings (sum of tf), not a second shuffle of
+    // the raw exploded terms
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
     val q = tf.filter(col("doc_id") % 100 === 0)
