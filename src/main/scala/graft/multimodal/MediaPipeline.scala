@@ -15,6 +15,13 @@ case class MediaRecord(
     n_chars: Long,
     source: String)
 
+/** One sampled frame of a video payload (frameSamples output row). */
+case class FrameSample(
+    doc_id: Long,
+    frame_idx: Int,
+    byte_offset: Int,
+    frame_byte: Int)
+
 /** Extracted features. `sample0..3` stand in for frame samples. */
 case class MediaFeatures(
     doc_id: Long,
@@ -124,8 +131,44 @@ object MediaPipeline extends QueryModule {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY media_type, source""".stripMargin
 
+  /** Frame sampling as a typed one-to-many expansion (`flatMap`): each
+    * video row yields 8 evenly-spaced frame records — the per-frame
+    * explosion every video pipeline runs before frame-level embedding.
+    * The "frame grab" is the same deterministic byte stub as [[decode]];
+    * the real part is the shape: metadata filter prunes to videos BEFORE
+    * the expansion (never sample what you drop), the blob is read only
+    * inside the executor-side lambda, and output is a typed,
+    * columnar-friendly frame table keyed for a downstream frame-keyed
+    * shuffle.
+    */
+  def frameSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(col("media_type") === "video")
+      .as[MediaRecord]
+      .flatMap { rec =>
+        val n = rec.payload.length
+        (0 until 8).iterator.map { j =>
+          val off = (j * n) / 8
+          FrameSample(rec.doc_id, j, off, if (n == 0) -1 else rec.payload(off) & 0xff)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val frameSamplesSql =
+    """SELECT doc_id, CAST(j AS INT) AS frame_idx,
+      |  CAST((j * length(text)) // 8 AS INT) AS byte_offset,
+      |  CAST(ascii(substr(text, CAST((j * length(text)) // 8 AS INT) + 1, 1)) AS INT)
+      |    AS frame_byte
+      |FROM documents, unnest(range(0, 8)) AS u(j)
+      |WHERE doc_id % 3 = 2
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("multimodal_features", extractFeatures, Some(extractFeaturesSql)),
-    QueryDef("multimodal_media_stats", mediaStats, Some(mediaStatsSql))
+    QueryDef("multimodal_media_stats", mediaStats, Some(mediaStatsSql)),
+    QueryDef("multimodal_frame_sample", frameSamples, Some(frameSamplesSql))
   )
 }

@@ -292,7 +292,63 @@ object AggQueries extends QueryModule {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Count-Min sketch heavy hitters — the bounded-memory frequency
+    * estimator a 100 TB token stream runs instead of an exact vocabulary
+    * count (4 rows × 1024 buckets = 4 KB of state regardless of corpus
+    * size). The hash family is the portable md5 device (salted per row),
+    * so the sketch is bit-identical in both engines and — unlike HLL —
+    * fully oracle-checkable. Cells are built from the term-count table
+    * (hash work is vocab-sized, not corpus-sized; at 100 TB the counts
+    * table is itself the first map-side-combined aggregation). The output
+    * pins the CMS contract: estimate ≥ truth for every probed heavy
+    * hitter, with the overestimate visible as est − truth.
+    */
+  def countMinHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = "array_remove(split(text, ' ', -1), '')"
+    val counts = Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("true_count"))
+    val hashed = counts
+      .select(col("term"), col("true_count"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(concat('cms', CAST(r AS STRING), ':', term) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 1024"))
+    val cells = hashed.groupBy("r", "bucket").agg(sum("true_count").as("cell"))
+    val top = counts.orderBy(desc("true_count"), asc("term")).limit(20)
+    top.join(hashed.select("term", "r", "bucket"), "term")
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("term", "true_count")
+      .agg(min("cell").as("cms_estimate"))
+      .withColumn("overestimate", col("cms_estimate") - col("true_count"))
+      .withColumn("bound_holds", col("cms_estimate") >= col("true_count"))
+      .orderBy("term")
+  }
+
+  private val countMinHeavyHittersSql =
+    """WITH t AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents
+      |), counts AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS true_count FROM t GROUP BY 1
+      |), hashed AS (
+      |  SELECT term, true_count, r,
+      |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || term), 1, 8)) AS BIGINT) % 1024 AS bucket
+      |  FROM counts, unnest(range(0, 4)) AS u(r)
+      |), cells AS (
+      |  SELECT r, bucket, CAST(sum(true_count) AS BIGINT) AS cell
+      |  FROM hashed GROUP BY 1, 2
+      |), top AS (
+      |  SELECT term, true_count FROM counts ORDER BY true_count DESC, term LIMIT 20)
+      |SELECT top.term AS term, top.true_count AS true_count, min(cell) AS cms_estimate,
+      |  min(cell) - top.true_count AS overestimate,
+      |  min(cell) >= top.true_count AS bound_holds
+      |FROM top
+      |JOIN hashed ON top.term = hashed.term
+      |JOIN cells USING (r, bucket)
+      |GROUP BY top.term, top.true_count
+      |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_countmin_heavy_hitters", countMinHeavyHitters, Some(countMinHeavyHittersSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("agg_distinct_counts", distinctCounts, Some(distinctCountsSql)),
     QueryDef("agg_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
