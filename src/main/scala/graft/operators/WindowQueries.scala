@@ -162,7 +162,60 @@ object WindowQueries extends QueryModule {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Time-series resample + gap fill: per-user hourly activity on a DENSE
+    * hour grid (missing hours materialized via a sequence explode), counts
+    * zero-filled and the last observed hourly average carried forward
+    * (LOCF via last(ignoreNulls) over a running frame) — the standard
+    * feature-engineering resample before sequence modeling. Scale shape:
+    * grid generation is per-key and explodes to (span hours) rows, the
+    * join back is keyed on (user, hour), and the fill is one per-key
+    * window — no global materialized calendar, no cross-key anything.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val perHour = ev.groupBy("user_id", "hour")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(perHour, Seq("user_id", "hour"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("filled_value", last("avg_value", ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("avg_value"), col("filled_value"))
+      .orderBy("user_id", "hour")
+  }
+
+  private val gapFillSql =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, value
+      |  FROM events WHERE user_id < 8
+      |), per_hour AS (
+      |  SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n,
+      |    round(avg(value), 4) AS avg_value
+      |  FROM ev GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM ev GROUP BY 1
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds)
+      |SELECT g.user_id, strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  coalesce(n, 0) AS n, avg_value,
+      |  last_value(avg_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM grid g LEFT JOIN per_hour p
+      |  ON g.user_id = p.user_id AND g.hour = p.hour
+      |ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_gap_fill_locf", gapFill, Some(gapFillSql)),
     QueryDef("win_cume_nth", cumeNth, Some(cumeNthSql)),
     QueryDef("win_topk_native", topkNative, Some(topkNativeSql)),
     QueryDef("win_rank_top_orders", rankTopOrders, Some(rankTopOrdersSql)),
