@@ -426,8 +426,139 @@ object CurationQueries extends QueryModule {
        |FROM tot LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
   }
 
+  /** The END-TO-END curation pipeline a real corpus run composes — every
+    * gate this engine ships, chained over one corpus pass plus the three
+    * corpus-level side computations each gate needs:
+    * exact-dedup survivorship (content-hash window) ∩ domain blocklist
+    * (broadcast list) ∩ quality (token count + mean word length) ∩
+    * language allowlist ∩ unigram-LM likelihood (term-keyed join +
+    * broadcast total) ∩ per-language IQR length fences (broadcast).
+    * Per-source accounting reports every gate's independent drop count
+    * plus the final curated yield — the dashboard row a data-engineering
+    * team watches. Shuffles: content-hash window, term-count join, the
+    * per-lang percentile, and the final source agg; everything else is
+    * broadcast. Gate definitions are shared verbatim with the standalone
+    * queries, so each gate's fidelity is already oracle-pinned on its own.
+    */
+  def curationFull(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("content_hash",
+        sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"), 256))
+      .withColumn("tk", expr(toks))
+      .withColumn("n_tokens", expr("size(tk)"))
+      .withColumn("mean_wl",
+        expr("CAST(length(array_join(tk, '')) AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1D)"))
+      .withColumn("host", format_string("host%02d.example.com", col("doc_id") % 13))
+    val withDup = base.withColumn("survivor",
+      col("doc_id") === min("doc_id").over(Window.partitionBy("content_hash")))
+    val terms = base.select(col("doc_id"), explode(col("tk")).as("term"))
+    val termCounts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = termCounts.agg(sum("cnt").cast("double").as("total"))
+    val lp = terms.join(termCounts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("avg_logprob"))
+    val fences = base.select(col("lang"), col("n_tokens").cast("double").as("nt"))
+      .groupBy("lang").agg(expr("percentile(nt, array(0.25, 0.75))").as("q"))
+      .select(col("lang"),
+        (element_at(col("q"), 1) - lit(1.5) * (element_at(col("q"), 2) - element_at(col("q"), 1)))
+          .as("lo"),
+        (element_at(col("q"), 2) + lit(1.5) * (element_at(col("q"), 2) - element_at(col("q"), 1)))
+          .as("hi"))
+    withDup
+      .join(lp, "doc_id")
+      .join(broadcast(fences), "lang")
+      .withColumn("blocked", col("host").isin(BlockedHosts: _*))
+      .withColumn("lowq",
+        !(col("n_tokens") >= 10 && col("mean_wl") >= 3 && col("mean_wl") <= 10))
+      .withColumn("lowlik", col("avg_logprob") < -3.45)
+      .withColumn("outlier",
+        col("n_tokens").cast("double") < col("lo") || col("n_tokens").cast("double") > col("hi"))
+      .withColumn("nonlang", !col("lang").isin("en", "fr"))
+      .withColumn("curated",
+        col("survivor") && !col("blocked") && !col("lowq") && !col("lowlik") &&
+          !col("outlier") && !col("nonlang"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(!col("survivor"), 1)).as("n_dup"),
+        count(when(col("blocked"), 1)).as("n_blocked"),
+        count(when(col("lowq"), 1)).as("n_lowq"),
+        count(when(col("lowlik"), 1)).as("n_lowlik"),
+        count(when(col("outlier"), 1)).as("n_outlier"),
+        count(when(col("nonlang"), 1)).as("n_nonlang"),
+        count(when(col("curated"), 1)).as("n_curated"),
+        sum(when(col("curated"), col("n_tokens")).otherwise(lit(0))).as("curated_tokens"))
+      .orderBy("source")
+  }
+
+  private val curationFullSql = {
+    val blValues = BlockedHosts.map(h => s"'$h'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source,
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+       |    $dToks AS tk,
+       |    printf('host%02d.example.com', doc_id % 13) AS host
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, lang, source, content_hash, host,
+       |    CAST(len(tk) AS INT) AS n_tokens,
+       |    list_sum(list_transform(tk, t -> length(t)))
+       |      / greatest(CAST(len(tk) AS DOUBLE), 1) AS mean_wl
+       |  FROM base
+       |), dup AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS survivor
+       |  FROM feat
+       |), t AS (
+       |  SELECT doc_id, unnest(tk) AS term FROM base
+       |), tc AS (
+       |  SELECT term, count(*) AS cnt FROM t GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM tc
+       |), lp AS (
+       |  SELECT doc_id, round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+       |  FROM t JOIN tc USING (term) CROSS JOIN tot GROUP BY 1
+       |), f AS (
+       |  SELECT lang,
+       |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.25)
+       |      - 1.5 * (quantile_cont(CAST(n_tokens AS DOUBLE), 0.75)
+       |             - quantile_cont(CAST(n_tokens AS DOUBLE), 0.25)) AS lo,
+       |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.75)
+       |      + 1.5 * (quantile_cont(CAST(n_tokens AS DOUBLE), 0.75)
+       |             - quantile_cont(CAST(n_tokens AS DOUBLE), 0.25)) AS hi
+       |  FROM feat GROUP BY lang
+       |), flags AS (
+       |  SELECT feat.source, feat.n_tokens, survivor,
+       |    host IN ($blValues) AS blocked,
+       |    NOT (n_tokens >= 10 AND mean_wl >= 3 AND mean_wl <= 10) AS lowq,
+       |    avg_logprob < -3.45 AS lowlik,
+       |    CAST(n_tokens AS DOUBLE) < lo OR CAST(n_tokens AS DOUBLE) > hi AS outlier,
+       |    lang NOT IN ('en', 'fr') AS nonlang
+       |  FROM feat
+       |  JOIN dup USING (doc_id)
+       |  JOIN lp USING (doc_id)
+       |  JOIN f USING (lang))
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(CASE WHEN NOT survivor THEN 1 END) AS BIGINT) AS n_dup,
+       |  CAST(count(CASE WHEN blocked THEN 1 END) AS BIGINT) AS n_blocked,
+       |  CAST(count(CASE WHEN lowq THEN 1 END) AS BIGINT) AS n_lowq,
+       |  CAST(count(CASE WHEN lowlik THEN 1 END) AS BIGINT) AS n_lowlik,
+       |  CAST(count(CASE WHEN outlier THEN 1 END) AS BIGINT) AS n_outlier,
+       |  CAST(count(CASE WHEN nonlang THEN 1 END) AS BIGINT) AS n_nonlang,
+       |  CAST(count(CASE WHEN survivor AND NOT blocked AND NOT lowq AND NOT lowlik
+       |                    AND NOT outlier AND NOT nonlang THEN 1 END) AS BIGINT)
+       |    AS n_curated,
+       |  CAST(sum(CASE WHEN survivor AND NOT blocked AND NOT lowq AND NOT lowlik
+       |                 AND NOT outlier AND NOT nonlang THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS curated_tokens
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_chunking", chunking, Some(chunkingSql)),
+    QueryDef("pipeline_curation_full", curationFull, Some(curationFullSql)),
     QueryDef("curation_domain_blocklist", domainBlocklist, Some(domainBlocklistSql)),
     QueryDef("curation_train_split", trainSplit, Some(trainSplitSql)),
     QueryDef("curation_boilerplate", boilerplate, Some(boilerplateSql)),
