@@ -203,6 +203,45 @@ object AggQueries extends QueryModule {
       |  true AS p50_within_2pct, true AS p90_within_2pct
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Built-in `approx_percentile` (Greenwald-Khanna sketch) under the same
+    * accuracy-contract oracle shape as [[tdigestQuantiles]]: the checkable
+    * output is the exact interpolated quantiles plus one boolean per
+    * quantile asserting the sketch estimate lies between the exact
+    * (q−0.01) and (q+0.01) quantiles — a RANK-error assertion, which is
+    * the guarantee GK actually makes. At accuracy=1000 the sketch's bound
+    * is 1/1000 rank error, so the 0.01 window carries 10× margin against
+    * partition-merge-order variation. One aggregation pass computes both
+    * the sketch and the exact probe array per group.
+    */
+  def approxPercentileBounds(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val eps = 0.01
+    val probes = qs.flatMap(q => Seq(q - eps, q, q + eps))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr(s"percentile(l_extendedprice, array(${probes.mkString(", ")}))").as("x"),
+        expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(", ")}), 1000)").as("apx"))
+      .select(col("l_returnflag") +:
+        qs.zipWithIndex.flatMap { case (q, i) =>
+          val pct = (q * 100).toInt
+          Seq(
+            round(element_at(col("x"), i * 3 + 2), 2).as(s"p$pct"),
+            (element_at(col("apx"), i + 1) >= element_at(col("x"), i * 3 + 1) &&
+              element_at(col("apx"), i + 1) <= element_at(col("x"), i * 3 + 3))
+              .as(s"p${pct}_in_rank_window"))
+        }: _*)
+      .orderBy("l_returnflag")
+  }
+
+  private val approxPercentileBoundsSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25, true AS p25_in_rank_window,
+      |  round(quantile_cont(l_extendedprice, 0.50), 2) AS p50, true AS p50_in_rank_window,
+      |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75, true AS p75_in_rank_window,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95, true AS p95_in_rank_window
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Statistical aggregates: stddev / variance / corr / covar. */
   def statsByFlag(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -356,6 +395,7 @@ object AggQueries extends QueryModule {
     QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("agg_collect_linenumbers", collectLinenumbers, Some(collectLinenumbersSql)),
     QueryDef("agg_percentiles_by_flag", percentilesByFlag, Some(percentilesByFlagSql)),
+    QueryDef("agg_approx_percentile", approxPercentileBounds, Some(approxPercentileBoundsSql)),
     QueryDef("agg_tdigest_quantiles", tdigestQuantiles, Some(tdigestQuantilesSql)),
     QueryDef("agg_stats_by_flag", statsByFlag, Some(statsByFlagSql)),
     QueryDef("agg_min_max_by", minMaxBy, Some(minMaxBySql)),

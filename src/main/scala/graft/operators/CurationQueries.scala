@@ -556,7 +556,46 @@ object CurationQueries extends QueryModule {
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Quality-based survivor selection: near-dup clusters (the LSH
+    * connected components from DedupQueries) keep their HIGHEST-QUALITY
+    * member — token count as the quality signal, doc_id as the
+    * deterministic tiebreak — instead of the min-id convention. This is the
+    * curation half of dedup: "which copy do we train on". Scale shape: the
+    * closure is the already-keyed label propagation; survivor election is
+    * one row_number window on the (tiny) labeled subset; the token counts
+    * come from a broadcast-sized projection of only the labeled docs.
+    */
+  def qualitySurvivor(s: SparkSession, dir: String): DataFrame = {
+    val labels = DedupQueries.clusterLabels(s, dir)
+    val nTok = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"size($toks)").as("n_tokens"))
+    val w = Window.partitionBy("label")
+      .orderBy(desc("n_tokens"), asc("doc_id"))
+    labels.join(nTok, "doc_id")
+      .withColumn("pick", row_number().over(w))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("pick") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("pick") === 1, col("n_tokens"))).as("survivor_tokens"))
+      .orderBy("cluster_id")
+  }
+
+  private val qualitySurvivorSql =
+    s"""WITH RECURSIVE ${DedupQueries.clusterCompCtes},
+       |quality AS (
+       |  SELECT doc_id, CAST(len($dToks) AS INT) AS n_tokens FROM documents
+       |), picked AS (
+       |  SELECT comp.cluster_id, comp.doc_id, q.n_tokens,
+       |    row_number() OVER (PARTITION BY comp.cluster_id
+       |      ORDER BY q.n_tokens DESC, comp.doc_id ASC) AS pick
+       |  FROM comp JOIN quality q USING (doc_id))
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  max(CASE WHEN pick = 1 THEN doc_id END) AS survivor_id,
+       |  max(CASE WHEN pick = 1 THEN n_tokens END) AS survivor_tokens
+       |FROM picked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_quality_survivor", qualitySurvivor, Some(qualitySurvivorSql)),
     QueryDef("curation_chunking", chunking, Some(chunkingSql)),
     QueryDef("pipeline_curation_full", curationFull, Some(curationFullSql)),
     QueryDef("curation_domain_blocklist", domainBlocklist, Some(domainBlocklistSql)),

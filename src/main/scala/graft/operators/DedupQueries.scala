@@ -327,7 +327,22 @@ object DedupQueries extends QueryModule {
     * path graph fail loudly instead of looping forever. The oracle is the
     * same closure as a DuckDB recursive CTE over identical candidates.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // cluster size as a window over the converged labels: one shuffle on
+    // the label key, not an aggregate plus a join back
+    clusterLabels(s, dir)
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_survivor"))
+      .orderBy("doc_id")
+
+  /** Converged connected-component labels (doc_id, label) over the LSH
+    * candidate graph — the shared closure behind [[dedupClusters]] and the
+    * quality-based survivor selection in CurationQueries. Only docs that
+    * appear in at least one candidate pair carry a label, so every labeled
+    * component has ≥ 2 members by construction.
+    */
+  private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     // candidates only — skips minhashLsh's verify joins and global sort,
     // which the closure never looks at
     val pairs = lshCandidates(lshDocs(s, dir)).cache()
@@ -368,17 +383,15 @@ object DedupQueries extends QueryModule {
         rounds += 1
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // cluster size as a window over the converged labels: one shuffle on
-    // the label key, not an aggregate plus a join back
     labels
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
-      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("label")).as("is_survivor"))
-      .orderBy("doc_id")
   }
 
-  private val dedupClustersSql =
-    s"""WITH RECURSIVE $lshCandCtes,
+  /** Oracle CTE chain ending in `comp(doc_id, cluster_id)` — the recursive
+    * connected-components closure over the LSH candidates, shared with the
+    * quality-survivor oracle in CurationQueries.
+    */
+  private[operators] val clusterCompCtes =
+    s"""$lshCandCtes,
        |undirected AS (
        |  SELECT doc_a AS u, doc_b AS v FROM cand
        |  UNION ALL SELECT doc_b, doc_a FROM cand
@@ -388,11 +401,103 @@ object DedupQueries extends QueryModule {
        |  SELECT e.u, reach.r FROM undirected e JOIN reach ON e.v = reach.u
        |), comp AS (
        |  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
-       |)
+       |)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $clusterCompCtes
        |SELECT doc_id, cluster_id,
        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        |  doc_id = cluster_id AS is_survivor
        |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** Multi-pass sorted-neighborhood (sorted-fingerprint) near-dup
+    * detection: each pass ranks the corpus in the total order of
+    * (fingerprint key, doc_id) — near-identical docs share most shingles,
+    * hence usually their extreme ones, so they land adjacent — and compares
+    * each doc only against the next 3 in rank (exact shingle Jaccard
+    * ≥ 0.2). Two passes with independent keys (min shingle, max shingle),
+    * the classic multi-pass recall fix: a pair whose docs disagree on one
+    * key usually agrees on the other. O(n log n) sort + O(n·w) comparisons
+    * per pass; on the fixture the union recovers ALL brute-force pairs at
+    * J ≥ 0.9 (pinned in PropertySpec).
+    *
+    * Scale shape: the GLOBAL rank is computed without a single-partition
+    * window over the corpus — docs are bucketed by an order-preserving key
+    * prefix, ranked per-bucket (bucket-keyed shuffle), and offset by the
+    * cumulative counts of earlier buckets (a bucket-cardinality-sized frame,
+    * broadcast back). Neighbor pairing is an EQUI-join on rank (each doc
+    * probes rank+1..rank+3 via a 3-way explode) — no range join, no BNLJ;
+    * PlanSpec pins the join shape.
+    */
+  def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 4)
+      .withColumn("shingles", expr("word_shingles(tk, 4)"))
+      .select("doc_id", "shingles")
+    def pass(key: org.apache.spark.sql.Column): DataFrame = {
+      val keyed = docs.withColumn("nkey", key)
+      // order-preserving coarse bucket: ranks within bucket + cumulative
+      // offsets of earlier buckets == rank in the global (nkey, doc_id)
+      // order. The offsets window is single-partition ON THE BUCKET-COUNT
+      // FRAME only (cardinality ≤ |prefix alphabet|²), never on the corpus.
+      val bucketed = keyed.withColumn("bkt", substring(col("nkey"), 1, 2))
+      val offsets = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum("cnt").over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bkt", "off")
+      val ranked = bucketed.join(broadcast(offsets), "bkt")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("bkt").orderBy("nkey", "doc_id")) + col("off"))
+        .select("doc_id", "shingles", "rn")
+      val probes = ranked.select(col("doc_id").as("doc_l"), col("shingles").as("sh_l"),
+        explode(expr("array(rn + 1L, rn + 2L, rn + 3L)")).as("rn"))
+      probes.join(ranked, "rn")
+        .withColumn("jaccard", round(
+          expr("""CAST(size(array_intersect(sh_l, shingles)) AS DOUBLE) /
+                 |CAST(size(array_union(sh_l, shingles)) AS DOUBLE)""".stripMargin), 4))
+        .filter(col("jaccard") >= 0.2)
+        .select(least(col("doc_l"), col("doc_id")).as("doc_a"),
+          greatest(col("doc_l"), col("doc_id")).as("doc_b"), col("jaccard"))
+    }
+    // same pair found by both passes carries the same exact Jaccard, so a
+    // key-level distinct after the union is value-safe
+    pass(array_min(col("shingles"))).union(pass(array_max(col("shingles"))))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val sortedNeighborhoodSql = {
+    def passSql(key: String) =
+      s"""  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b,
+         |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4)
+         |      AS jaccard
+         |  FROM ordered_$key a JOIN ordered_$key b ON b.rn - a.rn BETWEEN 1 AND 3""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3]))) AS shingles
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4
+       |), ordered_min AS (
+       |  SELECT doc_id, shingles,
+       |    row_number() OVER (ORDER BY list_min(shingles), doc_id) AS rn
+       |  FROM sh
+       |), ordered_max AS (
+       |  SELECT doc_id, shingles,
+       |    row_number() OVER (ORDER BY list_max(shingles), doc_id) AS rn
+       |  FROM sh
+       |), pairs AS (
+       |${passSql("min")}
+       |  UNION
+       |${passSql("max")}
+       |)
+       |SELECT DISTINCT doc_a, doc_b, jaccard FROM pairs
+       |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Substring-level duplication (token granularity, à la "Deduplicating
     * Training Data Makes Language Models Better": duplicated SPANS inside
@@ -559,6 +664,7 @@ object DedupQueries extends QueryModule {
     QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),
     QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("dedup_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),

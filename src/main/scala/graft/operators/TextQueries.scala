@@ -422,8 +422,59 @@ object TextQueries extends QueryModule {
        |  avg_logprob < -3.45 AS is_low_likelihood
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM likelihood scoring — the order-2 extension of
+    * [[unigramLogprob]]: each document's mean ln P(w₂|w₁) under the
+    * corpus's own bigram counts with add-½ smoothing over the observed
+    * follower vocabulary (P = (c(w₁w₂)+½) / (c(w₁·)+½·V)). Smoothing keeps
+    * the model proper (every logprob < 0) and the query total. Scale
+    * shape: the bigram explode is per-row; counts are one bigram-keyed and
+    * one unigram-keyed shuffle; the join back is 1:1 per bigram instance
+    * (skewed keys fan out rows, never pairs — AQE's skew split applies);
+    * V is a broadcast scalar.
+    */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c12"))
+    val ugCounts = bg.groupBy("w1").agg(count(lit(1)).cast("double").as("c1"))
+    val vocab = bg.agg(countDistinct("w2").cast("double").as("v"))
+    bg.join(bgCounts, Seq("w1", "w2"))
+      .join(ugCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))), 4)
+          .as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramLogprobSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $dToks AS tk FROM documents
+       |), bg AS (
+       |  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |        FROM tk WHERE len(tk) >= 2)
+       |), bgc AS (
+       |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2
+       |), ugc AS (
+       |  SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1
+       |), vocab AS (
+       |  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS mean_logprob
+       |FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1) CROSS JOIN vocab
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
+    QueryDef("text_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
     QueryDef("text_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     QueryDef("text_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("text_quality_flags", qualityFlags, Some(qualityFlagsSql)),

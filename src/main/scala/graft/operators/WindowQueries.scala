@@ -283,7 +283,97 @@ object WindowQueries extends QueryModule {
       |    AS avg_hours_to_purchase
       |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
 
+  /** Batch sessionization (gaps-and-islands): a new session starts when a
+    * user's inter-event gap exceeds 30 minutes — the same 30-minute rule the
+    * streaming sessionization queries apply incrementally, expressed as the
+    * classic batch idiom (lag → new-session flag → running sum → rollup).
+    * SessionizeSpec pins batch/stream parity on the session count. Scale
+    * shape: everything is windows + aggregation over ONE user-keyed
+    * shuffle; session numbering is per-user, so no global coordination.
+    */
+  def sessionizeGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("sess_seq",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy("user_id", "sess_seq")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .orderBy("user_id", "sess_seq")
+  }
+
+  private val sessionizeGapsSql =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sess_seq
+      |  FROM g)
+      |SELECT user_id, sess_seq,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 4) AS total_value
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** EWMA smoothing (α = 0.5) of per-user daily event counts — the trend
+    * feature behind activity scoring. The recurrence
+    * `ewma_t = α·x_t + (1−α)·ewma_{t−1}` (seeded at x_1) is re-expressed as
+    * one running sum: with α = ½ every weight is a power of two, so
+    * `z_i = x_i · 2^(i−1)` (and 2·x_1 for the seed) is an EXACT integer-
+    * valued double, the running sum is exact regardless of summation
+    * order, and the final `· 2^(−t)` is an exact scaling — the query is
+    * bit-identical across engines, not merely round-close. (A general α
+    * would make z grow as (1−α)^(−i); with ≤31 days/user and counts ≤10³
+    * the α = ½ terms stay ≤ 2^40, far under the 2^53 exact-double bound.)
+    * Scale shape: one user-keyed shuffle; both windows share it.
+    */
+  def ewmaDaily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("zv",
+        col("n_events").cast("double") *
+          pow(lit(2d), when(col("t") === 1, 1).otherwise(col("t") - 1)))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"),
+        round(sum("zv").over(w.rowsBetween(Window.unboundedPreceding, 0)) *
+          pow(lit(2d), -col("t")), 6).as("ewma"))
+      .orderBy("user_id", "day")
+  }
+
+  private val ewmaDailySql =
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), rn AS (
+      |  SELECT user_id, day, n_events,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS t
+      |  FROM d
+      |), z AS (
+      |  SELECT *, CAST(n_events AS DOUBLE)
+      |    * pow(2, CASE WHEN t = 1 THEN 1 ELSE t - 1 END) AS zv
+      |  FROM rn)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+      |  round(sum(zv) OVER (PARTITION BY user_id ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * pow(2, -t), 6) AS ewma
+      |FROM z ORDER BY user_id, day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_sessionize_gaps", sessionizeGaps, Some(sessionizeGapsSql)),
+    QueryDef("win_ewma_daily", ewmaDaily, Some(ewmaDailySql)),
     QueryDef("win_gap_fill_locf", gapFill, Some(gapFillSql)),
     QueryDef("win_funnel_stages", funnelStages, Some(funnelStagesSql)),
     QueryDef("win_cume_nth", cumeNth, Some(cumeNthSql)),

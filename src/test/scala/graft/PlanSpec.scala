@@ -149,4 +149,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("sorted neighborhood: rank pairing is an equi join, offsets broadcast") {
+    // the window-3 neighbor probe must plan as a hash join on the rank key
+    // (explode of rn+1..rn+3), never a range/BNL join; the bucket-offset
+    // frame joins in as a broadcast
+    val p = plan("dedup_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

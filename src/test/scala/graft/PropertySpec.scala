@@ -229,4 +229,117 @@ class PropertySpec extends SparkSuite {
     }
     assert(rows.exists(_.getBoolean(3)), "low-likelihood tail must be non-empty")
   }
+
+  test("text_bigram_logprob: proper smoothed model, one bigram per adjacency") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = operators.TextQueries.bigramLogprob(spark, dir).collect()
+    // every >=2-token doc is scored, logprobs are strictly negative
+    // (smoothing: (c12+1/2)/(c1+V/2) < 1 whenever V > 1)
+    val nDocs = Tables.documents(spark, dir)
+      .filter(size(expr("array_remove(split(text, ' ', -1), '')")) >= 2).count()
+    assert(rows.length == nDocs)
+    val tokCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(expr("array_remove(split(text, ' ', -1), '')")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0)
+      assert(r.getLong(1) == tokCounts(r.getLong(0)) - 1L, s"doc ${r.getLong(0)} bigram count")
+    }
+  }
+
+  test("win_sessionize_gaps: sessions partition the event log at 30-minute gaps") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = operators.WindowQueries.sessionizeGaps(spark, dir).collect()
+    val nEvents = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(3)).sum == nEvents, "every event is in exactly one session")
+    // session seqs are 1..k contiguous per user
+    rows.groupBy(_.getLong(0)).foreach { case (u, ss) =>
+      assert(ss.map(_.getInt(1)).sorted.toSeq == (1 to ss.length), s"user $u session seq")
+    }
+    // batch/stream parity: the same 30-minute rule drives the streaming
+    // session-window queries, so the session count must agree with the
+    // oracle-pinned streaming row count basis (one row per session)
+    assert(rows.length.toLong ==
+      streaming.StreamingQueries.sessions(spark, dir).count())
+  }
+
+  test("win_ewma_daily: output satisfies the EWMA recurrence bit-exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = operators.WindowQueries.ewmaDaily(spark, dir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (u, days) =>
+      val ordered = days.sortBy(_.getString(1))
+      var prev = Double.NaN
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val x = r.getLong(2).toDouble
+        val e = r.getDouble(3)
+        // alpha = 1/2 makes every term a dyadic rational: the recurrence
+        // must hold EXACTLY after the declared 6-dp HALF_UP output rounding
+        // (dyadic values can sit precisely on the .5 rounding boundary, so
+        // compare rounded-to-rounded, not with an epsilon)
+        val want = if (i == 0) x else 0.5 * x + 0.5 * prev
+        val wantRounded = BigDecimal(want)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(e == wantRounded, s"user $u day ${r.getString(1)}: $e vs $wantRounded")
+        prev = want
+      }
+    }
+  }
+
+  test("dedup_sorted_neighborhood: subset of brute-force pairs, values exact") {
+    val dir = "/root/testdata/sf0.01"
+    val got = operators.DedupQueries.sortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty, "fixture contains near-dups the neighborhood must find")
+    // brute-force all-pairs shingle Jaccard (reference model, corpus is small here)
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .withColumn("tk", expr("array_remove(split(text, ' ', -1), '')"))
+      .filter(size(col("tk")) >= 4)
+      .select(col("doc_id"), expr("word_shingles(tk, 4)").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if math.round(j * 1e4) / 1e4 >= 0.2
+    } yield (a, b) -> math.round(j * 1e4) / 1e4).toMap
+    got.foreach { case (pair, j) =>
+      assert(brute.get(pair).contains(j), s"pair $pair jaccard $j not in brute-force set")
+    }
+    // window-3 over the min-shingle order recovers the high-sim pairs: every
+    // brute-force pair at J >= 0.9 (true near-dups) is found
+    brute.filter(_._2 >= 0.9).keys.foreach { p =>
+      assert(got.contains(p), s"true near-dup $p missed by the neighborhood")
+    }
+  }
+
+  test("curation_quality_survivor: survivor is the argmax-quality cluster member") {
+    val dir = "/root/testdata/sf0.01"
+    val clusters = operators.DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(expr("array_remove(split(text, ' ', -1), '')")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    val rows = operators.CurationQueries.qualitySurvivor(spark, dir).collect()
+    assert(rows.length == byCluster.size)
+    rows.foreach { r =>
+      val (cid, n, survivor, survTok) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      val members = byCluster(cid).map(_._1)
+      assert(n == members.length)
+      val want = members.minBy(d => (-nTok(d), d))
+      assert(survivor == want, s"cluster $cid: $survivor is not the max-quality member")
+      assert(survTok == nTok(survivor))
+      assert(members.forall(d => nTok(d) <= survTok))
+    }
+  }
+
+  test("agg_approx_percentile: sketch estimates land inside the rank windows") {
+    val rows = operators.AggQueries.approxPercentileBounds(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(2, 4, 6, 8).foreach { i =>
+        assert(r.getBoolean(i), s"flag ${r.getString(0)} quantile col $i out of rank window")
+      }
+    }
+  }
 }
