@@ -253,7 +253,61 @@ object MiscQueries extends QueryModule {
       |  SELECT * FROM pos_outer UNION ALL SELECT * FROM inl UNION ALL SELECT * FROM stk)
       |ORDER BY doc_id, gen, pos NULLS FIRST, value NULLS FIRST""".stripMargin
 
+  /** MERGE / upsert semantics without a table format: base ⟗ updates on
+    * the key, COALESCE picks the update when present, and the action
+    * column classifies each output row (update / insert / keep) — the
+    * composed form of `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+    * THEN INSERT`. Base = orders outside the update keyspace ∪ a
+    * deterministic "stale" slice; updates = every 5th order re-priced.
+    * Scale shape: ONE key-partitioned shuffle for the full-outer join
+    * (broadcast if the update side is small; here both sides shuffle —
+    * the general case); the rollup keeps the declared output bounded.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val base = orders.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val updates = orders.filter(col("o_orderkey") % 5 === 0)
+      // +100 instead of a multiplicative bump: scaling 2-dp prices lands
+      // on .xx5 rounding boundaries where the engines' double rounding
+      // disagrees row-by-row; an exact additive re-price keeps the merged
+      // values bit-identical on both sides
+      .select(col("o_orderkey"), lit("X").as("u_status"),
+        (col("o_totalprice") + 100.0).as("u_price"))
+    base.join(updates, Seq("o_orderkey"), "full_outer")
+      .withColumn("action",
+        when(col("u_status").isNotNull && col("status").isNotNull, "update")
+          .when(col("status").isNull, "insert")
+          .otherwise("keep"))
+      .select(col("o_orderkey"),
+        coalesce(col("u_status"), col("status")).as("status"),
+        coalesce(col("u_price"), col("price")).as("price"),
+        col("action"))
+      .groupBy("status", "action")
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total_price"))
+      .orderBy("status", "action")
+  }
+
+  private val mergeUpsertSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 10 <> 3
+      |), updates AS (
+      |  SELECT o_orderkey, 'X' AS u_status, o_totalprice + 100.0 AS u_price
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |), merged AS (
+      |  SELECT coalesce(u_status, status) AS status,
+      |    coalesce(u_price, price) AS price,
+      |    CASE WHEN u_status IS NOT NULL AND status IS NOT NULL THEN 'update'
+      |         WHEN status IS NULL THEN 'insert' ELSE 'keep' END AS action
+      |  FROM base FULL OUTER JOIN updates USING (o_orderkey))
+      |SELECT status, action, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(price), 2) AS total_price
+      |FROM merged GROUP BY 1, 2 ORDER BY status, action""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("misc_generator_funcs", generatorFuncs, Some(generatorFuncsSql)),
     QueryDef("misc_salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("misc_struct_funcs", structFuncs, Some(structFuncsSql)),

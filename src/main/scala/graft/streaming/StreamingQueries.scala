@@ -262,6 +262,52 @@ object StreamingQueries extends QueryModule {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** Stream-static LEFT ANTI join — the streaming blocklist pass: events
+    * whose user is on a (static, broadcast) blocklist never reach the
+    * aggregation. The anti join runs per micro-batch against the static
+    * side, so blocklist updates between restarts take effect without
+    * state migration; no join state accumulates.
+    */
+  def streamStaticAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("user_id"))
+    val kept = RecordStream.eventsStream(s, dir)
+      .join(broadcast(blocked), Seq("user_id"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    RecordStream.runToMemory(s, kept, "stream_static_anti_sink", "complete")
+      .orderBy("event_type")
+  }
+
+  private val streamStaticAntiJoinSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS total_value
+      |FROM events WHERE user_id NOT IN (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Multi-source topology: two INDEPENDENT file-stream scans of the same
+    * events (disjoint user halves) unioned into one aggregation — each
+    * source keeps its own offsets in the checkpoint, the union is
+    * partition-wise free (no shuffle), and the per-type rollup shuffles
+    * once. The shape behind "merge N regional streams into one metric".
+    */
+  def streamUnion(s: SparkSession, dir: String): DataFrame = {
+    val a = RecordStream.eventsStream(s, dir).filter(col("user_id") % 2 === 0)
+    val b = RecordStream.eventsStream(s, dir).filter(col("user_id") % 2 =!= 0)
+    val unioned = a.unionByName(b)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    RecordStream.runToMemory(s, unioned, "stream_union_sink", "complete")
+      .orderBy("event_type")
+  }
+
+  private val streamUnionSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Custom per-key state with mapGroupsWithState [REF A7/A10]: running
     * per-user counters, the rebuilt form of the reference's per-shard
     * processor state.
@@ -650,6 +696,8 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_dedup_within_watermark", dedupWithinWatermark,
       Some(dedupWithinWatermarkSql)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
+    QueryDef("stream_static_anti_join", streamStaticAntiJoin, Some(streamStaticAntiJoinSql)),
+    QueryDef("stream_union", streamUnion, Some(streamUnionSql)),
     QueryDef("stream_stateful_user_stats", statefulUserStats, Some(statefulUserStatsSql)),
     QueryDef("stream_tws_user_type_stats", twsUserTypeStats, Some(twsUserTypeStatsSql)),
     QueryDef("stream_payload_pipeline", payloadPipeline, Some(payloadPipelineSql))

@@ -333,6 +333,33 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("misc_merge_upsert: actions partition the merged keyspace") {
+    val rows = operators.MiscQueries.mergeUpsert(spark, Sf).collect()
+    val orders = Tables.orders(spark, Sf).select("o_orderkey").collect().map(_.getLong(0))
+    val baseKeys = orders.filter(_ % 10 != 3).toSet
+    val updKeys = orders.filter(_ % 5 == 0).toSet
+    def total(action: String) = rows.filter(_.getString(1) == action).map(_.getLong(2)).sum
+    assert(total("update") == (baseKeys & updKeys).size)
+    assert(total("insert") == (updKeys -- baseKeys).size)
+    assert(total("keep") == (baseKeys -- updKeys).size)
+    // every inserted/updated row carries the update status
+    assert(rows.filter(r => r.getString(1) != "keep").forall(_.getString(0) == "X"))
+  }
+
+  test("stream_static_anti_join and stream_union agree with their batch twins") {
+    val ev = Tables.events(spark, Sf)
+    val anti = streaming.StreamingQueries.streamStaticAntiJoin(spark, Sf).collect()
+    val blocked = Tables.customer(spark, Sf)
+      .filter(col("c_custkey") % 7 === 0).collect().map(_.getLong(0)).toSet
+    val wantAnti = ev.collect()
+      .filterNot(r => blocked(r.getLong(2)))
+      .groupBy(_.getString(3)).view.mapValues(_.length.toLong).toMap
+    assert(anti.map(r => r.getString(0) -> r.getLong(1)).toMap == wantAnti)
+    val uni = streaming.StreamingQueries.streamUnion(spark, Sf).collect()
+    val wantUni = ev.collect().groupBy(_.getString(3)).view.mapValues(_.length.toLong).toMap
+    assert(uni.map(r => r.getString(0) -> r.getLong(1)).toMap == wantUni)
+  }
+
   test("agg_approx_percentile: sketch estimates land inside the rank windows") {
     val rows = operators.AggQueries.approxPercentileBounds(spark, Sf).collect()
     assert(rows.nonEmpty)
