@@ -308,6 +308,63 @@ object StreamingQueries extends QueryModule {
       |  round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** foreachBatch incremental MERGE — the CDC-apply pattern: each
+    * micro-batch's per-user deltas are merged (full-outer + coalesced
+    * sums) into a versioned parquet target, `v{batchId}` derived from
+    * `v{batchId-1}` — version-per-batch makes the apply IDEMPOTENT under
+    * batch replay (a retried batch rewrites the same version rather than
+    * double-counting, the exactly-once recipe foreachBatch requires of its
+    * sink). Final answer = the latest version. Three batches exercise the
+    * merge (fixture file, then two sentinel files); sentinel rows carry
+    * user_id = −1 and are excluded from the declared output.
+    */
+  def foreachBatchMerge(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val target = Files.createTempDirectory("graft_fb_merge_").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", RecordStream.StreamShufflePartitions)
+    try {
+      val q = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val delta = batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+          val merged = if (id == 0) delta
+          else {
+            val base = s.read.parquet(s"$target/v${id - 1}")
+              .withColumnRenamed("n_events", "b_n").withColumnRenamed("total_value", "b_t")
+            base.join(delta, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("b_n"), lit(0L)) + coalesce(col("n_events"), lit(0L)))
+                  .as("n_events"),
+                (coalesce(col("b_t"), lit(0d)) + coalesce(col("total_value"), lit(0d)))
+                  .as("total_value"))
+          }
+          merged.write.mode("overwrite").parquet(s"$target/v$id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally { q.stop(); q.awaitTermination(20000) }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val lastV = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(target)).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    }
+    s.read.parquet(s"$target/v$lastV")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  private val foreachBatchMergeSql =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Custom per-key state with mapGroupsWithState [REF A7/A10]: running
     * per-user counters, the rebuilt form of the reference's per-shard
     * processor state.
@@ -698,6 +755,7 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("stream_static_anti_join", streamStaticAntiJoin, Some(streamStaticAntiJoinSql)),
     QueryDef("stream_union", streamUnion, Some(streamUnionSql)),
+    QueryDef("stream_foreachbatch_merge", foreachBatchMerge, Some(foreachBatchMergeSql)),
     QueryDef("stream_stateful_user_stats", statefulUserStats, Some(statefulUserStatsSql)),
     QueryDef("stream_tws_user_type_stats", twsUserTypeStats, Some(twsUserTypeStatsSql)),
     QueryDef("stream_payload_pipeline", payloadPipeline, Some(payloadPipelineSql))

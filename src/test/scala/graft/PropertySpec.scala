@@ -360,6 +360,14 @@ class PropertySpec extends SparkSuite {
     assert(uni.map(r => r.getString(0) -> r.getLong(1)).toMap == wantUni)
   }
 
+  test("stream_foreachbatch_merge: three-batch merge reconstructs the batch aggregate") {
+    val merged = streaming.StreamingQueries.foreachBatchMerge(spark, Sf).collect()
+    val ev = Tables.events(spark, Sf).collect()
+    assert(merged.map(_.getLong(1)).sum == ev.length, "every event merged exactly once")
+    val wantUsers = ev.map(_.getLong(2)).distinct.sorted
+    assert(merged.map(_.getLong(0)).toSeq == wantUsers.toSeq, "one merged row per user")
+  }
+
   test("agg_approx_percentile: sketch estimates land inside the rank windows") {
     val rows = operators.AggQueries.approxPercentileBounds(spark, Sf).collect()
     assert(rows.nonEmpty)
