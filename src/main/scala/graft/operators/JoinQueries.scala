@@ -244,6 +244,47 @@ object JoinQueries extends QueryModule {
       |  ON user_id = o_custkey AND o_orderdate <= ts
       |GROUP BY event_id, user_id ORDER BY event_id""".stripMargin
 
+  /** As-of join, forward and NEAREST directions (completing the family —
+    * [[asofLastOrder]] is the backward form): per event, the next order
+    * date strictly after the event and the nearest of the two candidates
+    * (ties to the earlier). Same scale shape as backward: the per-key
+    * sorted date array is built once (grouped dim), the probe never
+    * expands, and the direction logic is a per-row array scan.
+    */
+  def asofNearestOrder(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val od = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderdate"))).as("dates"))
+    e.join(od, col("user_id") === col("o_custkey"), "left")
+      .withColumn("bwd", expr("array_max(filter(dates, d -> d <= ts))"))
+      .withColumn("fwd", expr("array_min(filter(dates, d -> d > ts))"))
+      .withColumn("nearest", expr(
+        """CASE WHEN bwd IS NULL THEN fwd WHEN fwd IS NULL THEN bwd
+          |  WHEN unix_micros(ts) - unix_micros(CAST(bwd AS TIMESTAMP))
+          |    <= unix_micros(CAST(fwd AS TIMESTAMP)) - unix_micros(ts) THEN bwd
+          |  ELSE fwd END""".stripMargin))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("fwd"), "yyyy-MM-dd").as("next_order_date"),
+        date_format(col("nearest"), "yyyy-MM-dd").as("nearest_order_date"))
+      .orderBy("event_id")
+  }
+
+  private val asofNearestOrderSql =
+    """WITH agg AS (
+      |  SELECT event_id, user_id, ts,
+      |    max(CASE WHEN o_orderdate <= ts THEN o_orderdate END) AS bwd,
+      |    min(CASE WHEN o_orderdate > ts THEN o_orderdate END) AS fwd
+      |  FROM events LEFT JOIN orders ON user_id = o_custkey
+      |  GROUP BY event_id, user_id, ts)
+      |SELECT event_id, user_id,
+      |  strftime(fwd, '%Y-%m-%d') AS next_order_date,
+      |  strftime(CASE WHEN bwd IS NULL THEN fwd WHEN fwd IS NULL THEN bwd
+      |    WHEN epoch_us(ts) - epoch_us(CAST(bwd AS TIMESTAMP))
+      |      <= epoch_us(CAST(fwd AS TIMESTAMP)) - epoch_us(ts) THEN bwd
+      |    ELSE fwd END, '%Y-%m-%d') AS nearest_order_date
+      |FROM agg ORDER BY event_id""".stripMargin
+
   /** Self join: pairs of orders by the same customer placed within 30 days. */
   def selfJoinOrderPairs(s: SparkSession, dir: String): DataFrame = {
     val o1 = Tables.orders(s, dir).select(
@@ -281,6 +322,7 @@ object JoinQueries extends QueryModule {
     // binned rewrite must reproduce the band join exactly (parity oracle)
     QueryDef("join_binned_band_acctbal", binnedBandAcctbal, Some(thetaBandAcctbalSql)),
     QueryDef("join_asof_last_order", asofLastOrder, Some(asofLastOrderSql)),
+    QueryDef("join_asof_nearest", asofNearestOrder, Some(asofNearestOrderSql)),
     QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql))
   )
 }
