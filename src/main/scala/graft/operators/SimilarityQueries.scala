@@ -203,6 +203,66 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** ANN quality evaluation as a query: recall@3 of the hyperplane-LSH
+    * index against the brute-force ground truth, per query vector — the
+    * eval loop every production ANN deployment runs on a held-out slice.
+    * Reuses [[bruteTopK]] / [[lshTopK]] unchanged (ground truth and
+    * candidate index are the SAME plans the declared queries run) and
+    * joins their top-3 sets on (query, candidate); a left join keeps
+    * zero-hit queries visible. Fixture recall is high but not perfect —
+    * the metric is non-degenerate.
+    */
+  def recallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = bruteTopK(s, dir).filter(col("rn") <= 3).select(col("q_id"), col("c_id"))
+    val approx = lshTopK(s, dir).select(col("q_id"), col("c_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits") / 3.0, 4).as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  private val recallEvalSql = {
+    val cosB = cosineSqlDuck.replace("QA", "q.embedding").replace("QB", "c.embedding")
+    val cosL = cosineSqlDuck.replace("QA", "p.q_emb").replace("QB", "c.embedding")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosB AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |), truth AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 3
+       |), bucketed AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(0, 4), p ->
+       |      CASE WHEN list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
+       |        pr -> CAST(pr[1] AS DOUBLE) *
+       |          (CASE WHEN (instr('0123456789abcdef',
+       |             substr(md5(concat_ws(':', p, pr[2])), 1, 1)) - 1) % 2 = 0
+       |           THEN 1 ELSE -1 END))) > 0
+       |      THEN (1 << CAST(p AS INT)) ELSE 0 END)) AS INT) AS bucket
+       |  FROM embeddings
+       |), probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+       |  FROM bucketed WHERE vec_id < 10
+       |), approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT p.q_id, c.vec_id AS c_id, $cosL AS cos,
+       |      row_number() OVER (PARTITION BY p.q_id ORDER BY $cosL DESC, c.vec_id ASC) AS rn
+       |    FROM probes p JOIN bucketed c ON c.bucket = p.probe AND c.vec_id <> p.q_id)
+       |  WHERE rn <= 3
+       |)
+       |SELECT t.q_id,
+       |  CAST(count(a.c_id) AS BIGINT) AS n_hits,
+       |  round(count(a.c_id) / 3.0, 4) AS recall_at_3
+       |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.c_id = a.c_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+  }
+
   /** Int8 scalar quantization — the 4× storage/bandwidth reduction step a
     * 100 TB vector corpus runs before indexing. Symmetric per-vector scale
     * (max|x|/127), round-half-up to match both engines, then measure the
@@ -323,6 +383,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("sim_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
+    QueryDef("sim_recall_eval", recallEval, Some(recallEvalSql)),
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
     QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     QueryDef("sim_label_centroids", centroids, Some(centroidsSql))

@@ -371,7 +371,34 @@ object WindowQueries extends QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * pow(2, -t), 6) AS ewma
       |FROM z ORDER BY user_id, day""".stripMargin
 
+  /** An exact AGGREGATE as a window function: trailing 10-shipment median
+    * quantity per supplier — the robust (outlier-proof) trend feature the
+    * sliding mean can't give. The frame is row-bounded, so per-row state
+    * is O(10) regardless of history length; one supplier-keyed shuffle.
+    * The median runs over integer-valued quantities so even-frame
+    * midpoints are exact dyadics — a median of 2-dp prices differs
+    * between engines at the last ulp of the interpolation and flips
+    * rounding boundaries.
+    */
+  def medianTrailing(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(-9, 0)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(expr("percentile(l_quantity, 0.5)").over(w), 2).as("trailing_median_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val medianTrailingSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(quantile_cont(l_quantity, 0.5) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 2) AS trailing_median_qty
+      |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_median_trailing", medianTrailing, Some(medianTrailingSql)),
     QueryDef("win_sessionize_gaps", sessionizeGaps, Some(sessionizeGapsSql)),
     QueryDef("win_ewma_daily", ewmaDaily, Some(ewmaDailySql)),
     QueryDef("win_gap_fill_locf", gapFill, Some(gapFillSql)),

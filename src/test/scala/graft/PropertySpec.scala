@@ -368,6 +368,17 @@ class PropertySpec extends SparkSuite {
     assert(merged.map(_.getLong(0)).toSeq == wantUsers.toSeq, "one merged row per user")
   }
 
+  test("sim_recall_eval: one row per query, hits bounded by k, non-degenerate") {
+    val rows = operators.SimilarityQueries.recallEval(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val (hits, recall) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 3)
+      assert(math.abs(recall - hits / 3.0) < 1e-3)
+    }
+    assert(rows.map(_.getLong(1)).sum > 0, "LSH must recall something")
+  }
+
   test("agg_approx_percentile: sketch estimates land inside the rank windows") {
     val rows = operators.AggQueries.approxPercentileBounds(spark, Sf).collect()
     assert(rows.nonEmpty)
