@@ -640,6 +640,41 @@ object StreamingQueries extends QueryModule {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** LEFT SEMI stream-stream join — existence without multiplicity:
+    * purchases that had ≥1 click in the prior hour emit EXACTLY ONCE, as
+    * soon as the first match arrives, and the matched left row's state
+    * can drop immediately (the engine needs no match count) — cheaper
+    * state than inner for the "did X happen before Y" question. Same
+    * staging/watermark/shuffle treatment as the sibling joins.
+    */
+  def streamStreamSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val purchases = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "1 minute")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "1 minute")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_semi")
+    RecordStream.runToMemory(s, joined.select(col("p_id"), col("p_user")),
+        "stream_ss_semi_sink", "append", shufflePartitions = "4") // see streamStreamJoin
+      .filter(col("p_id") >= 0) // drop watermark-sentinel self-matches
+      .orderBy("p_id")
+  }
+
+  private val streamStreamSemiJoinSql =
+    """SELECT p.event_id AS p_id, p.user_id AS p_user
+      |FROM events p SEMI JOIN events c
+      |  ON p.user_id = c.user_id AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p_id""".stripMargin
+
   /** LEFT OUTER stream-stream join: purchases with no click in the prior
     * hour must still emit (with nulls) — but only once the watermark
     * proves no match can arrive. The sentinel micro-batches advance the
@@ -743,6 +778,7 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_available_now", availableNowBackfill, Some(availableNowBackfillSql)),
     QueryDef("stream_stream_left_join", streamStreamLeftJoin, Some(streamStreamLeftJoinSql)),
     QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    QueryDef("stream_stream_semi_join", streamStreamSemiJoin, Some(streamStreamSemiJoinSql)),
     QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
     // same closure contract, state-v2 realization → same batch oracle
     QueryDef("stream_tws_sessions", twsSessions, Some(statefulSessionsSql)),
