@@ -291,9 +291,16 @@ object WindowQueries extends QueryModule {
     * shape: everything is windows + aggregation over ONE user-keyed
     * shuffle; session numbering is per-user, so no global coordination.
     */
-  def sessionizeGaps(s: SparkSession, dir: String): DataFrame = {
+  def sessionizeGaps(s: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(Tables.events(s, dir))
+
+  /** Core of [[sessionizeGaps]] over any (user_id, ts, value) frame —
+    * separated so PropertySpec can drive it with generated event streams
+    * against a Scala fold model, not just the fixture.
+    */
+  private[graft] def sessionizeEvents(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts")
-    Tables.events(s, dir)
+    events
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
@@ -337,9 +344,15 @@ object WindowQueries extends QueryModule {
     * the α = ½ terms stay ≤ 2^40, far under the 2^53 exact-double bound.)
     * Scale shape: one user-keyed shuffle; both windows share it.
     */
-  def ewmaDaily(s: SparkSession, dir: String): DataFrame = {
+  def ewmaDaily(s: SparkSession, dir: String): DataFrame =
+    ewmaOfEvents(Tables.events(s, dir))
+
+  /** Core of [[ewmaDaily]] over any (user_id, ts) frame — separated so
+    * PropertySpec can check the recurrence on generated series.
+    */
+  private[graft] def ewmaOfEvents(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day")
-    Tables.events(s, dir)
+    events
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("t", row_number().over(w))

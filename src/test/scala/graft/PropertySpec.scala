@@ -333,6 +333,54 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("sessionize law: matches the Scala fold model on generated event streams") {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    // per-user event offsets in seconds over a ~3-day span: dense enough
+    // for multi-event sessions, sparse enough for many gaps
+    val offsets = Gen.listOfN(40, Gen.chooseNum(0L, 260000L))
+    forAll(Gen.listOfN(4, offsets), n = 6) { users =>
+      val rows = users.zipWithIndex.flatMap { case (offs, u) =>
+        offs.map(o => (u.toLong, new java.sql.Timestamp(1700000000000L + o * 1000), 1.0))
+      }
+      val df = rows.toDF("user_id", "ts", "value")
+      val got = operators.WindowQueries.sessionizeEvents(df).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+      // reference model: sort each user's times, fold with the 30-min rule
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        val times = rs.map(_._2.getTime).sorted
+        val sizes = times.foldLeft(List.empty[(Long, Int)]) { (acc, t) =>
+          acc match {
+            case (last, n) :: tail if (t - last) * 1000 <= gapUs => (t, n + 1) :: tail
+            case _ => (t, 1) :: acc
+          }
+        }.reverse.map(_._2)
+        sizes.zipWithIndex.map { case (n, i) => (u, i + 1, n.toLong) }
+      }
+      assert(got.sorted.toSeq == want.sorted)
+    }
+  }
+
+  test("ewma law: recurrence holds on generated daily series") {
+    import spark.implicits._
+    val dayCounts = Gen.listOfN(25, Gen.chooseNum(1, 500))
+    forAll(dayCounts, n = 6) { counts =>
+      // one user, counts(i) events on day i — drive the full query path
+      val rows = counts.zipWithIndex.flatMap { case (c, day) =>
+        (0 until c).map(_ => (7L, new java.sql.Timestamp(1700000000000L + day * 86400000L), 0.0))
+      }
+      val got = operators.WindowQueries.ewmaOfEvents(rows.toDF("user_id", "ts", "value"))
+        .collect().sortBy(_.getString(1)).map(r => (r.getLong(2), r.getDouble(3)))
+      assert(got.map(_._1).toSeq == counts.map(_.toLong))
+      var model = Double.NaN
+      got.zipWithIndex.foreach { case ((x, e), i) =>
+        model = if (i == 0) x.toDouble else 0.5 * x + 0.5 * model
+        val rounded = BigDecimal(model).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(e == rounded, s"day $i: $e vs $rounded")
+      }
+    }
+  }
+
   test("misc_merge_upsert: actions partition the merged keyspace") {
     val rows = operators.MiscQueries.mergeUpsert(spark, Sf).collect()
     val orders = Tables.orders(spark, Sf).select("o_orderkey").collect().map(_.getLong(0))
