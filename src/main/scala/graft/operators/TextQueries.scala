@@ -472,7 +472,50 @@ object TextQueries extends QueryModule {
        |FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1) CROSS JOIN vocab
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The "dataset card" report: one corpus-statistics row per language
+    * plus a ROLLUP total — doc counts, token totals and percentiles,
+    * short-doc share, exact-dup rate, distinct sources — the summary table
+    * published next to a training corpus. One pass computes every per-doc
+    * signal in a single codegen'd projection; the rollup is one grouped
+    * aggregation (map-side combined) over 4 language groups.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tk_n", expr(s"size($toks)"))
+      .withColumn("content_hash",
+        sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"), 256))
+      .rollup(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tk_n").as("total_tokens"),
+        round(expr("percentile(tk_n, 0.5)"), 2).as("p50_tokens"),
+        round(avg(when(col("tk_n") < 10, 1.0).otherwise(0.0)), 4).as("short_share"),
+        round(lit(1d) - countDistinct("content_hash").cast("double") / count(lit(1)), 4)
+          .as("exact_dup_rate"),
+        countDistinct("source").as("n_sources"))
+      .withColumn("lang", coalesce(col("lang"), lit("TOTAL")))
+      .select("lang", "n_docs", "total_tokens", "p50_tokens", "short_share",
+        "exact_dup_rate", "n_sources")
+      .orderBy("lang")
+
+  private val datasetCardSql =
+    s"""WITH d AS (
+       |  SELECT lang, source,
+       |    CAST(len($dToks) AS INT) AS tk_n,
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+       |  FROM documents)
+       |SELECT coalesce(lang, 'TOTAL') AS lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tk_n) AS BIGINT) AS total_tokens,
+       |  round(quantile_cont(tk_n, 0.5), 2) AS p50_tokens,
+       |  round(avg(CASE WHEN tk_n < 10 THEN 1.0 ELSE 0.0 END), 4) AS short_share,
+       |  round(1 - CAST(count(DISTINCT content_hash) AS DOUBLE) / count(*), 4)
+       |    AS exact_dup_rate,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM d GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("text_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
     QueryDef("text_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
