@@ -94,19 +94,52 @@ object Bench {
         d.name -> (if (again >= 0) math.min(sec, again) else sec)
       } else d.name -> sec
     }
-    def jsonMap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def jsonMap(m: Iterable[(String, Double)], dp: Int): String =
+      m.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+        .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"queries_raw":${jsonMap(raw)},"sf":"$sfDir","stream_events_per_sec":$streamRate%.0f}"""
+    val (worstName, worstSec) =
+      if (results.isEmpty) ("", 0.0) else results.maxBy(_._2)
+
+    // Full per-query detail — too big for the driver's log tail (the
+    // harness keeps only the last ~2000 chars of stdout, and 148 queries
+    // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
+    // (committed with the round) and target/bench.json (back-compat).
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","stream_events_per_sec":$streamRate%.0f}"""
+    for (p <- Seq("target/bench.json", "BENCH_FULL.json")) {
+      try {
+        val path = java.nio.file.Paths.get(p)
+        if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
+        java.nio.file.Files.write(path, detail.getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
+
+    // The stdout contract line itself must fit the tail budget, so it
+    // carries the totals plus a representative headline subset; trim from
+    // the end if a rename ever pushes it past the budget. Per-query data
+    // for everything else lives in BENCH_FULL.json (pointer included).
+    val headline = Seq(
+      "q01_pricing_summary", "join_revenue_by_nation", "join_asof_last_order",
+      "win_rank_top_orders", "win_topk_native", "agg_percentiles_by_flag",
+      "map_hof_funcs", "json_funcs", "dt_funcs", "hash_funcs",
+      "misc_salted_join", "src_bucketed_join", "sub_scalar_correlated",
+      "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
+      "dedup_semantic", "dedup_substring_spans", "sim_brute_topk",
+      "sim_ivf_topk", "sim_lsh_topk", "sim_bm25_topk", "text_quality_flags",
+      "curation_contamination", "pipeline_curation_full", "multimodal_features",
+      "stream_payload_pipeline", "stream_native_windowed",
+      "stream_session_windows", "stream_tws_sessions", "stream_stream_join",
+      "stream_stream_left_join", "stream_dedup_within_watermark")
+    val byName = results.toMap
+    def compactLine(n: Int): String = {
+      val hl = headline.filter(byName.contains).take(n).map(k => k -> byName(k))
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"worst_query":"$worstName","worst_sec":$worstSec%.2f,"stream_events_per_sec":$streamRate%.0f,"queries_full":"BENCH_FULL.json","queries":${jsonMap(hl, 2)}}"""
+    }
+    val line = (headline.size to 0 by -1).map(compactLine).find(_.length <= 1800)
+      .getOrElse(compactLine(0))
     println(line)
-    // The stdout line can be lost to log-tail truncation; the file copy
-    // makes the bench artifact self-contained.
-    try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-        line.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

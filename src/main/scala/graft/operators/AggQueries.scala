@@ -386,7 +386,95 @@ object AggQueries extends QueryModule {
       |GROUP BY top.term, top.true_count
       |ORDER BY 1""".stripMargin
 
+  /** Cohort retention — the activation/retention table every product and
+    * data-quality dashboard runs: users grouped by first-active day, each
+    * later active day binned by offset from it. Integer counts plus one
+    * rounded ratio, so the compare is exact. Scale shape: one distinct
+    * (user, day) shuffle, a user-keyed min, then a (cohort, offset) count
+    * — the cohort-size frame is day-cardinality and joins broadcast.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    act.join(cohort, "user_id")
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "offset_days")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_active"), col("cohort_size"),
+        round(col("n_active") / col("cohort_size").cast("double"), 4).as("retention"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  private val retentionCohortsSql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY 1
+      |), ret AS (
+      |  SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+      |    count(DISTINCT a.user_id) AS n_active
+      |  FROM act a JOIN cohort c USING (user_id) GROUP BY 1, 2)
+      |SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(offset_days AS BIGINT) AS offset_days,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(cohort_size AS BIGINT) AS cohort_size,
+      |  round(n_active / CAST(cohort_size AS DOUBLE), 4) AS retention
+      |FROM ret r JOIN sizes s USING (cohort_day)
+      |ORDER BY cohort_day, offset_days""".stripMargin
+
+  /** Pairwise Pearson correlation matrix over lineitem's numeric measures
+    * — the feature-stats pass run before any modeling on tabular data. All
+    * six pairs come out of ONE aggregation pass (each corr is an
+    * independent partial-aggregable state), unpivoted to tidy rows with
+    * stack(). Scale shape: a single map-side-combining scan; no joins.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("c1"),
+        round(corr("l_quantity", "l_discount"), 4).as("c2"),
+        round(corr("l_quantity", "l_tax"), 4).as("c3"),
+        round(corr("l_extendedprice", "l_discount"), 4).as("c4"),
+        round(corr("l_extendedprice", "l_tax"), 4).as("c5"),
+        round(corr("l_discount", "l_tax"), 4).as("c6"))
+      .select(expr(
+        """stack(6,
+          |  'l_quantity', 'l_extendedprice', c1,
+          |  'l_quantity', 'l_discount', c2,
+          |  'l_quantity', 'l_tax', c3,
+          |  'l_extendedprice', 'l_discount', c4,
+          |  'l_extendedprice', 'l_tax', c5,
+          |  'l_discount', 'l_tax', c6) AS (var_a, var_b, r)""".stripMargin))
+      .orderBy("var_a", "var_b")
+
+  private val corrMatrixSql =
+    """WITH a AS (
+      |  SELECT
+      |    round(corr(l_quantity, l_extendedprice), 4) AS c1,
+      |    round(corr(l_quantity, l_discount), 4) AS c2,
+      |    round(corr(l_quantity, l_tax), 4) AS c3,
+      |    round(corr(l_extendedprice, l_discount), 4) AS c4,
+      |    round(corr(l_extendedprice, l_tax), 4) AS c5,
+      |    round(corr(l_discount, l_tax), 4) AS c6
+      |  FROM lineitem)
+      |SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b, c1 AS r FROM a
+      |UNION ALL SELECT 'l_quantity', 'l_discount', c2 FROM a
+      |UNION ALL SELECT 'l_quantity', 'l_tax', c3 FROM a
+      |UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM a
+      |UNION ALL SELECT 'l_extendedprice', 'l_tax', c5 FROM a
+      |UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM a
+      |ORDER BY var_a, var_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),
+    QueryDef("agg_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QueryDef("agg_countmin_heavy_hitters", countMinHeavyHitters, Some(countMinHeavyHittersSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("agg_distinct_counts", distinctCounts, Some(distinctCountsSql)),

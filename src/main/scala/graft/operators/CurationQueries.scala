@@ -426,6 +426,67 @@ object CurationQueries extends QueryModule {
        |FROM tot LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
   }
 
+  /** URL canonicalization + dedup — the C4/RefinedWeb first pass: crawls
+    * see the same page under scheme/case/www/query-string/fragment/slash
+    * variants, so the corpus is grouped by a CANONICAL url key before any
+    * content-level dedup runs. The messy URL is derived deterministically
+    * (the fixture has no URL column — same printf device as the blocklist
+    * query), then normalized: fragment and query string stripped, scheme +
+    * host lowercased, http → https, `www.` dropped, trailing slash
+    * trimmed. Scale shape: per-row string ops + ONE canonical-key count
+    * shuffle with map-side combine — the cheapest dedup in the pipeline,
+    * which is exactly why production runs it first.
+    */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      // scheme/WWW/case/query/slash/fragment variants keyed off doc_id so
+      // both engines derive byte-identical raw URLs
+      .withColumn("raw_url", concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        format_string("Host%02d.Example.COM/docs/page-%d", col("doc_id") % 5, col("doc_id") % 100),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          format_string("?utm_source=feed&sid=%d", col("doc_id"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit(""))))
+      .withColumn("canonical_url",
+        regexp_replace( // 4. trailing slash
+          regexp_replace( // 3. http → https, www. dropped
+            lower( // 2. scheme+host case (path here is lowercase by construction)
+              regexp_replace(col("raw_url"), "[?#].*$", "")), // 1. query + fragment
+            "^http://(www\\.)?|^https://(www\\.)?", "https://"),
+          "/$", ""))
+    docs.groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("raw_url")).as("n_distinct_raw"),
+        min("doc_id").as("survivor_doc_id"))
+      .orderBy("canonical_url")
+  }
+
+  private val urlCanonicalSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    concat(
+      |      CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+      |      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |      printf('Host%02d.Example.COM/docs/page-%d', doc_id % 5, doc_id % 100),
+      |      CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+      |      CASE WHEN doc_id % 4 = 0 THEN printf('?utm_source=feed&sid=%d', doc_id) ELSE '' END,
+      |      CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS raw_url
+      |  FROM documents
+      |), canon AS (
+      |  SELECT doc_id, raw_url,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        lower(regexp_replace(raw_url, '[?#].*$', '')),
+      |        '^http://(www\.)?|^https://(www\.)?', 'https://'),
+      |      '/$', '') AS canonical_url
+      |  FROM docs)
+      |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+      |  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw,
+      |  min(doc_id) AS survivor_doc_id
+      |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   /** The END-TO-END curation pipeline a real corpus run composes — every
     * gate this engine ships, chained over one corpus pass plus the three
     * corpus-level side computations each gate needs:
@@ -596,6 +657,7 @@ object CurationQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_quality_survivor", qualitySurvivor, Some(qualitySurvivorSql)),
+    QueryDef("curation_url_canonical", urlCanonical, Some(urlCanonicalSql)),
     QueryDef("curation_chunking", chunking, Some(chunkingSql)),
     QueryDef("pipeline_curation_full", curationFull, Some(curationFullSql)),
     QueryDef("curation_domain_blocklist", domainBlocklist, Some(domainBlocklistSql)),

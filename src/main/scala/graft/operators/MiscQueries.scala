@@ -306,7 +306,54 @@ object MiscQueries extends QueryModule {
       |  round(sum(price), 2) AS total_price
       |FROM merged GROUP BY 1, 2 ORDER BY status, action""".stripMargin
 
+  /** Join-key skew diagnostics — the profiling query a data engineer runs
+    * BEFORE picking a join strategy at 100 TB: per-key group sizes for the
+    * three hot join keys, reduced to the decision numbers (key count,
+    * max/mean group size, p99, top-key share, skew ratio). A skew ratio
+    * near 1 says plain shuffle join; a heavy tail says salt the key or
+    * lean on AQE's skew split (both of which this engine pins elsewhere —
+    * misc_salted_join / ScalePatternsSpec). Scale shape: one count
+    * aggregation per key with map-side combine, then a scalar rollup of
+    * the (much smaller) group-size frame — never wider than the key
+    * cardinality.
+    */
+  def skewDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, key: String, label: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .agg(
+          lit(label).as("join_key"),
+          count(lit(1)).as("n_keys"),
+          max("n").as("max_group"),
+          round(avg(col("n").cast("double")), 4).as("avg_group"),
+          round(expr("percentile(n, 0.99)"), 4).as("p99_group"),
+          round(max("n") / sum("n").cast("double"), 6).as("top_key_share"),
+          round(max("n") / avg(col("n").cast("double")), 4).as("skew_ratio"))
+    profile(Tables.lineitem(s, dir), "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(profile(Tables.lineitem(s, dir), "l_suppkey", "lineitem.l_suppkey"))
+      .unionAll(profile(Tables.orders(s, dir), "o_custkey", "orders.o_custkey"))
+      .orderBy("join_key")
+  }
+
+  private val skewDiagnosticsSql = {
+    def one(table: String, key: String) =
+      s"""SELECT '$table.$key' AS join_key,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(n) AS BIGINT) AS max_group,
+         |  round(avg(CAST(n AS DOUBLE)), 4) AS avg_group,
+         |  round(quantile_cont(n, 0.99), 4) AS p99_group,
+         |  round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_key_share,
+         |  round(max(n) / avg(CAST(n AS DOUBLE)), 4) AS skew_ratio
+         |FROM (SELECT $key, count(*) AS n FROM $table GROUP BY 1)""".stripMargin
+    s"""${one("lineitem", "l_orderkey")}
+       |UNION ALL
+       |${one("lineitem", "l_suppkey")}
+       |UNION ALL
+       |${one("orders", "o_custkey")}
+       |ORDER BY join_key""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_skew_diagnostics", skewDiagnostics, Some(skewDiagnosticsSql)),
     QueryDef("misc_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("misc_generator_funcs", generatorFuncs, Some(generatorFuncsSql)),
     QueryDef("misc_salted_join", saltedJoin, Some(saltedJoinSql)),

@@ -304,6 +304,103 @@ object SimilarityQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Product quantization (PQ) with asymmetric distance computation — the
+    * third ANN scale path next to IVF and LSH, and the compression step an
+    * IVF-PQ index runs at 100 TB: 8 subspaces × 8 dims, each subvector
+    * replaced by the id of its nearest sub-codeword (here: the per-label
+    * centroid slice — a deterministic codebook both engines can derive),
+    * so a 64×float32 vector stores as 8 bytes. Scoring is ADC: the RAW
+    * query against each candidate's RECONSTRUCTED vector.
+    *
+    * Scale shape: encoding is the one-time index build (candidates ×
+    * small broadcast codebook, embarrassingly parallel); the query path is
+    * broadcast queries × candidate scan over 8-byte codes + one shared
+    * codebook lookup — no all-pairs shuffle anywhere. Ranking follows the
+    * float-ordering rule (rounded distance, id tie-break); double→float
+    * centroid cast collapses engine ulp drift exactly as in [[ivfTopK]].
+    */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val centroidUdaf = udaf(new VectorCentroid, ExpressionEncoder[Seq[Float]]())
+    val e = Tables.embeddings(s, dir)
+    // codebook: per-label 64-dim centroid (float), sliced into 8 codewords
+    val codebook = e.groupBy("label")
+      .agg(centroidUdaf(col("embedding")).as("centroid_d"))
+      .withColumn("centroid", expr("transform(centroid_d, x -> CAST(x AS FLOAT))"))
+      .select(col("label").as("cw_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(centroid, m * 8 + 1, 8) AS cw))"))
+        .as("sub"))
+      .select(col("cw_id"), col("sub.m").as("m"), col("sub.cw").as("cw"))
+    // encode: nearest codeword per (vector, subspace) — L2² in double,
+    // rounded-argmin with codeword-id tie-break (the float-ordering rule)
+    val l2 = "aggregate(zip_with(%s, %s, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) " +
+      "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
+    val subs = e.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(embedding, m * 8 + 1, 8) AS sv))"))
+        .as("sub"))
+      .select(col("vec_id"), col("sub.m").as("m"), col("sub.sv").as("sv"))
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(asc("d2"), asc("cw_id"))
+    val codes = subs.join(broadcast(codebook), "m")
+      .withColumn("d2", round(expr(l2.format("sv", "cw")), 6))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+    // reconstruct each candidate from its codewords (ordered concat)
+    val recon = codes.groupBy("vec_id")
+      .agg(flatten(expr("transform(array_sort(collect_list(struct(m, cw))), s -> s.cw)"))
+        .as("rvec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("c_id"))
+    recon.select(col("vec_id").as("c_id"), col("rvec"))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("adc_dist", round(expr(l2.format("q_emb", "rvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), col("adc_dist"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val pqAdcTopKSql = {
+    def l2(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+    s"""WITH centroids AS (
+       |  SELECT label AS cw_id,
+       |    list_transform(list(avg_v ORDER BY dim), x -> CAST(x AS FLOAT)) AS centroid
+       |  FROM (
+       |    SELECT label, dim, avg(CAST(v AS DOUBLE)) AS avg_v
+       |    FROM (SELECT label, unnest(embedding) AS v,
+       |            generate_subscripts(embedding, 1) AS dim
+       |          FROM embeddings)
+       |    GROUP BY label, dim)
+       |  GROUP BY label
+       |), codebook AS (
+       |  SELECT cw_id, m, centroid[m * 8 + 1 : m * 8 + 8] AS cw
+       |  FROM centroids CROSS JOIN (SELECT unnest(range(0, 8)) AS m)
+       |), subs AS (
+       |  SELECT vec_id, m, embedding[m * 8 + 1 : m * 8 + 8] AS sv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)
+       |), codes AS (
+       |  SELECT vec_id, m, cw FROM (
+       |    SELECT s.vec_id, s.m, b.cw,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY round(${l2("s.sv", "b.cw")}, 6) ASC, b.cw_id ASC) AS rn
+       |    FROM subs s JOIN codebook b ON s.m = b.m)
+       |  WHERE rn = 1
+       |), recon AS (
+       |  SELECT vec_id, flatten(list(cw ORDER BY m)) AS rvec
+       |  FROM codes GROUP BY vec_id
+       |), ranked AS (
+       |  SELECT q.vec_id AS q_id, r.vec_id AS c_id,
+       |    round(${l2("q.embedding", "r.rvec")}, 4) AS adc_dist,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${l2("q.embedding", "r.rvec")}, 4) ASC, r.vec_id ASC) AS rn
+       |  FROM embeddings q JOIN recon r ON q.vec_id < 10 AND q.vec_id <> r.vec_id)
+       |SELECT q_id, c_id, adc_dist, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** BM25 lexical retrieval (k1 = 1.2, b = 0.75) — the sparse-retrieval
     * complement to the dense top-k queries: every 100th document is a
     * query; candidates are scored through the classic inverted-index shape
@@ -386,6 +483,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("sim_recall_eval", recallEval, Some(recallEvalSql)),
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
     QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    QueryDef("sim_pq_adc_topk", pqAdcTopK, Some(pqAdcTopKSql)),
     QueryDef("sim_label_centroids", centroids, Some(centroidsSql))
   )
 }

@@ -422,6 +422,83 @@ object TextQueries extends QueryModule {
        |  avg_logprob < -3.45 AS is_low_likelihood
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Character-level Shannon entropy — the classic cheap gibberish /
+    * boilerplate signal (low-entropy docs are repetitive: ASCII art, key
+    * smash, templated spam). H = ln(n) − Σ c·ln(c) / n over per-character
+    * counts, so the ln work is per-DISTINCT-character (≤ alphabet size),
+    * not per character. Scale shape: one (doc, char) count shuffle with
+    * map-side partial aggregation — alphabet-bounded per doc — then a
+    * per-doc fold; no corpus-level state at all. The low-entropy flag
+    * threshold (2.8) sits between the fixture's p10 and median, so it is
+    * non-degenerate at both SFs.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("filter(split(text, ''), c -> c <> '')")).as("c"))
+    chars.groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(log(sum("cnt").cast("double")) -
+          sum(col("cnt").cast("double") * log(col("cnt").cast("double"))) /
+            sum("cnt").cast("double"), 4).as("char_entropy"))
+      .withColumn("is_low_entropy", col("char_entropy") < 2.8)
+      .orderBy("doc_id")
+  }
+
+  /** Per-language character-trigram profile — the MODEL-BUILDING side of
+    * n-gram language ID (the classifier in [[langId]] consumes exactly
+    * such profiles): top-10 trigrams per language by frequency, ranked
+    * with the count-desc / trigram-asc rule so ties are deterministic.
+    * Scale shape: the trigram explode is per-row; one (lang, trigram)
+    * count shuffle with map-side combine; the top-k window runs per
+    * language over the (already tiny) distinct-trigram frame — and the
+    * window-top-k idiom auto-rewrites to the native bounded-heap operator
+    * under GraftExtensions.
+    */
+  def ngramProfile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), asc("tri"))
+    Tables.documents(s, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("tri"), col("cnt"))
+      .orderBy("lang", "rk")
+  }
+
+  private val ngramProfileSql =
+    """WITH t AS (
+      |  SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS tri
+      |  FROM documents WHERE length(text) >= 3
+      |), c AS (
+      |  SELECT lang, tri, count(*) AS cnt FROM t GROUP BY 1, 2
+      |), r AS (
+      |  SELECT lang, tri, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri ASC) AS rk
+      |  FROM c)
+      |SELECT lang, CAST(rk AS INT) AS rk, tri, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
+  private val charEntropySql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+      |), cc AS (
+      |  SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2
+      |), e AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+      |    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      |    round(ln(CAST(sum(cnt) AS DOUBLE))
+      |      - sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))
+      |        / CAST(sum(cnt) AS DOUBLE), 4) AS char_entropy
+      |  FROM cc GROUP BY doc_id)
+      |SELECT doc_id, n_chars, n_distinct_chars, char_entropy,
+      |  char_entropy < 2.8 AS is_low_entropy
+      |FROM e ORDER BY doc_id""".stripMargin
+
   /** Bigram-LM likelihood scoring — the order-2 extension of
     * [[unigramLogprob]]: each document's mean ln P(w₂|w₁) under the
     * corpus's own bigram counts with add-½ smoothing over the observed
@@ -519,6 +596,8 @@ object TextQueries extends QueryModule {
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("text_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
     QueryDef("text_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
+    QueryDef("text_char_entropy", charEntropy, Some(charEntropySql)),
+    QueryDef("text_ngram_profile", ngramProfile, Some(ngramProfileSql)),
     QueryDef("text_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("text_quality_flags", qualityFlags, Some(qualityFlagsSql)),
     QueryDef("text_stats", textStats, Some(textStatsSql)),

@@ -384,6 +384,56 @@ object WindowQueries extends QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * pow(2, -t), 6) AS ewma
       |FROM z ORDER BY user_id, day""".stripMargin
 
+  /** Trailing z-score anomaly detection — the monitoring primitive behind
+    * pipeline health alerts: each (user, day) activity count scored
+    * against its own trailing-7-day mean/stddev, flagged at |z| > 2. The
+    * flag compares the ROUNDED z (the float-ordering rule), and the frame
+    * requires ≥3 prior-window rows and a nonzero spread before scoring —
+    * otherwise z is NULL and the flag false, deterministically in both
+    * engines. Scale shape: one user-keyed shuffle shared by every window;
+    * per-row state is the O(7) row frame.
+    */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_frame", count(lit(1)).over(w))
+      .withColumn("mean7", avg(col("n_events").cast("double")).over(w))
+      .withColumn("sd7", stddev_samp(col("n_events").cast("double")).over(w))
+      .withColumn("z",
+        when(col("n_frame") >= 3 && col("sd7") > 0,
+          round((col("n_events") - col("mean7")) / col("sd7"), 4)))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_frame"),
+        round(col("mean7"), 4).as("mean7"),
+        round(col("sd7"), 4).as("sd7"),
+        col("z"),
+        coalesce(abs(col("z")) > 2, lit(false)).as("is_anomaly"))
+      .orderBy("user_id", "day")
+  }
+
+  private val anomalyZscoreSql =
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT user_id, day, n_events,
+      |    CAST(count(*) OVER w AS BIGINT) AS n_frame,
+      |    avg(CAST(n_events AS DOUBLE)) OVER w AS mean7,
+      |    stddev_samp(CAST(n_events AS DOUBLE)) OVER w AS sd7
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events, n_frame,
+      |  round(mean7, 4) AS mean7, round(sd7, 4) AS sd7,
+      |  CASE WHEN n_frame >= 3 AND sd7 > 0
+      |    THEN round((n_events - mean7) / sd7, 4) END AS z,
+      |  coalesce(abs(CASE WHEN n_frame >= 3 AND sd7 > 0
+      |    THEN round((n_events - mean7) / sd7, 4) END) > 2, false) AS is_anomaly
+      |FROM scored ORDER BY user_id, day""".stripMargin
+
   /** An exact AGGREGATE as a window function: trailing 10-shipment median
     * quantity per supplier — the robust (outlier-proof) trend feature the
     * sliding mean can't give. The frame is row-bounded, so per-row state
@@ -412,6 +462,7 @@ object WindowQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("win_median_trailing", medianTrailing, Some(medianTrailingSql)),
+    QueryDef("win_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     QueryDef("win_sessionize_gaps", sessionizeGaps, Some(sessionizeGapsSql)),
     QueryDef("win_ewma_daily", ewmaDaily, Some(ewmaDailySql)),
     QueryDef("win_gap_fill_locf", gapFill, Some(gapFillSql)),

@@ -720,6 +720,46 @@ object StreamingQueries extends QueryModule {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id ORDER BY p_id""".stripMargin
 
+  /** FULL OUTER stream-stream join — completes the family
+    * (inner/left/semi/full): matches emit immediately; unmatched rows from
+    * EITHER side emit with nulls once the watermark proves no partner can
+    * arrive. State on both sides stays time-bounded by the watermark + the
+    * join's time-range condition, exactly as for the other variants.
+    */
+  def streamStreamFullJoin(s: SparkSession, dir: String): DataFrame = {
+    val purchases = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "1 minute")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "1 minute")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "full_outer")
+    RecordStream.runToMemory(s, joined.select(col("p_id"), col("c_id")),
+        "stream_ss_full_sink", "append", shufflePartitions = "4") // see streamStreamJoin
+      // sentinel rows carry negative ids on whichever side they populate;
+      // a null on either side is a REAL unmatched row and must survive
+      .filter(coalesce(col("p_id"), lit(0L)) >= 0 &&
+        coalesce(col("c_id"), lit(0L)) >= 0)
+      .orderBy("p_id", "c_id")
+  }
+
+  private val streamStreamFullJoinSql =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id AS c_id, user_id, ts FROM events
+      |           WHERE event_type = 'click')
+      |SELECT p.p_id, c.c_id
+      |FROM p FULL JOIN c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p_id, c_id""".stripMargin
+
   /** Tumbling windowed counts per shard over the NATIVE shard-ordered
     * source — the reference's per-shard processing with event-time
     * windowing layered on top, end-to-end through the DataSourceV2 path.
@@ -779,6 +819,7 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_stream_left_join", streamStreamLeftJoin, Some(streamStreamLeftJoinSql)),
     QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("stream_stream_semi_join", streamStreamSemiJoin, Some(streamStreamSemiJoinSql)),
+    QueryDef("stream_stream_full_join", streamStreamFullJoin, Some(streamStreamFullJoinSql)),
     QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
     // same closure contract, state-v2 realization → same batch oracle
     QueryDef("stream_tws_sessions", twsSessions, Some(statefulSessionsSql)),

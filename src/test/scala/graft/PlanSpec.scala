@@ -150,6 +150,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("pq encode joins the broadcast codebook by subspace, adc broadcasts queries") {
+    val p = plan("sim_pq_adc_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // encode: candidates × codebook is an equi join on the subspace id with
+    // the (80-row) codebook broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // adc: the only nested loop is the 10-row broadcast query side (the
+    // same shape sim_brute_topk pins)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("sorted neighborhood: rank pairing is an equi join, offsets broadcast") {
     // the window-3 neighbor probe must plan as a hash join on the rank key
     // (explode of rn+1..rn+3), never a range/BNL join; the bucket-offset

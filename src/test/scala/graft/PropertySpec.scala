@@ -427,6 +427,156 @@ class PropertySpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum > 0, "LSH must recall something")
   }
 
+  test("stream_stream_full_join agrees with its batch twin") {
+    val got = streaming.StreamingQueries.streamStreamFullJoin(spark, Sf).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    val want = {
+      val ev = Tables.events(spark, Sf)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("pu"), col("ts").as("pt"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("cu"), col("ts").as("ct"))
+      p.join(c, col("pu") === col("cu") &&
+          col("ct") >= col("pt") - expr("INTERVAL 1 HOUR") && col("ct") <= col("pt"),
+          "full_outer")
+        .select("p_id", "c_id").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1))))
+    }
+    def bag(a: Seq[(Option[Any], Option[Any])]) =
+      a.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bag(got.toSeq) == bag(want.toSeq))
+    // all three row classes must be present — the full join is non-degenerate
+    assert(got.exists { case (p, c) => p.isDefined && c.isDefined })
+    assert(got.exists { case (p, c) => p.isDefined && c.isEmpty })
+    assert(got.exists { case (p, c) => p.isEmpty && c.isDefined })
+  }
+
+  test("sim_pq_adc_topk: ranked, self-excluded, distances non-negative") {
+    val rows = operators.SimilarityQueries.pqAdcTopK(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == (0L until 10L))
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+      val dists = sorted.map(_.getDouble(2))
+      assert(dists.forall(_ >= 0), s"negative ADC distance for q=$q")
+      assert(dists.sliding(2).forall(w => w(0) <= w(1)), s"unranked for q=$q")
+      assert(rs.forall(_.getLong(1) != q), s"self-match for q=$q")
+    }
+  }
+
+  test("text_char_entropy matches the Scala model") {
+    val got = operators.TextQueries.charEntropy(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    Tables.documents(spark, Sf).select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val counts = text.groupBy(identity).view.mapValues(_.size.toDouble)
+      val n = text.length.toDouble
+      val h = math.log(n) - counts.values.map(c => c * math.log(c)).sum / n
+      val (nc, nd, he) = got(id)
+      assert(nc == text.length && nd == counts.size)
+      assert(math.abs(he - h) <= 2e-4, s"doc $id entropy $he vs model $h")
+    }
+  }
+
+  test("curation_url_canonical: canonical form invariants, variants partition the corpus") {
+    val rows = operators.CurationQueries.urlCanonical(spark, Sf).collect()
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "every doc in exactly one canonical group")
+    rows.foreach { r =>
+      val url = r.getString(0)
+      assert(url.startsWith("https://"), url)
+      assert(url == url.toLowerCase, url)
+      assert(!url.contains("www.") && !url.contains("?") && !url.contains("#"), url)
+      assert(!url.endsWith("/"), url)
+      assert(r.getLong(2) <= r.getLong(1), "distinct raw forms bounded by variants")
+    }
+    assert(rows.exists(_.getLong(1) > 1), "dedup must be non-degenerate")
+  }
+
+  test("misc_skew_diagnostics matches the recomputed group sizes") {
+    val rows = operators.MiscQueries.skewDiagnostics(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sizes = Tables.lineitem(spark, Sf).groupBy("l_suppkey").count()
+      .collect().map(_.getLong(1))
+    val r = rows("lineitem.l_suppkey")
+    assert(r.getLong(1) == sizes.length)
+    assert(r.getLong(2) == sizes.max)
+    assert(math.abs(r.getDouble(5) - sizes.max.toDouble / sizes.sum) < 1e-6)
+    // ordering invariants hold on every profiled key
+    rows.values.foreach { row =>
+      assert(row.getLong(2) >= row.getDouble(4) - 1e-9, "max >= p99")
+      assert(row.getDouble(4) >= 0 && row.getDouble(6) >= 1.0 - 1e-9, "skew ratio >= 1")
+    }
+  }
+
+  test("win_anomaly_zscore: flags iff |rounded z| > 2, frame bounds hold") {
+    val rows = operators.WindowQueries.anomalyZscore(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nFrame = r.getLong(3)
+      assert(nFrame >= 1 && nFrame <= 7)
+      val z = if (r.isNullAt(6)) None else Some(r.getDouble(6))
+      val flag = r.getBoolean(7)
+      assert(flag == z.exists(v => math.abs(v) > 2))
+      if (nFrame < 3) assert(z.isEmpty, "z requires >= 3 frame rows")
+    }
+    assert(rows.exists(_.getBoolean(7)), "anomaly flag must be non-degenerate")
+  }
+
+  test("agg_retention_cohorts: day-0 is full retention, activity bounded by cohort") {
+    val rows = operators.AggQueries.retentionCohorts(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_.getLong(1) == 0L)
+    assert(day0.nonEmpty)
+    day0.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3), "offset 0 must cover the whole cohort")
+      assert(r.getDouble(4) == 1.0)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "active users bounded by cohort size")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0)
+    }
+    val nUsers = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(day0.map(_.getLong(2)).sum == nUsers, "cohorts partition the user base")
+  }
+
+  test("agg_corr_matrix matches the Scala Pearson model") {
+    val got = operators.AggQueries.corrMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val data = Tables.lineitem(spark, Sf)
+      .select(cols.map(c => col(c).cast("double")): _*).collect()
+      .map(r => cols.indices.map(r.getDouble).toArray)
+    def pearson(i: Int, j: Int): Double = {
+      val (xs, ys) = (data.map(_(i)), data.map(_(j)))
+      val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val (sx, sy) = (math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum),
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
+      cov / (sx * sy)
+    }
+    got.foreach { case ((a, b), r) =>
+      val want = pearson(cols.indexOf(a), cols.indexOf(b))
+      assert(math.abs(r - want) <= 2e-4, s"corr($a,$b)=$r vs model $want")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
+  test("text_ngram_profile: ranked top-10 of 3-char grams per language") {
+    val rows = operators.TextQueries.ngramProfile(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getString(2).length == 3, s"not a trigram: '${r.getString(2)}'")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length), s"rank gap in $lang")
+      assert(byRank.length <= 10)
+      val counts = byRank.map(_.getLong(3))
+      assert(counts.sliding(2).forall(w => w(0) >= w(1)), s"counts not ranked in $lang")
+    }
+  }
+
   test("agg_approx_percentile: sketch estimates land inside the rank windows") {
     val rows = operators.AggQueries.approxPercentileBounds(spark, Sf).collect()
     assert(rows.nonEmpty)
