@@ -127,7 +127,8 @@ object Bench {
       "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
       "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
       "dedup_semantic", "dedup_substring_spans", "sim_brute_topk",
-      "sim_ivf_topk", "sim_lsh_topk", "sim_bm25_topk", "text_quality_flags",
+      "sim_ivf_topk", "sim_lsh_topk", "sim_bm25_topk", "sim_pq_adc_topk",
+      "text_quality_flags", "text_ngram_profile", "misc_scd2_history",
       "curation_contamination", "pipeline_curation_full", "multimodal_features",
       "stream_payload_pipeline", "stream_native_windowed",
       "stream_session_windows", "stream_tws_sessions", "stream_stream_join",

@@ -34,6 +34,24 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0
     else dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Σ (a_i − b_i)² in index order — bit-identical to the interpreted
+    * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, +)` fold and to
+    * DuckDB's sequential `list_sum(list_transform(list_zip(...)))`, so a
+    * query can swap the HOF form for this kernel without touching its
+    * oracle.
+    */
+  def l2Sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native Catalyst expression for cosine similarity of two float vectors.
@@ -96,6 +114,35 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance, same native-kernel shape (PQ encode + ADC hot
+  * path: sim_pq_adc_topk runs it ~10× per candidate row).
+  */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2Sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.l2Sq($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SQL registration for the custom expressions: `cosine_sim(a, b)`,
   * `dot_product(a, b)` become usable inside `expr(...)` strings and
   * `spark.sql` once registered. Idempotent.
@@ -107,6 +154,8 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_sq", exprs => L2Squared(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinhashSignature(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")

@@ -429,6 +429,60 @@ object AggQueries extends QueryModule {
       |FROM ret r JOIN sizes s USING (cohort_day)
       |ORDER BY cohort_day, offset_days""".stripMargin
 
+  /** One-pass column profiler — the data-quality snapshot (row/null/
+    * distinct counts, min/max/mean per column) every ingestion run
+    * publishes before a dataset goes live. All six columns profile in ONE
+    * aggregation pass, unpivoted to a tidy row per column. Scale note:
+    * multiple exact count(DISTINCT)s plan through Expand (rows × columns
+    * before the shuffle) — acceptable cost for a profiler; at 100 TB the
+    * distinct counts swap to approx_count_distinct and the pass is plain
+    * map-side-combining again.
+    */
+  def dataProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_suppkey", "l_orderkey")
+    val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(col(c)).as(s"nn$i"),
+        countDistinct(col(c)).as(s"nd$i"),
+        round(min(col(c)).cast("double"), 4).as(s"mn$i"),
+        round(max(col(c)).cast("double"), 4).as(s"mx$i"),
+        round(avg(col(c).cast("double")), 4).as(s"av$i"))
+    }
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', n - nn$i, nd$i, mn$i, mx$i, av$i"
+    }.mkString(", ")
+    Tables.lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n").as("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) AS (col, n_nulls, n_distinct, min_v, max_v, mean_v)"))
+      .select(col("col"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_v"), col("max_v"), col("mean_v"))
+      .orderBy("col")
+  }
+
+  private val dataProfileSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_suppkey", "l_orderkey")
+    val inner = cols.zipWithIndex.map { case (c, i) =>
+      s"""count($c) AS nn$i, count(DISTINCT $c) AS nd$i,
+         |    round(CAST(min($c) AS DOUBLE), 4) AS mn$i,
+         |    round(CAST(max($c) AS DOUBLE), 4) AS mx$i,
+         |    round(avg(CAST($c AS DOUBLE)), 4) AS av$i""".stripMargin
+    }.mkString(",\n    ")
+    val branches = cols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS col, CAST(n AS BIGINT) AS n_rows,
+         |  CAST(n - nn$i AS BIGINT) AS n_nulls, CAST(nd$i AS BIGINT) AS n_distinct,
+         |  mn$i AS min_v, mx$i AS max_v, av$i AS mean_v FROM a""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n,
+       |    $inner
+       |  FROM lineitem)
+       |$branches
+       |ORDER BY col""".stripMargin
+  }
+
   /** Pairwise Pearson correlation matrix over lineitem's numeric measures
     * — the feature-stats pass run before any modeling on tabular data. All
     * six pairs come out of ONE aggregation pass (each corr is an
@@ -474,6 +528,7 @@ object AggQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("agg_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),
+    QueryDef("agg_data_profile", dataProfile, Some(dataProfileSql)),
     QueryDef("agg_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QueryDef("agg_countmin_heavy_hitters", countMinHeavyHitters, Some(countMinHeavyHittersSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),

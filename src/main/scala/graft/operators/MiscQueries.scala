@@ -306,6 +306,57 @@ object MiscQueries extends QueryModule {
       |  round(sum(price), 2) AS total_price
       |FROM merged GROUP BY 1, 2 ORDER BY status, action""".stripMargin
 
+  /** SCD type-2 history build — the warehouse pattern for tracking
+    * attribute changes over time: each customer's order-status stream is
+    * snapshotted at daily grain (last order of the day wins, by max
+    * orderkey — so intervals are always well-formed), consecutive
+    * duplicates are compressed away, and each surviving change becomes a
+    * versioned row with [effective_from, effective_to] and an is_current
+    * flag (open-ended NULL on the latest). Scale shape: one key-grain
+    * aggregation plus two windows over the SAME per-customer partitioning
+    * — a single shuffle reused by every step.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("custkey").orderBy("day")
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(expr("max_by(o_orderstatus, o_orderkey)").as("status"))
+    daily
+      .withColumn("prev_status", lag("status", 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_from", lead("day", 1).over(w))
+      .select(col("custkey"), col("version"), col("status"),
+        date_format(col("day"), "yyyy-MM-dd").as("effective_from"),
+        date_format(date_sub(col("next_from"), 1), "yyyy-MM-dd").as("effective_to"),
+        col("next_from").isNull.as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
+  private val scd2HistorySql =
+    """WITH daily AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day,
+      |    arg_max(o_orderstatus, o_orderkey) AS status
+      |  FROM orders GROUP BY 1, 2
+      |), marked AS (
+      |  SELECT custkey, day, status, lag(status) OVER w AS prev_status
+      |  FROM daily WINDOW w AS (PARTITION BY custkey ORDER BY day)
+      |), changes AS (
+      |  SELECT custkey, day, status FROM marked
+      |  WHERE prev_status IS NULL OR prev_status <> status
+      |), versioned AS (
+      |  SELECT custkey, status, day,
+      |    row_number() OVER w AS version,
+      |    lead(day) OVER w AS next_from
+      |  FROM changes WINDOW w AS (PARTITION BY custkey ORDER BY day))
+      |SELECT custkey, CAST(version AS INT) AS version, status,
+      |  strftime(day, '%Y-%m-%d') AS effective_from,
+      |  strftime(next_from - INTERVAL 1 DAY, '%Y-%m-%d') AS effective_to,
+      |  next_from IS NULL AS is_current
+      |FROM versioned ORDER BY custkey, version""".stripMargin
+
   /** Join-key skew diagnostics — the profiling query a data engineer runs
     * BEFORE picking a join strategy at 100 TB: per-key group sizes for the
     * three hot join keys, reduced to the decision numbers (key count,
@@ -354,6 +405,7 @@ object MiscQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("misc_skew_diagnostics", skewDiagnostics, Some(skewDiagnosticsSql)),
+    QueryDef("misc_scd2_history", scd2History, Some(scd2HistorySql)),
     QueryDef("misc_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("misc_generator_funcs", generatorFuncs, Some(generatorFuncsSql)),
     QueryDef("misc_salted_join", saltedJoin, Some(saltedJoinSql)),

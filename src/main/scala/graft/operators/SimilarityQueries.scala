@@ -320,6 +320,7 @@ object SimilarityQueries extends QueryModule {
     * centroid cast collapses engine ulp drift exactly as in [[ivfTopK]].
     */
   def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val centroidUdaf = udaf(new VectorCentroid, ExpressionEncoder[Seq[Float]]())
     val e = Tables.embeddings(s, dir)
     // codebook: per-label 64-dim centroid (float), sliced into 8 codewords
@@ -330,20 +331,19 @@ object SimilarityQueries extends QueryModule {
         "transform(sequence(0, 7), m -> struct(m AS m, slice(centroid, m * 8 + 1, 8) AS cw))"))
         .as("sub"))
       .select(col("cw_id"), col("sub.m").as("m"), col("sub.cw").as("cw"))
-    // encode: nearest codeword per (vector, subspace) — L2² in double,
-    // rounded-argmin with codeword-id tie-break (the float-ordering rule)
-    val l2 = "aggregate(zip_with(%s, %s, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) " +
-      "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
+    // encode: nearest codeword per (vector, subspace) — L2² through the
+    // codegen'd l2_sq kernel (bit-identical to the HOF/oracle fold);
+    // rounded-argmin with codeword-id tie-break (the float-ordering rule),
+    // computed as a map-side-combining min_by over a lexicographic struct
+    // rather than a sort window
     val subs = e.select(col("vec_id"), explode(expr(
         "transform(sequence(0, 7), m -> struct(m AS m, slice(embedding, m * 8 + 1, 8) AS sv))"))
         .as("sub"))
       .select(col("vec_id"), col("sub.m").as("m"), col("sub.sv").as("sv"))
-    val wEnc = Window.partitionBy("vec_id", "m")
-      .orderBy(asc("d2"), asc("cw_id"))
     val codes = subs.join(broadcast(codebook), "m")
-      .withColumn("d2", round(expr(l2.format("sv", "cw")), 6))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
+      .withColumn("d2", round(expr("l2_sq(sv, cw)"), 6))
+      .groupBy("vec_id", "m")
+      .agg(expr("min_by(cw, struct(d2, cw_id))").as("cw"))
     // reconstruct each candidate from its codewords (ordered concat)
     val recon = codes.groupBy("vec_id")
       .agg(flatten(expr("transform(array_sort(collect_list(struct(m, cw))), s -> s.cw)"))
@@ -353,7 +353,7 @@ object SimilarityQueries extends QueryModule {
     val w = Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("c_id"))
     recon.select(col("vec_id").as("c_id"), col("rvec"))
       .join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("adc_dist", round(expr(l2.format("q_emb", "rvec")), 4))
+      .withColumn("adc_dist", round(expr("l2_sq(q_emb, rvec)"), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), col("adc_dist"), col("rn"))

@@ -69,6 +69,25 @@ class NativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorOps.l2Sq matches the sequential-fold HOF form bit-exactly") {
+    val rnd = new scala.util.Random(31)
+    (1 to 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val a = Array.fill(n)(rnd.nextFloat() - 0.5f)
+      val b = Array.fill(n)(rnd.nextFloat() - 0.5f)
+      // oracle form: left-to-right fold of (CAST(x AS DOUBLE)-CAST(y AS DOUBLE))²
+      var want = 0.0
+      (0 until n).foreach { i =>
+        val d = a(i).toDouble - b(i).toDouble
+        want += d * d
+      }
+      val got = graft.functions.VectorOps.l2Sq(
+        new GenericArrayData(a.map(f => Float.box(f): Any)),
+        new GenericArrayData(b.map(f => Float.box(f): Any)))
+      assert(got == want, s"n=$n got=$got want=$want (must be bit-identical)")
+    }
+  }
+
   test("TokenOps.maxMultiplicity matches the nested-HOF multiplicity form") {
     val rnd = new scala.util.Random(29)
     (1 to 40).foreach { _ =>

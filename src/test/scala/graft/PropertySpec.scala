@@ -577,6 +577,44 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("misc_scd2_history: contiguous versions, one open current row, no null-change rows") {
+    val rows = operators.MiscQueries.scd2History(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (ck, rs) =>
+      val byV = rs.sortBy(_.getInt(1))
+      assert(byV.map(_.getInt(1)).toSeq == (1 to byV.length), s"version gap for $ck")
+      // exactly the last version is current (open-ended)
+      byV.dropRight(1).foreach { r =>
+        assert(!r.getBoolean(5) && !r.isNullAt(4), s"closed rows must have an end date ($ck)")
+      }
+      assert(byV.last.getBoolean(5) && byV.last.isNullAt(4), s"last version open for $ck")
+      // consecutive duplicates compressed away; intervals ordered and well-formed
+      byV.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getString(2) != b.getString(2), s"uncompressed duplicate status for $ck")
+        assert(a.getString(3) < b.getString(3), s"effective_from not increasing for $ck")
+        assert(a.getString(4) >= a.getString(3), s"interval inverted for $ck")
+      }
+    }
+  }
+
+  test("agg_data_profile matches recomputed column stats") {
+    val rows = operators.AggQueries.dataProfile(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 6)
+    val li = Tables.lineitem(spark, Sf)
+    val n = li.count()
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == 0, "fixture has no nulls")
+      assert(r.getLong(3) <= n)
+      assert(r.getDouble(4) <= r.getDouble(6) && r.getDouble(6) <= r.getDouble(5),
+        s"min <= mean <= max violated for ${r.getString(0)}")
+    }
+    val q = rows("l_quantity")
+    assert(q.getLong(3) == li.select("l_quantity").distinct().count())
+    assert(q.getDouble(4) == li.agg(min("l_quantity")).head.getDouble(0))
+  }
+
   test("agg_approx_percentile: sketch estimates land inside the rank windows") {
     val rows = operators.AggQueries.approxPercentileBounds(spark, Sf).collect()
     assert(rows.nonEmpty)
