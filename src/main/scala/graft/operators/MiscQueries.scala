@@ -319,7 +319,12 @@ object MiscQueries extends QueryModule {
   def scd2History(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("custkey").orderBy("day")
+    // one shuffle for the whole query: hash(custkey) satisfies the
+    // clustering the (custkey, day) aggregation needs AND the per-custkey
+    // windows' — so the daily snapshot, the change filter, and both
+    // windows all reuse this single exchange (pinned in PlanSpec)
     val daily = Tables.orders(s, dir)
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey").as("custkey"),
         col("o_orderdate").cast("date").as("day"))
       .agg(expr("max_by(o_orderstatus, o_orderkey)").as("status"))

@@ -353,6 +353,9 @@ object WindowQueries extends QueryModule {
   private[graft] def ewmaOfEvents(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day")
     events
+      // same one-exchange shape as win_anomaly_zscore: hash(user_id)
+      // covers the (user_id, day) agg and the per-user windows
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("t", row_number().over(w))
@@ -395,7 +398,10 @@ object WindowQueries extends QueryModule {
     */
   def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    // hash(user_id) satisfies both the (user_id, day) aggregation and the
+    // per-user windows — one exchange end to end (pinned in PlanSpec)
     Tables.events(s, dir)
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("n_frame", count(lit(1)).over(w))

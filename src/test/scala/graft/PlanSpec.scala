@@ -161,6 +161,15 @@ class PlanSpec extends SparkSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("scd2 and zscore run the daily agg and the key windows on ONE exchange") {
+    // hash(key) satisfies ClusteredDistribution(key, day), so the explicit
+    // repartition is the only shuffle: agg + lag/lead/row_number all reuse it
+    Seq("misc_scd2_history", "win_anomaly_zscore", "win_ewma_daily").foreach { q =>
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q:\n$p")
+    }
+  }
+
   test("sorted neighborhood: rank pairing is an equi join, offsets broadcast") {
     // the window-3 neighbor probe must plan as a hash join on the rank key
     // (explode of rn+1..rn+3), never a range/BNL join; the bucket-offset
