@@ -72,6 +72,39 @@ object SourceQueries extends QueryModule {
       |  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Schema evolution through mergeSchema — the 100 TB reality: columns
+    * get added over time and old files must stay readable (nulls for the
+    * new fields). Two "generations" of the customer table are written to
+    * one directory — v1 (even custkeys) WITHOUT c_acctbal, v2 (odd
+    * custkeys) with it — then read back with mergeSchema=true and
+    * aggregated per segment. The oracle recomputes the same result from
+    * the original parquet with the generation rule inlined, so any row or
+    * type drift through the merged read fails the hash-compare.
+    */
+  def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_evolve_").toString + "/customer"
+    val c = Tables.customer(s, dir)
+    c.filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_mktsegment")
+      .write.mode("append").parquet(tmp)
+    c.filter(col("c_custkey") % 2 === 1)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("append").parquet(tmp)
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        count(col("c_acctbal")).as("n_with_bal"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val schemaMergeSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END) AS BIGINT)
+      |    AS n_with_bal,
+      |  round(sum(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END), 2) AS total_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Text-format round-trip: one document per line (the reference's
     * line-of-text record format [REF A1]), re-read and measured.
     */
@@ -191,6 +224,7 @@ object SourceQueries extends QueryModule {
     QueryDef("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("src_text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
     QueryDef("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
-    QueryDef("src_partitioned_pruned", partitionedWrite, Some(partitionedWriteSql))
+    QueryDef("src_partitioned_pruned", partitionedWrite, Some(partitionedWriteSql)),
+    QueryDef("src_schema_merge", schemaMerge, Some(schemaMergeSql))
   )
 }
