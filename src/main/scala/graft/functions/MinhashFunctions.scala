@@ -85,6 +85,49 @@ object ShingleOps {
   }
 }
 
+object CharNgramOps {
+  /** ALL positional character n-grams (non-distinct — the profile/count
+    * use case), via UTF8String.substringSQL so the values are identical
+    * to the builtin `substring(text, i, n)` the HOF form and the DuckDB
+    * oracle's `substr` compute, including for multi-byte code points.
+    */
+  def ngrams(s: UTF8String, n: Int): ArrayData = {
+    val m = s.numChars() - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) { out(i) = s.substringSQL(i + 1, n); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression:
+  * `char_ngrams(string, n) -> array<string>` (all positional n-grams).
+  * Replaces the interpreted `transform(sequence(...), i -> substring(...))`
+  * form in text_ngram_profile: one static call inside whole-stage codegen
+  * instead of a per-row integer-array build plus n interpreted substrings.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, positive n), got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    CharNgramOps.ngrams(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharNgramOps.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression:
   * `word_shingles(array<string>, n) -> array<string>` (distinct n-grams).
   * Same preference-order rationale as [[MinhashSignature]].

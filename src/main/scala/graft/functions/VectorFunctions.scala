@@ -163,6 +163,9 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
+      "char_ngrams", exprs => CharNgrams(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
       "hyperplane_bucket", exprs => HyperplaneBucket(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(

@@ -487,6 +487,68 @@ object CurationQueries extends QueryModule {
       |  min(doc_id) AS survivor_doc_id
       |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 
+  /** Host-graph PageRank — the link-graph quality score web-corpus
+    * pipelines compute over crawl hosts (the Common-Crawl-style
+    * centrality signal that feeds source weighting): 5 power iterations
+    * at damping 0.85 over a weighted host→host edge list derived
+    * deterministically from the fixture (src = doc host, dst from a
+    * quadratic map so the in-link mass is genuinely non-uniform — ranks
+    * span 0.012 to 0.20). The iteration loop composes LAZILY into one
+    * plan: each round is a rank-keyed join + dst-keyed partial-sum — at
+    * 100 TB the edge list is the big frame, the rank vector is
+    * host-cardinality and stays the broadcast side, and each iteration
+    * is exactly one keyed shuffle. No driver-side math anywhere.
+    */
+  def hostPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.documents(s, dir)
+      .select(
+        format_string("host%02d.example.com", col("doc_id") % 13).as("src"),
+        format_string("host%02d.example.com",
+          (col("doc_id") * col("doc_id") + 1) % 13).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outdeg = edges.groupBy("src").agg(sum("w").as("out_w"))
+    // transition probabilities; cached — 5 iterations re-read this frame
+    val e = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), (col("w") / col("out_w").cast("double")).as("p"))
+      .cache()
+    val nodes = e.select(col("src").as("host")).distinct()
+    var ranks = nodes.withColumn("pr", lit(1.0 / 13))
+    for (_ <- 1 to 5) {
+      val inflow = e.join(ranks, e("src") === ranks("host"))
+        .select(col("dst"), (col("pr") * col("p")).as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes.join(inflow, nodes("host") === inflow("dst"), "left")
+        .select(col("host"),
+          (lit(0.15 / 13) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    ranks.select(col("host"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(desc("pagerank"), asc("host"))
+  }
+
+  private val hostPagerankSql = {
+    val iter = (i: Int) =>
+      s"""r${i + 1} AS (
+         |  SELECT n.host, 0.15 / 13 + 0.85 * coalesce(sum(r.pr * e.p), 0) AS pr
+         |  FROM nodes n LEFT JOIN e ON e.dst = n.host
+         |  LEFT JOIN r$i r ON r.host = e.src GROUP BY 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT printf('host%02d.example.com', doc_id % 13) AS src,
+       |         printf('host%02d.example.com', (doc_id * doc_id + 1) % 13) AS dst,
+       |         count(*) AS w
+       |  FROM documents GROUP BY 1, 2
+       |), outdeg AS (
+       |  SELECT src, sum(w) AS out_w FROM edges GROUP BY 1
+       |), e AS (
+       |  SELECT edges.src, dst, w / CAST(out_w AS DOUBLE) AS p
+       |  FROM edges JOIN outdeg USING (src)
+       |), nodes AS (
+       |  SELECT DISTINCT src AS host FROM edges
+       |), r0 AS (SELECT host, 1.0 / 13 AS pr FROM nodes),
+       |${(0 until 5).map(iter).mkString(",\n")}
+       |SELECT host, round(pr, 6) AS pagerank
+       |FROM r5 ORDER BY pagerank DESC, host""".stripMargin
+  }
+
   /** The END-TO-END curation pipeline a real corpus run composes — every
     * gate this engine ships, chained over one corpus pass plus the three
     * corpus-level side computations each gate needs:
@@ -658,6 +720,7 @@ object CurationQueries extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_quality_survivor", qualitySurvivor, Some(qualitySurvivorSql)),
     QueryDef("curation_url_canonical", urlCanonical, Some(urlCanonicalSql)),
+    QueryDef("curation_host_pagerank", hostPagerank, Some(hostPagerankSql)),
     QueryDef("curation_chunking", chunking, Some(chunkingSql)),
     QueryDef("pipeline_curation_full", curationFull, Some(curationFullSql)),
     QueryDef("curation_domain_blocklist", domainBlocklist, Some(domainBlocklistSql)),

@@ -457,11 +457,13 @@ object TextQueries extends QueryModule {
     * under GraftExtensions.
     */
   def ngramProfile(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val w = Window.partitionBy("lang").orderBy(desc("cnt"), asc("tri"))
     Tables.documents(s, dir)
       .filter(length(col("text")) >= 3)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+      // codegen'd kernel, value-identical to the interpreted
+      // transform(sequence(...), i -> substring(text, i, 3)) form
+      .select(col("lang"), explode(expr("char_ngrams(text, 3)")).as("tri"))
       .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)

@@ -69,6 +69,23 @@ class NativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("CharNgramOps.ngrams matches the positional sliding-window form") {
+    val rnd = new scala.util.Random(37)
+    val alphabets = Seq("ab c", "αβγ δε", "xyz")
+    (1 to 30).foreach { _ =>
+      val alpha = alphabets(rnd.nextInt(alphabets.size))
+      val n = 2 + rnd.nextInt(3)
+      val text = Seq.fill(rnd.nextInt(20))(alpha(rnd.nextInt(alpha.length))).mkString
+      // oracle form: substr(text, i, n) for i in 1..len-n+1 (all, non-distinct)
+      val want =
+        if (text.length < n) Seq.empty
+        else (0 to text.length - n).map(i => text.substring(i, i + n))
+      val got = graft.functions.CharNgramOps.ngrams(UTF8String.fromString(text), n)
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == want, s"n=$n text='$text' got=$gotSeq want=$want")
+    }
+  }
+
   test("VectorOps.l2Sq matches the sequential-fold HOF form bit-exactly") {
     val rnd = new scala.util.Random(31)
     (1 to 30).foreach { _ =>

@@ -615,6 +615,31 @@ class PropertySpec extends SparkSuite {
     assert(q.getDouble(4) == li.agg(min("l_quantity")).head.getDouble(0))
   }
 
+  test("curation_host_pagerank matches the Scala power-iteration model") {
+    val got = operators.CurationQueries.hostPagerank(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independent model from the same deterministic edge derivation
+    val docIds = Tables.documents(spark, Sf).select("doc_id").collect().map(_.getLong(0))
+    val edges = docIds
+      .map(d => (f"host${d % 13}%02d.example.com", f"host${(d * d + 1) % 13}%02d.example.com"))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val outW = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = edges.keys.map(_._1).toSeq.distinct.sorted
+    var pr = nodes.map(_ -> 1.0 / 13).toMap
+    (1 to 5).foreach { _ =>
+      val inflow = edges.toSeq
+        .map { case ((s0, d0), w) => d0 -> pr(s0) * (w / outW(s0)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = nodes.map(n => n -> (0.15 / 13 + 0.85 * inflow.getOrElse(n, 0.0))).toMap
+    }
+    assert(got.keys.toSet == nodes.toSet)
+    nodes.foreach { n =>
+      assert(math.abs(got(n) - pr(n)) <= 2e-6, s"$n: ${got(n)} vs model ${pr(n)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, "rank mass conserved")
+    assert(got.values.toSeq.distinct.size > 1, "ranks must be non-uniform")
+  }
+
   test("agg_approx_percentile: sketch estimates land inside the rank windows") {
     val rows = operators.AggQueries.approxPercentileBounds(spark, Sf).collect()
     assert(rows.nonEmpty)
