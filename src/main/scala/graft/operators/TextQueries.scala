@@ -521,8 +521,11 @@ object TextQueries extends QueryModule {
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c12"))
-    val ugCounts = bg.groupBy("w1").agg(count(lit(1)).cast("double").as("c1"))
-    val vocab = bg.agg(countDistinct("w2").cast("double").as("v"))
+    // roll the unigram counts and follower vocab up FROM the bigram counts
+    // (c(w1·) = Σ_w2 c(w1,w2); counts are integer-valued doubles < 2^53 so
+    // the sum is exact) — the corpus explode now has two consumers, not four
+    val ugCounts = bgCounts.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = bgCounts.agg(countDistinct("w2").cast("double").as("v"))
     bg.join(bgCounts, Seq("w1", "w2"))
       .join(ugCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
