@@ -395,6 +395,10 @@ object AggQueries extends QueryModule {
     */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val act = Tables.events(s, dir)
+      // hash(user_id) satisfies the (user_id, day) distinct, the cohort
+      // min, AND the act⋈cohort join — the only other exchange left is
+      // the (cohort_day, offset) aggregation
+      .repartition(col("user_id"))
       .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
     val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
     val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))

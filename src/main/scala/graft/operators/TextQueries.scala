@@ -434,6 +434,10 @@ object TextQueries extends QueryModule {
     */
   def charEntropy(s: SparkSession, dir: String): DataFrame = {
     val chars = Tables.documents(s, dir)
+      // hash(doc_id) satisfies both the (doc_id, char) count and the
+      // per-doc fold — one exchange for the whole query (pre-explode, so
+      // the shuffle moves documents, not characters)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(expr("filter(split(text, ''), c -> c <> '')")).as("c"))
     chars.groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")

@@ -164,10 +164,18 @@ class PlanSpec extends SparkSuite {
   test("scd2 and zscore run the daily agg and the key windows on ONE exchange") {
     // hash(key) satisfies ClusteredDistribution(key, day), so the explicit
     // repartition is the only shuffle: agg + lag/lead/row_number all reuse it
-    Seq("misc_scd2_history", "win_anomaly_zscore", "win_ewma_daily").foreach { q =>
+    Seq("misc_scd2_history", "win_anomaly_zscore", "win_ewma_daily",
+        "text_char_entropy").foreach { q =>
       val p = plan(q)
       assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q:\n$p")
     }
+    // retention self-joins act⋈cohort, so the shared repartition(user_id)
+    // appears twice in the static plan — execution dedupes the identical
+    // subtrees via exchange reuse (that, not the static count, is the pin)
+    val df = SparkEntry.queries("agg_retention_cohorts")(spark, Sf)
+    df.collect()
+    val pr = df.queryExecution.executedPlan.toString
+    assert(pr.contains("ReusedExchange"), pr)
   }
 
   test("sorted neighborhood: rank pairing is an equi join, offsets broadcast") {
