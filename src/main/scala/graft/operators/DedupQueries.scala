@@ -95,6 +95,69 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shingle-containment pairs — the ASYMMETRIC companion to
+    * [[ngramJaccard]]: C = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) detects a
+    * document CONTAINED in another (quotes, excerpts, page-in-page)
+    * that symmetric Jaccard under-scores when sizes differ. Blocking is
+    * corpus-global (excerpts travel across sources), with the same
+    * df ≤ 50 cap bounding every shingle's fan-out at O(df²) regardless
+    * of corpus size. Output labels the contained/container side (tie →
+    * smaller doc_id is "contained").
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleFrame(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= MaxShingleDf)
+      .select("doc_id", "shingle")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+    val inter = a.join(b,
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 4))
+      .filter(col("containment") >= 0.07)
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")).as("contained_doc"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")).as("container_doc"),
+        col("containment"))
+      .orderBy("contained_doc", "container_doc")
+  }
+
+  private val containmentPairsSql =
+    s"""WITH sh_raw AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3])))) AS shingle
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4
+       |), sh AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |    FROM sh_raw)
+       |  WHERE df <= $MaxShingleDf
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT doc_a, doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       |    round(inter / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE), 4) AS containment
+       |  FROM inter JOIN counts ca ON ca.doc_id = doc_a
+       |  JOIN counts cb ON cb.doc_id = doc_b)
+       |SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc,
+       |  CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_doc,
+       |  containment
+       |FROM scored WHERE containment >= 0.07
+       |ORDER BY contained_doc, container_doc""".stripMargin
+
   private val ngramJaccardSql =
     s"""WITH sh_raw AS (
        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
@@ -666,6 +729,7 @@ object DedupQueries extends QueryModule {
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     QueryDef("dedup_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_containment", containmentPairs, Some(containmentPairsSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),

@@ -615,6 +615,29 @@ class PropertySpec extends SparkSuite {
     assert(q.getDouble(4) == li.agg(min("l_quantity")).head.getDouble(0))
   }
 
+  test("dedup_containment: asymmetric score bounds, exact dups score 1.0") {
+    val rows = operators.DedupQueries.containmentPairs(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      val c = r.getDouble(2)
+      assert(c >= 0.07 && c <= 1.0, s"containment out of range: $c")
+    }
+    // exact duplicates (same normalized text) must appear with containment 1
+    val exactPairs = {
+      val byHash = Tables.documents(spark, Sf)
+        .select(col("doc_id"), sha2(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+          .cast("binary"), 256).as("h"))
+        .collect().groupBy(_.getString(1)).values.filter(_.length > 1)
+      byHash.flatMap(g => g.map(_.getLong(0)).sorted.combinations(2)).map(p => (p(0), p(1))).toSet
+    }
+    val got = rows.map(r => (math.min(r.getLong(0), r.getLong(1)),
+      math.max(r.getLong(0), r.getLong(1))) -> r.getDouble(2)).toMap
+    exactPairs.foreach { p =>
+      assert(got.get(p).contains(1.0), s"exact dup pair $p missing or not 1.0")
+    }
+  }
+
   test("curation_host_pagerank matches the Scala power-iteration model") {
     val got = operators.CurationQueries.hostPagerank(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
