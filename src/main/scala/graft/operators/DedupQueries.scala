@@ -190,12 +190,15 @@ object DedupQueries extends QueryModule {
     * higher-order functions — no explode, no shuffle per token — then
     * counts bucket sizes per fingerprint.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash) fingerprints — shared by [[simhash]] and the banded
+    * pairing in [[simhashPairs]].
+    */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
     // hash each distinct token ONCE (the md5 is hoisted out of the 32-bit
     // loop via a transform over the token array), then fold bit votes
     val bitExpr =
       "((instr('0123456789abcdef', substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1) >> (b % 4)) & 1"
-    val sim = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("acc", expr(
         s"""aggregate(
            |  transform(array_distinct($toks), t -> md5(CAST(t AS BINARY))),
@@ -206,10 +209,80 @@ object DedupQueries extends QueryModule {
       .withColumn("simhash", expr(
         """aggregate(zip_with(acc, sequence(0, 31),
           |  (a, b) -> IF(a > 0, shiftleft(1L, b), 0L)), 0L, (x, y) -> x + y)""".stripMargin))
-    sim.select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashFrame(s, dir)
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("simhash")))
       .orderBy("doc_id")
+
+  /** A simhash band-bucket holding more than this many docs is a template
+    * artifact: it contributes O(size²) candidates while its members are
+    * already findable through their other three bands. Same bounded-fan-out
+    * rationale as [[MaxShingleDf]].
+    */
+  val MaxBandBucket = 20
+
+  /** Banded simhash pairing — the INDEX side of simhash dedup (the
+    * Google-style near-dup pipeline): the 32-bit fingerprint splits into
+    * 4×8-bit bands; docs agreeing on any band become candidates (hot
+    * buckets capped at [[MaxBandBucket]]); candidates verify at Hamming
+    * distance ≤ 1 via bit_count(xor). By pigeonhole, any pair at distance
+    * ≤ 3 agrees on some band, so banding loses nothing the verify step
+    * would keep. Scale shape: one band-keyed shuffle with the cap bounding
+    * every bucket's fan-out; the verify is per-pair arithmetic.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val banded = simhashFrame(s, dir)
+      .select(col("doc_id"), col("simhash"), explode(expr(
+        "transform(sequence(0, 3), r -> struct(r AS band, shiftright(simhash, CAST(r * 8 AS INT)) & 255 AS bv))"))
+        .as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bv").as("bv"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bv")))
+      .filter(col("bsz") <= MaxBandBucket)
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = banded.select(col("band").as("band_b"), col("bv").as("bv_b"),
+      col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
+
+  private val simhashPairsSql =
+    s"""WITH dt AS (
+       |  SELECT doc_id, unnest(list_distinct($dToks)) AS t FROM documents
+       |), bits AS (
+       |  SELECT doc_id, r.range AS b,
+       |    CASE WHEN ((instr('0123456789abcdef', substr(md5(t), CAST(r.range // 4 AS INT) + 1, 1)) - 1)
+       |      >> (r.range % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+       |  FROM dt CROSS JOIN range(0, 32) r
+       |), acc AS (
+       |  SELECT doc_id, b, sum(v) AS sv FROM bits GROUP BY doc_id, b
+       |), fp AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM acc GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, simhash, r.range AS band,
+       |    (simhash >> CAST(r.range * 8 AS INT)) & 255 AS bv
+       |  FROM fp CROSS JOIN range(0, 4) r
+       |), capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bv) AS bsz FROM banded)
+       |  WHERE bsz <= $MaxBandBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val simhashSql =
     s"""WITH dt AS (
@@ -730,6 +803,7 @@ object DedupQueries extends QueryModule {
     QueryDef("dedup_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_containment", containmentPairs, Some(containmentPairsSql)),
+    QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),

@@ -638,6 +638,19 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("dedup_simhash_pairs: hamming verified against the declared fingerprints") {
+    val fp = operators.DedupQueries.simhash(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = operators.DedupQueries.simhashPairs(spark, Sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, hd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(hd == java.lang.Long.bitCount(fp(a) ^ fp(b)), s"hamming mismatch for ($a,$b)")
+      assert(hd <= 1)
+    }
+  }
+
   test("curation_host_pagerank matches the Scala power-iteration model") {
     val got = operators.CurationQueries.hostPagerank(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
