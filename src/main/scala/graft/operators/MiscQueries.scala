@@ -306,6 +306,98 @@ object MiscQueries extends QueryModule {
       |  round(sum(price), 2) AS total_price
       |FROM merged GROUP BY 1, 2 ORDER BY status, action""".stripMargin
 
+  /** URL function family (`parse_url`): HOST / PATH / QUERY / named query
+    * parameter over deterministically derived URLs (same device as the
+    * curation queries — the fixture has no URL column). The oracle
+    * replays the extraction with regexes, with '' → NULL fixed up where
+    * parse_url returns NULL for an absent component. Per-row projection,
+    * shuffle-free.
+    */
+  def urlFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("url", concat(
+        lit("https://"),
+        format_string("host%02d.example.com/%s/doc/%d", col("doc_id") % 13,
+          col("source"), col("doc_id")),
+        when(col("doc_id") % 4 === 0,
+          format_string("?utm_source=feed&sid=%d", col("doc_id"))).otherwise(lit(""))))
+      .select(
+        col("doc_id"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'sid')").as("sid"),
+        expr("parse_url(url, 'PROTOCOL')").as("protocol"))
+      .orderBy("doc_id")
+
+  private val urlFuncsSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    concat('https://',
+      |      printf('host%02d.example.com/%s/doc/%d', doc_id % 13, source, doc_id),
+      |      CASE WHEN doc_id % 4 = 0 THEN printf('?utm_source=feed&sid=%d', doc_id)
+      |           ELSE '' END) AS url
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(url, 'https://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, 'https://[^/?#]+([^?#]*)', 1) AS path,
+      |  CASE WHEN url LIKE '%?%'
+      |    THEN regexp_extract(url, '\?(.*)$', 1) END AS query,
+      |  CASE WHEN url LIKE '%?%'
+      |    THEN regexp_extract(url, 'sid=([^&]*)', 1) END AS sid,
+      |  'https' AS protocol
+      |FROM u ORDER BY doc_id""".stripMargin
+
+  /** XML function family: rows serialized to XML then pulled back out with
+    * the xpath family (`xpath_string` / `xpath_long` / `xpath_boolean`) —
+    * the round-trip proves the parse, and the oracle just projects the
+    * original columns. Per-row projection, shuffle-free.
+    */
+  def xmlFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("xml", concat(
+        lit("<doc><id>"), col("doc_id"), lit("</id><lang>"), col("lang"),
+        lit("</lang><n>"), col("n_chars"), lit("</n><src>"), col("source"),
+        lit("</src></doc>")))
+      .select(
+        col("doc_id"),
+        expr("xpath_long(xml, '/doc/id')").as("xml_id"),
+        expr("xpath_string(xml, '/doc/lang')").as("xml_lang"),
+        expr("xpath_long(xml, '/doc/n')").as("xml_n"),
+        expr("xpath_boolean(xml, '/doc/src')").as("has_src"),
+        expr("CAST(size(xpath(xml, '/doc/*')) AS BIGINT)").as("n_elems"))
+      .orderBy("doc_id")
+
+  private val xmlFuncsSql =
+    """SELECT doc_id, doc_id AS xml_id, lang AS xml_lang, n_chars AS xml_n,
+      |  true AS has_src, CAST(4 AS BIGINT) AS n_elems
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** VARIANT surface (Spark 4): `parse_json` to the semi-structured
+    * VARIANT type, typed extraction via `variant_get` / `try_variant_get`
+    * (the wrong-type probe returns NULL instead of failing). The output
+    * schema is all plain scalars, so the oracle is ordinary JSON
+    * extraction. Per-row projection, shuffle-free.
+    */
+  def variantFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k_int"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("k_missing"),
+        expr("is_variant_null(variant_get(v, '$.k'))").as("k_is_null"))
+      .orderBy("event_id")
+
+  private val variantFuncsSql =
+    """SELECT event_id,
+      |  CAST(props ->> '$.k' AS INT) AS k_int,
+      |  CAST(CAST(props ->> '$.k' AS INT) AS VARCHAR) AS k_str,
+      |  CAST(NULL AS INT) AS k_missing,
+      |  false AS k_is_null
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** SCD type-2 history build — the warehouse pattern for tracking
     * attribute changes over time: each customer's order-status stream is
     * snapshotted at daily grain (last order of the day wins, by max
@@ -411,6 +503,9 @@ object MiscQueries extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("misc_skew_diagnostics", skewDiagnostics, Some(skewDiagnosticsSql)),
     QueryDef("misc_scd2_history", scd2History, Some(scd2HistorySql)),
+    QueryDef("misc_url_funcs", urlFuncs, Some(urlFuncsSql)),
+    QueryDef("misc_xml_funcs", xmlFuncs, Some(xmlFuncsSql)),
+    QueryDef("misc_variant_funcs", variantFuncs, Some(variantFuncsSql)),
     QueryDef("misc_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("misc_generator_funcs", generatorFuncs, Some(generatorFuncsSql)),
     QueryDef("misc_salted_join", saltedJoin, Some(saltedJoinSql)),
