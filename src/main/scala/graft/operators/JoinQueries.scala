@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{plans, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -216,6 +216,35 @@ object JoinQueries extends QueryModule {
       .orderBy("s_suppkey")
   }
 
+  /** The SAME plain theta band join as [[thetaBandAcctbal]] — but with the
+    * [[graft.plans.RewriteBandJoin]] optimizer rule enabled, so the
+    * nested-loop shape is rewritten into the binned equi join
+    * AUTOMATICALLY (what [[binnedBandAcctbal]] spells out by hand). The
+    * result is materialized eagerly (localCheckpoint) while the conf is
+    * set, then the flag is restored — the rule stays scoped to this query
+    * and the declared theta query keeps demonstrating the nested-loop
+    * surface. PlanSpec pins that the rewritten plan carries no
+    * nested-loop/cartesian operator.
+    */
+  def bandAutoRewrite(s: SparkSession, dir: String): DataFrame = {
+    val prev = s.conf.getOption(plans.RewriteBandJoin.ConfKey)
+    s.conf.set(plans.RewriteBandJoin.ConfKey, "true")
+    try {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val sup = Tables.supplier(s, dir) // no broadcast hint: the rule, not the hint
+      c.join(sup,
+          col("c_acctbal") >= col("s_acctbal") - 100 &&
+            col("c_acctbal") <= col("s_acctbal") + 100)
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_near_customers"))
+        .orderBy("s_suppkey")
+        .localCheckpoint(true) // optimize + execute NOW, under the flag
+    } finally prev match {
+      case Some(v) => s.conf.set(plans.RewriteBandJoin.ConfKey, v)
+      case None => s.conf.unset(plans.RewriteBandJoin.ConfKey)
+    }
+  }
+
   /** As-of join (composed): for each event, the latest order date of the
     * matching customer at-or-before the event time. No native Spark as-of
     * join — and the naive equi-join + range + max-aggregate materializes
@@ -321,6 +350,7 @@ object JoinQueries extends QueryModule {
     QueryDef("join_theta_band_acctbal", thetaBandAcctbal, Some(thetaBandAcctbalSql)),
     // binned rewrite must reproduce the band join exactly (parity oracle)
     QueryDef("join_binned_band_acctbal", binnedBandAcctbal, Some(thetaBandAcctbalSql)),
+    QueryDef("join_band_auto_rewrite", bandAutoRewrite, Some(thetaBandAcctbalSql)),
     QueryDef("join_asof_last_order", asofLastOrder, Some(asofLastOrderSql)),
     QueryDef("join_asof_nearest", asofNearestOrder, Some(asofNearestOrderSql)),
     QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql))

@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
+    e.injectOptimizerRule(_ => RewriteBandJoin)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

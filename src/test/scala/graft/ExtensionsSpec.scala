@@ -54,4 +54,46 @@ class ExtensionsSpec extends AnyFunSuite {
     // id=0: a=[0,1,2], b=[1,2,3] → 8 / (sqrt(5)*sqrt(14))
     assert(math.abs(q.as[Double].head() - 8.0 / math.sqrt(70.0)) < 1e-12)
   }
+
+  /** The plain theta band join used by RewriteBandJoin's tests. */
+  private def bandJoin(n: Int, gap: Double) = {
+    import spark.implicits._
+    val l = (0 until n).map(i => (i.toLong, i * gap)).toDF("l_id", "l_v")
+    val r = (0 until n).map(i => (i.toLong, i * gap + 0.3)).toDF("r_id", "r_v")
+    l.join(r, col("l_v") >= col("r_v") - 100 && col("l_v") <= col("r_v") + 100)
+  }
+
+  test("RewriteBandJoin turns a pure band join into a binned equi join") {
+    spark.conf.set(plans.RewriteBandJoin.ConfKey, "true")
+    try {
+      val q = bandJoin(200, 7.0).groupBy("l_id").count()
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"band join not rewritten:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+      // and VALUES are identical to the un-rewritten nested-loop plan
+      val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set(plans.RewriteBandJoin.ConfKey, "false")
+      val want = bandJoin(200, 7.0).groupBy("l_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "rewrite changed the join result")
+    } finally spark.conf.unset(plans.RewriteBandJoin.ConfKey)
+  }
+
+  test("RewriteBandJoin leaves equi-conjunct joins and stays off by default") {
+    // off by default: the theta shape keeps its nested loop
+    val pOff = bandJoin(50, 7.0).queryExecution.executedPlan.toString
+    assert(pOff.contains("BroadcastNestedLoopJoin"), pOff)
+    // on, but an equality conjunct already links the sides: not our case
+    spark.conf.set(plans.RewriteBandJoin.ConfKey, "true")
+    try {
+      import spark.implicits._
+      val l = (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("l_id", "l_v")
+      val r = (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("r_id", "r_v")
+      val q = l.join(r, col("l_id") === col("r_id") &&
+        col("l_v") >= col("r_v") - 10 && col("l_v") <= col("r_v") + 10)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("graft_band_bin"), s"rule fired despite equi key:\n$p")
+    } finally spark.conf.unset(plans.RewriteBandJoin.ConfKey)
+  }
 }
