@@ -86,6 +86,30 @@ object KinesisLikeSource {
       .sortBy(_.getName).toSeq
   }
 
+  /** Resharding topology [REF A14]: an optional `_topology.txt` sidecar in
+    * the shard-log directory, one `childShardId\tparentShardId` line per
+    * split/merge edge. A child shard's records become visible only after
+    * its parent is fully consumed — the same parent-before-children
+    * ordering the KCL guarantees across a reshard (the reference
+    * checkpoints the parent at shard end, then its worker picks up the
+    * children). Directories without the sidecar have no lineage and every
+    * shard streams independently, as before.
+    */
+  def shardParents(path: String): Map[String, String] = {
+    val f = new java.io.File(path, "_topology.txt")
+    if (!f.isFile) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map { line =>
+        val parts = line.split("\t", 2)
+        if (parts.length != 2) throw new IllegalArgumentException(
+          s"malformed _topology.txt line (expected child\\tparent): '$line'")
+        parts(0) -> parts(1)
+      }.toMap
+      finally src.close()
+    }
+  }
+
   def shardIdOf(fileName: String): String =
     "shardId-" + fileName.stripPrefix("shard-").stripSuffix(".txt").reverse
       .padTo(12, '0').reverse
@@ -166,6 +190,10 @@ class KinesisLikeMicroBatch(path: String, maxPerBatch: Long, streamName: String)
   private lazy val shardEnds: Map[String, Long] =
     shardIndex.map { case (s, idx) => s -> (idx.length - 1).toLong }
 
+  /** child → parent reshard lineage (empty without a `_topology.txt`). */
+  private lazy val shardParents: Map[String, String] =
+    KinesisLikeSource.shardParents(path)
+
   override def initialOffset(): Offset =
     ShardOffsets(shardEnds.keys.map(_ -> 0L).toMap)
 
@@ -192,14 +220,27 @@ class KinesisLikeMicroBatch(path: String, maxPerBatch: Long, streamName: String)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[ShardOffsets].offsets
     var totalBudget = engineMaxRows(limit).getOrElse(Long.MaxValue)
+    // parent-before-children [REF A14]: a child shard is withheld (its
+    // offset does not advance) until the whole ANCESTOR chain is drained
+    // as of this batch's START offsets — so the final parent slice and the
+    // first child slice never share a micro-batch, preserving cross-reshard
+    // order end to end.
+    def ancestorsDrained(s: String): Boolean = shardParents.get(s) match {
+      case None => true
+      case Some(p) =>
+        cur.getOrElse(p, 0L) >= shardEnds.getOrElse(p, 0L) && ancestorsDrained(p)
+    }
     ShardOffsets(shardEnds.toSeq.sortBy(_._1).map { case (s, end) =>
       val c = cur.getOrElse(s, 0L)
-      // saturating add: maxPerBatch defaults to Long.MaxValue
-      val capped = if (Long.MaxValue - maxPerBatch < c) Long.MaxValue else c + maxPerBatch
-      val next = math.max(c, math.min(end, math.min(capped,
-        if (Long.MaxValue - totalBudget < c) Long.MaxValue else c + totalBudget)))
-      totalBudget -= next - c
-      s -> next
+      if (!ancestorsDrained(s)) s -> c
+      else {
+        // saturating add: maxPerBatch defaults to Long.MaxValue
+        val capped = if (Long.MaxValue - maxPerBatch < c) Long.MaxValue else c + maxPerBatch
+        val next = math.max(c, math.min(end, math.min(capped,
+          if (Long.MaxValue - totalBudget < c) Long.MaxValue else c + totalBudget)))
+        totalBudget -= next - c
+        s -> next
+      }
     }.toMap)
   }
 

@@ -210,6 +210,54 @@ object RecordStream {
       stage
     })
 
+  private val kinesisReshardStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The events fixture staged MID-RESHARD [REF A14]: shard 0 was split at
+    * 2024-01-15 — records before the split live in the (now closed) parent
+    * `shard-000`, records at/after it in its child `shard-100`, with the
+    * lineage declared in `_topology.txt`. The native source must drain the
+    * parent completely before serving the child (the KCL's
+    * parent-before-children guarantee); shard 1 is untouched and streams
+    * independently.
+    */
+  def kinesisReshardFixture(spark: SparkSession, dir: String): String =
+    kinesisReshardStaged.computeIfAbsent(dir, d => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_kinesis_rs_").toString
+      val splitNanos = java.time.Instant.parse("2024-01-15T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      val rows = graft.Tables.events(spark, d)
+        .select(
+          when(pmod(col("user_id"), lit(NumShards)) =!= 0, "keep")
+            .otherwise(when(expr("unix_micros(ts)") * 1000L < splitNanos,
+              lit("parent")).otherwise(lit("child"))).as("role"),
+          pmod(col("user_id"), lit(NumShards)).cast("int").as("shard"),
+          (expr("unix_micros(ts)") * 1000L).as("ts_nanos"),
+          col("user_id").cast("string").as("pkey"),
+          when(col("event_id") % 97 === 0, concat(lit("garbage-"), col("event_id")))
+            .otherwise(concat(lit("testData-"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"))).as("payload"),
+          col("event_id"))
+        .orderBy("shard", "ts_nanos", "event_id")
+        .collect()
+      def fileOf(role: String, shard: Int): String = role match {
+        case "parent" => "shard-000.txt"
+        case "child" => "shard-100.txt"
+        case _ => f"shard-$shard%03d.txt"
+      }
+      val writers = scala.collection.mutable.Map[String, java.io.PrintWriter]()
+      try rows.foreach { r =>
+        val f = fileOf(r.getString(0), r.getInt(1))
+        val w = writers.getOrElseUpdate(f,
+          new java.io.PrintWriter(new java.io.File(stage, f), "UTF-8"))
+        w.print(s"${r.getLong(2)}\t${r.getString(3)}\t${r.getString(4)}\n")
+      } finally writers.values.foreach(_.close())
+      val topo = new java.io.PrintWriter(new java.io.File(stage, "_topology.txt"), "UTF-8")
+      try topo.print("shardId-000000000100\tshardId-000000000000\n")
+      finally topo.close()
+      stage
+    })
+
   /** The events fixture replayed through the native shard-ordered
     * DataSourceV2 source — the engine's own "Kinesis consumer" surface.
     */

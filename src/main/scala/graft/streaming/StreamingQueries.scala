@@ -796,6 +796,47 @@ object StreamingQueries extends QueryModule {
        |  CAST(count(*) FILTER (event_id % 97 = 0) AS BIGINT) AS n_poison
        |FROM events GROUP BY 1 ORDER BY shardId""".stripMargin
 
+  /** Backfill across a RESHARD [REF A14]: the fixture is staged mid-split
+    * (shard 0's records before 2024-01-15 in the closed parent shard-000,
+    * the rest in child shard-100, lineage in `_topology.txt`), and the
+    * native source withholds the child until the parent is fully drained —
+    * the KCL's parent-before-children order, pinned batch-by-batch in
+    * NativeSourceSpec. The per-shard cap forces a multi-batch drain, so
+    * the hold-back logic is on the timed path. Output is the per-shard
+    * backlog accounting, now spanning three shard generations.
+    */
+  def reshardBackfill(s: SparkSession, dir: String): DataFrame = {
+    val records = s.readStream
+      .format(classOf[graft.streaming.source.KinesisLikeProvider].getName)
+      .option("path", RecordStream.kinesisReshardFixture(s, dir))
+      .option("maxRecordsPerShardPerBatch", "20000")
+      .load()
+    val agg = records.groupBy("shardId")
+      .agg(count(lit(1)).as("n_records"),
+        min("sequenceNumber").as("first_seq"),
+        max("sequenceNumber").as("last_seq"),
+        count(when(col("data").startsWith("garbage-"), 1)).as("n_poison"))
+    RecordStream.runToMemory(s, agg, "stream_reshard_sink", "complete",
+        availableNow = true)
+      .orderBy("shardId")
+  }
+
+  private val reshardBackfillSql =
+    s"""WITH shards AS (
+       |  SELECT CASE
+       |      WHEN user_id % ${RecordStream.NumShards} <> 0
+       |        THEN concat('shardId-', lpad(CAST(user_id % ${RecordStream.NumShards} AS VARCHAR), 12, '0'))
+       |      WHEN ts < TIMESTAMP '2024-01-15' THEN 'shardId-000000000000'
+       |      ELSE 'shardId-000000000100' END AS shardId,
+       |    event_id
+       |  FROM events)
+       |SELECT shardId,
+       |  CAST(count(*) AS BIGINT) AS n_records,
+       |  CAST(0 AS BIGINT) AS first_seq,
+       |  CAST(count(*) - 1 AS BIGINT) AS last_seq,
+       |  CAST(count(*) FILTER (event_id % 97 = 0) AS BIGINT) AS n_poison
+       |FROM shards GROUP BY shardId ORDER BY shardId""".stripMargin
+
   def nativeWindowedCounts(s: SparkSession, dir: String): DataFrame = {
     val agg = RecordStream.kinesisSource(s, dir)
       .groupBy(window(col("arrivalTs"), "1 hour").as("w"), col("shardId"))
@@ -816,6 +857,7 @@ object StreamingQueries extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("stream_native_windowed", nativeWindowedCounts, Some(nativeWindowedCountsSql)),
     QueryDef("stream_available_now", availableNowBackfill, Some(availableNowBackfillSql)),
+    QueryDef("stream_reshard_backfill", reshardBackfill, Some(reshardBackfillSql)),
     QueryDef("stream_stream_left_join", streamStreamLeftJoin, Some(streamStreamLeftJoinSql)),
     QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("stream_stream_semi_join", streamStreamSemiJoin, Some(streamStreamSemiJoinSql)),

@@ -130,6 +130,58 @@ class NativeSourceSpec extends SparkSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("reshard: child shard is withheld until its parent drains [REF A14]") {
+    // hand-staged mid-reshard stream: parent shard-000 (5 records, closed),
+    // its child shard-100 (4 records), and an independent shard-001
+    val stage = java.nio.file.Files.createTempDirectory("graft_kin_topo_").toString
+    def write(name: String, n: Int, t0: Long): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(stage, name), "UTF-8")
+      try (0 until n).foreach(i => w.print(s"${t0 + i * 1000000L}\tpk\tpayload-$name-$i\n"))
+      finally w.close()
+    }
+    write("shard-000.txt", 5, 1000000000L)
+    write("shard-100.txt", 4, 6000000000L)
+    write("shard-001.txt", 6, 1000000000L)
+    val topo = new java.io.PrintWriter(new java.io.File(stage, "_topology.txt"), "UTF-8")
+    try topo.print("shardId-000000000100\tshardId-000000000000\n") finally topo.close()
+
+    // 2 records/shard/batch: the parent needs 3 batches; the child must not
+    // produce its first record before the parent's last batch is committed
+    val df = spark.readStream
+      .format(classOf[graft.streaming.source.KinesisLikeProvider].getName)
+      .option("path", stage)
+      .option("maxRecordsPerShardPerBatch", "2")
+      .load()
+    val arrivals = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        arrivals.synchronized {
+          arrivals ++= batch.select("shardId", "sequenceNumber").collect()
+            .map(r => (id, r.getString(0), r.getLong(1)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow reshard drain must terminate")
+
+    val byShard = arrivals.groupBy(_._2)
+    assert(byShard.keySet ==
+      Set("shardId-000000000000", "shardId-000000000100", "shardId-000000000001"))
+    // exactly-once, dense sequences per shard
+    assert(byShard("shardId-000000000000").map(_._3).sorted.toSeq == (0L until 5L))
+    assert(byShard("shardId-000000000100").map(_._3).sorted.toSeq == (0L until 4L))
+    assert(byShard("shardId-000000000001").map(_._3).sorted.toSeq == (0L until 6L))
+    // THE reshard guarantee: every parent record commits strictly before
+    // any child record (the child never shares a batch with parent tail)
+    val lastParentBatch = byShard("shardId-000000000000").map(_._1).max
+    val firstChildBatch = byShard("shardId-000000000100").map(_._1).min
+    assert(firstChildBatch > lastParentBatch,
+      s"child started in batch $firstChildBatch, parent finished in $lastParentBatch")
+    // the independent shard is NOT held back by someone else's lineage
+    assert(byShard("shardId-000000000001").map(_._1).min == 0)
+  }
+
   test("payload pipeline over the native source matches the batch truth") {
     val got = streaming.StreamingQueries.payloadPipeline(spark, Sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
