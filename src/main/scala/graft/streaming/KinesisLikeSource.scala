@@ -95,17 +95,19 @@ object KinesisLikeSource {
     * children). Directories without the sidecar have no lineage and every
     * shard streams independently, as before.
     */
-  def shardParents(path: String): Map[String, String] = {
+  def shardParents(path: String): Map[String, Seq[String]] = {
     val f = new java.io.File(path, "_topology.txt")
     if (!f.isFile) Map.empty
     else {
       val src = scala.io.Source.fromFile(f, "UTF-8")
+      // one line per edge; a SPLIT child has one parent, a MERGE child has
+      // two lines (one per merged parent) — both must drain before it
       try src.getLines().filter(_.nonEmpty).map { line =>
         val parts = line.split("\t", 2)
         if (parts.length != 2) throw new IllegalArgumentException(
           s"malformed _topology.txt line (expected child\\tparent): '$line'")
         parts(0) -> parts(1)
-      }.toMap
+      }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       finally src.close()
     }
   }
@@ -190,8 +192,10 @@ class KinesisLikeMicroBatch(path: String, maxPerBatch: Long, streamName: String)
   private lazy val shardEnds: Map[String, Long] =
     shardIndex.map { case (s, idx) => s -> (idx.length - 1).toLong }
 
-  /** child → parent reshard lineage (empty without a `_topology.txt`). */
-  private lazy val shardParents: Map[String, String] =
+  /** child → parents reshard lineage (empty without a `_topology.txt`;
+    * one parent per split child, two per merge child).
+    */
+  private lazy val shardParents: Map[String, Seq[String]] =
     KinesisLikeSource.shardParents(path)
 
   override def initialOffset(): Offset =
@@ -225,11 +229,9 @@ class KinesisLikeMicroBatch(path: String, maxPerBatch: Long, streamName: String)
     // as of this batch's START offsets — so the final parent slice and the
     // first child slice never share a micro-batch, preserving cross-reshard
     // order end to end.
-    def ancestorsDrained(s: String): Boolean = shardParents.get(s) match {
-      case None => true
-      case Some(p) =>
-        cur.getOrElse(p, 0L) >= shardEnds.getOrElse(p, 0L) && ancestorsDrained(p)
-    }
+    def ancestorsDrained(s: String): Boolean =
+      shardParents.getOrElse(s, Nil).forall(p =>
+        cur.getOrElse(p, 0L) >= shardEnds.getOrElse(p, 0L) && ancestorsDrained(p))
     ShardOffsets(shardEnds.toSeq.sortBy(_._1).map { case (s, end) =>
       val c = cur.getOrElse(s, 0L)
       if (!ancestorsDrained(s)) s -> c

@@ -142,8 +142,15 @@ class NativeSourceSpec extends SparkSuite {
     write("shard-000.txt", 5, 1000000000L)
     write("shard-100.txt", 4, 6000000000L)
     write("shard-001.txt", 6, 1000000000L)
+    write("shard-002.txt", 3, 1000000000L)
+    // MERGE: shard-200 is the child of BOTH shard-001 and shard-002
+    write("shard-200.txt", 2, 9000000000L)
     val topo = new java.io.PrintWriter(new java.io.File(stage, "_topology.txt"), "UTF-8")
-    try topo.print("shardId-000000000100\tshardId-000000000000\n") finally topo.close()
+    try topo.print(
+      "shardId-000000000100\tshardId-000000000000\n" +
+        "shardId-000000000200\tshardId-000000000001\n" +
+        "shardId-000000000200\tshardId-000000000002\n")
+    finally topo.close()
 
     // 2 records/shard/batch: the parent needs 3 batches; the child must not
     // produce its first record before the parent's last batch is committed
@@ -166,20 +173,32 @@ class NativeSourceSpec extends SparkSuite {
     assert(q.awaitTermination(120000), "AvailableNow reshard drain must terminate")
 
     val byShard = arrivals.groupBy(_._2)
-    assert(byShard.keySet ==
-      Set("shardId-000000000000", "shardId-000000000100", "shardId-000000000001"))
+    assert(byShard.keySet == Set(
+      "shardId-000000000000", "shardId-000000000100", "shardId-000000000001",
+      "shardId-000000000002", "shardId-000000000200"))
     // exactly-once, dense sequences per shard
     assert(byShard("shardId-000000000000").map(_._3).sorted.toSeq == (0L until 5L))
     assert(byShard("shardId-000000000100").map(_._3).sorted.toSeq == (0L until 4L))
     assert(byShard("shardId-000000000001").map(_._3).sorted.toSeq == (0L until 6L))
+    assert(byShard("shardId-000000000002").map(_._3).sorted.toSeq == (0L until 3L))
+    assert(byShard("shardId-000000000200").map(_._3).sorted.toSeq == (0L until 2L))
     // THE reshard guarantee: every parent record commits strictly before
     // any child record (the child never shares a batch with parent tail)
     val lastParentBatch = byShard("shardId-000000000000").map(_._1).max
     val firstChildBatch = byShard("shardId-000000000100").map(_._1).min
     assert(firstChildBatch > lastParentBatch,
       s"child started in batch $firstChildBatch, parent finished in $lastParentBatch")
-    // the independent shard is NOT held back by someone else's lineage
+    // MERGE: the child waits for BOTH parents — the slower one (shard-001,
+    // 6 records at cap 2 = 3 batches) gates it
+    val lastMergedParentBatch = (byShard("shardId-000000000001") ++
+      byShard("shardId-000000000002")).map(_._1).max
+    val firstMergeChildBatch = byShard("shardId-000000000200").map(_._1).min
+    assert(firstMergeChildBatch > lastMergedParentBatch,
+      s"merge child started in batch $firstMergeChildBatch before both parents " +
+        s"finished ($lastMergedParentBatch)")
+    // parents themselves are NOT held back by anyone's lineage
     assert(byShard("shardId-000000000001").map(_._1).min == 0)
+    assert(byShard("shardId-000000000002").map(_._1).min == 0)
   }
 
   test("payload pipeline over the native source matches the batch truth") {
