@@ -19,6 +19,7 @@ object SparkEntry {
     operators.ArrayMapJsonQueries,
     operators.TextQueries,
     operators.SubqueryQueries,
+    operators.SqlSyntaxQueries,
     operators.MiscQueries,
     operators.TypedQueries,
     sources.SourceQueries,

@@ -530,7 +530,40 @@ object AggQueries extends QueryModule {
       |UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM a
       |ORDER BY var_a, var_b""".stripMargin
 
+  /** Linear-regression aggregate family (`regr_*`, SQL:2003): per-group
+    * OLS fit of net revenue share on discount — slope, intercept, fit
+    * quality, and the first moments the fit is built from. Like corr, each
+    * regr_* is an independent partial-aggregable state (sums of x, y, xy,
+    * x², y²), so the whole family is one map-side-combining scan with no
+    * joins — the same single-pass shape at 100 TB. Slope/intercept are
+    * rounded to 4 decimals: both engines accumulate in doubles and the
+    * values are O(1), so summation-order drift (≲1e-12 relative at 600 k
+    * rows) sits far below the rounding granularity.
+    */
+  def regression(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("regr_count(l_extendedprice, l_discount)").as("n"),
+        round(expr("regr_slope(l_extendedprice, l_discount)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_discount)"), 4).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_discount)"), 4).as("r2"),
+        round(expr("regr_avgx(l_extendedprice, l_discount)"), 4).as("avg_x"),
+        round(expr("regr_avgy(l_extendedprice, l_discount)"), 4).as("avg_y"))
+      .orderBy("l_returnflag")
+
+  private val regressionSql =
+    """SELECT l_returnflag,
+      |  CAST(regr_count(l_extendedprice, l_discount) AS BIGINT) AS n,
+      |  round(regr_slope(l_extendedprice, l_discount), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_discount), 4) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_discount), 4) AS r2,
+      |  round(regr_avgx(l_extendedprice, l_discount), 4) AS avg_x,
+      |  round(regr_avgy(l_extendedprice, l_discount), 4) AS avg_y
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_regression", regression, Some(regressionSql)),
     QueryDef("agg_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),
     QueryDef("agg_data_profile", dataProfile, Some(dataProfileSql)),
     QueryDef("agg_corr_matrix", corrMatrix, Some(corrMatrixSql)),

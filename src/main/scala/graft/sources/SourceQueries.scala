@@ -217,7 +217,35 @@ object SourceQueries extends QueryModule {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** SQL-DML catalog surface: CTAS + INSERT INTO + query-back, the
+    * pure-SQL twin of `src_catalog_ddl`'s DataFrame API round-trip. The
+    * CTAS writes parquet through the same datasource path as
+    * `saveAsTable`; INSERT INTO appends files (no rewrite of existing
+    * data — the append-only layout that scales to continuous ingestion).
+    * The final aggregation proves both populations landed in one table.
+    */
+  def sqlCtasInsert(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_sql_ctas"
+    dropManaged(s, tbl)
+    Tables.registerViews(s, dir)
+    s.sql(s"""CREATE TABLE $tbl USING PARQUET AS
+             |SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |WHERE n_regionkey < 3""".stripMargin)
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |WHERE n_regionkey >= 3""".stripMargin)
+    s.sql(s"""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+             |  min(n_name) AS first_nation
+             |FROM $tbl GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
+  private val sqlCtasInsertSql =
+    """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+      |  min(n_name) AS first_nation
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("src_sql_ctas_insert", sqlCtasInsert, Some(sqlCtasInsertSql)),
     QueryDef("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("src_catalog_ddl", catalogRoundtrip, Some(catalogRoundtripSql)),
     QueryDef("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
