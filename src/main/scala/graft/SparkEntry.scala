@@ -20,6 +20,7 @@ object SparkEntry {
     operators.TextQueries,
     operators.SubqueryQueries,
     operators.SqlSyntaxQueries,
+    operators.GraphQueries,
     operators.MiscQueries,
     operators.TypedQueries,
     sources.SourceQueries,

@@ -338,7 +338,59 @@ object JoinQueries extends QueryModule {
       |  AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
       |GROUP BY st1, st2 ORDER BY st1, st2""".stripMargin
 
+  /** Interval-overlap join via bin blocking — the generic scalable plan
+    * when NEITHER side has an equi key (valid-time joins, promo-window
+    * attribution, ad-impression sessionning). Each interval explodes to
+    * the 30-day bins it touches (both interval families are shorter than
+    * one bin, so the fan-out is ≤ 2 rows/interval — bounded); bins
+    * equi-join; a residual predicate keeps true overlaps and a DISTINCT
+    * collapses pairs that met in two bins. Same family as the
+    * [[graft.plans.RewriteBandJoin]] rewrite, for [start,end) × [start,
+    * end) instead of point × band. The oracle states the plain theta-join
+    * semantics; the binned plan must reproduce it exactly.
+    *
+    * Promo windows are derived deterministically: 60 windows of 14 days
+    * every 30 days from epoch-day 8760; order service intervals are
+    * [o_orderdate, +1..7 days) keyed off the order key.
+    */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val windows = s.range(0, 60).toDF("window_id")
+      .select(col("window_id"),
+        (lit(8760L) + col("window_id") * 30).as("w_start"),
+        (lit(8760L) + col("window_id") * 30 + 14).as("w_end"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("o_start"))
+      .withColumn("o_end", col("o_start") + col("o_orderkey") % 7 + 1)
+    val wBinned = windows.withColumn("bin",
+      explode(sequence(expr("w_start div 30"), expr("(w_end - 1) div 30"))))
+    val oBinned = o.withColumn("bin",
+      explode(sequence(expr("o_start div 30"), expr("(o_end - 1) div 30"))))
+    oBinned.join(wBinned, Seq("bin"))
+      .where(col("o_start") < col("w_end") && col("w_start") < col("o_end"))
+      .select("window_id", "o_orderkey", "o_totalprice").distinct()
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("window_id")
+  }
+
+  private val intervalOverlapSql =
+    """WITH windows AS (
+      |  SELECT k AS window_id, 8760 + k*30 AS w_start, 8760 + k*30 + 14 AS w_end
+      |  FROM (SELECT unnest(range(0, 60)) AS k)),
+      |o AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS o_start,
+      |    CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) + o_orderkey % 7 + 1 AS o_end
+      |  FROM orders)
+      |SELECT window_id, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM windows w JOIN o ON o.o_start < w.w_end AND w.w_start < o.o_end
+      |GROUP BY window_id ORDER BY window_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_interval_overlap", intervalOverlap, Some(intervalOverlapSql)),
     QueryDef("join_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
     QueryDef("join_left_orders_per_customer", ordersPerCustomer, Some(ordersPerCustomerSql)),
     QueryDef("join_right_segments", rightJoinSegments, Some(rightJoinSegmentsSql)),
