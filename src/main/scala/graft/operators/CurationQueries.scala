@@ -717,7 +717,56 @@ object CurationQueries extends QueryModule {
        |  max(CASE WHEN pick = 1 THEN n_tokens END) AS survivor_tokens
        |FROM picked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** Content-defined chunking (the rsync/LBFS rolling-hash idea at token
+    * granularity): a chunk boundary falls wherever the hash of the
+    * trailing 3-token window opens with a zero nibble (p = 1/16 → ~16-token
+    * mean chunks). Unlike fixed-stride chunking (`curation_chunking`),
+    * boundaries are CONTENT-anchored: inserting a paragraph shifts every
+    * fixed-stride chunk after it, but CDC chunks re-align at the next
+    * boundary — so chunk-level dedup survives edits. Shape: one positional
+    * explode, one per-doc window for the running boundary count, one
+    * aggregation; the md5 is the same portable hash family the minhash
+    * kernels use, so the oracle reproduces it bit-for-bit.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr("sequence(1, size(tk))")).as("p"), col("tk"))
+      .withColumn("boundary",
+        when(col("p") >= 3 &&
+          substring(md5(expr("CAST(concat_ws(' ', slice(tk, p - 2, 3)) AS BINARY)")), 1, 1) === "0",
+          1).otherwise(0))
+      .drop("tk")
+      .withColumn("chunk_id", coalesce(sum("boundary").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min("p").as("start_pos"), max("p").as("end_pos"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val cdcChunksSql =
+    s"""WITH pos AS (
+       |  SELECT doc_id, CAST(p AS INT) AS p,
+       |    CASE WHEN p >= 3 AND substr(md5(array_to_string(tk[p-2:p], ' ')), 1, 1) = '0'
+       |         THEN 1 ELSE 0 END AS boundary
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p
+       |        FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |        WHERE len(tk) >= 3)
+       |), chunked AS (
+       |  SELECT doc_id, p,
+       |    CAST(coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+       |  FROM pos)
+       |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  min(p) AS start_pos, max(p) AS end_pos
+       |FROM chunked GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("curation_quality_survivor", qualitySurvivor, Some(qualitySurvivorSql)),
     QueryDef("curation_url_canonical", urlCanonical, Some(urlCanonicalSql)),
     QueryDef("curation_host_pagerank", hostPagerank, Some(hostPagerankSql)),

@@ -796,7 +796,109 @@ object DedupQueries extends QueryModule {
        |ORDER BY cluster, vec_id""".stripMargin
   }
 
+  /** Incremental (cross-snapshot) dedup — the production ingest shape:
+    * today's batch (doc_id % 10 = 9 stands in for the new crawl) is
+    * deduplicated AGAINST the standing corpus, not within itself. Two
+    * gates, mirroring how a real pipeline stages them: (1) exact content
+    * hash — a semi-join of the batch against the corpus hash set (at
+    * 100 TB the corpus side is a bucketed hash table; nothing rescans the
+    * corpus text); (2) for exact-survivors only, near-dup via the shared
+    * df-capped shingle inverted index, batch-side shingles joined against
+    * corpus-side shingles (never corpus×corpus — the index is keyed by
+    * shingle, so the incremental join touches only buckets the batch
+    * actually hits), Jaccard ≥ 0.5 drops. Per-source accounting reports
+    * each gate's yield.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("content_hash",
+        sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"), 256))
+      .withColumn("is_new", col("doc_id") % 10 === 9)
+      .cache() // consumed by both halves + final accounting
+    val corpus = docs.filter(!col("is_new"))
+    val batch = docs.filter(col("is_new"))
+    val exactDup = batch.join(
+      corpus.select("content_hash").distinct(), Seq("content_hash"), "left_semi")
+      .select("doc_id")
+    val survivors = batch.join(exactDup.withColumnRenamed("doc_id", "dup_id"),
+      col("doc_id") === col("dup_id"), "left_anti")
+    val sh = shingleFrame(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= MaxShingleDf)
+      .select("doc_id", "shingle")
+    val shCorpus = sh.join(corpus.select("doc_id"), "doc_id")
+      .withColumnRenamed("doc_id", "corpus_id")
+    val shBatch = sh.join(survivors.select("doc_id"), "doc_id")
+      .withColumnRenamed("doc_id", "batch_id")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val nearDup = shBatch.join(shCorpus, "shingle")
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      .join(counts.withColumnRenamed("doc_id", "batch_id").withColumnRenamed("n_sh", "n_a"), "batch_id")
+      .join(counts.withColumnRenamed("doc_id", "corpus_id").withColumnRenamed("n_sh", "n_b"), "corpus_id")
+      .filter(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val flagged = batch
+      .join(exactDup.withColumn("exact_dup", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("near_dup", lit(1)), Seq("doc_id"), "left")
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("exact_dup"), lit(0))).as("n_exact_dup"),
+        sum(coalesce(col("near_dup"), lit(0))).as("n_near_dup"),
+        sum(when(col("exact_dup").isNull && col("near_dup").isNull, 1)
+          .otherwise(0)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+       |    doc_id % 10 = 9 AS is_new
+       |  FROM documents
+       |), exact_dup AS (
+       |  SELECT b.doc_id FROM docs b
+       |  WHERE b.is_new AND b.content_hash IN (
+       |    SELECT content_hash FROM docs WHERE NOT is_new)
+       |), sh_raw AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3])))) AS shingle
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4
+       |), sh AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |    FROM sh_raw)
+       |  WHERE df <= $MaxShingleDf
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+       |), near_dup AS (
+       |  SELECT DISTINCT sb.doc_id
+       |  FROM sh sb
+       |  JOIN docs db ON db.doc_id = sb.doc_id AND db.is_new
+       |    AND sb.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+       |  JOIN sh sc ON sc.shingle = sb.shingle
+       |  JOIN docs dc ON dc.doc_id = sc.doc_id AND NOT dc.is_new
+       |  JOIN counts ca ON ca.doc_id = sb.doc_id
+       |  JOIN counts cb ON cb.doc_id = sc.doc_id
+       |  GROUP BY sb.doc_id, sc.doc_id, ca.n_sh, cb.n_sh
+       |  HAVING CAST(count(*) AS DOUBLE) / (ca.n_sh + cb.n_sh - count(*)) >= 0.5
+       |), flagged AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+       |    CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup
+       |  FROM docs d
+       |  LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+       |  LEFT JOIN near_dup n ON n.doc_id = d.doc_id
+       |  WHERE d.is_new)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+       |  CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup,
+       |  CAST(sum(near_dup) AS BIGINT) AS n_near_dup,
+       |  CAST(sum(CASE WHEN exact_dup = 0 AND near_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),
     QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),

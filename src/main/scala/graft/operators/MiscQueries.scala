@@ -500,7 +500,41 @@ object MiscQueries extends QueryModule {
        |ORDER BY join_key""".stripMargin
   }
 
+  /** Contiguous global row numbering WITHOUT a single-partition window —
+    * the scalable replacement for `row_number() OVER (ORDER BY …)` (which
+    * funnels 100 TB through one task) and for zipWithIndex (which is RDD
+    * API). Three steps, all distributed: (1) order-preserving range
+    * buckets (here doc_id div 64; in production a range partitioner's
+    * sampled bounds), (2) per-bucket local row_number — windows over
+    * small partitions, (3) cumulative bucket offsets — a window over the
+    * BUCKET-COUNT frame only (one row per bucket), broadcast back. The
+    * same decomposition `dedup_sorted_neighborhood` uses internally,
+    * declared here as a first-class operator with the ORDER BY oracle.
+    */
+  def globalIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), (col("doc_id") / 64).cast("long").as("bucket"))
+    val local = docs.withColumn("local_rank",
+      row_number().over(Window.partitionBy("bucket").orderBy("doc_id")))
+    val offsets = docs.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum("n").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    local.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_chars"),
+        (col("offset") + col("local_rank") - 1).as("global_idx"))
+      .orderBy("doc_id")
+  }
+
+  private val globalIndexSql =
+    """SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_global_index", globalIndex, Some(globalIndexSql)),
     QueryDef("misc_skew_diagnostics", skewDiagnostics, Some(skewDiagnosticsSql)),
     QueryDef("misc_scd2_history", scd2History, Some(scd2HistorySql)),
     QueryDef("misc_url_funcs", urlFuncs, Some(urlFuncsSql)),
