@@ -389,7 +389,105 @@ object JoinQueries extends QueryModule {
       |FROM windows w JOIN o ON o.o_start < w.w_end AND w.w_start < o.o_end
       |GROUP BY window_id ORDER BY window_id""".stripMargin
 
+  /** Bloom-prefilter semi join — the runtime-filter pattern built
+    * explicitly: the selective build side (urgent orders of machinery
+    * customers) is summarized into a ~100 KB Bloom filter
+    * (`DataFrameStatFunctions.bloomFilter`, the public sketch API), the
+    * filter is broadcast, and the probe side (lineitem) drops non-members
+    * BEFORE the shuffle; a normal semi join then removes the false
+    * positives, so the result is EXACT and the oracle is the plain semi
+    * join. Scale shape: at 100 TB this is the difference between shuffling
+    * the full fact table and shuffling the ~selectivity fraction that
+    * survives the filter — the same plan Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` injection produces, made
+    * first-class. The membership probe is the one justified driver-side
+    * sketch: MB-scale regardless of build-side row count, merged
+    * distributedly by the aggregate underneath `stat.bloomFilter`.
+    */
+  def bloomPrefilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // expectedNumItems is a capacity hint, not a correctness bound; fpp
+    // only affects how much the prefilter lets through (verified exactly
+    // below either way)
+    val bf = s.sparkContext.broadcast(
+      urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01))
+    val mightContain = udf((k: Long) => bf.value.mightContainLong(k))
+    Tables.lineitem(s, dir)
+      .filter(mightContain(col("l_orderkey"))) // drops ~(1-sel) of the scan pre-shuffle
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val bloomPrefilterJoinSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'MACHINERY' AND o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Point-in-time (temporal) join — every order joined to the SCD2
+    * status-history row valid on its order date: the standard "dimension
+    * as of transaction time" lookup that every warehouse with slowly
+    * changing dimensions runs. Both sides shuffle once on the entity key;
+    * the interval predicate is a residual on the hash join, never a
+    * cartesian — per key the history is tiny (versions ≪ facts), so the
+    * residual scan is bounded. Consumes the same history
+    * [[graft.operators.MiscQueries.scd2History]] declares.
+    */
+  def pointInTimeJoin(s: SparkSession, dir: String): DataFrame = {
+    val hist = MiscQueries.scd2Frame(s, dir) // custkey, version, status, from/to dates
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("o_day"),
+        col("o_totalprice"))
+      .join(hist, col("o_custkey") === col("custkey") &&
+        col("o_day") >= col("valid_from") &&
+        (col("valid_to").isNull || col("o_day") <= col("valid_to")))
+      .groupBy(col("status").as("status_asof"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("version")).as("version_mass"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("status_asof")
+  }
+
+  private val pointInTimeJoinSql =
+    """WITH daily AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day,
+      |    arg_max(o_orderstatus, o_orderkey) AS status
+      |  FROM orders GROUP BY 1, 2
+      |), marked AS (
+      |  SELECT custkey, day, status, lag(status) OVER w AS prev_status
+      |  FROM daily WINDOW w AS (PARTITION BY custkey ORDER BY day)
+      |), changes AS (
+      |  SELECT custkey, day, status FROM marked
+      |  WHERE prev_status IS NULL OR prev_status <> status
+      |), hist AS (
+      |  SELECT custkey, status,
+      |    CAST(row_number() OVER w AS INT) AS version,
+      |    day AS valid_from,
+      |    lead(day) OVER w - INTERVAL 1 DAY AS valid_to
+      |  FROM changes WINDOW w AS (PARTITION BY custkey ORDER BY day))
+      |SELECT status AS status_asof, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(version) AS BIGINT) AS version_mass,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders o JOIN hist h
+      |  ON o.o_custkey = h.custkey
+      | AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+      | AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) <= h.valid_to)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_bloom_prefilter", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
+    QueryDef("join_point_in_time", pointInTimeJoin, Some(pointInTimeJoinSql)),
     QueryDef("join_interval_overlap", intervalOverlap, Some(intervalOverlapSql)),
     QueryDef("join_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
     QueryDef("join_left_orders_per_customer", ordersPerCustomer, Some(ordersPerCustomerSql)),

@@ -408,7 +408,20 @@ object MiscQueries extends QueryModule {
     * aggregation plus two windows over the SAME per-customer partitioning
     * — a single shuffle reused by every step.
     */
-  def scd2History(s: SparkSession, dir: String): DataFrame = {
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2Frame(s, dir)
+      .select(col("custkey"), col("version"), col("status"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("effective_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("effective_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("custkey", "version")
+
+  /** The date-typed SCD2 frame behind [[scd2History]] — also the build
+    * side of the point-in-time join ([[JoinQueries.pointInTimeJoin]]).
+    * Columns: custkey, version, status, valid_from, valid_to (date; NULL
+    * = current open row).
+    */
+  def scd2Frame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("custkey").orderBy("day")
     // one shuffle for the whole query: hash(custkey) satisfies the
@@ -426,10 +439,8 @@ object MiscQueries extends QueryModule {
       .withColumn("version", row_number().over(w))
       .withColumn("next_from", lead("day", 1).over(w))
       .select(col("custkey"), col("version"), col("status"),
-        date_format(col("day"), "yyyy-MM-dd").as("effective_from"),
-        date_format(date_sub(col("next_from"), 1), "yyyy-MM-dd").as("effective_to"),
-        col("next_from").isNull.as("is_current"))
-      .orderBy("custkey", "version")
+        col("day").as("valid_from"),
+        date_sub(col("next_from"), 1).as("valid_to"))
   }
 
   private val scd2HistorySql =
@@ -533,7 +544,103 @@ object MiscQueries extends QueryModule {
       |  row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** `Dataset.observe` — pipeline health metrics collected as a SIDE
+    * EFFECT of a pass the job is already making, the monitoring surface a
+    * production ingest needs (the reference's consumer logs per-record
+    * progress; this is the declarative equivalent). The metrics ride the
+    * existing scan as an accumulator-backed aggregate — no second job, no
+    * extra shuffle — and the terminal action is the `noop` sink (all the
+    * I/O of a real write path, none of the output). The observed values
+    * are then surfaced as a one-row frame so the oracle can check them
+    * exactly: observe metrics are only trustworthy if they equal what a
+    * dedicated aggregation would have computed.
+    */
+  def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation("lineitem_ingest_health")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        round(sum("l_extendedprice"), 2).as("price_mass"),
+        min("ship_day").as("first_ship_day"),
+        max("ship_day").as("last_ship_day"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("n_returned").asInstanceOf[Long],
+      m("price_mass").asInstanceOf[Double],
+      m("first_ship_day").asInstanceOf[String],
+      m("last_ship_day").asInstanceOf[String]))
+      .toDF("n_rows", "n_returned", "price_mass", "first_ship_day", "last_ship_day")
+  }
+
+  private val observeMetricsSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |  round(sum(l_extendedprice), 2) AS price_mass,
+      |  min(strftime(l_shipdate, '%Y-%m-%d')) AS first_ship_day,
+      |  max(strftime(l_shipdate, '%Y-%m-%d')) AS last_ship_day
+      |FROM lineitem""".stripMargin
+
+  /** Z-order layout analyzer — the dry-run behind a `OPTIMIZE ... ZORDER
+    * BY (part, supplier)` style rewrite: interleave the low 10 bits of
+    * both keys into a single Morton key, cut it into 64 layout buckets
+    * (≙ output files), and report each bucket's min/max on BOTH
+    * dimensions plus how much of a representative 2-dim box predicate the
+    * resulting file-level stats would skip. On linear (single-key) sort
+    * the second dimension's per-file range is the full domain — skip rate
+    * ~0 on that axis; Morton buckets bound both, which is exactly why the
+    * layout pays for itself at 100 TB scan time. The write path is
+    * `repartitionByRange(zbucket) + sortWithinPartitions(z)` feeding
+    * parquet min/max row-group stats; this query computes the decision
+    * table (deterministic arithmetic only, so it is oracle-checkable —
+    * the write itself is exercised by the src_* round-trips).
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val bits = 10
+    val z = (0 until bits).map { i =>
+      (shiftright(col("pk"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(col("sk"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 1024).as("pk"), (col("l_suppkey") % 1024).as("sk"))
+      // integer floor-div: Column./ is double division and a bare cast
+      // would also round on the oracle side — keep both engines on floor
+      .withColumn("zbucket", floor(z / lit(1L << (2 * bits - 6))).cast("long"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("pk").as("pk_min"), max("pk").as("pk_max"),
+        min("sk").as("sk_min"), max("sk").as("sk_max"))
+      // a file skips the box predicate pk∈[256,383] ∧ sk∈[0,49] when its
+      // stats exclude either dimension — the parquet row-group rule
+      .withColumn("skips_probe_box",
+        col("pk_max") < 256 || col("pk_min") > 383 ||
+          col("sk_max") < 0 || col("sk_min") > 49)
+      .orderBy("zbucket")
+  }
+
+  private val zorderLayoutSql = {
+    val zTerms = (0 until 10).map { i =>
+      s"((pk >> $i) & 1) * ${1L << (2 * i)} + ((sk >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH keyed AS (
+       |  SELECT l_partkey % 1024 AS pk, l_suppkey % 1024 AS sk FROM lineitem
+       |), z AS (
+       |  SELECT pk, sk, CAST(floor(($zTerms) / ${(1L << 14).toDouble}) AS BIGINT) AS zbucket FROM keyed)
+       |SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(pk) AS pk_min, max(pk) AS pk_max,
+       |  min(sk) AS sk_min, max(sk) AS sk_max,
+       |  (max(pk) < 256 OR min(pk) > 383 OR max(sk) < 0 OR min(sk) > 49)
+       |    AS skips_probe_box
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_observe_metrics", observeMetrics, Some(observeMetricsSql)),
+    QueryDef("misc_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     QueryDef("misc_global_index", globalIndex, Some(globalIndexSql)),
     QueryDef("misc_skew_diagnostics", skewDiagnostics, Some(skewDiagnosticsSql)),
     QueryDef("misc_scd2_history", scd2History, Some(scd2HistorySql)),

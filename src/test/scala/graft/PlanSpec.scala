@@ -178,6 +178,23 @@ class PlanSpec extends SparkSuite {
     assert(pr.contains("ReusedExchange"), pr)
   }
 
+  test("bloom prefilter runs below the probe-side shuffle; PIT join is never a cartesian") {
+    // the whole point of the bloom prefilter is moving FEWER rows: the
+    // membership probe must land in the lineitem scan's DataFilters (i.e.
+    // rows drop AT the scan, below the semi join — whichever physical join
+    // the build-side size selects)
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("LeftSemi"), p)
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("lineitem")).get
+    assert(scanLine.contains("UDF"), scanLine)
+    // the temporal interval predicate is a residual on the custkey hash
+    // join — per-key history is tiny, so residual scan is bounded
+    val pit = plan("join_point_in_time")
+    assert(!pit.contains("CartesianProduct"), pit)
+    assert(!pit.contains("BroadcastNestedLoopJoin"), pit)
+  }
+
   test("sorted neighborhood: rank pairing is an equi join, offsets broadcast") {
     // the window-3 neighbor probe must plan as a hash join on the rank key
     // (explode of rn+1..rn+3), never a range/BNL join; the bucket-offset
