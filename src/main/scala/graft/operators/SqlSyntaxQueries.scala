@@ -65,8 +65,102 @@ object SqlSyntaxQueries extends QueryModule {
       |FROM lineitem WHERE l_orderkey % 1000 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Recursive CTE (Spark 4.x `WITH RECURSIVE`): iteration whose DEPTH is
+    * data-dependent — the class of computation the unrolled-loop queries
+    * (pagerank's 5 fixed iterations) cannot express. The demo is an
+    * amortization walk: every 500th order's balance halves per step until
+    * it drops under 100, so each key recurses to its own depth. Engine
+    * execution is iterative union: each step is one distributed
+    * self-project of the previous frontier — no driver loop; the frontier
+    * shrinks monotonically because the recursion predicate is strictly
+    * decreasing. Halving doubles is EXACT binary arithmetic, so both
+    * engines agree bit-for-bit at every depth.
+    */
+  private def recursiveCte(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """WITH RECURSIVE amort(o_orderkey, balance, step) AS (
+        |  SELECT o_orderkey, o_totalprice, 0
+        |  FROM orders WHERE o_orderkey % 500 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, balance / 2, step + 1
+        |  FROM amort WHERE balance >= 100.0)
+        |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_steps,
+        |  round(min(balance), 4) AS final_balance
+        |FROM amort GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE amort(o_orderkey, balance, step) AS (
+      |  SELECT o_orderkey, o_totalprice, 0
+      |  FROM orders WHERE o_orderkey % 500 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, balance / 2, step + 1
+      |  FROM amort WHERE balance >= 100.0)
+      |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_steps,
+      |  round(min(balance), 4) AS final_balance
+      |FROM amort GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** SQL-defined functions (Spark 4.x `CREATE FUNCTION ... RETURN`): a
+    * scalar UDF and a table UDF authored IN SQL — unlike JVM UDFs these
+    * are macro-expanded into the plan by the analyzer, so they stay inside
+    * whole-stage codegen and keep pushdown/pruning intact (the UDF escape
+    * hatch without the UDF tax). The oracle inlines both bodies, which is
+    * exactly what the analyzer does.
+    */
+  private def sqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION acct_tier(bal DOUBLE)
+            |RETURNS STRING
+            |RETURN CASE WHEN bal < 0 THEN 'debt'
+            |            WHEN bal < 5000 THEN 'mid' ELSE 'prime' END""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION nation_customers(nk BIGINT)
+            |RETURNS TABLE(c_custkey BIGINT, c_acctbal DOUBLE)
+            |RETURN SELECT c_custkey, c_acctbal FROM customer
+            |       WHERE c_nationkey = nk""".stripMargin)
+    s.sql("""SELECT acct_tier(c_acctbal) AS tier,
+            |  CAST(count(*) AS BIGINT) AS n_customers,
+            |  round(sum(c_acctbal), 2) AS tier_balance
+            |FROM nation_customers(7)
+            |GROUP BY tier ORDER BY tier""".stripMargin)
+  }
+
+  private val sqlFunctionsSql =
+    """SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+      |            WHEN c_acctbal < 5000 THEN 'mid' ELSE 'prime' END AS tier,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS tier_balance
+      |FROM customer WHERE c_nationkey = 7
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
+  /** Session variables (Spark 4.x `DECLARE VARIABLE` / `SET VARIABLE`):
+    * the parameterization surface for templated jobs — constants resolved
+    * at analysis time, so the variable reference constant-folds and the
+    * filter still pushes down to the scan. The oracle inlines the values.
+    */
+  private def sessionVariables(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql("DECLARE OR REPLACE VARIABLE min_price DOUBLE DEFAULT 0.0")
+    s.sql("DECLARE OR REPLACE VARIABLE status_of_interest STRING")
+    s.sql("SET VARIABLE min_price = 150000.0")
+    s.sql("SET VARIABLE status_of_interest = 'O'")
+    s.sql("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+            |  round(sum(o_totalprice), 2) AS total_price
+            |FROM orders
+            |WHERE o_totalprice >= min_price AND o_orderstatus = status_of_interest
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val sessionVariablesSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sql_pipe_syntax", pipeSyntax, Some(pipeSyntaxSql)),
-    QueryDef("sql_lateral_alias", lateralAlias, Some(lateralAliasSql))
+    QueryDef("sql_lateral_alias", lateralAlias, Some(lateralAliasSql)),
+    QueryDef("sql_recursive_cte", recursiveCte, Some(recursiveCteSql)),
+    QueryDef("sql_create_function", sqlFunctions, Some(sqlFunctionsSql)),
+    QueryDef("sql_session_variables", sessionVariables, Some(sessionVariablesSql))
   )
 }
