@@ -562,7 +562,31 @@ object AggQueries extends QueryModule {
       |  round(regr_avgy(l_extendedprice, l_discount), 4) AS avg_y
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** `listagg ... WITHIN GROUP (ORDER BY ...)` (SQL:2016, Spark 4.0+) —
+    * ordered string concatenation per group, the report-facing sibling of
+    * the sorted collect_list query. The WITHIN GROUP order makes the
+    * result deterministic; per-group state is the concatenated string, so
+    * (like exact collect_list) it is for bounded groups — the grouping
+    * here is supplier per nation, dimension-sized by construction.
+    */
+  def listaggSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name) AS supplier_roster
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  private val listaggSuppliersSql =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  string_agg(s_name, '|' ORDER BY s_name) AS supplier_roster
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_listagg_roster", listaggSuppliers, Some(listaggSuppliersSql)),
     QueryDef("agg_regression", regression, Some(regressionSql)),
     QueryDef("agg_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),
     QueryDef("agg_data_profile", dataProfile, Some(dataProfileSql)),

@@ -638,7 +638,28 @@ object MiscQueries extends QueryModule {
        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }
 
+  /** `DataFrameStatFunctions.crosstab` — the contingency-table profiler
+    * (status × priority here). Same Expand-based single pass as the pivot
+    * query, exposed through the stat API; column count = distinct values
+    * of the second key, so it is for dimension-cardinality pairs (the
+    * profiler precondition, same as pivot's explicit value list).
+    */
+  def crosstabStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .stat.crosstab("o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderstatus_o_orderpriority")
+
+  private val crosstabStatusSql =
+    """SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+      |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS "1-URGENT",
+      |  CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS "2-HIGH",
+      |  CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS "3-MEDIUM",
+      |  CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS "4-NOT SPECIFIED",
+      |  CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS "5-LOW"
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_crosstab", crosstabStatus, Some(crosstabStatusSql)),
     QueryDef("misc_observe_metrics", observeMetrics, Some(observeMetricsSql)),
     QueryDef("misc_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     QueryDef("misc_global_index", globalIndex, Some(globalIndexSql)),

@@ -308,6 +308,47 @@ object StreamingQueries extends QueryModule {
       |  round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** State-store batch reader (Spark 4.x `statestore` source) — the
+    * operational window into a running job's checkpoint: the streaming
+    * aggregation's state is read back as an ordinary DataFrame, no
+    * streaming machinery involved. This is how an operator inspects,
+    * audits, or bulk-fixes state at 100 TB (the state lives in the
+    * checkpoint, partitioned exactly like the shuffle that built it —
+    * the reader emits one row per key per state partition). The declared
+    * output re-derives the aggregate FROM THE STATE ALONE, so the oracle
+    * (the plain batch aggregate) proves checkpointed state and recomputed
+    * truth agree — the invariant that makes checkpoint recovery [REF A10]
+    * trustworthy in the first place.
+    */
+  def stateStoreRead(s: SparkSession, dir: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_read_").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", RecordStream.StreamShufflePartitions)
+    try {
+      val agg = RecordStream.eventsStream(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("stream_ss_read_sink")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination(20000) }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val state = s.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"), col("value.*"))
+    // state buffer fields are named by the physical agg (count/sum), not
+    // the aliases — rebind positionally: (count buffer, sum buffer)
+    val Array(cntCol, sumCol) = state.columns.drop(1)
+    state.select(col("event_type"),
+        col(cntCol).cast("long").as("n_events"),
+        round(col(sumCol), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val stateStoreReadSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** foreachBatch incremental MERGE — the CDC-apply pattern: each
     * micro-batch's per-user deltas are merged (full-outer + coalesced
     * sums) into a versioned parquet target, `v{batchId}` derived from
@@ -871,6 +912,7 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_dedup", dedup, Some(dedupSql)),
     QueryDef("stream_dedup_within_watermark", dedupWithinWatermark,
       Some(dedupWithinWatermarkSql)),
+    QueryDef("stream_state_store_read", stateStoreRead, Some(stateStoreReadSql)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("stream_static_anti_join", streamStaticAntiJoin, Some(streamStaticAntiJoinSql)),
     QueryDef("stream_union", streamUnion, Some(streamUnionSql)),
