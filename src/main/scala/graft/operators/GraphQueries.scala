@@ -28,14 +28,20 @@ object GraphQueries extends QueryModule {
     * DISTINCT collapses multi-order repeats into simple-graph edges.
     */
   private def edges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // one shuffle instead of a self-join: gather each order's distinct
+    // part set (orders are small — tens of lines), expand the C(k, 2)
+    // intra-order pairs from the sorted array with HOFs, then the global
+    // DISTINCT collapses multi-order repeats. A self-join on the order
+    // key computes the same thing with an extra exchange + sort.
+    Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 2 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    a.join(b, Seq("ok")).where(col("u") < col("v"))
-      .select("u", "v").distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+          |  transform(slice(pks, i + 2, size(pks)), y ->
+          |    struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select(col("p.u"), col("p.v")).distinct()
   }
 
   private val edgesCte =
@@ -55,30 +61,56 @@ object GraphQueries extends QueryModule {
     * key — an equi-join on two integer columns.
     */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val pairs = edges(s, dir).cache() // consumed 3×: degrees, orientation, closing probe
+    val pairs = edges(s, dir).cache() // consumed 3×: degrees, orientation, edge count
+    // deg and adj are node-cardinality and each consumed by several
+    // branches of the final stats cross-join — without the cache every
+    // broadcast materializes its own recompute of the whole lineage
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .cache()
     // orient low-(degree,id) -> high-(degree,id); struct compare gives the
-    // lexicographic (d, id) order both engines agree on
+    // lexicographic (d, id) order both engines agree on. The degree table
+    // is node-cardinality (≪ edges — ~20 k rows at sf0.1), so both lookups
+    // broadcast: the edge list never shuffles for the orientation
     val oriented = pairs
-      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
-      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+      .join(broadcast(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")), "u")
+      .join(broadcast(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
           .otherwise(col("v")).as("src"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
-    val e1 = oriented.select(col("src"), col("dst").as("b"))
-    val e2 = oriented.select(col("src"), col("dst").as("c"))
-    val wedges = e1.join(e2, Seq("src")).where(col("b") < col("c"))
-    val triangles = wedges.join(pairs,
-      pairs("u") === least(col("b"), col("c")) &&
-        pairs("v") === greatest(col("b"), col("c")))
-    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
-        pairs.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      .cache() // consumed by the adjacency build AND the per-edge probe
+    // Sorted-adjacency formulation: NEVER materialize the wedge set.
+    // Wedges are pure arithmetic on out-degrees (Σ C(d⁺, 2)); triangles
+    // are Σ over oriented edges of |N⁺(src) ∩ N⁺(dst)| — each triangle
+    // has exactly one apex with out-edges to the other two, so the count
+    // is exact, not 3×. The adjacency table is node-cardinality with
+    // O(√m)-bounded lists (the orientation's guarantee), so it
+    // broadcasts and the per-edge intersect runs map-side where the edge
+    // list sits; at a scale past broadcast, the same two joins shuffle on
+    // src/dst — still keyed, never quadratic.
+    val adj = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+        count(lit(1)).as("od"))
+      .cache()
+    // orientation is a bijection on edges, so Σ od = |E| — edge and wedge
+    // counts come from one pass over the (cached, node-sized) adjacency
+    val edgeWedgeCount = adj
+      .agg(sum("od").as("n_edges"),
+        sum(expr("od * (od - 1) div 2")).as("n_wedges"))
+    val triangleStats = oriented
+      .join(broadcast(adj.select(col("src"), col("nbrs").as("ns"))), Seq("src"))
+      .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nd"))),
+        Seq("dst"), "left")
+      .select(when(col("nd").isNull, lit(0))
+        .otherwise(size(array_intersect(col("ns"), col("nd")))).as("t"))
+      .agg(sum(col("t").cast("long")).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edgeWedgeCount)
+      .crossJoin(triangleStats)
+      .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
 
   private val triangleCountSql =
