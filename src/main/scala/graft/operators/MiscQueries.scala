@@ -355,6 +355,10 @@ object MiscQueries extends QueryModule {
     */
   def xmlFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // the fixture is one parquet row-group; each row pays 5 DOM parses,
+      // so spread the codec work across cores (AQE re-coalesces at scale)
+      // — same treatment as jsonFuncs/mapHof
+      .repartition(col("doc_id"))
       .withColumn("xml", concat(
         lit("<doc><id>"), col("doc_id"), lit("</id><lang>"), col("lang"),
         lit("</lang><n>"), col("n_chars"), lit("</n><src>"), col("source"),
@@ -587,8 +591,8 @@ object MiscQueries extends QueryModule {
 
   /** Z-order layout analyzer — the dry-run behind a `OPTIMIZE ... ZORDER
     * BY (part, supplier)` style rewrite: interleave the low 10 bits of
-    * both keys into a single Morton key, cut it into 64 layout buckets
-    * (≙ output files), and report each bucket's min/max on BOTH
+    * both keys into a single Morton key, cut it into up-to-256 layout
+    * buckets (≙ output files), and report each bucket's min/max on BOTH
     * dimensions plus how much of a representative 2-dim box predicate the
     * resulting file-level stats would skip. On linear (single-key) sort
     * the second dimension's per-file range is the full domain — skip rate
@@ -609,7 +613,7 @@ object MiscQueries extends QueryModule {
       .select((col("l_partkey") % 1024).as("pk"), (col("l_suppkey") % 1024).as("sk"))
       // integer floor-div: Column./ is double division and a bare cast
       // would also round on the oracle side — keep both engines on floor
-      .withColumn("zbucket", floor(z / lit(1L << (2 * bits - 6))).cast("long"))
+      .withColumn("zbucket", floor(z / lit(1L << (2 * bits - 8))).cast("long"))
       .groupBy("zbucket")
       .agg(count(lit(1)).as("n_rows"),
         min("pk").as("pk_min"), max("pk").as("pk_max"),
@@ -629,7 +633,7 @@ object MiscQueries extends QueryModule {
     s"""WITH keyed AS (
        |  SELECT l_partkey % 1024 AS pk, l_suppkey % 1024 AS sk FROM lineitem
        |), z AS (
-       |  SELECT pk, sk, CAST(floor(($zTerms) / ${(1L << 14).toDouble}) AS BIGINT) AS zbucket FROM keyed)
+       |  SELECT pk, sk, CAST(floor(($zTerms) / ${(1L << 12).toDouble}) AS BIGINT) AS zbucket FROM keyed)
        |SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
        |  min(pk) AS pk_min, max(pk) AS pk_max,
        |  min(sk) AS sk_min, max(sk) AS sk_max,

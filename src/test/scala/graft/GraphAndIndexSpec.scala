@@ -120,6 +120,29 @@ class GraphAndIndexSpec extends SparkSuite {
     assert(got == brute)
   }
 
+  test("morton layout skips on the second dimension where a linear sort cannot") {
+    // sf0.01 so both key domains are non-degenerate (pk 0..1023, sk 0..99;
+    // sk bit 6 varies, which the z-bucket id captures). Probe box on the
+    // SECOND dimension only: sk in [64, 99] — a pk-sorted layout leaves
+    // every file's sk range at the full domain, so it can skip nothing,
+    // while morton buckets bound sk and skip all sk<64 buckets.
+    val dir = "/root/testdata/sf0.01"
+    val z = operators.MiscQueries.zorderLayout(spark, dir)
+      .select("zbucket", "n_rows", "sk_min", "sk_max").cache()
+    val nz = z.count()
+    val zSkips = z.filter(col("sk_max") < 64).count()
+    assert(nz >= 16, s"expected a non-degenerate bucketing, got $nz buckets")
+    assert(zSkips > 0, "morton buckets must bound sk tightly enough to skip")
+    // linear layout, same bucket budget: bucket by pk range only
+    val linear = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 1024).as("pk"), (col("l_suppkey") % 1024).as("sk"))
+      .withColumn("bucket", floor(col("pk") / (lit(1024.0) / nz)).cast("long"))
+      .groupBy("bucket").agg(min("sk").as("sk_min"), max("sk").as("sk_max"))
+    val lSkips = linear.filter(col("sk_max") < 64).count()
+    assert(lSkips == 0, "pk-sorted files cannot bound sk on this fixture")
+    z.unpersist()
+  }
+
   test("incremental dedup accounting partitions the batch") {
     val r = operators.DedupQueries.incrementalDedup(spark, Sf)
     val bad = r.filter(
