@@ -585,7 +585,32 @@ object AggQueries extends QueryModule {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Boolean aggregate family: `bool_and`/`bool_or` and their ANSI
+    * spellings `every`/`any` — the data-quality assertion aggregates
+    * ("does EVERY row in this partition satisfy the invariant?"). Plain
+    * one-pass hash aggregation with map-side partials like any other agg.
+    */
+  def boolAggs(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  every(o_totalprice < 600000) AS every_under_600k,
+        |  any(o_orderkey % 7 = 0) AS any_mod7
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val boolAggsSql =
+    """SELECT o_orderstatus,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+      |  bool_and(o_totalprice < 600000) AS every_under_600k,
+      |  bool_or(o_orderkey % 7 = 0) AS any_mod7
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_bool_aggs", boolAggs, Some(boolAggsSql)),
     QueryDef("agg_listagg_roster", listaggSuppliers, Some(listaggSuppliersSql)),
     QueryDef("agg_regression", regression, Some(regressionSql)),
     QueryDef("agg_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),

@@ -196,7 +196,48 @@ object ScalarQueries extends QueryModule {
       |  OR p_retailprice IS NULL
       |ORDER BY p_partkey""".stripMargin
 
+  /** String collation (Spark 4): `collate(expr, 'UTF8_LCASE')` makes
+    * comparison, DISTINCT, and filtering case-insensitive AT THE TYPE
+    * LEVEL — no lower() wrapping at every use site, and (unlike the
+    * lower() idiom) the collation participates in Catalyst equality
+    * semantics. Mixed-case variants are derived deterministically; the
+    * declared output is summary counts only — grouping BY a collated key
+    * would surface an engine-chosen case representative, which is exactly
+    * the nondeterminism the contract forbids. The oracle lowers.
+    */
+  def collationFuncs(s: SparkSession, dir: String): DataFrame = {
+    val variant = when(col("c_custkey") % 3 === 0, upper(col("c_mktsegment")))
+      .when(col("c_custkey") % 3 === 1, lower(col("c_mktsegment")))
+      .otherwise(initcap(lower(col("c_mktsegment"))))
+    Tables.customer(s, dir)
+      .select(variant.as("seg"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("seg")).as("distinct_raw"),
+        countDistinct(expr("collate(seg, 'UTF8_LCASE')")).as("distinct_ci"),
+        sum(when(expr("collate(seg, 'UTF8_LCASE') = 'automobile'"), 1L)
+          .otherwise(0L)).as("n_automobile_ci"),
+        sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("n_automobile_cs"))
+  }
+
+  private val collationFuncsSql =
+    """WITH v AS (
+      |  SELECT CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+      |              WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+      |              ELSE upper(substr(c_mktsegment, 1, 1)) ||
+      |                   lower(substr(c_mktsegment, 2)) END AS seg
+      |  FROM customer)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT seg) AS BIGINT) AS distinct_raw,
+      |  CAST(count(DISTINCT lower(seg)) AS BIGINT) AS distinct_ci,
+      |  CAST(sum(CASE WHEN lower(seg) = 'automobile' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_automobile_ci,
+      |  CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_automobile_cs
+      |FROM v""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("str_collation", collationFuncs, Some(collationFuncsSql)),
     QueryDef("filter_predicates", filterPredicates, Some(filterPredicatesSql)),
     QueryDef("str_funcs", stringFuncs, Some(stringFuncsSql)),
     QueryDef("dt_funcs", dateFuncs, Some(dateFuncsSql)),
