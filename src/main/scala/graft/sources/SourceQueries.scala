@@ -244,7 +244,36 @@ object SourceQueries extends QueryModule {
       |  min(n_name) AS first_nation
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Hidden `_metadata` file columns — provenance without a side channel:
+    * every parquet row can name the file it came from and its row index
+    * inside that file. This is the lineage hook an ingest audit needs
+    * (which file produced this bad row?) and the basis of file-granular
+    * incremental reprocessing. The declared output pins the row_index
+    * contract: 0-based, dense per file (count == last − first + 1).
+    */
+  def fileMetadata(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        org.apache.spark.sql.functions.col("_metadata.file_name").as("file_name"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("ri"))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_rows"),
+        min("ri").as("first_idx"), max("ri").as("last_idx"))
+      .withColumn("dense", col("n_rows") === col("last_idx") - col("first_idx") + 1)
+      .orderBy("file_name")
+
+  // the oracle runs over table views (no file paths), so it states the
+  // metadata CONTRACT the fixture implies: one file, 0-based dense index
+  private val fileMetadataSql =
+    """SELECT 'lineitem.parquet' AS file_name,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS first_idx,
+      |  CAST(count(*) - 1 AS BIGINT) AS last_idx,
+      |  true AS dense
+      |FROM lineitem""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("src_file_metadata", fileMetadata, Some(fileMetadataSql)),
     QueryDef("src_sql_ctas_insert", sqlCtasInsert, Some(sqlCtasInsertSql)),
     QueryDef("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("src_catalog_ddl", catalogRoundtrip, Some(catalogRoundtripSql)),
