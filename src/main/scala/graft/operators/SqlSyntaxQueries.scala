@@ -156,7 +156,34 @@ object SqlSyntaxQueries extends QueryModule {
       |WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** `IDENTIFIER()` templating (Spark 4) + `GROUP BY ALL` / `ORDER BY
+    * ALL`: table and column names injected from session variables as
+    * IDENTIFIERS, not string-spliced SQL — the injection-safe way to
+    * write one parameterized job that runs across many tables. Resolution
+    * happens in the analyzer, so the resulting plan is byte-identical to
+    * the literal query (pushdown, pruning, codegen all unchanged).
+    */
+  private def identifierTemplating(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql("DECLARE OR REPLACE VARIABLE tpl_table STRING DEFAULT 'orders'")
+    s.sql("DECLARE OR REPLACE VARIABLE tpl_key STRING DEFAULT 'o_orderstatus'")
+    s.sql("DECLARE OR REPLACE VARIABLE tpl_measure STRING DEFAULT 'o_totalprice'")
+    s.sql(
+      """SELECT IDENTIFIER(tpl_key) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(IDENTIFIER(tpl_measure)), 2) AS total
+        |FROM IDENTIFIER(tpl_table)
+        |GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  private val identifierTemplatingSql =
+    """SELECT o_orderstatus AS grp, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_identifier_templating", identifierTemplating,
+      Some(identifierTemplatingSql)),
     QueryDef("sql_pipe_syntax", pipeSyntax, Some(pipeSyntaxSql)),
     QueryDef("sql_lateral_alias", lateralAlias, Some(lateralAliasSql)),
     QueryDef("sql_recursive_cte", recursiveCte, Some(recursiveCteSql)),
