@@ -195,6 +195,28 @@ class PlanSpec extends SparkSuite {
     assert(!pit.contains("BroadcastNestedLoopJoin"), pit)
   }
 
+  test("sql-surface lowering: UnionLoop recursion, UDF-free SQL functions, identifier plan parity") {
+    // WITH RECURSIVE must execute as the native iterative operator — an
+    // unrolled union would fix the depth at plan time, which is exactly
+    // what the data-dependent recursion exists to avoid
+    val rec = plan("sql_recursive_cte")
+    assert(rec.contains("UnionLoop"), rec)
+    assert(rec.contains("UnionLoopRef"), rec)
+    // SQL-defined functions are macro-expanded by the analyzer: the
+    // physical plan must contain no UDF call (that is the whole "escape
+    // hatch without the UDF tax" claim)
+    val fn = plan("sql_create_function")
+    assert(!fn.contains("UDF"), fn)
+    // IDENTIFIER() + variables resolve in the analyzer: the optimized
+    // plan is indistinguishable from the literal query's
+    val tpl = SparkEntry.queries("sql_identifier_templating")(spark, Sf)
+    val lit = spark.sql(
+      """SELECT o_orderstatus AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY 1, 2, 3""".stripMargin)
+    assert(tpl.queryExecution.optimizedPlan.sameResult(lit.queryExecution.optimizedPlan))
+  }
+
   test("sorted neighborhood: rank pairing is an equi join, offsets broadcast") {
     // the window-3 neighbor probe must plan as a hash join on the rank key
     // (explode of rn+1..rn+3), never a range/BNL join; the bucket-offset
