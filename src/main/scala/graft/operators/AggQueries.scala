@@ -609,7 +609,61 @@ object AggQueries extends QueryModule {
       |  bool_or(o_orderkey % 7 = 0) AS any_mod7
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Bitmap-bucketed EXACT distinct counting (Spark 3.5 bitmap
+    * aggregates): keys bucket into 32k-bit bitmaps, bitmaps OR-merge
+    * associatively, and the final distinct count is a sum of per-bucket
+    * popcounts. Unlike raw `count(DISTINCT)` the partial state is
+    * pre-aggregatable and rollup-able — the warehouse pattern for
+    * incremental distinct counts over partitioned fact history (compute
+    * per-partition bitmaps once, OR them for any ad-hoc slice) — and
+    * unlike HLL it is exact. The oracle is the plain distinct count.
+    */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderstatus,
+        |  CAST(sum(bitmap_count(per_bucket)) AS BIGINT) AS n_distinct_custkeys
+        |FROM (
+        |  SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS bkt,
+        |    bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS per_bucket
+        |  FROM orders GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private val bitmapDistinctSql =
+    """SELECT o_orderstatus,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_custkeys
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Apache DataSketches HLL (Spark 3.5 `hll_sketch_agg`) under the same
+    * accuracy-contract oracle as the t-digest / GK queries: the checkable
+    * columns are the exact distinct counts; one boolean per group asserts
+    * the sketch estimate lies within 5% relative error (≳3× margin over
+    * the lgK=12 sketch's 1.6% RSE on these cardinalities). Unlike
+    * `approx_count_distinct`'s opaque HLL++, the sketch here is a
+    * FIRST-CLASS value: `hll_union_agg` merges per-partition sketches,
+    * which is the cross-slice distinct-count architecture at 100 TB.
+    */
+  def hllSketch(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_d,
+        |  abs(hll_sketch_estimate(hll_sketch_agg(o_custkey)) -
+        |      count(DISTINCT o_custkey)) / count(DISTINCT o_custkey)
+        |    < 0.05 AS within_5pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private val hllSketchSql =
+    """SELECT o_orderstatus,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_d,
+      |  true AS within_5pct
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
+    QueryDef("agg_hll_sketch", hllSketch, Some(hllSketchSql)),
     QueryDef("agg_bool_aggs", boolAggs, Some(boolAggsSql)),
     QueryDef("agg_listagg_roster", listaggSuppliers, Some(listaggSuppliersSql)),
     QueryDef("agg_regression", regression, Some(regressionSql)),

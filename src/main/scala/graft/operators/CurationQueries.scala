@@ -765,7 +765,37 @@ object CurationQueries extends QueryModule {
        |FROM chunked GROUP BY doc_id, chunk_id
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Built-in `mask` (Spark 3.4 data masking) — the char-class
+    * anonymizer that complements the regex-based
+    * [[piiRedaction curation_pii_redaction]]: uppercase→X, lowercase→x,
+    * digit→n (plus a custom-replacement variant), preserving length and
+    * punctuation so downstream tokenization statistics survive the
+    * masking. Pure per-row projection; the oracle rebuilds the same
+    * masking from character-class regex replaces.
+    */
+  def builtinMask(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        expr("mask(c_name)").as("masked_default"),
+        expr("mask(c_name, 'Q', 'q', '9', '_')").as("masked_custom"),
+        expr("mask(c_mktsegment, 'U', 'l', 'd')").as("masked_seg"))
+      .orderBy("c_custkey")
+
+  private val builtinMaskSql =
+    """SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+      |    AS masked_default,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'), '[0-9]', '9', 'g'),
+      |    '[^Qq9]', '_', 'g') AS masked_custom,
+      |  regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+      |    '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', 'd', 'g')
+      |    AS masked_seg
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_builtin_mask", builtinMask, Some(builtinMaskSql)),
     QueryDef("curation_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("curation_quality_survivor", qualitySurvivor, Some(qualitySurvivorSql)),
     QueryDef("curation_url_canonical", urlCanonical, Some(urlCanonicalSql)),
