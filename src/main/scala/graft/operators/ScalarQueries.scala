@@ -236,7 +236,48 @@ object ScalarQueries extends QueryModule {
       |    AS n_automobile_cs
       |FROM v""".stripMargin
 
+  /** Timezone conversion family: `from_utc_timestamp` /
+    * `to_utc_timestamp` / `convert_timezone` / `make_date` /
+    * `make_timestamp` — the functions every multi-region event pipeline
+    * leans on, and a classic cross-engine correctness trap (DST rules,
+    * naive-vs-instant semantics). The session timezone is pinned to UTC
+    * on both engines; results render as strings so the comparison is on
+    * wall-clock VALUES, not on timestamp internals.
+    */
+  def timezoneFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        date_format(expr("from_utc_timestamp(o_orderdate, 'America/New_York')"),
+          "yyyy-MM-dd HH:mm:ss").as("utc_as_ny"),
+        date_format(expr("to_utc_timestamp(o_orderdate, 'America/New_York')"),
+          "yyyy-MM-dd HH:mm:ss").as("ny_as_utc"),
+        date_format(expr("convert_timezone('UTC', 'Asia/Tokyo', o_orderdate)"),
+          "yyyy-MM-dd HH:mm:ss").as("utc_as_tokyo"),
+        date_format(expr("make_date(year(o_orderdate), month(o_orderdate), 1)"),
+          "yyyy-MM-dd").as("month_first"),
+        date_format(expr(
+          "make_timestamp(year(o_orderdate), month(o_orderdate), day(o_orderdate), 12, 30, 0)"),
+          "yyyy-MM-dd HH:mm:ss").as("noonish"))
+      .orderBy("o_orderkey")
+
+  private val timezoneFuncsSql =
+    """SELECT o_orderkey,
+      |  strftime(timezone('America/New_York', timezone('UTC', o_orderdate)),
+      |    '%Y-%m-%d %H:%M:%S') AS utc_as_ny,
+      |  strftime(timezone('UTC', timezone('America/New_York', o_orderdate)),
+      |    '%Y-%m-%d %H:%M:%S') AS ny_as_utc,
+      |  strftime(timezone('Asia/Tokyo', timezone('UTC', o_orderdate)),
+      |    '%Y-%m-%d %H:%M:%S') AS utc_as_tokyo,
+      |  strftime(make_date(CAST(year(o_orderdate) AS BIGINT),
+      |    CAST(month(o_orderdate) AS BIGINT), 1), '%Y-%m-%d') AS month_first,
+      |  strftime(make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+      |    CAST(month(o_orderdate) AS BIGINT), CAST(day(o_orderdate) AS BIGINT),
+      |    12, 30, 0.0), '%Y-%m-%d %H:%M:%S') AS noonish
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dt_timezone_funcs", timezoneFuncs, Some(timezoneFuncsSql)),
     QueryDef("str_collation", collationFuncs, Some(collationFuncsSql)),
     QueryDef("filter_predicates", filterPredicates, Some(filterPredicatesSql)),
     QueryDef("str_funcs", stringFuncs, Some(stringFuncsSql)),
