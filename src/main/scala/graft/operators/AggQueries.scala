@@ -661,7 +661,31 @@ object AggQueries extends QueryModule {
       |  true AS within_5pct
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Ordered-set aggregates (`WITHIN GROUP`): `percentile_disc` picks an
+    * ACTUAL data value (no interpolation — exact on any type, no float
+    * boundary risk), `percentile_cont` interpolates; both declared side
+    * by side on 2-dp prices where disc is trivially hash-exact and cont
+    * rounds. Same single-sort-per-group execution as the percentile
+    * query; the t-digest/GK queries remain the bounded-memory path.
+    */
+  def percentileDisc(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderstatus,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_disc,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+        |    AS median_cont
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val percentileDiscSql =
+    """SELECT o_orderstatus,
+      |  quantile_disc(o_totalprice, 0.5) AS median_disc,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_cont
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_percentile_disc", percentileDisc, Some(percentileDiscSql)),
     QueryDef("agg_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     QueryDef("agg_hll_sketch", hllSketch, Some(hllSketchSql)),
     QueryDef("agg_bool_aggs", boolAggs, Some(boolAggsSql)),

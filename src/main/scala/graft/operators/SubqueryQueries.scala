@@ -62,7 +62,23 @@ object SubqueryQueries extends QueryModule {
       |WHERE top_spend IS NOT NULL
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS — the membership syntax that (unlike
+    * IN) is three-valued-logic-safe under NULLs on the probe key; both
+    * branches decorrelate to semi/anti joins like the IN forms.
+    */
+  private val existsSpark =
+    """SELECT s_suppkey, s_name
+      |FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |                  WHERE l2.l_suppkey = s.s_suppkey
+      |                    AND l2.l_quantity > 49.5 AND l2.l_discount > 0.095)
+      |ORDER BY s_suppkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sub_exists_not_exists",
+      (s, d) => sql(s, d, existsSpark), Some(existsSpark)),
     QueryDef("sub_scalar_correlated",
       (s, d) => sql(s, d, scalarCorrSpark), Some(scalarCorrSpark)),
     QueryDef("sub_in_predicate",
