@@ -485,7 +485,43 @@ object JoinQueries extends QueryModule {
       | AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) <= h.valid_to)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM as the JOIN key):
+    * NULL keys match each other instead of silently dropping — the
+    * semantics CDC/merge pipelines need when the business key is
+    * nullable. Catalyst treats EqualNullSafe as a proper equi-join key,
+    * so this plans as a hash join (pinned in PlanSpec), NOT the nested
+    * loop a theta predicate would get. Nullable keys are derived
+    * deterministically with nullif.
+    */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(expr("nullif(o_custkey % 50, 7)").as("bucket_o"),
+        col("o_totalprice"))
+    val c = Tables.customer(s, dir)
+      .select(expr("nullif(c_custkey % 50, 7)").as("bucket_c"),
+        col("c_acctbal"))
+      .groupBy("bucket_c").agg(count(lit(1)).as("n_cust"))
+    o.join(c, col("bucket_o") <=> col("bucket_c"))
+      .groupBy(col("bucket_o").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), max("n_cust").as("n_cust"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  private val nullSafeJoinSql =
+    """WITH o AS (
+      |  SELECT nullif(o_custkey % 50, 7) AS bucket_o, o_totalprice FROM orders),
+      |c AS (
+      |  SELECT nullif(c_custkey % 50, 7) AS bucket_c,
+      |    CAST(count(*) AS BIGINT) AS n_cust
+      |  FROM customer GROUP BY 1)
+      |SELECT bucket_o AS bucket, CAST(count(*) AS BIGINT) AS n_orders,
+      |  max(n_cust) AS n_cust, round(sum(o_totalprice), 2) AS total_price
+      |FROM o JOIN c ON bucket_o IS NOT DISTINCT FROM bucket_c
+      |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("join_null_safe", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("join_bloom_prefilter", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
     QueryDef("join_point_in_time", pointInTimeJoin, Some(pointInTimeJoinSql)),
     QueryDef("join_interval_overlap", intervalOverlap, Some(intervalOverlapSql)),

@@ -193,6 +193,10 @@ class PlanSpec extends SparkSuite {
     val pit = plan("join_point_in_time")
     assert(!pit.contains("CartesianProduct"), pit)
     assert(!pit.contains("BroadcastNestedLoopJoin"), pit)
+    // <=> is a first-class equi-join key: hash join, never a nested loop
+    val ns = plan("join_null_safe")
+    assert(ns.contains("HashJoin"), ns)
+    assert(!ns.contains("NestedLoop") && !ns.contains("CartesianProduct"), ns)
   }
 
   test("sql-surface lowering: UnionLoop recursion, UDF-free SQL functions, identifier plan parity") {
