@@ -466,7 +466,50 @@ object WindowQueries extends QueryModule {
       |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 2) AS trailing_median_qty
       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** Windows OVER an aggregate — the share-of-total report every BI layer
+    * generates: revenue per (status, priority) cell, each cell's share of
+    * its status subtotal and of the grand total, and its rank within the
+    * status. One hash aggregation shrinks the data to cell cardinality
+    * FIRST; the windows then run over the tiny aggregate — at 100 TB the
+    * window input is the report, not the fact table. Shares are computed
+    * on integer cell counts (exact) and rounded revenue ratios.
+    */
+  def shareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("o_totalprice").as("revenue"))
+    val wStatus = Window.partitionBy("o_orderstatus")
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("status_share",
+        round(col("revenue") / sum("revenue").over(wStatus), 4))
+      .withColumn("grand_share",
+        round(col("revenue") / sum("revenue").over(wAll), 4))
+      .withColumn("rank_in_status",
+        rank().over(wStatus.orderBy(col("revenue").desc)))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n_orders"),
+        round(col("revenue"), 2).as("revenue"),
+        col("status_share"), col("grand_share"), col("rank_in_status"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  private val shareOfTotalSql =
+    """WITH cells AS (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS revenue
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderstatus, o_orderpriority, n_orders,
+      |  round(revenue, 2) AS revenue,
+      |  round(revenue / sum(revenue) OVER (PARTITION BY o_orderstatus), 4)
+      |    AS status_share,
+      |  round(revenue / sum(revenue) OVER (), 4) AS grand_share,
+      |  CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY revenue DESC)
+      |    AS INT) AS rank_in_status
+      |FROM cells ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     QueryDef("win_median_trailing", medianTrailing, Some(medianTrailingSql)),
     QueryDef("win_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     QueryDef("win_sessionize_gaps", sessionizeGaps, Some(sessionizeGapsSql)),
