@@ -170,5 +170,10 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "max_token_count", exprs => MaxTokenMultiplicity(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pair_combos", exprs => PairCombinations(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -27,20 +27,19 @@ object GraphQueries extends QueryModule {
     * co-occurrence graph. One self-equi-join on the order key; the
     * DISTINCT collapses multi-order repeats into simple-graph edges.
     */
-  private def edges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def edges(s: SparkSession, dir: String): DataFrame = {
     // one shuffle instead of a self-join: gather each order's distinct
     // part set (orders are small — tens of lines), expand the C(k, 2)
-    // intra-order pairs from the sorted array with HOFs, then the global
+    // intra-order pairs from the sorted array with the codegen'd
+    // [[graft.functions.PairCombinations]] kernel, then the global
     // DISTINCT collapses multi-order repeats. A self-join on the order
     // key computes the same thing with an extra exchange + sort.
+    graft.functions.GraftFunctions.register(s)
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 2 === 0)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
-      .select(explode(expr(
-        """flatten(transform(pks, (x, i) ->
-          |  transform(slice(pks, i + 2, size(pks)), y ->
-          |    struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select(explode(expr("pair_combos(pks)")).as("p"))
       .select(col("p.u"), col("p.v")).distinct()
   }
 
@@ -55,27 +54,48 @@ object GraphQueries extends QueryModule {
       |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
       |  GROUP BY n)""".stripMargin
 
-  /** Global triangle census: nodes, edges, wedges (open 2-paths after
-    * orientation), triangles. The closing-edge probe re-joins the wedge
-    * set against the undirected edge list on the (least, greatest) pair
-    * key — an equi-join on two integer columns.
+  /** Conservative JVM-side size model for the broadcast gate, in terms of
+    * the edge count alone (nodes ≤ 2·edges, so |E| bounds both tables): a
+    * degree row is 2 longs + row overhead; an adjacency row is a long + a
+    * long array of out-neighbors + overhead. Deliberately pessimistic
+    * (×2-ish, and the node bound is worst-case) so the gate flips to the
+    * shuffle plan well before the driver is at risk.
     */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val pairs = edges(s, dir).cache() // consumed 3×: degrees, orientation, edge count
-    // deg and adj are node-cardinality and each consumed by several
-    // branches of the final stats cross-join — without the cache every
-    // broadcast materializes its own recompute of the whole lineage
-    val deg = pairs.select(col("u").as("n"))
-      .unionAll(pairs.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-      .cache()
+  private[graft] def degBytes(nEdges: Long): Long = 96L * nEdges
+  private[graft] def adjBytes(nEdges: Long): Long = 144L * nEdges
+
+  /** Size cap for the orientation/probe broadcasts, overridable per session
+    * (`graft.graph.broadcastMaxBytes`). Past the cap the same joins run
+    * shuffled on src/dst — still keyed, never quadratic.
+    */
+  private[graft] def broadcastMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("graft.graph.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+
+  /** Lazy triangle-census plan, parameterized by the edge count so the
+    * broadcast decision is an explicit SIZE GATE, not a hard hint: a
+    * hard `broadcast()` ships the table no matter how big it grew, which
+    * is exactly the 100×-scale OOM. Below the cap the node-sized degree
+    * and adjacency tables broadcast (edge list never shuffles); above it
+    * the hint is dropped and the joins shuffle on their keys (AQE may
+    * still locally convert if runtime stats allow). Exposed for PlanSpec,
+    * which pins BOTH shapes.
+    */
+  private[graft] def triangleStatsPlan(
+      s: SparkSession, pairs: DataFrame, deg: DataFrame,
+      nEdges: Long): (DataFrame, Seq[DataFrame]) = {
+    graft.functions.GraftFunctions.register(s)
+    val cap = broadcastMaxBytes(s)
+    def gate(df: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= cap) broadcast(df) else df
     // orient low-(degree,id) -> high-(degree,id); struct compare gives the
     // lexicographic (d, id) order both engines agree on. The degree table
-    // is node-cardinality (≪ edges — ~20 k rows at sf0.1), so both lookups
-    // broadcast: the edge list never shuffles for the orientation
+    // is node-cardinality (≪ edges — ~20 k rows at sf0.1).
     val oriented = pairs
-      .join(broadcast(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")), "u")
-      .join(broadcast(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")), "v")
+      .join(gate(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"),
+        degBytes(nEdges)), "u")
+      .join(gate(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"),
+        degBytes(nEdges)), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
           .otherwise(col("v")).as("src"),
@@ -87,30 +107,56 @@ object GraphQueries extends QueryModule {
     // are Σ over oriented edges of |N⁺(src) ∩ N⁺(dst)| — each triangle
     // has exactly one apex with out-edges to the other two, so the count
     // is exact, not 3×. The adjacency table is node-cardinality with
-    // O(√m)-bounded lists (the orientation's guarantee), so it
-    // broadcasts and the per-edge intersect runs map-side where the edge
-    // list sits; at a scale past broadcast, the same two joins shuffle on
-    // src/dst — still keyed, never quadratic.
+    // O(√m)-bounded lists (the orientation's guarantee).
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
         count(lit(1)).as("od"))
       .cache()
-    // orientation is a bijection on edges, so Σ od = |E| — edge and wedge
-    // counts come from one pass over the (cached, node-sized) adjacency
-    val edgeWedgeCount = adj
-      .agg(sum("od").as("n_edges"),
-        sum(expr("od * (od - 1) div 2")).as("n_wedges"))
-    val triangleStats = oriented
-      .join(broadcast(adj.select(col("src"), col("nbrs").as("ns"))), Seq("src"))
-      .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nd"))),
-        Seq("dst"), "left")
+    // node and wedge counts come from one pass each over the cached
+    // node-sized tables; Σ C(d⁺, 2) over out-degrees for wedges
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val wedges = adj.agg(
+      coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
+    val triangles = oriented
+      .join(gate(adj.select(col("src"), col("nbrs").as("ns")), adjBytes(nEdges)),
+        Seq("src"))
+      .join(gate(adj.select(col("src").as("dst"), col("nbrs").as("nd")),
+        adjBytes(nEdges)), Seq("dst"), "left")
       .select(when(col("nd").isNull, lit(0))
-        .otherwise(size(array_intersect(col("ns"), col("nd")))).as("t"))
-      .agg(sum(col("t").cast("long")).as("n_triangles"))
-    deg.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(edgeWedgeCount)
-      .crossJoin(triangleStats)
-      .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+        .otherwise(expr("sorted_intersect_count(ns, nd)")).as("t"))
+      .agg(coalesce(sum(col("t").cast("long")), lit(0L)).as("n_triangles"))
+    (nodes.crossJoin(wedges).crossJoin(triangles), Seq(oriented, adj))
+  }
+
+  /** Global triangle census: nodes, edges, wedges (open 2-paths after
+    * orientation), triangles. The closing-edge probe re-joins the wedge
+    * set against the oriented adjacency on the src/dst keys — equi-joins
+    * on integer columns, broadcast only below the size gate.
+    *
+    * The builder materializes eagerly: the result is a single 4-long
+    * census row, so driving the plan to completion here (one count + one
+    * `head()`) costs nothing extra and lets every intra-query cache be
+    * unpersisted before the frame is handed back — no executor memory
+    * outlives the query across a 200-query sweep.
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = edges(s, dir).cache() // consumed 3×: degrees, orientation ×2
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .cache()
+    try {
+      // exact |E| from the cache-materializing count; it feeds the
+      // broadcast size gate AND the report
+      val nEdges = pairs.count()
+      val (stats, cached) = triangleStatsPlan(s, pairs, deg, nEdges)
+      try {
+        val r = stats.head()
+        Seq((r.getLong(0), nEdges, r.getLong(1), r.getLong(2)))
+          .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+      } finally cached.foreach(_.unpersist())
+    } finally { pairs.unpersist(); deg.unpersist() }
   }
 
   private val triangleCountSql =

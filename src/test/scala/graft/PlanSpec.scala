@@ -221,6 +221,56 @@ class PlanSpec extends SparkSuite {
     assert(tpl.queryExecution.optimizedPlan.sameResult(lit.queryExecution.optimizedPlan))
   }
 
+  test("triangle count: broadcast below the size gate, keyed shuffle above it") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.operators.GraphQueries
+    val pairs = GraphQueries.edges(spark, Sf).cache()
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d")).cache()
+    val nEdges = pairs.count()
+    try {
+      // fixture scale, default 256 MB cap: the gate is open — deg joins and
+      // both adjacency probes broadcast; the edge list never shuffles
+      assert(GraphQueries.adjBytes(nEdges) <=
+        GraphQueries.broadcastMaxBytes(spark))
+      val (open, cachedOpen) =
+        GraphQueries.triangleStatsPlan(spark, pairs, deg, nEdges)
+      val pOpen = open.queryExecution.executedPlan.toString
+      cachedOpen.foreach(_.unpersist())
+      assert("BroadcastHashJoin".r.findAllIn(pOpen).size >= 4, pOpen)
+      assert(!pOpen.contains("CartesianProduct"), pOpen)
+      // force the gate shut (cap = 1 byte) AND disable stats-broadcast so
+      // the pinned shape is the pure fallback: keyed shuffled joins on the
+      // node/src/dst keys — the 100 TB plan, no driver-sized build side
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("graft.graph.broadcastMaxBytes", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (shut, cachedShut) =
+          GraphQueries.triangleStatsPlan(spark, pairs, deg, nEdges)
+        val pShut = shut.queryExecution.executedPlan.toString
+        assert(!pShut.contains("BroadcastHashJoin"), pShut)
+        assert(pShut.contains("SortMergeJoin") || pShut.contains("ShuffledHashJoin"), pShut)
+        // both shapes compute the same census (the 1-row stats cross-join
+        // may nested-loop/cartesian — bounded by construction)
+        val rowsShut = shut.head()
+        cachedShut.foreach(_.unpersist())
+        spark.conf.unset("graft.graph.broadcastMaxBytes")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        val (open2, cachedOpen2) =
+          GraphQueries.triangleStatsPlan(spark, pairs, deg, nEdges)
+        val rowsOpen = open2.head()
+        cachedOpen2.foreach(_.unpersist())
+        assert(rowsShut.getLong(0) == rowsOpen.getLong(0) &&
+          rowsShut.getLong(1) == rowsOpen.getLong(1), s"$rowsShut vs $rowsOpen")
+      } finally {
+        spark.conf.unset("graft.graph.broadcastMaxBytes")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
+    } finally { pairs.unpersist(); deg.unpersist() }
+  }
+
   test("sorted neighborhood: rank pairing is an equi join, offsets broadcast") {
     // the window-3 neighbor probe must plan as a hash join on the rank key
     // (explode of rn+1..rn+3), never a range/BNL join; the bucket-offset
