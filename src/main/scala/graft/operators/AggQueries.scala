@@ -465,6 +465,74 @@ object AggQueries extends QueryModule {
       .orderBy("col")
   }
 
+  /** The 100 TB form of [[dataProfile]]: distinct counts come from
+    * `approx_count_distinct` (HLL++, rsd 0.02), so the whole profile is
+    * ONE map-side-combining pass with NO Expand — the exact form multiplies
+    * every row ×(columns+1) before the shuffle, which is the documented
+    * scale-killer this variant replaces. Declared under the same
+    * accuracy-contract oracle shape as [[approxPercentileBounds]]: the
+    * checkable output is the exact distinct count plus a boolean per
+    * column asserting the sketch lies within 10% (5× the configured rsd).
+    * The exact counts feed ONLY the contract columns and come from six
+    * independent column-pruned scans, each a plain two-level distinct
+    * aggregation (no Expand anywhere in the plan — PlanSpec pins it);
+    * at 100 TB the contract branches are dropped and the one-pass profile
+    * is the whole query.
+    */
+  def dataProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_suppkey", "l_orderkey")
+    val li = Tables.lineitem(s, dir)
+    val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(col(c)).as(s"nn$i"),
+        approx_count_distinct(col(c), 0.02).as(s"ad$i"),
+        round(min(col(c)).cast("double"), 4).as(s"mn$i"),
+        round(max(col(c)).cast("double"), 4).as(s"mx$i"),
+        round(avg(col(c).cast("double")), 4).as(s"av$i"))
+    }
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', n - nn$i, ad$i, mn$i, mx$i, av$i"
+    }.mkString(", ")
+    val prof = li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n").as("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) AS (col, n_nulls, approx_nd, min_v, max_v, mean_v)"))
+    val exact = cols.map(c =>
+        li.select(col(c).as("v"))
+          .agg(countDistinct(col("v")).as("n_distinct"))
+          .select(lit(c).as("col"), col("n_distinct")))
+      .reduce(_ unionAll _)
+    prof.join(broadcast(exact), "col")
+      .select(col("col"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        (abs(col("approx_nd") - col("n_distinct")) <=
+          greatest(ceil(col("n_distinct") * 0.10), lit(2L))).as("nd_within_10pct"),
+        col("min_v"), col("max_v"), col("mean_v"))
+      .orderBy("col")
+  }
+
+  private val dataProfileApproxSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_suppkey", "l_orderkey")
+    val inner = cols.zipWithIndex.map { case (c, i) =>
+      s"""count($c) AS nn$i, count(DISTINCT $c) AS nd$i,
+         |    round(CAST(min($c) AS DOUBLE), 4) AS mn$i,
+         |    round(CAST(max($c) AS DOUBLE), 4) AS mx$i,
+         |    round(avg(CAST($c AS DOUBLE)), 4) AS av$i""".stripMargin
+    }.mkString(",\n    ")
+    val branches = cols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS col, CAST(n AS BIGINT) AS n_rows,
+         |  CAST(n - nn$i AS BIGINT) AS n_nulls, CAST(nd$i AS BIGINT) AS n_distinct,
+         |  true AS nd_within_10pct,
+         |  mn$i AS min_v, mx$i AS max_v, av$i AS mean_v FROM a""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n,
+       |    $inner
+       |  FROM lineitem)
+       |$branches
+       |ORDER BY col""".stripMargin
+  }
+
   private val dataProfileSql = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
       "l_tax", "l_suppkey", "l_orderkey")
@@ -693,6 +761,7 @@ object AggQueries extends QueryModule {
     QueryDef("agg_regression", regression, Some(regressionSql)),
     QueryDef("agg_retention_cohorts", retentionCohorts, Some(retentionCohortsSql)),
     QueryDef("agg_data_profile", dataProfile, Some(dataProfileSql)),
+    QueryDef("agg_data_profile_approx", dataProfileApprox, Some(dataProfileApproxSql)),
     QueryDef("agg_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QueryDef("agg_countmin_heavy_hitters", countMinHeavyHitters, Some(countMinHeavyHittersSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),

@@ -221,6 +221,17 @@ class PlanSpec extends SparkSuite {
     assert(tpl.queryExecution.optimizedPlan.sameResult(lit.queryExecution.optimizedPlan))
   }
 
+  test("approx data profile plans with NO Expand — one combining pass per scan") {
+    // the exact profiler multiplies rows ×(columns+1) through Expand before
+    // its shuffle; the approx variant exists to kill exactly that, so any
+    // Expand in its plan means the scale path regressed
+    val p = plan("agg_data_profile_approx")
+    assert(!p.contains("Expand"), p)
+    // the exact-distinct contract branches are plain two-level aggregations
+    // over column-pruned scans; the profile pass itself is one aggregation
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("triangle count: broadcast below the size gate, keyed shuffle above it") {
     import org.apache.spark.sql.functions.{col, count, lit}
     import graft.operators.GraphQueries
