@@ -840,13 +840,20 @@ object DedupQueries extends QueryModule {
     val flagged = batch
       .join(exactDup.withColumn("exact_dup", lit(1)), Seq("doc_id"), "left")
       .join(nearDup.withColumn("near_dup", lit(1)), Seq("doc_id"), "left")
-    flagged.groupBy("source")
+    val out = flagged.groupBy("source")
       .agg(count(lit(1)).as("n_new"),
         sum(coalesce(col("exact_dup"), lit(0))).as("n_exact_dup"),
         sum(coalesce(col("near_dup"), lit(0))).as("n_near_dup"),
         sum(when(col("exact_dup").isNull && col("near_dup").isNull, 1)
           .otherwise(0)).as("n_kept"))
       .orderBy("source")
+    // eager: per-source accounting is a handful of rows, so materializing
+    // here lets the corpus-wide docs cache be released immediately instead
+    // of outliving the query across a long sweep
+    try {
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally docs.unpersist()
   }
 
   private val incrementalDedupSql =

@@ -404,7 +404,8 @@ object JoinQueries extends QueryModule {
     * sketch: MB-scale regardless of build-side row count, merged
     * distributedly by the aggregate underneath `stat.bloomFilter`.
     */
-  def bloomPrefilterJoin(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bloomPrefilterPlan(
+      s: SparkSession, dir: String): (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     val urgent = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "MACHINERY")
@@ -417,13 +418,25 @@ object JoinQueries extends QueryModule {
     val bf = s.sparkContext.broadcast(
       urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01))
     val mightContain = udf((k: Long) => bf.value.mightContainLong(k))
-    Tables.lineitem(s, dir)
+    val out = Tables.lineitem(s, dir)
       .filter(mightContain(col("l_orderkey"))) // drops ~(1-sel) of the scan pre-shuffle
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy("l_returnflag")
+    (out, bf)
+  }
+
+  def bloomPrefilterJoin(s: SparkSession, dir: String): DataFrame = {
+    // eager: the result is a per-flag handful of rows, so materializing
+    // here lets the MB-scale filter broadcast be destroyed immediately
+    // instead of outliving the query across a long sweep
+    val (out, bf) = bloomPrefilterPlan(s, dir)
+    try {
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally bf.destroy()
   }
 
   private val bloomPrefilterJoinSql =

@@ -620,11 +620,13 @@ object MiscQueries extends QueryModule {
       .agg(count(lit(1)).as("n_rows"),
         min("pk").as("pk_min"), max("pk").as("pk_max"),
         min("sk").as("sk_min"), max("sk").as("sk_max"))
-      // a file skips the box predicate pk∈[256,383] ∧ sk∈[0,49] when its
-      // stats exclude either dimension — the parquet row-group rule
+      // a file skips the box predicate pk∈[256,383] ∧ sk∈[50,99] when its
+      // stats exclude either dimension — the parquet row-group rule. Both
+      // sk bounds are off the domain edge so all four min/max comparisons
+      // are live (sk ≥ 0 always, which made a 0 lower bound vacuous)
       .withColumn("skips_probe_box",
         col("pk_max") < 256 || col("pk_min") > 383 ||
-          col("sk_max") < 0 || col("sk_min") > 49)
+          col("sk_max") < 50 || col("sk_min") > 99)
       .orderBy("zbucket")
   }
 
@@ -639,7 +641,7 @@ object MiscQueries extends QueryModule {
        |SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
        |  min(pk) AS pk_min, max(pk) AS pk_max,
        |  min(sk) AS sk_min, max(sk) AS sk_max,
-       |  (max(pk) < 256 OR min(pk) > 383 OR max(sk) < 0 OR min(sk) > 49)
+       |  (max(pk) < 256 OR min(pk) > 383 OR max(sk) < 50 OR min(sk) > 99)
        |    AS skips_probe_box
        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }

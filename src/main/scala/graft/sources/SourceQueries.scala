@@ -16,7 +16,7 @@ object SourceQueries extends QueryModule {
 
   /** CSV round-trip with header + explicit schema on read. */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_csv_").toString + "/customer"
+    val tmp = graft.Scratch.dir("graft_csv_") + "/customer"
     Tables.customer(s, dir)
       .write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
@@ -38,7 +38,7 @@ object SourceQueries extends QueryModule {
 
   /** JSON lines round-trip with schema inference on read. */
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_json_").toString + "/supplier"
+    val tmp = graft.Scratch.dir("graft_json_") + "/supplier"
     Tables.supplier(s, dir).write.mode("overwrite").json(tmp)
     s.read.json(tmp)
       .groupBy("s_nationkey")
@@ -57,7 +57,7 @@ object SourceQueries extends QueryModule {
     * ORC writer/reader fails the hash-compare.
     */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_orc_").toString + "/orders"
+    val tmp = graft.Scratch.dir("graft_orc_") + "/orders"
     Tables.orders(s, dir).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .groupBy("o_orderstatus")
@@ -82,7 +82,7 @@ object SourceQueries extends QueryModule {
     * type drift through the merged read fails the hash-compare.
     */
   def schemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_evolve_").toString + "/customer"
+    val tmp = graft.Scratch.dir("graft_evolve_") + "/customer"
     val c = Tables.customer(s, dir)
     c.filter(col("c_custkey") % 2 === 0)
       .select("c_custkey", "c_mktsegment")
@@ -109,7 +109,7 @@ object SourceQueries extends QueryModule {
     * line-of-text record format [REF A1]), re-read and measured.
     */
   def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_text_").toString + "/docs"
+    val tmp = graft.Scratch.dir("graft_text_") + "/docs"
     Tables.documents(s, dir).select("text").write.mode("overwrite").text(tmp)
     s.read.text(tmp)
       .select(length(col("value")).as("len"))
@@ -129,7 +129,7 @@ object SourceQueries extends QueryModule {
     * low-cardinality routing key, prune at read).
     */
   def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_part_").toString + "/orders_by_status"
+    val tmp = graft.Scratch.dir("graft_part_") + "/orders_by_status"
     Tables.orders(s, dir).write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(tmp)
     s.read.parquet(tmp)
@@ -249,7 +249,11 @@ object SourceQueries extends QueryModule {
     * inside that file. This is the lineage hook an ingest audit needs
     * (which file produced this bad row?) and the basis of file-granular
     * incremental reprocessing. The declared output pins the row_index
-    * contract: 0-based, dense per file (count == last − first + 1).
+    * contract LAYOUT-INDEPENDENTLY (the oracle runs over table views and
+    * cannot see physical file names, and the fixture may be re-generated
+    * as a multi-part directory): per physical file the index must be
+    * 0-based and dense (count == last + 1), rolled up to `all_dense`, and
+    * the per-file counts must partition the table (`n_rows`).
     */
   def fileMetadata(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
@@ -257,19 +261,15 @@ object SourceQueries extends QueryModule {
         org.apache.spark.sql.functions.col("_metadata.file_name").as("file_name"),
         org.apache.spark.sql.functions.col("_metadata.row_index").as("ri"))
       .groupBy("file_name")
-      .agg(count(lit(1)).as("n_rows"),
+      .agg(count(lit(1)).as("n"),
         min("ri").as("first_idx"), max("ri").as("last_idx"))
-      .withColumn("dense", col("n_rows") === col("last_idx") - col("first_idx") + 1)
-      .orderBy("file_name")
+      .agg(
+        sum("n").as("n_rows"),
+        min(col("first_idx") === 0 && col("n") === col("last_idx") + 1)
+          .as("all_dense"))
 
-  // the oracle runs over table views (no file paths), so it states the
-  // metadata CONTRACT the fixture implies: one file, 0-based dense index
   private val fileMetadataSql =
-    """SELECT 'lineitem.parquet' AS file_name,
-      |  CAST(count(*) AS BIGINT) AS n_rows,
-      |  CAST(0 AS BIGINT) AS first_idx,
-      |  CAST(count(*) - 1 AS BIGINT) AS last_idx,
-      |  true AS dense
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS all_dense
       |FROM lineitem""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

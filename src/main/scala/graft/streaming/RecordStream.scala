@@ -126,7 +126,7 @@ object RecordStream {
 
   private def stageSentinels(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Files.createTempDirectory("graft_stream_").toString
+    val stage = graft.Scratch.dir("graft_stream_")
     Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$stage/batch0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     def sentinel(i: Int, tsNanos: Long): Unit = {
@@ -188,7 +188,7 @@ object RecordStream {
     */
   def kinesisFixture(spark: SparkSession, dir: String): String =
     kinesisStaged.computeIfAbsent(dir, d => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_kinesis_").toString
+      val stage = graft.Scratch.dir("graft_kinesis_")
       val rows = graft.Tables.events(spark, d)
         .select(
           pmod(col("user_id"), lit(NumShards)).cast("int").as("shard"),
@@ -223,7 +223,7 @@ object RecordStream {
     */
   def kinesisReshardFixture(spark: SparkSession, dir: String): String =
     kinesisReshardStaged.computeIfAbsent(dir, d => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_kinesis_rs_").toString
+      val stage = graft.Scratch.dir("graft_kinesis_rs_")
       val splitNanos = java.time.Instant.parse("2024-01-15T00:00:00Z")
         .getEpochSecond * 1000000000L
       val rows = graft.Tables.events(spark, d)

@@ -321,7 +321,7 @@ object StreamingQueries extends QueryModule {
     * trustworthy in the first place.
     */
   def stateStoreRead(s: SparkSession, dir: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_read_").toString
+    val ckpt = graft.Scratch.dir("graft_ss_read_")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", RecordStream.StreamShufflePartitions)
     try {
@@ -335,9 +335,15 @@ object StreamingQueries extends QueryModule {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     val state = s.read.format("statestore").load(ckpt)
       .select(col("key.event_type").as("event_type"), col("value.*"))
-    // state buffer fields are named by the physical agg (count/sum), not
-    // the aliases — rebind positionally: (count buffer, sum buffer)
-    val Array(cntCol, sumCol) = state.columns.drop(1)
+    // state buffer fields are named by the physical agg functions, not the
+    // aliases — bind them by name pattern (count…/sum…) and fail fast on
+    // anything else, so a Spark buffer-layout change can never silently
+    // swap the two doubles
+    val buf = state.columns.drop(1)
+    val cntCol = buf.find(_.toLowerCase.startsWith("count")).getOrElse(
+      sys.error(s"no count buffer in state schema: ${buf.mkString(", ")}"))
+    val sumCol = buf.find(_.toLowerCase.startsWith("sum")).getOrElse(
+      sys.error(s"no sum buffer in state schema: ${buf.mkString(", ")}"))
     state.select(col("event_type"),
         col(cntCol).cast("long").as("n_events"),
         round(col(sumCol), 2).as("total_value"))
@@ -361,7 +367,7 @@ object StreamingQueries extends QueryModule {
     */
   def foreachBatchMerge(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val target = Files.createTempDirectory("graft_fb_merge_").toString
+    val target = graft.Scratch.dir("graft_fb_merge_")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", RecordStream.StreamShufflePartitions)
     try {

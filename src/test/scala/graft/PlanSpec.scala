@@ -183,7 +183,8 @@ class PlanSpec extends SparkSuite {
     // membership probe must land in the lineitem scan's DataFilters (i.e.
     // rows drop AT the scan, below the semi join — whichever physical join
     // the build-side size selects)
-    val p = plan("join_bloom_prefilter")
+    val (bloomDf, bloomBc) = operators.JoinQueries.bloomPrefilterPlan(spark, Sf)
+    val p = try bloomDf.queryExecution.executedPlan.toString finally bloomBc.destroy()
     assert(p.contains("LeftSemi"), p)
     val scanLine = p.linesIterator
       .find(l => l.contains("FileScan") && l.contains("lineitem")).get
