@@ -4,7 +4,7 @@ import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 case class Ev(event_id: Long, user_id: Long, event_type: String,
     value: Double, ts: java.sql.Timestamp)
@@ -41,6 +41,35 @@ class UserTypeStatsProcessor extends StatefulProcessor[Long, Ev, UserTypeStats] 
       val agg = byType.getValue(t)
       UserTypeStats(key, t, agg.n, agg.total)
     }.iterator
+  }
+}
+
+/** (key, running count) row emitted by [[TtlCountProcessor]]. */
+case class KeyCount(key: Long, n: Long)
+
+/** State-v2 TTL demonstrator: a per-key counter in a ValueState configured
+  * with a processing-time TTL — the bounded-state discipline a 100 TB
+  * keyspace needs (abandoned keys age out of RocksDB instead of
+  * accumulating forever; the reference's analogue is the per-shard
+  * processor state dropped on lease loss,
+  * AmazonKinesisApplicationSampleRecordProcessor.java:63-91). The TTL
+  * contract — expired keys are PURGED from the store, not just hidden —
+  * is pinned by RocksDBStateSpec's checkpoint probe: stop the query, read
+  * the checkpoint back with the batch `statestore` source, assert the
+  * aged-out key is gone.
+  */
+class TtlCountProcessor(ttlMs: Long)
+    extends StatefulProcessor[Long, (Long, Long), KeyCount] {
+  @transient private var counts: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getValueState[Long]("counts", Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[KeyCount] = {
+    val prev = if (counts.exists()) counts.get() else 0L
+    val next = prev + rows.size
+    counts.update(next)
+    Iterator.single(KeyCount(key, next))
   }
 }
 
