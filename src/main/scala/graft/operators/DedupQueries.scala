@@ -339,6 +339,16 @@ object DedupQueries extends QueryModule {
   /** Distinct LSH candidate pairs (doc_a < doc_b), keys only — the shared
     * front half of [[minhashLsh]] (which re-joins the wide columns for
     * verification) and [[dedupClusters]] (which needs only the edges).
+    *
+    * Pairing within a (band, bucket) is ANCHOR (star) pairing — every doc
+    * pairs with its bucket's min doc_id, never all-pairs. A bucket of k
+    * docs emits k-1 edges instead of C(k,2): linear in bucket size, so a
+    * boilerplate-heavy bucket (thousands of identical docs — exactly what
+    * the 10× scale sweep's verbatim replication simulates) costs k edges,
+    * not k²/2. The transitive closure is unchanged — a bucket's star and
+    * its clique have identical connected components — so [[dedupClusters]]
+    * computes the same clusters; only the enumerated pair LIST shrinks to
+    * the spanning edges (the shape large-scale MinHash pipelines emit).
     */
   private def lshCandidates(docs: DataFrame): DataFrame = {
     val banded = docs.select(
@@ -348,11 +358,13 @@ object DedupQueries extends QueryModule {
           |  b -> named_struct('band', b, 'bhash', xxhash64(slice(sig, b * 4 + 1, 4))))""".stripMargin))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    // one exchange on the bucket key; the unordered window min streams the
+    // bucket without sorting it
+    banded
+      .withColumn("anchor",
+        min(col("doc_id")).over(Window.partitionBy("band", "bhash")))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
 
@@ -401,9 +413,10 @@ object DedupQueries extends QueryModule {
        |                       sig[CAST(r.range * 4 + 3 AS INT)], sig[CAST(r.range * 4 + 4 AS INT)])) AS bhash
        |  FROM sigs CROSS JOIN range(0, 4) r
        |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+       |  SELECT DISTINCT anchor AS doc_a, doc_id AS doc_b FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bhash) AS anchor
+       |    FROM banded)
+       |  WHERE doc_id > anchor
        |)""".stripMargin
 
   private val minhashLshSql =
@@ -417,20 +430,37 @@ object DedupQueries extends QueryModule {
        |FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Embedding near-dup: top-5 closest pairs per label block by cosine.
-    * Pair generation is label-blocked (the 100 TB pattern: block key =
-    * coarse cluster id); ranking is a per-block window, so the shuffle key
-    * is the label, never the full corpus.
+  /** Embedding near-dup: top-5 closest candidate pairs per label by
+    * cosine. Candidate generation is LSH-blocked sorted-neighborhood — the
+    * strictly-linear 100 TB shape: within each (label, 4-bit hyperplane
+    * bucket) cell, vectors are ordered by a 1-D projection (the double sum
+    * of components) and each vector pairs with its next W=5 neighbors via
+    * `lead`, so a cell of k vectors emits ≤ k·W pairs — NO self-join and
+    * no quadratic blowup anywhere, even when the corpus is adversarially
+    * duplicated (bit-identical replicas share bucket AND projection, so
+    * they sort adjacent and are always caught). The final top-5 ranking is
+    * a per-label row_number window over the already-linear pair set.
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("bucket", expr("hyperplane_bucket(embedding, 4)"))
+      // explicit left-fold over doubles — same association order as the
+      // oracle's list arithmetic, so the neighborhood order is portable
+      .withColumn("proj",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"))
+    val cell = Window.partitionBy("label", "bucket").orderBy(asc("proj"), asc("vec_id"))
+    val nbr = (1 to 5).map(i =>
+      lead(struct(col("vec_id"), col("embedding")), i).over(cell))
     val w = Window.partitionBy("label")
       .orderBy(desc("cos"), asc("id_a"), asc("id_b"))
-    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .withColumn("cos", expr("cosine_sim(emb_a, emb_b)"))
+    e.select(col("label"), col("vec_id"), col("embedding"), array(nbr: _*).as("nbrs"))
+      .withColumn("nbr", explode(col("nbrs")))
+      .filter(col("nbr").isNotNull)
+      .select(col("label"),
+        least(col("vec_id"), col("nbr.vec_id")).as("id_a"),
+        greatest(col("vec_id"), col("nbr.vec_id")).as("id_b"),
+        expr("cosine_sim(embedding, nbr.embedding)").as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"), col("rn"))
@@ -438,14 +468,31 @@ object DedupQueries extends QueryModule {
   }
 
   private val embeddingNearDupSql =
-    """WITH pairs AS (
-      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+    """WITH bucketed AS (
+      |  SELECT vec_id, label, embedding,
+      |    CAST(list_sum(list_transform(range(0, 4), p ->
+      |      CASE WHEN list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
+      |        pr -> CAST(pr[1] AS DOUBLE) *
+      |          (CASE WHEN (instr('0123456789abcdef',
+      |             substr(md5(concat_ws(':', p, pr[2])), 1, 1)) - 1) % 2 = 0
+      |           THEN 1 ELSE -1 END))) > 0
+      |      THEN (1 << CAST(p AS INT)) ELSE 0 END)) AS INT) AS bucket,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS proj
+      |  FROM embeddings
+      |), ordered AS (
+      |  SELECT vec_id, label, embedding, bucket,
+      |    row_number() OVER (PARTITION BY label, bucket ORDER BY proj, vec_id) AS pos
+      |  FROM bucketed
+      |), pairs AS (
+      |  SELECT a.label,
+      |    least(a.vec_id, b.vec_id) AS id_a, greatest(a.vec_id, b.vec_id) AS id_b,
       |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-      |  FROM embeddings a JOIN embeddings b
-      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  FROM ordered a JOIN ordered b
+      |    ON a.label = b.label AND a.bucket = b.bucket
+      |   AND b.pos BETWEEN a.pos + 1 AND a.pos + 5
       |), ranked AS (
       |  SELECT label, id_a, id_b, cos,
       |    row_number() OVER (PARTITION BY label ORDER BY cos DESC, id_a ASC, id_b ASC) AS rn
