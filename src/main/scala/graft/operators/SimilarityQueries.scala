@@ -415,16 +415,43 @@ object SimilarityQueries extends QueryModule {
     * over the ROUNDED score with a doc-id tie-break, identical in both
     * engines.
     */
+  /** Input-size threshold above which [[bm25TopK]] materializes its
+    * postings list instead of recomputing the lineage per consumer.
+    * Overridable per session (`graft.bm25.materializeMinBytes`). The
+    * crossover is measured: at sf0.1 (~0.6 MB of documents) the lazy
+    * recompute beats materialization ~2× (codegen'd re-scan vs parquet
+    * round-trip), but at 10× the corpus the four consumers re-exploding
+    * the term frame inverts hard (21.4× wall-time scaling measured in the
+    * r5 sweep). The default sits between those two measured points.
+    */
+  private[graft] def bm25MaterializeMinBytes(s: SparkSession): Long =
+    s.conf.getOption("graft.bm25.materializeMinBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
     val toks = "array_remove(split(text, ' ', -1), '')"
-    val terms = Tables.documents(s, dir)
+    val docsRel = Tables.documents(s, dir)
+    val terms = docsRel
       .select(col("doc_id"), explode(expr(toks)).as("term"))
-    // the postings list (doc, term, tf). Several consumers derive from it;
-    // measured: .cache() here LOSES ~2x at this scale (materialization +
-    // dropping out of whole-stage codegen beats the recompute), so the
-    // lineage is left lazy — at 100 TB the postings become a materialized
-    // table (the inverted index every retrieval system builds once)
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // the postings list (doc, term, tf). Several consumers derive from it
+    // (query side, scoring join, document frequency, document length), so
+    // the build is SIZE-GATED like the graph broadcasts: below the
+    // threshold the lineage stays lazy (measured faster — recompute inside
+    // whole-stage codegen beats a materialization round-trip at bench
+    // scale); above it the postings are written ONCE to scratch parquet
+    // and every consumer scans the materialized index — the disk-resident
+    // inverted index every retrieval system builds once per corpus, which
+    // is the only shape that survives 100 TB (four full re-tokenizations
+    // of the corpus do not).
+    val tfLineage = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val corpusBytes = docsRel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val tf =
+      if (corpusBytes <= bm25MaterializeMinBytes(s)) tfLineage
+      else {
+        val p = graft.Scratch.dir("graft-bm25-postings")
+        tfLineage.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      }
     // doc length from the postings (sum of tf), not a second shuffle of
     // the raw exploded terms
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))

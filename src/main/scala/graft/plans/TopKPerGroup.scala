@@ -39,25 +39,43 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
-/** Physical operator. Requires clustering on the group key (EnsureRequirements
-  * inserts the single hash shuffle); each task then streams its partition
-  * once, maintaining one bounded heap per group.
+/** Physical operator, planned in TWO phases like a hash aggregate:
+  *
+  *   - `partial = true`: runs on the child's existing partitioning (no
+  *     required distribution), keeps a k-bounded heap per group per input
+  *     partition and emits the surviving rows WITHOUT a rank. Top-k is
+  *     algebraic — the global top-k of a group is contained in the union
+  *     of its per-partition top-ks — so this is lossless, and it bounds
+  *     the shuffle at k·groups rows PER MAP TASK instead of the whole
+  *     input. This is what keeps a low-group-cardinality ranking (e.g.
+  *     top-5 per label with a handful of labels) from funneling the full
+  *     pair set through n_groups reducers.
+  *   - `partial = false` (final): requires clustering on the group key
+  *     (EnsureRequirements inserts the single hash shuffle of the tiny
+  *     partials), re-heaps per group, and emits the 1-based rank.
   */
 case class TopKPerGroupExec(
     k: Int,
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     rankAttr: Attribute,
-    child: SparkPlan)
+    child: SparkPlan,
+    partial: Boolean = false)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -67,6 +85,7 @@ case class TopKPerGroupExec(
     val groupExprsLocal = groupExprs
     val orderLocal = order
     val outputSchema = output
+    val partialLocal = partial
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ordering = GenerateOrdering.generate(orderLocal, childOutput)
@@ -86,15 +105,21 @@ case class TopKPerGroupExec(
           heap.add(row.copy())
         }
       }
-      val toUnsafe = UnsafeProjection.create(outputSchema, outputSchema)
-      val joined = new JoinedRow
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val rows = new Array[InternalRow](heap.size())
-        var i = heap.size() - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain worst-first → best-first array
-        rows.iterator.zipWithIndex.map { case (r, idx) =>
-          toUnsafe(joined(r, new GenericInternalRow(Array[Any](idx + 1))))
+      if (partialLocal) {
+        // survivors only; order within the group is the final phase's job
+        val toUnsafe = UnsafeProjection.create(outputSchema, outputSchema)
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala).map(toUnsafe)
+      } else {
+        val toUnsafe = UnsafeProjection.create(outputSchema, outputSchema)
+        val joined = new JoinedRow
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val rows = new Array[InternalRow](heap.size())
+          var i = heap.size() - 1
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain worst-first → best-first array
+          rows.iterator.zipWithIndex.map { case (r, idx) =>
+            toUnsafe(joined(r, new GenericInternalRow(Array[Any](idx + 1))))
+          }
         }
       }
     }
@@ -110,7 +135,10 @@ case class TopKPerGroupExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(k, g, o, child, rank) =>
-      TopKPerGroupExec(k, g, o, rank, planLater(child)) :: Nil
+      // two-phase: map-side partial heaps bound the shuffle at k·groups
+      // rows per task; the final phase ranks after the (tiny) exchange
+      val part = TopKPerGroupExec(k, g, o, rank, planLater(child), partial = true)
+      TopKPerGroupExec(k, g, o, rank, part) :: Nil
     case _ => Nil
   }
 }

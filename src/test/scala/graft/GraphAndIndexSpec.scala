@@ -31,6 +31,24 @@ class GraphAndIndexSpec extends SparkSuite {
     e.unpersist()
   }
 
+  test("graph kernels reject containsNull arrays at analysis, not silently as zeros") {
+    graft.functions.GraftFunctions.register(spark)
+    // array() of a nullable expression carries containsNull=true; getLong
+    // on a null slot would read 0, so the kernel must refuse at analysis
+    val nullable = spark.range(1).selectExpr(
+      "array(CAST(NULL AS BIGINT), 2L, 3L) AS xs")
+    for (call <- Seq("pair_combos(xs)", "sorted_intersect_count(xs, xs)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        nullable.selectExpr(call).collect()
+      }
+      assert(e.getMessage.contains("non-null elements"), s"$call: ${e.getMessage}")
+    }
+    // array_compact strips the nullability and the same calls analyze + run
+    val compacted = nullable.selectExpr("array_compact(xs) AS xs")
+    assert(compacted.selectExpr("size(pair_combos(xs))").head().getInt(0) == 1)
+    assert(compacted.selectExpr("sorted_intersect_count(xs, xs)").head().getInt(0) == 2)
+  }
+
   test("degree histogram accounts for every node exactly once") {
     val hist = operators.GraphQueries.degreeHistogram(spark, Sf)
     val totalNodes = hist.agg(sum("n_nodes")).head().getLong(0)

@@ -66,6 +66,16 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("embedding near-dup ranks via two-phase native top-k, not a label window") {
+    val p = plan("dedup_embedding_cosine")
+    // the label-level top-5 must be the two-phase TopKPerGroup — a
+    // row_number window partitioned by label alone caps parallelism at
+    // n_labels and full-sorts the pair set (measured 30.7× at 10× data)
+    assert(p.contains("TopKPerGroupPartial"), p)
+    assert(p.linesIterator.exists(l => l.contains("TopKPerGroup") && !l.contains("Partial")), p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("minhash LSH shuffles keys, never shingle arrays") {
     val p = plan("dedup_minhash_lsh")
     // candidate dedup (HashAggregate over Exchange) must key on the two doc

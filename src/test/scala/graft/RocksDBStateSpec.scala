@@ -60,6 +60,7 @@ class RocksDBStateSpec extends AnyFunSuite {
         TimeMode.ProcessingTime(), OutputMode.Update())
     val q = out.toDF().writeStream.outputMode("update").format("memory")
       .queryName("ttl_probe_sink").option("checkpointLocation", ckpt).start()
+    var touchNanos = System.nanoTime()
     try {
       // TTL mode SELF-TRIGGERS micro-batches, so processAllAvailable never
       // settles — poll the sink for the data we fed instead (the extra
@@ -79,10 +80,20 @@ class RocksDBStateSpec extends AnyFunSuite {
       awaitSink(3)        // which is the commit that purges keys 1 and 2
       in.addData((3L, 1L)) // re-touch: key 3's TTL restarts just before stop
       awaitSink(4)
+      touchNanos = System.nanoTime()
     } finally { q.stop(); q.awaitTermination(20000) }
+    // this host has multi-second throttle stalls: if stop() landed more
+    // than the TTL after the re-touch, a self-triggered batch may have
+    // legitimately purged key 3 too — the aged-out half of the contract
+    // (keys 1, 2 gone) still holds unconditionally, so assert only that
+    // half when the run straddled the TTL
+    val sinceTouchMs = (System.nanoTime() - touchNanos) / 1000000L
     val state = spark.read.format("statestore")
       .option("stateVarName", "counts").load(ckpt)
     val keys = state.select("key.*").collect().map(_.getLong(0)).toSet
-    assert(keys == Set(3L), s"expected only the fresh key in state, got: $keys")
+    assert(!keys.contains(1L) && !keys.contains(2L),
+      s"aged-out keys survived in the checkpoint: $keys")
+    if (sinceTouchMs < 3000)
+      assert(keys == Set(3L), s"expected only the fresh key in state, got: $keys")
   }
 }

@@ -31,6 +31,21 @@ class TopKSpec extends AnyFunSuite {
     assert(!physical.contains("Window"), physical)
   }
 
+  test("plans a map-side partial phase below the exchange") {
+    val base = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val q = plans.GroupTopK(base, 3, Seq("o_custkey"), Seq(desc("o_totalprice")))
+    val physical = q.queryExecution.executedPlan.toString
+    // plan strings print top-down: final, then the exchange of the
+    // k-bounded partials, then the map-side partial
+    val lines = physical.linesIterator.toList
+    val iFinal = lines.indexWhere(l => l.contains("TopKPerGroup") && !l.contains("Partial"))
+    val iEx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val iPartial = lines.indexWhere(_.contains("TopKPerGroupPartial"))
+    assert(iFinal >= 0 && iEx >= 0 && iPartial >= 0, physical)
+    assert(iFinal < iEx && iEx < iPartial, physical)
+  }
+
   test("matches the window row_number formulation exactly") {
     import spark.implicits._
     val base = Tables.orders(spark, Sf)
