@@ -59,6 +59,50 @@ object MinhashOps {
   }
 }
 
+/** Row-level 32-bit SimHash kernel (shared by interpreted eval and
+  * generated code). Semantics are EXACTLY the portable md5-nibble
+  * construction the DuckDB oracle replays (DedupQueries.simhashSql): for
+  * each DISTINCT token, bit b of its md5 (b in 0..31) is bit (b mod 4) of
+  * hex nibble floor(b/4); each set bit votes +1, each clear bit -1, and
+  * the fingerprint keeps the bits with a positive vote sum. One native
+  * loop per row instead of a ~64-lambda interpreted aggregate/zip_with
+  * pipeline per token (measured ~8× on the dedup_simhash family at
+  * sf0.1). Null token slots are ignored (the tokenizer never emits them).
+  */
+object SimhashOps {
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def fingerprint(tokens: ArrayData): Long = {
+    val acc = new Array[Int](32)
+    val seen = new java.util.HashSet[UTF8String]()
+    val digest = md5.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null && seen.add(t)) {
+        digest.reset()
+        val d = digest.digest(t.getBytes)
+        var b = 0
+        while (b < 32) {
+          val c = b >> 2 // hex-char index; only the first 4 digest bytes matter
+          val byte = d(c >> 1) & 0xff
+          val nib = if ((c & 1) == 0) byte >>> 4 else byte & 0xf
+          if (((nib >>> (b & 3)) & 1) == 1) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 32) { if (acc(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+}
+
 /** Row-level word n-gram shingling kernel (shared by interpreted eval and
   * generated code). Semantics are EXACTLY the HOF form the DuckDB oracles
   * replay: `array_distinct(transform(sequence(1, size(tk) - n + 1),
@@ -148,6 +192,35 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: `simhash64(array<string>) -> bigint` — the
+  * 32-bit md5-nibble SimHash fingerprint of a token array (distinct
+  * applied internally). Same preference-order rationale as
+  * [[MinhashSignature]]: one static call inside whole-stage codegen
+  * instead of an interpreted aggregate over 32-lambda zip_with votes per
+  * token; values identical to the HOF form, so the DuckDB oracle is
+  * unchanged.
+  */
+case class SimhashFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SimhashOps.fingerprint(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashOps.fingerprint($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -160,6 +160,8 @@ object GraftFunctions {
       "minhash_sig", exprs => MinhashSignature(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimhashFingerprint(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(

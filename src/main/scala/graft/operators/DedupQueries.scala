@@ -194,21 +194,15 @@ object DedupQueries extends QueryModule {
     * pairing in [[simhashPairs]].
     */
   private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
-    // hash each distinct token ONCE (the md5 is hoisted out of the 32-bit
-    // loop via a transform over the token array), then fold bit votes
-    val bitExpr =
-      "((instr('0123456789abcdef', substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1) >> (b % 4)) & 1"
+    // native codegen'd kernel (functions.SimhashOps): one loop per row —
+    // md5 each DISTINCT token once, 32 bit-votes from the digest nibbles,
+    // sign fold — value-identical to the aggregate/transform/zip_with HOF
+    // pipeline the DuckDB oracle replays, which stays interpreted in
+    // Spark and cost ~8× more at sf0.1 (the dedup_simhash family's whole
+    // base cost was this fingerprint)
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .withColumn("acc", expr(
-        s"""aggregate(
-           |  transform(array_distinct($toks), t -> md5(CAST(t AS BINARY))),
-           |  transform(sequence(0, 31), z -> 0L),
-           |  (acc, h) -> zip_with(acc,
-           |    transform(sequence(0, 31), b -> IF(($bitExpr) = 1, 1L, -1L)),
-           |    (x, y) -> x + y))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(zip_with(acc, sequence(0, 31),
-          |  (a, b) -> IF(a > 0, shiftleft(1L, b), 0L)), 0L, (x, y) -> x + y)""".stripMargin))
+      .withColumn("simhash", expr(s"simhash64($toks)"))
       .select(col("doc_id"), col("simhash"))
   }
 

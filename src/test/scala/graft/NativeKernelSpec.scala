@@ -35,6 +35,30 @@ class NativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("SimhashOps.fingerprint matches the oracle's hex-nibble arithmetic") {
+    val rnd = new scala.util.Random(23)
+    (1 to 30).foreach { _ =>
+      // duplicates on purpose: the kernel must dedup like array_distinct
+      val tokens = Seq.fill(1 + rnd.nextInt(60))("t" + rnd.nextInt(25))
+      // oracle form: bit b of token t is bit (b%4) of the value of hex
+      // char floor(b/4) of md5(t); +1/-1 votes; keep positive bits
+      val acc = new Array[Int](32)
+      tokens.distinct.foreach { t =>
+        val h = md5hex(t)
+        (0 until 32).foreach { b =>
+          val nib = "0123456789abcdef".indexOf(h(b / 4))
+          if (((nib >> (b % 4)) & 1) == 1) acc(b) += 1 else acc(b) -= 1
+        }
+      }
+      val want = (0 until 32).foldLeft(0L) { (fp, b) =>
+        if (acc(b) > 0) fp | (1L << b) else fp
+      }
+      val got = graft.functions.SimhashOps.fingerprint(
+        new GenericArrayData(tokens.map(s => UTF8String.fromString(s): Any).toArray))
+      assert(got == want, s"tokens=$tokens got=$got want=$want")
+    }
+  }
+
   test("ShingleOps.shingles matches the distinct-transform-concat_ws form") {
     val rnd = new scala.util.Random(17)
     (1 to 30).foreach { _ =>

@@ -15,6 +15,20 @@ class SimilaritySpec extends SparkSuite {
       .groupBy(_.getLong(0))
       .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
 
+  test("bm25 postings materialization gate preserves results exactly") {
+    // the size gate changes WHERE the postings come from (lazy lineage vs
+    // scratch parquet), never what they contain — force both paths on the
+    // same fixture and require row-identical output
+    val viaLineage = SparkEntry.queries("sim_bm25_topk")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("graft.bm25.materializeMinBytes", "0")
+    try {
+      val viaIndex = SparkEntry.queries("sim_bm25_topk")(spark, Sf)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIndex == viaLineage)
+    } finally spark.conf.unset("graft.bm25.materializeMinBytes")
+  }
+
   test("LSH buckets partition the corpus and candidates stay blocked") {
     val df = SparkEntry.queries("sim_lsh_topk")(spark, Sf)
     assert(df.count() > 0, "no LSH candidates at all")
