@@ -15,14 +15,20 @@ case class MediaRecord(
     n_chars: Long,
     source: String)
 
-/** One sampled frame of a video payload (frameSamples output row). */
+/** One sampled frame of a video payload (frameSamples output row): the
+  * demuxer's frame index, the decoded frame's pixel checksum, and its
+  * top-left pixel.
+  */
 case class FrameSample(
     doc_id: Long,
     frame_idx: Int,
-    byte_offset: Int,
-    frame_byte: Int)
+    frame_no: Int,
+    frame_checksum: Long,
+    pixel0: Int)
 
-/** Extracted features. `sample0..3` stand in for frame samples. */
+/** Extracted features. `sample0..3` are evenly-spaced decoded samples
+  * (pixels for stills, PCM samples for audio, frame-0-pixels for video).
+  */
 case class MediaFeatures(
     doc_id: Long,
     media_type: String,
@@ -36,33 +42,59 @@ case class MediaFeatures(
 /** Multimodal-column plumbing (SURVEY.md §2 LLM extensions).
   *
   * Real pipelines decode image/audio/video with codec libraries inside a
-  * partition-wise batch UDF. The IMAGE path here is a REAL codec path:
-  * payloads are genuine PNG files (staged deterministically per doc, so
-  * the lossless pixel values are known arithmetic both engines can
-  * compute) decoded executor-side with `javax.imageio` — no new
-  * dependencies, actual bytes→pixels work. Audio/video codecs are not in
-  * this container, so their branch of `decode` remains a clearly-marked
-  * DETERMINISTIC STUB (byte arithmetic standing in for sample decoding);
-  * everything around it — the binary column, the typed metadata, the
-  * mapPartitions batch shape, the schema of the feature output — is the
-  * real, tested plumbing. Swap the stub branch for e.g. a JNI codec
-  * without touching the plan.
+  * partition-wise batch UDF. All three modalities here are REAL codec
+  * paths built on what the JVM ships:
+  *
+  *   - image: genuine PNG files decoded with `javax.imageio`;
+  *   - audio: genuine RIFF/WAVE files (8-bit unsigned PCM) decoded with
+  *     `javax.sound.sampled.AudioSystem` (a real container-header parse);
+  *   - video: a length-prefixed PNG-frame container ("GFV1" — the
+  *     demux-then-per-frame-decode shape every MJPEG-style pipeline has),
+  *     demuxed natively and frame-decoded with ImageIO. Frame sampling
+  *     decodes ONLY the sampled frames; the demuxer skips the rest by
+  *     length field, never decoding them.
+  *
+  * Payloads are staged deterministically per doc (the fixture ships no
+  * media files), so the lossless decoded values are known arithmetic both
+  * engines can compute — which is what lets a SQL oracle check real codec
+  * round-trips. Unknown payload formats fall back to a clearly-marked
+  * byte-arithmetic branch (the escape hatch for codecs a JVM does not
+  * ship, e.g. H.264 via JNI) without touching the plan.
   */
 object MediaPipeline extends QueryModule {
 
-  /** Pixel formula for the staged PNGs: an 8×8 8-bit grayscale image
-    * whose sample at (x, y) is `(doc_id·31 + x·7 + y·13) mod 256`. PNG is
-    * lossless, so decode(stage(doc_id)) recovers exactly these values —
-    * which is what lets a SQL oracle check a real codec round-trip.
+  // ImageIO defaults to DISK-backed image streams — a temp file created
+  // and deleted per encode/decode call, which at ~40k tiny frames per
+  // sweep turns a CPU-bound codec pass into small-file I/O. Heap-backed
+  // streams are strictly better for ~100-byte payloads. Runs once per
+  // executor JVM at first touch of this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Pixel formula for staged frames: an 8×8 8-bit grayscale image whose
+    * sample at (x, y) is `(seed·31 + x·7 + y·13) mod 256`. For still
+    * images the seed is the doc_id; for video frame f it is
+    * `doc_id·1009 + f·101`. PNG is lossless, so decode(stage(seed))
+    * recovers exactly these values.
     */
   val ImgSide = 8
-  def pixelValue(docId: Long, x: Int, y: Int): Int =
-    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+  def pixelValue(seed: Long, x: Int, y: Int): Int =
+    ((seed * 31 + x * 7 + y * 13) % 256).toInt
 
-  /** Stage the deterministic PNG payload for an image doc (executor-side;
+  /** Frames per staged video container. Deliberately not a multiple of
+    * the 8-sample grid so the frame sampler exercises non-trivial
+    * `(j·NFrames)/8` arithmetic.
+    */
+  val NFrames = 12
+
+  /** PCM samples per staged audio clip; sample k is
+    * `(doc_id·17 + k·5) mod 256` (8-bit unsigned).
+    */
+  val NSamples = 256
+
+  /** Stage the deterministic PNG payload for a frame seed (executor-side;
     * ~100 bytes each, no files touched).
     */
-  def pngPayload(docId: Long): Array[Byte] = {
+  def pngPayload(seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       ImgSide, ImgSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -70,7 +102,7 @@ object MediaPipeline extends QueryModule {
     while (y < ImgSide) {
       var x = 0
       while (x < ImgSide) {
-        raster.setSample(x, y, 0, pixelValue(docId, x, y)); x += 1
+        raster.setSample(x, y, 0, pixelValue(seed, x, y)); x += 1
       }
       y += 1
     }
@@ -79,64 +111,129 @@ object MediaPipeline extends QueryModule {
     bos.toByteArray
   }
 
-  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
-
-  /** Decoder. PNG payloads (magic-sniffed) take the REAL path: ImageIO
-    * decode, features from actual pixels in raster order — n = pixel
-    * count, modular checksum of gray values, 4 evenly-spaced samples.
-    * Anything else takes the STUB path: the same shape computed by byte
-    * arithmetic (stands in for an audio/video codec).
+  /** Stage the deterministic RIFF/WAVE payload (8-bit unsigned PCM mono):
+    * a REAL .wav file produced by `AudioSystem`, not raw samples.
     */
-  def decode(payload: Array[Byte]): (Int, Long, Array[Int]) = {
-    if (payload.length > 4 && payload.take(4).sameElements(PngMagic)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      val (w, h) = (img.getWidth, img.getHeight)
-      val raster = img.getRaster
-      val n = w * h
-      var sum = 0L
-      var i = 0
-      while (i < n) {
-        sum = (sum + raster.getSample(i % w, i / w, 0)) % 1000003L; i += 1
-      }
-      val samples = Array.tabulate(4) { k =>
-        val p = (k * n) / 4
-        raster.getSample(p % w, p / w, 0)
-      }
-      (n, sum, samples)
-    } else {
-      val n = payload.length
-      var sum = 0L
-      var i = 0
-      while (i < n) { sum = (sum + (payload(i) & 0xff)) % 1000003L; i += 1 }
-      val samples = Array.tabulate(4) { k =>
-        if (n == 0) -1 else payload((k * n) / 4) & 0xff
-      }
-      (n, sum, samples)
+  def wavPayload(docId: Long): Array[Byte] = {
+    val data = Array.tabulate(NSamples)(k => ((docId * 17 + k * 5) % 256).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, NSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Stage the deterministic video container: magic "GFV1", int32 frame
+    * count, then per frame an int32 length + a complete PNG. The same
+    * demux shape as an MJPEG stream — seekable by length field without
+    * decoding.
+    */
+  def gfvPayload(docId: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(GfvMagic)
+    out.writeInt(NFrames)
+    var f = 0
+    while (f < NFrames) {
+      val png = pngPayload(frameSeed(docId, f))
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def frameSeed(docId: Long, frame: Int): Long = docId * 1009 + frame * 101L
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+  private val RiffMagic = "RIFF".getBytes("US-ASCII")
+  private val GfvMagic = "GFV1".getBytes("US-ASCII")
+
+  private def hasMagic(payload: Array[Byte], magic: Array[Byte]): Boolean =
+    payload.length > magic.length && magic.indices.forall(i => payload(i) == magic(i))
+
+  /** Gray samples of one decoded PNG in raster order. */
+  private def pngPixels(png: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    Array.tabulate(w * h)(i => raster.getSample(i % w, i / w, 0))
+  }
+
+  /** Demux the GFV container: (offset, length) of each frame's PNG —
+    * header arithmetic only, no frame decoded.
+    */
+  private def gfvIndex(payload: Array[Byte]): Array[(Int, Int)] = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    buf.position(GfvMagic.length)
+    val n = buf.getInt
+    Array.fill(n) {
+      val len = buf.getInt
+      val off = buf.position()
+      buf.position(off + len)
+      (off, len)
     }
   }
 
+  private def decodedSamples(payload: Array[Byte]): Array[Int] =
+    if (hasMagic(payload, PngMagic)) pngPixels(payload)
+    else if (hasMagic(payload, RiffMagic)) {
+      // real WAV parse: AudioSystem reads the RIFF/fmt/data chunks and
+      // hands back the PCM frames (1 byte each at 8-bit mono)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      ais.readAllBytes().map(_ & 0xff)
+    } else if (hasMagic(payload, GfvMagic)) {
+      // demux, then decode every frame (the features pass wants them all)
+      gfvIndex(payload).flatMap { case (off, len) =>
+        pngPixels(java.util.Arrays.copyOfRange(payload, off, off + len))
+      }
+    } else {
+      // fallback for formats the JVM has no codec for: byte arithmetic
+      // standing in for sample decoding (swap for a JNI codec without
+      // touching the plan)
+      payload.map(_ & 0xff)
+    }
+
+  /** Decoder: dispatches on container magic (PNG still / RIFF-WAVE audio
+    * / GFV1 video), returns (sample count, modular checksum, 4 evenly-
+    * spaced samples) over the DECODED samples.
+    */
+  def decode(payload: Array[Byte]): (Int, Long, Array[Int]) = {
+    val xs = decodedSamples(payload)
+    val n = xs.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum = (sum + xs(i)) % 1000003L; i += 1 }
+    val samples = Array.tabulate(4)(k => if (n == 0) -1 else xs((k * n) / 4))
+    (n, sum, samples)
+  }
+
   /** Attach a media payload to each document (binary column + typed
-    * metadata). Image rows carry a GENUINE PNG blob (staged executor-side
-    * from the deterministic pixel formula — the fixture set ships no
-    * media files); audio/video rows use the UTF-8 bytes of `text` as the
-    * opaque blob. The staging UDF is the one deliberate non-codegen step:
-    * it plays the part of the ingest system that produced the blobs, not
-    * of the query engine.
+    * metadata): stills carry a genuine PNG, audio rows a genuine WAV,
+    * video rows a GFV1 PNG-frame container — all staged executor-side
+    * from the deterministic formulas (the fixture set ships no media
+    * files). The staging UDF is the one deliberate non-codegen step: it
+    * plays the part of the ingest system that produced the blobs, not of
+    * the query engine.
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
-    val stagePng = udf((id: Long) => pngPayload(id))
+    val stage = udf((id: Long, tpe: String) => tpe match {
+      case "image" => pngPayload(id)
+      case "audio" => wavPayload(id)
+      case _ => gfvPayload(id)
+    })
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
           .as("media_type"),
-        col("text"),
         col("n_chars"),
         col("source"))
-      .withColumn("payload",
-        when(col("media_type") === "image", stagePng(col("doc_id")))
-          .otherwise(encode(col("text"), "UTF-8")))
-      .drop("text")
+      .withColumn("payload", stage(col("doc_id"), col("media_type")))
   }
 
   /** Feature extraction via mapPartitions: one decoder instance per
@@ -159,33 +256,48 @@ object MediaPipeline extends QueryModule {
       .orderBy("doc_id")
   }
 
-  // The oracle replays both decode branches in SQL. Image rows (real PNG
-  // path): PNG is lossless, so the decoded 8×8 gray samples are exactly
-  // the staging formula (doc_id·31 + x·7 + y·13) mod 256, raster order
-  // i → (x, y) = (i % 8, i // 8); sample k sits at p = 16k → x = 0,
-  // y = 2k. Audio/video rows (stub path): document text is ASCII, so byte
-  // k of the UTF-8 payload is ascii(substr(text, k+1, 1)).
+  // The oracle replays all three decode paths in SQL — every codec is
+  // lossless, so the decoded samples are exactly the staging formulas:
+  //   image: 64 pixels, pixel i = (doc_id·31 + (i%8)·7 + (i/8)·13) % 256,
+  //     4 samples at p = 16k → (x, y) = (0, 2k);
+  //   audio: 256 PCM samples, sample k = (doc_id·17 + k·5) % 256,
+  //     4 samples at 64k → (doc_id·17 + 320k) % 256;
+  //   video: 12 frames × 64 pixels in frame-major raster order, pixel i =
+  //     ((doc_id·1009 + (i/64)·101)·31 + ((i%64)%8)·7 + ((i%64)/8)·13) % 256,
+  //     4 samples at i = 192k → frame 3k, pixel (0,0).
   private val extractFeaturesSql =
     """SELECT d.doc_id,
       |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
       |    AS media_type,
-      |  CASE WHEN d.doc_id % 3 = 0 THEN 64
-      |       ELSE CAST(length(d.text) AS INT) END AS n_bytes,
-      |  CASE WHEN d.doc_id % 3 = 0 THEN
+      |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 64 WHEN 1 THEN 256 ELSE 768 END AS n_bytes,
+      |  CASE CAST(d.doc_id % 3 AS INT)
+      |  WHEN 0 THEN
       |    CAST(list_sum(list_transform(range(0, 64),
       |      i -> (d.doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256)) % 1000003 AS BIGINT)
+      |  WHEN 1 THEN
+      |    CAST(list_sum(list_transform(range(0, 256),
+      |      k -> (d.doc_id * 17 + k * 5) % 256)) % 1000003 AS BIGINT)
       |  ELSE
-      |    CAST(list_sum(list_transform(range(0, length(d.text)),
-      |      i -> CAST(ascii(substr(d.text, CAST(i AS INT) + 1, 1)) AS BIGINT))) % 1000003 AS BIGINT)
+      |    CAST(list_sum(list_transform(range(0, 768),
+      |      i -> ((d.doc_id * 1009 + (i // 64) * 101) * 31
+      |            + ((i % 64) % 8) * 7 + ((i % 64) // 8) * 13) % 256)) % 1000003 AS BIGINT)
       |  END AS checksum,
-      |  CASE WHEN d.doc_id % 3 = 0 THEN CAST((d.doc_id * 31 + 13 * 0) % 256 AS INT)
-      |       ELSE CAST(ascii(substr(d.text, (0 * length(d.text)) // 4 + 1, 1)) AS INT) END AS sample0,
-      |  CASE WHEN d.doc_id % 3 = 0 THEN CAST((d.doc_id * 31 + 13 * 2) % 256 AS INT)
-      |       ELSE CAST(ascii(substr(d.text, (1 * length(d.text)) // 4 + 1, 1)) AS INT) END AS sample1,
-      |  CASE WHEN d.doc_id % 3 = 0 THEN CAST((d.doc_id * 31 + 13 * 4) % 256 AS INT)
-      |       ELSE CAST(ascii(substr(d.text, (2 * length(d.text)) // 4 + 1, 1)) AS INT) END AS sample2,
-      |  CASE WHEN d.doc_id % 3 = 0 THEN CAST((d.doc_id * 31 + 13 * 6) % 256 AS INT)
-      |       ELSE CAST(ascii(substr(d.text, (3 * length(d.text)) // 4 + 1, 1)) AS INT) END AS sample3
+      |  CASE CAST(d.doc_id % 3 AS INT)
+      |    WHEN 0 THEN CAST((d.doc_id * 31 + 13 * 0) % 256 AS INT)
+      |    WHEN 1 THEN CAST((d.doc_id * 17 + 320 * 0) % 256 AS INT)
+      |    ELSE CAST(((d.doc_id * 1009 + 0 * 101) * 31) % 256 AS INT) END AS sample0,
+      |  CASE CAST(d.doc_id % 3 AS INT)
+      |    WHEN 0 THEN CAST((d.doc_id * 31 + 13 * 2) % 256 AS INT)
+      |    WHEN 1 THEN CAST((d.doc_id * 17 + 320 * 1) % 256 AS INT)
+      |    ELSE CAST(((d.doc_id * 1009 + 3 * 101) * 31) % 256 AS INT) END AS sample1,
+      |  CASE CAST(d.doc_id % 3 AS INT)
+      |    WHEN 0 THEN CAST((d.doc_id * 31 + 13 * 4) % 256 AS INT)
+      |    WHEN 1 THEN CAST((d.doc_id * 17 + 320 * 2) % 256 AS INT)
+      |    ELSE CAST(((d.doc_id * 1009 + 6 * 101) * 31) % 256 AS INT) END AS sample2,
+      |  CASE CAST(d.doc_id % 3 AS INT)
+      |    WHEN 0 THEN CAST((d.doc_id * 31 + 13 * 6) % 256 AS INT)
+      |    WHEN 1 THEN CAST((d.doc_id * 17 + 320 * 3) % 256 AS INT)
+      |    ELSE CAST(((d.doc_id * 1009 + 9 * 101) * 31) % 256 AS INT) END AS sample3
       |FROM documents d
       |ORDER BY d.doc_id""".stripMargin
 
@@ -214,12 +326,11 @@ object MediaPipeline extends QueryModule {
   /** Frame sampling as a typed one-to-many expansion (`flatMap`): each
     * video row yields 8 evenly-spaced frame records — the per-frame
     * explosion every video pipeline runs before frame-level embedding.
-    * The "frame grab" is the same deterministic byte stub as [[decode]];
-    * the real part is the shape: metadata filter prunes to videos BEFORE
-    * the expansion (never sample what you drop), the blob is read only
-    * inside the executor-side lambda, and output is a typed,
-    * columnar-friendly frame table keyed for a downstream frame-keyed
-    * shuffle.
+    * The metadata filter prunes to videos BEFORE the expansion (never
+    * sample what you drop); the demuxer seeks by length field and
+    * ImageIO-decodes ONLY the 8 sampled frames of the 12 in the
+    * container; output is a typed, columnar-friendly frame table keyed
+    * for a downstream frame-keyed shuffle.
     */
   def frameSamples(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -227,10 +338,15 @@ object MediaPipeline extends QueryModule {
       .filter(col("media_type") === "video")
       .as[MediaRecord]
       .flatMap { rec =>
-        val n = rec.payload.length
+        val idx = gfvIndex(rec.payload)
         (0 until 8).iterator.map { j =>
-          val off = (j * n) / 8
-          FrameSample(rec.doc_id, j, off, if (n == 0) -1 else rec.payload(off) & 0xff)
+          val frameNo = (j * idx.length) / 8
+          val (off, len) = idx(frameNo)
+          val px = pngPixels(java.util.Arrays.copyOfRange(rec.payload, off, off + len))
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum = (sum + px(i)) % 1000003L; i += 1 }
+          FrameSample(rec.doc_id, j, frameNo, sum, px(0))
         }
       }
       .toDF()
@@ -239,9 +355,11 @@ object MediaPipeline extends QueryModule {
 
   private val frameSamplesSql =
     """SELECT doc_id, CAST(j AS INT) AS frame_idx,
-      |  CAST((j * length(text)) // 8 AS INT) AS byte_offset,
-      |  CAST(ascii(substr(text, CAST((j * length(text)) // 8 AS INT) + 1, 1)) AS INT)
-      |    AS frame_byte
+      |  CAST((j * 12) // 8 AS INT) AS frame_no,
+      |  CAST(list_sum(list_transform(range(0, 64), i ->
+      |    ((doc_id * 1009 + ((j * 12) // 8) * 101) * 31
+      |     + (i % 8) * 7 + (i // 8) * 13) % 256)) % 1000003 AS BIGINT) AS frame_checksum,
+      |  CAST(((doc_id * 1009 + ((j * 12) // 8) * 101) * 31) % 256 AS INT) AS pixel0
       |FROM documents, unnest(range(0, 8)) AS u(j)
       |WHERE doc_id % 3 = 2
       |ORDER BY doc_id, frame_idx""".stripMargin
