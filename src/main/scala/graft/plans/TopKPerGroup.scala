@@ -66,6 +66,14 @@ case class TopKPerGroupExec(
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
+  // numOutputRows on the partial phase IS the shuffle volume the final
+  // phase receives — the measurable form of the "k·groups rows per map
+  // task" bound (pinned in TopKSpec, visible in the SQL UI)
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "output rows"))
+
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
 
@@ -86,6 +94,7 @@ case class TopKPerGroupExec(
     val orderLocal = order
     val outputSchema = output
     val partialLocal = partial
+    val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ordering = GenerateOrdering.generate(orderLocal, childOutput)
@@ -109,7 +118,8 @@ case class TopKPerGroupExec(
       if (partialLocal) {
         // survivors only; order within the group is the final phase's job
         val toUnsafe = UnsafeProjection.create(outputSchema, outputSchema)
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala).map(toUnsafe)
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+          .map { r => numOutputRows += 1; toUnsafe(r) }
       } else {
         val toUnsafe = UnsafeProjection.create(outputSchema, outputSchema)
         val joined = new JoinedRow
@@ -118,6 +128,7 @@ case class TopKPerGroupExec(
           var i = heap.size() - 1
           while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain worst-first → best-first array
           rows.iterator.zipWithIndex.map { case (r, idx) =>
+            numOutputRows += 1
             toUnsafe(joined(r, new GenericInternalRow(Array[Any](idx + 1))))
           }
         }

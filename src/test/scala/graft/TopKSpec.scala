@@ -46,6 +46,36 @@ class TopKSpec extends AnyFunSuite {
     assert(iFinal < iEx && iEx < iPartial, physical)
   }
 
+  test("partial phase measurably bounds the shuffle at k·groups rows per task") {
+    import spark.implicits._
+    // 3 groups × 10k rows across 4 partitions: a low-group-cardinality
+    // ranking, the shape where a single-phase top-k funnels everything
+    // through n_groups reducers
+    val df = spark.range(30000)
+      .select((col("id") % 3).as("g"), col("id"), (col("id") * 7 % 1000).as("v"))
+      .repartition(4)
+    val q = plans.GroupTopK(df, 5, Seq("g"), Seq(desc("v"), asc("id")))
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // query stages are leaf wrappers — recurse into them explicitly
+    def partials(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+      val here = p.collect {
+        case t: plans.TopKPerGroupExec if t.partial => t.metrics("numOutputRows").value
+      }
+      val nested = p.collect {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => partials(qs.plan)
+      }.flatten
+      here ++ nested
+    }
+    val partialRows = partials(finalPlan)
+    assert(partialRows.nonEmpty, finalPlan.toString)
+    // ≤ k·groups·partitions survive the map side (vs 30 000 input rows)
+    assert(partialRows.sum <= 5L * 3 * 4, s"partial emitted ${partialRows.sum} rows")
+  }
+
   test("matches the window row_number formulation exactly") {
     import spark.implicits._
     val base = Tables.orders(spark, Sf)
