@@ -399,6 +399,15 @@ object DedupQueries extends QueryModule {
           expr(s"sum(CASE WHEN count <= $MaxBandBucket THEN (count * (count - 1)) DIV 2 ELSE 0 END)").as("post"),
           expr("max(count)").as("maxb"))
         .collect()(0)
+      // the shingle df-cap shared by ngramJaccard (per-source blocking)
+      // and containmentPairs (corpus-global): pre/post C(df, 2) join
+      // fan-out per shingle bucket
+      val ng = shingleFrame(s, dir).groupBy("source", "shingle").count()
+        .agg(
+          expr("sum((count * (count - 1)) DIV 2)").as("pre"),
+          expr(s"sum(CASE WHEN count <= $MaxShingleDf THEN (count * (count - 1)) DIV 2 ELSE 0 END)").as("post"),
+          expr("max(count)").as("maxdf"))
+        .collect()(0)
       Seq(
         "minhash_star_edges" -> mh.getLong(0),
         "minhash_clique_pairs_avoided" -> mh.getLong(1),
@@ -406,7 +415,10 @@ object DedupQueries extends QueryModule {
         "minhash_max_bucket" -> mh.getLong(2),
         "simhash_pairs_precap" -> sh.getLong(0),
         "simhash_pairs_postcap" -> sh.getLong(1),
-        "simhash_max_bucket" -> sh.getLong(2))
+        "simhash_max_bucket" -> sh.getLong(2),
+        "ngram_pairs_precap" -> ng.getLong(0),
+        "ngram_pairs_postcap" -> ng.getLong(1),
+        "ngram_max_df" -> ng.getLong(2))
     } finally docs.unpersist()
   }
 
