@@ -18,10 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Kirsch-Mitzenmacher). One native loop per row: no interpreted
   * higher-order functions, no per-component re-hashing.
   */
-object MinhashOps {
-  private val md5 = new ThreadLocal[MessageDigest] {
+/** One MD5 instance per executor thread, shared by every md5-based kernel
+  * in this file (digest instances are stateful and not thread-safe).
+  */
+private[functions] object Md5 {
+  private val tl = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+  def get(): MessageDigest = tl.get()
+}
+
+object MinhashOps {
 
   /** 52-bit big-endian value of 13 hex nibbles starting at `startNibble`. */
   private def h52(d: Array[Byte], startNibble: Int): Long = {
@@ -38,7 +45,7 @@ object MinhashOps {
 
   def signature(shingles: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
-    val digest = md5.get()
+    val digest = Md5.get()
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
@@ -70,14 +77,11 @@ object MinhashOps {
   * sf0.1). Null token slots are ignored (the tokenizer never emits them).
   */
 object SimhashOps {
-  private val md5 = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
 
   def fingerprint(tokens: ArrayData): Long = {
     val acc = new Array[Int](32)
     val seen = new java.util.HashSet[UTF8String]()
-    val digest = md5.get()
+    val digest = Md5.get()
     val n = tokens.numElements()
     var i = 0
     while (i < n) {

@@ -26,13 +26,14 @@ case class FrameSample(
     frame_checksum: Long,
     pixel0: Int)
 
-/** Extracted features. `sample0..3` are evenly-spaced decoded samples
-  * (pixels for stills, PCM samples for audio, frame-0-pixels for video).
+/** Extracted features. `n_samples` counts DECODED samples (pixels for
+  * stills and video, PCM samples for audio — NOT payload bytes);
+  * `sample0..3` are evenly-spaced decoded samples.
   */
 case class MediaFeatures(
     doc_id: Long,
     media_type: String,
-    n_bytes: Int,
+    n_samples: Int,
     checksum: Long,
     sample0: Int,
     sample1: Int,
@@ -62,13 +63,6 @@ case class MediaFeatures(
   * ship, e.g. H.264 via JNI) without touching the plan.
   */
 object MediaPipeline extends QueryModule {
-
-  // ImageIO defaults to DISK-backed image streams — a temp file created
-  // and deleted per encode/decode call, which at ~40k tiny frames per
-  // sweep turns a CPU-bound codec pass into small-file I/O. Heap-backed
-  // streams are strictly better for ~100-byte payloads. Runs once per
-  // executor JVM at first touch of this object.
-  javax.imageio.ImageIO.setUseCache(false)
 
   /** Pixel formula for staged frames: an 8×8 8-bit grayscale image whose
     * sample at (x, y) is `(seed·31 + x·7 + y·13) mod 256`. For still
@@ -107,7 +101,16 @@ object MediaPipeline extends QueryModule {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // explicit heap-backed image stream: ImageIO's default is a DISK
+    // cache file per call, which at ~40k tiny frames per sweep turns a
+    // CPU-bound codec pass into small-file I/O (measured 2×); scoping it
+    // here instead of ImageIO.setUseCache(false) leaves the process-global
+    // default untouched for any other ImageIO user in the JVM
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      try { w.setOutput(ios); w.write(img) } finally w.dispose()
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -155,9 +158,15 @@ object MediaPipeline extends QueryModule {
   private def hasMagic(payload: Array[Byte], magic: Array[Byte]): Boolean =
     payload.length > magic.length && magic.indices.forall(i => payload(i) == magic(i))
 
-  /** Gray samples of one decoded PNG in raster order. */
+  /** Gray samples of one decoded PNG in raster order (heap-backed image
+    * stream — same rationale as the encoder).
+    */
   private def pngPixels(png: Array[Byte]): Array[Int] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    // no close here: ImageIO.read(ImageInputStream) closes the stream
+    // itself (its documented contract); a second close throws
+    val img = javax.imageio.ImageIO.read(iis)
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     Array.tabulate(w * h)(i => raster.getSample(i % w, i / w, 0))
@@ -178,25 +187,34 @@ object MediaPipeline extends QueryModule {
     }
   }
 
-  private def decodedSamples(payload: Array[Byte]): Array[Int] =
-    if (hasMagic(payload, PngMagic)) pngPixels(payload)
-    else if (hasMagic(payload, RiffMagic)) {
-      // real WAV parse: AudioSystem reads the RIFF/fmt/data chunks and
-      // hands back the PCM frames (1 byte each at 8-bit mono)
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      ais.readAllBytes().map(_ & 0xff)
-    } else if (hasMagic(payload, GfvMagic)) {
-      // demux, then decode every frame (the features pass wants them all)
-      gfvIndex(payload).flatMap { case (off, len) =>
-        pngPixels(java.util.Arrays.copyOfRange(payload, off, off + len))
-      }
-    } else {
-      // fallback for formats the JVM has no codec for: byte arithmetic
-      // standing in for sample decoding (swap for a JNI codec without
-      // touching the plan)
-      payload.map(_ & 0xff)
-    }
+  private def decodedSamples(payload: Array[Byte]): Array[Int] = {
+    // magic sniffing is a heuristic — a RIFF payload can be WebP/AVI, a
+    // truncated container can underflow — so every codec branch that
+    // fails to PARSE falls through to the byte-arithmetic branch instead
+    // of killing the task: the documented contract is "fallback for
+    // anything we cannot decode", not "crash on anything mislabeled"
+    val viaCodec: Option[Array[Int]] =
+      try {
+        if (hasMagic(payload, PngMagic)) Option(pngPixels(payload))
+        else if (hasMagic(payload, RiffMagic)) {
+          // real WAV parse: AudioSystem reads the RIFF/fmt/data chunks and
+          // hands back the PCM frames (1 byte each at 8-bit mono)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          Some(ais.readAllBytes().map(_ & 0xff))
+        } else if (hasMagic(payload, GfvMagic)) {
+          // demux, then decode every frame (the features pass wants them all)
+          Some(gfvIndex(payload).flatMap { case (off, len) =>
+            pngPixels(java.util.Arrays.copyOfRange(payload, off, off + len))
+          })
+        } else None
+      } catch { case _: Exception => None }
+    viaCodec.getOrElse(
+      // formats the JVM has no codec for, or payloads whose container
+      // lied: byte arithmetic standing in for sample decoding (swap for
+      // a JNI codec without touching the plan)
+      payload.map(_ & 0xff))
+  }
 
   /** Decoder: dispatches on container magic (PNG still / RIFF-WAVE audio
     * / GFV1 video), returns (sample count, modular checksum, 4 evenly-
@@ -269,7 +287,7 @@ object MediaPipeline extends QueryModule {
     """SELECT d.doc_id,
       |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
       |    AS media_type,
-      |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 64 WHEN 1 THEN 256 ELSE 768 END AS n_bytes,
+      |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 64 WHEN 1 THEN 256 ELSE 768 END AS n_samples,
       |  CASE CAST(d.doc_id % 3 AS INT)
       |  WHEN 0 THEN
       |    CAST(list_sum(list_transform(range(0, 64),

@@ -399,10 +399,18 @@ object DedupQueries extends QueryModule {
           expr(s"sum(CASE WHEN count <= $MaxBandBucket THEN (count * (count - 1)) DIV 2 ELSE 0 END)").as("post"),
           expr("max(count)").as("maxb"))
         .collect()(0)
-      // the shingle df-cap shared by ngramJaccard (per-source blocking)
-      // and containmentPairs (corpus-global): pre/post C(df, 2) join
-      // fan-out per shingle bucket
+      // the shingle df-cap has TWO distinct blocking scopes that must be
+      // censused separately: ngramJaccard caps df within (source, shingle)
+      // while containmentPairs caps the corpus-GLOBAL shingle df — the
+      // same shingle can be under the per-source cap in every source yet
+      // over the global cap (and dropped by containment)
       val ng = shingleFrame(s, dir).groupBy("source", "shingle").count()
+        .agg(
+          expr("sum((count * (count - 1)) DIV 2)").as("pre"),
+          expr(s"sum(CASE WHEN count <= $MaxShingleDf THEN (count * (count - 1)) DIV 2 ELSE 0 END)").as("post"),
+          expr("max(count)").as("maxdf"))
+        .collect()(0)
+      val ct = shingleFrame(s, dir).groupBy("shingle").count()
         .agg(
           expr("sum((count * (count - 1)) DIV 2)").as("pre"),
           expr(s"sum(CASE WHEN count <= $MaxShingleDf THEN (count * (count - 1)) DIV 2 ELSE 0 END)").as("post"),
@@ -418,7 +426,10 @@ object DedupQueries extends QueryModule {
         "simhash_max_bucket" -> sh.getLong(2),
         "ngram_pairs_precap" -> ng.getLong(0),
         "ngram_pairs_postcap" -> ng.getLong(1),
-        "ngram_max_df" -> ng.getLong(2))
+        "ngram_max_df" -> ng.getLong(2),
+        "containment_pairs_precap" -> ct.getLong(0),
+        "containment_pairs_postcap" -> ct.getLong(1),
+        "containment_max_df" -> ct.getLong(2))
     } finally docs.unpersist()
   }
 
