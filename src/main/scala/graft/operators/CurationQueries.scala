@@ -794,7 +794,68 @@ object CurationQueries extends QueryModule {
       |    AS masked_seg
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** CCNet-style perplexity bucketing: a unigram LM is trained on the
+    * high-resource reference slice (lang = 'en'), every document —
+    * including the slice itself — is scored against that model with add-1
+    * smoothing (OOV tokens hit the +1 floor), and the corpus is cut into
+    * head / middle / tail thirds by perplexity, the split CCNet keeps or
+    * drops by. Scale shape: the reference model is two shuffles over the
+    * slice (token counts + two scalars); scoring joins each corpus token
+    * against the model on the token key — skew fans out rows, never pairs
+    * — and the head/middle/tail cuts are two percentile SCALARS broadcast
+    * back (no global-order window: a corpus-wide ntile would sort every
+    * per-doc row in one partition). At 100 TB the model is a dimension
+    * table (V terms, not corpus-sized) and the cut thresholds are one
+    * tiny aggregate.
+    */
+  def perplexityBucket(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(expr(toks)).as("t"))
+    val ref = tok.filter(col("lang") === "en")
+      .groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+    // model scalars: N = reference token count, V = reference vocab size
+    val scalars = ref.agg(sum("c").as("n_ref"), count(lit(1)).cast("double").as("v_ref"))
+    val scored = tok
+      .join(ref, Seq("t"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(exp(-avg(log((coalesce(col("c"), lit(0d)) + lit(1d))
+          / (col("n_ref") + col("v_ref") + lit(1d))))), 4).as("ppl"))
+    val cuts = scored.agg(
+      expr("percentile(ppl, CAST(1 AS DOUBLE) / 3)").as("t_head"),
+      expr("percentile(ppl, CAST(2 AS DOUBLE) / 3)").as("t_mid"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("ppl") <= col("t_head"), "head")
+          .when(col("ppl") <= col("t_mid"), "middle").otherwise("tail"))
+      .select("doc_id", "n_tokens", "ppl", "bucket")
+      .orderBy("doc_id")
+  }
+
+  private val perplexityBucketSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest($dToks) AS t FROM documents
+       |), ref AS (
+       |  SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tok WHERE lang = 'en' GROUP BY t
+       |), scalars AS (
+       |  SELECT sum(c) AS n_ref, CAST(count(*) AS DOUBLE) AS v_ref FROM ref
+       |), scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    round(exp(-avg(ln((coalesce(c, 0) + 1) / (n_ref + v_ref + 1)))), 4) AS ppl
+       |  FROM tok LEFT JOIN ref USING (t) CROSS JOIN scalars
+       |  GROUP BY doc_id
+       |), cuts AS (
+       |  SELECT quantile_cont(ppl, CAST(1 AS DOUBLE) / 3) AS t_head,
+       |    quantile_cont(ppl, CAST(2 AS DOUBLE) / 3) AS t_mid
+       |  FROM scored)
+       |SELECT doc_id, n_tokens, ppl,
+       |  CASE WHEN ppl <= t_head THEN 'head'
+       |       WHEN ppl <= t_mid THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
     QueryDef("curation_builtin_mask", builtinMask, Some(builtinMaskSql)),
     QueryDef("curation_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("curation_quality_survivor", qualitySurvivor, Some(qualitySurvivorSql)),

@@ -158,6 +158,94 @@ object DedupQueries extends QueryModule {
        |FROM scored WHERE containment >= 0.07
        |ORDER BY contained_doc, container_doc""".stripMargin
 
+  /** Minimum Jaccard for [[prefixFilter]] — replicas sit ≥ 0.8 on this
+    * fixture, unrelated docs < 0.2, so 0.6 exercises the filter with a
+    * clean margin on both sides.
+    */
+  val PrefixTau = 0.6
+
+  /** Prefix-filtering set-similarity self-join (the PPJoin family,
+    * Xiao/Wang/Lin/Yu WWW'08): order every document's shingle set by
+    * ASCENDING global document frequency (rarest first) and join only on
+    * each document's first n − ⌈τ·n⌉ + 1 shingles — any pair with
+    * J ≥ τ must collide inside those prefixes, so the candidate set is
+    * exact while the inverted index only carries the RARE end of each
+    * set. The complementary scheme to the df-capped full-index joins
+    * ([[ngramJaccard]]): instead of capping hot shingles after indexing
+    * everything, it never indexes the hot tail at all — candidate
+    * fan-out is bounded by the rarity of prefix shingles, which is the
+    * property that survives a 100 TB corpus with power-law boilerplate.
+    * The ⌈τ·n⌉ is integer-exact ((6n+9) div 10) so both engines cut
+    * identical prefixes. Verification is candidate-keyed (cand × doc_a's
+    * shingles, matched into doc_b's), never all-pairs.
+    */
+  def prefixFilter(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleFrame(s, dir).select("doc_id", "shingle")
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+      .filter(col("rn") <= col("n") - expr("(6 * n + 9) div 10") + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
+        Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= PrefixTau)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val prefixFilterSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3])))) AS shingle
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4
+       |), ranked AS (
+       |  SELECT doc_id, shingle, n,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, shingle ASC) AS rn
+       |  FROM (
+       |    SELECT doc_id, shingle,
+       |      count(*) OVER (PARTITION BY shingle) AS df,
+       |      count(*) OVER (PARTITION BY doc_id) AS n
+       |    FROM sh)
+       |), prefix AS (
+       |  SELECT doc_id, shingle FROM ranked
+       |  WHERE rn <= n - ((6 * n + 9) // 10) + 1
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefix a JOIN prefix b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i AS DOUBLE) / (ca.n_sh + cb.n_sh - i), 4) AS jaccard
+       |FROM inter JOIN counts ca ON doc_a = ca.doc_id
+       |JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / (ca.n_sh + cb.n_sh - i), 4) >= $PrefixTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val ngramJaccardSql =
     s"""WITH sh_raw AS (
        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
@@ -1064,6 +1152,7 @@ object DedupQueries extends QueryModule {
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     QueryDef("dedup_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_prefix_filter", prefixFilter, Some(prefixFilterSql)),
     QueryDef("dedup_containment", containmentPairs, Some(containmentPairsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),

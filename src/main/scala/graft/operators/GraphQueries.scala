@@ -204,8 +204,59 @@ object GraphQueries extends QueryModule {
        |  min(d) AS min_degree, max(d) AS max_degree
        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Common-neighbor link prediction over the top-100 hub nodes: for every
+    * non-adjacent hub pair, the number of shared neighbors (the classic
+    * link-prediction score; Liben-Nowell & Kleinberg CIKM'03), top-20.
+    * The hub restriction is the scale contract: candidate generation is
+    * C(100, 2) regardless of graph size (hub selection is a TakeOrdered,
+    * no global sort), and scoring is the codegen'd merge-intersect kernel
+    * over two sorted adjacency arrays ([[graft.functions.GraphFunctions]]
+    * `sorted_intersect_count` — the same kernel the triangle count uses),
+    * so the whole query reads the edge list twice and shuffles it once to
+    * build adjacency.
+    */
+  def linkPrediction(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = edges(s, dir)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val adj = und.groupBy("u")
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"), count(lit(1)).as("deg"))
+    val hubs = adj.orderBy(col("deg").desc, col("u").asc).limit(100)
+      .select(col("u").as("node"), col("nbrs"))
+    // all hub pairs from ONE collected id array (100 ids → 4950 pair rows
+    // via the pair_combos kernel), then adjacency re-attached by key —
+    // never a corpus-sized cross join
+    val pairs = hubs.agg(sort_array(collect_list("node")).as("ns"))
+      .select(explode(expr("pair_combos(ns)")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    pairs
+      .join(hubs.select(col("node").as("u"), col("nbrs").as("nbrs_u")), "u")
+      .join(hubs.select(col("node").as("v"), col("nbrs").as("nbrs_v")), "v")
+      .withColumn("common_neighbors", expr("sorted_intersect_count(nbrs_u, nbrs_v)"))
+      .filter(!array_contains(col("nbrs_u"), col("v")) && col("common_neighbors") >= 1)
+      .select("u", "v", "common_neighbors")
+      .orderBy(col("common_neighbors").desc, col("u").asc, col("v").asc)
+      .limit(20)
+  }
+
+  private val linkPredictionSql =
+    s"""WITH $edgesCte,
+       |und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |adj AS (
+       |  SELECT u AS node, list_sort(list(v)) AS nbrs, count(*) AS deg
+       |  FROM und GROUP BY 1),
+       |hubs AS (SELECT node, nbrs FROM adj ORDER BY deg DESC, node ASC LIMIT 100),
+       |cand AS (
+       |  SELECT a.node AS u, a.nbrs AS nu, b.node AS v, b.nbrs AS nv
+       |  FROM hubs a JOIN hubs b ON a.node < b.node)
+       |SELECT u, v, CAST(len(list_intersect(nu, nv)) AS INT) AS common_neighbors
+       |FROM cand
+       |WHERE NOT list_contains(nu, v) AND len(list_intersect(nu, nv)) >= 1
+       |ORDER BY common_neighbors DESC, u, v LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
-    QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql))
+    QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql)),
+    QueryDef("graph_link_prediction", linkPrediction, Some(linkPredictionSql))
   )
 }

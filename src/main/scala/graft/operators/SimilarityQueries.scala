@@ -514,7 +514,121 @@ object SimilarityQueries extends QueryModule {
       |SELECT q_id, d_id, bm25, CAST(rn AS INT) AS rn
       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/Buettcher
+    * SIGIR'09): the sparse arm (BM25, k1 = 1.2, b = 0.75) and the dense
+    * arm (exact cosine) each rank top-20 per query, and the fused score is
+    * Σ 1/(60 + rank) over the arms a candidate appears in — rank fusion
+    * needs no score calibration between arms, which is why it is the
+    * default hybrid in retrieval stacks. The fixture ties doc_id to
+    * vec_id (embedding of document i is row i), so queries 0-9 run both
+    * arms. Scale shape: each arm is the proven per-arm plan (broadcast
+    * query side, keyed candidate scoring, bounded per-query window); the
+    * fusion is a full outer join on (query, candidate) — two top-20 lists
+    * per query, so the fused frame is ≤ 40 rows per query regardless of
+    * corpus size. RRF scores are sums of 1/(60+r) for integer r, so both
+    * engines compute bit-identical doubles; ranking still tie-breaks on
+    * candidate id.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    // dense arm — cosine rank over the rounded score (float-ordering rule)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wd = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("c_id"))
+    val dense = cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, c_emb)"), 6))
+      .withColumn("r_dense", row_number().over(wd))
+      .filter(col("r_dense") <= 20)
+      .select(col("q_id"), col("c_id"), col("r_dense"))
+    // sparse arm — BM25 with the same formula as [[bm25TopK]], query set
+    // fixed to ids 0-9
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("array_remove(split(text, ' ', -1), '')")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+    val qLex = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("term").as("q_term"))
+    val wl = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
+    val lex = tf
+      .join(broadcast(qLex), col("term") === col("q_term") && col("doc_id") =!= col("q_id"))
+      .join(dfT, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tfn",
+        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("idf") * col("tfn")), 4).as("bm25"))
+      .withColumn("r_lex", row_number().over(wl))
+      .filter(col("r_lex") <= 20)
+      .select(col("q_id"), col("doc_id").as("c_id"), col("r_lex"))
+    val wf = Window.partitionBy("q_id").orderBy(desc("rrf"), asc("c_id"))
+    lex.join(dense, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("c_id"), round(col("rrf"), 6).as("rrf"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val hybridRrfSql = {
+    val cos = cosineSqlDuck.replace("QA", "q.embedding").replace("QB", "c.embedding")
+    s"""WITH dense AS (
+       |  SELECT q_id, c_id, rd AS r_dense FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round($cos, 6) DESC, c.vec_id ASC) AS rd
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |  WHERE rd <= 20
+       |), t AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+       |), q AS (
+       |  SELECT doc_id AS q_id, term AS q_term FROM tf WHERE doc_id < 10
+       |), lex AS (
+       |  SELECT q_id, c_id, rl AS r_lex FROM (
+       |    SELECT q_id, d_id AS c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, d_id ASC) AS rl
+       |    FROM (
+       |      SELECT q.q_id, tf.doc_id AS d_id,
+       |        round(sum(
+       |          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |          * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))), 4) AS bm25
+       |      FROM tf JOIN q ON tf.term = q.q_term AND tf.doc_id <> q.q_id
+       |      JOIN df USING (term)
+       |      JOIN dl ON tf.doc_id = dl.doc_id
+       |      CROSS JOIN stats
+       |      GROUP BY 1, 2))
+       |  WHERE rl <= 20
+       |), fused AS (
+       |  SELECT coalesce(l.q_id, d.q_id) AS q_id, coalesce(l.c_id, d.c_id) AS c_id,
+       |    coalesce(1.0 / (60 + l.r_lex), 0.0) + coalesce(1.0 / (60 + d.r_dense), 0.0) AS rrf
+       |  FROM lex l FULL JOIN dense d ON l.q_id = d.q_id AND l.c_id = d.c_id
+       |), ranked AS (
+       |  SELECT q_id, c_id, rrf,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id ASC) AS rn
+       |  FROM fused)
+       |SELECT q_id, c_id, round(rrf, 6) AS rrf, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("sim_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     QueryDef("sim_lsh_topk", lshTopK, Some(lshTopKSql)),

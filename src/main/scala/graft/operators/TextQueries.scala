@@ -600,7 +600,68 @@ object TextQueries extends QueryModule {
        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
        |FROM d GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin
 
+  /** Readability scoring (Flesch reading-ease with the standard
+    * vowel-group syllable approximation) — the grade-level signal quality
+    * filters bucket on. Sentence count falls back to 1 when the text has
+    * no terminators (true of machine-generated corpora), so the score
+    * degrades to a words-and-syllables measure instead of dividing by
+    * zero. One codegen'd projection per row — the syllable sum is a
+    * higher-order `aggregate` over the token array, no explode, no
+    * shuffle; the plan is a scan + project at any corpus size.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    // syllables(w) ≈ max(1, number of [aeiouy]+ groups in lower(w)):
+    // mark each vowel group with '#', count the marks by length delta
+    val sylSum =
+      """aggregate(tk, 0L, (acc, w) -> acc + greatest(1L, CAST(
+        |  length(regexp_replace(lower(w), '[aeiouy]+', '#'))
+        |  - length(replace(regexp_replace(lower(w), '[aeiouy]+', '#'), '#', ''))
+        |  AS BIGINT)))""".stripMargin
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toks).as("tk"), col("text"))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1L), length(regexp_replace(col("text"), "[^.!?]", "")).cast("long")))
+      .withColumn("n_syllables", expr(sylSum))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / greatest(lit(1L), col("n_words")).cast("double")), 2))
+      .withColumn("band",
+        when(col("flesch") >= 60, "easy")
+          .when(col("flesch") >= 30, "standard").otherwise("difficult"))
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "band")
+      .orderBy("doc_id")
+  }
+
+  private val readabilitySql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk, text
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_words,
+      |    greatest(1, CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT))
+      |      AS n_sentences,
+      |    CAST(list_sum(list_transform(tk, w -> greatest(1,
+      |      length(regexp_replace(lower(w), '[aeiouy]+', '#', 'g'))
+      |      - length(replace(regexp_replace(lower(w), '[aeiouy]+', '#', 'g'), '#', ''))
+      |    ))) AS BIGINT) AS n_syllables
+      |  FROM t
+      |), f AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    round(206.835
+      |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(greatest(1, n_words) AS DOUBLE)), 2)
+      |      AS flesch
+      |  FROM m)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+      |  CASE WHEN flesch >= 60 THEN 'easy'
+      |       WHEN flesch >= 30 THEN 'standard' ELSE 'difficult' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_readability", readability, Some(readabilitySql)),
     QueryDef("text_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("text_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),

@@ -508,6 +508,64 @@ object WindowQueries extends QueryModule {
       |    AS INT) AS rank_in_status
       |FROM cells ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** Gaps-and-islands: each customer's longest run of CONSECUTIVE active
+    * months (months with ≥1 order). The classic trick — a month index
+    * minus the per-customer row_number is constant within a consecutive
+    * run — turns streak detection into two grouped aggregations, no
+    * iterative logic. Scale shape: everything is keyed by o_custkey (one
+    * shuffle, then partition-local sorts); no month-level global state,
+    * so the plan is identical when customers × months is 10⁹ rows.
+    */
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    // distinct active months per customer, as a linear month index
+    val months = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("mi")
+    val runs = months
+      .withColumn("grp", col("mi") - row_number().over(w))
+      .groupBy("o_custkey", "grp")
+      .agg(count(lit(1)).as("run_len"), min("mi").as("start_mi"))
+    runs.groupBy("o_custkey")
+      .agg(
+        max("run_len").cast("int").as("longest_streak"),
+        sum("run_len").cast("long").as("n_active_months"),
+        // start month of the (first) longest run, rendered yyyy-MM:
+        // min_by with a (len desc, start asc) composite key — the
+        // negative-length trick makes one min_by pick max-len/min-start
+        min_by(col("start_mi"), struct((-col("run_len")).as("nl"), col("start_mi"))).as("best_start"))
+      .select(col("o_custkey"), col("longest_streak"), col("n_active_months"),
+        concat_ws("-",
+          floor((col("best_start") - 1) / 12).cast("int"),
+          lpad(((col("best_start") - 1) % 12 + 1).cast("string"), 2, "0")).as("streak_start"))
+      .orderBy("o_custkey")
+  }
+
+  private val streaksSql =
+    """WITH months AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+      |  FROM orders
+      |), runs AS (
+      |  SELECT o_custkey, count(*) AS run_len, min(mi) AS start_mi
+      |  FROM (
+      |    SELECT o_custkey, mi,
+      |      mi - row_number() OVER (PARTITION BY o_custkey ORDER BY mi) AS grp
+      |    FROM months)
+      |  GROUP BY o_custkey, grp
+      |), best AS (
+      |  SELECT o_custkey, run_len, start_mi,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY run_len DESC, start_mi ASC) AS rn,
+      |    sum(run_len) OVER (PARTITION BY o_custkey) AS n_active
+      |  FROM runs)
+      |SELECT o_custkey, CAST(run_len AS INT) AS longest_streak,
+      |  CAST(n_active AS BIGINT) AS n_active_months,
+      |  concat(CAST(CAST(floor((start_mi - 1) / 12) AS INT) AS VARCHAR), '-',
+      |         lpad(CAST((start_mi - 1) % 12 + 1 AS VARCHAR), 2, '0')) AS streak_start
+      |FROM best WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("win_share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     QueryDef("win_median_trailing", medianTrailing, Some(medianTrailingSql)),
@@ -521,6 +579,7 @@ object WindowQueries extends QueryModule {
     QueryDef("win_rank_top_orders", rankTopOrders, Some(rankTopOrdersSql)),
     QueryDef("win_lag_lead_orders", lagLeadOrders, Some(lagLeadOrdersSql)),
     QueryDef("win_running_supplier_volume", runningSupplierVolume, Some(runningSupplierVolumeSql)),
-    QueryDef("win_range_trailing_spend", rangeTrailingSpend, Some(rangeTrailingSpendSql))
+    QueryDef("win_range_trailing_spend", rangeTrailingSpend, Some(rangeTrailingSpendSql)),
+    QueryDef("win_streaks", streaks, Some(streaksSql))
   )
 }

@@ -836,6 +836,43 @@ object StreamingQueries extends QueryModule {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** RIGHT OUTER stream-stream join — the mirror of
+    * [[streamStreamLeftJoin]] preserving the CLICK side: every click
+    * emits its count of qualifying purchases in the following hour, zero
+    * included, once the watermark proves no purchase can still arrive.
+    * Completes the outer-join family (inner/left/right/full/semi).
+    */
+  def streamStreamRightJoin(s: SparkSession, dir: String): DataFrame = {
+    val purchases = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "1 minute")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "1 minute")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "right_outer")
+    RecordStream.runToMemory(s, joined.select(col("c_id"), col("p_id")),
+        "stream_ss_right_sink", "append", shufflePartitions = "4") // see streamStreamJoin
+      .filter(col("c_id") >= 0) // drop watermark-sentinel rows
+      .groupBy("c_id")
+      .agg(count(col("p_id")).as("n_purchases"))
+      .orderBy("c_id")
+  }
+
+  private val streamStreamRightJoinSql =
+    """SELECT c.event_id AS c_id,
+      |  CAST(count(p.event_id) AS BIGINT) AS n_purchases
+      |FROM events p RIGHT JOIN events c
+      |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |WHERE c.event_type = 'click'
+      |GROUP BY c.event_id ORDER BY c_id""".stripMargin
+
   /** Tumbling windowed counts per shard over the NATIVE shard-ordered
     * source — the reference's per-shard processing with event-time
     * windowing layered on top, end-to-end through the DataSourceV2 path.
@@ -938,6 +975,7 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("stream_stream_semi_join", streamStreamSemiJoin, Some(streamStreamSemiJoinSql)),
     QueryDef("stream_stream_full_join", streamStreamFullJoin, Some(streamStreamFullJoinSql)),
+    QueryDef("stream_stream_right_join", streamStreamRightJoin, Some(streamStreamRightJoinSql)),
     QueryDef("stream_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
     // same closure contract, state-v2 realization → same batch oracle
     QueryDef("stream_tws_sessions", twsSessions, Some(statefulSessionsSql)),
