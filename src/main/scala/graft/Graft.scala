@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory for the engine.
   *
@@ -53,15 +54,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to microseconds with
-    * exact integer division — the same truncation DuckDB applies (its
-    * TIMESTAMP is µs), so oracle parity is preserved. Plain `/` would go
-    * through double and lose sub-µs precision at 2024-era epoch-nanos.
+  /** `events.ts` has shipped as two different parquet types across fixture
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader only
+    * accepts as long nanos via the legacy conf, truncated here to µs with
+    * exact integer division (the same truncation DuckDB applies) — and
+    * plain µs TIMESTAMP without UTC adjustment, which Spark reads as
+    * TIMESTAMP_NTZ. Both are normalized to a session-zone TIMESTAMP at µs
+    * precision (the session zone is pinned to UTC engine-wide), matching
+    * DuckDB's naive µs TIMESTAMP, so oracle parity holds regardless of
+    * fixture vintage.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -34,8 +34,10 @@ object ScaleGen {
     "embeddings" -> Seq("vec_id"))
 
   def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
-    // events.ts is TIMESTAMP(NANOS): read it as a raw long so the copy
-    // keeps the int64 physical type Tables.events expects to convert
+    // events.ts round-trips in its on-disk representation: NANOS vintages
+    // are read as raw longs (legacy conf) and re-written as int64, µs
+    // vintages as TIMESTAMP_NTZ — either way Tables.events normalizes
+    // the copy exactly like the source
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val replicas = broadcast(spark.range(reps).toDF("rep"))
     keyCols.foreach { case (t, ids) =>

@@ -77,25 +77,46 @@ object RecordStream {
 
   /** The streaming-shaped events table: the fixture `events.parquet`
     * replayed through the file stream source (all-distributed, no driver
-    * round-trip). `ts` arrives as TIMESTAMP(NANOS) → read as long nanos,
-    * truncated to µs exactly like the batch reader (Tables.events).
+    * round-trip). `ts` normalization mirrors the batch reader
+    * (Tables.events): TIMESTAMP(NANOS) fixtures are read as long nanos
+    * and truncated to µs; µs fixtures arrive as TIMESTAMP_NTZ and are
+    * cast into the (UTC-pinned) session zone.
     */
-  private val eventsSchema = StructType(Seq(
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** On-disk type of the fixture's ts column under the legacy-nanos conf:
+    * LongType for TIMESTAMP(NANOS) vintages, TIMESTAMP_NTZ for µs ones.
+    * One parquet-footer read per fixture dir, memoized.
+    */
+  private val tsDiskTypes = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private def tsDiskType(spark: SparkSession, dir: String): DataType =
+    tsDiskTypes.computeIfAbsent(dir, d => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    })
+
+  private def normalizeTs(df: DataFrame, tsType: DataType): DataFrame = tsType match {
+    case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      // glob, not a bare file path: the file stream source requires a
-      // directory or glob (basePath must be a directory)
-      .parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = tsDiskType(spark, dir)
+    normalizeTs(
+      spark.readStream
+        .schema(eventsSchema(tsType))
+        // glob, not a bare file path: the file stream source requires a
+        // directory or glob (basePath must be a directory)
+        .parquet(s"$dir/events.parq*"),
+      tsType)
   }
 
   /** Events as a *multi-batch* stream for watermark-driven operators
@@ -116,17 +137,29 @@ object RecordStream {
   def eventsStreamWithSentinels(spark: SparkSession, dir: String,
       filesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = tsDiskType(spark, dir)
     val stage = stagedDirs.computeIfAbsent(dir, d => stageSentinels(spark, d))
-    spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", filesPerTrigger.toString)
-      .parquet(s"$stage/*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(
+      spark.readStream
+        .schema(eventsSchema(tsType))
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(s"$stage/*"),
+      tsType)
   }
 
   private def stageSentinels(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = graft.Scratch.dir("graft_stream_")
+    val tsType = tsDiskType(spark, dir)
+    // sentinel files must carry the SAME ts representation as the copied
+    // fixture file — the stream reads both through one user schema
+    def tsValue(tsNanos: Long): Any = tsType match {
+      case LongType => tsNanos
+      case TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(
+        tsNanos / 1000000000L, (tsNanos % 1000000000L).toInt, java.time.ZoneOffset.UTC)
+      case _ => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        tsNanos / 1000000000L, tsNanos % 1000000000L))
+    }
     Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$stage/batch0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     def sentinel(i: Int, tsNanos: Long): Unit = {
@@ -138,8 +171,9 @@ object RecordStream {
       // user_id/event_id are negative so downstream queries filter them.
       val df = spark.createDataFrame(
         java.util.List.of(
-          Row(-(2L * i), tsNanos, -1L, "purchase", 0.0, "{}"),
-          Row(-(2L * i + 1), tsNanos, -1L, "click", 0.0, "{}")), eventsSchema)
+          Row(-(2L * i), tsValue(tsNanos), -1L, "purchase", 0.0, "{}"),
+          Row(-(2L * i + 1), tsValue(tsNanos), -1L, "click", 0.0, "{}")),
+        eventsSchema(tsType))
       val tmp = s"$stage/_tmp_sentinel$i"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       // relocate the single part file so the stream glob sees a plain file
