@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2 Part B "Aggregation").
@@ -752,7 +753,92 @@ object AggQueries extends QueryModule {
       |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_cont
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Gini coefficient of customer spend per market segment — the standard
+    * inequality measure for "is this segment's revenue concentrated in a
+    * few whales". Uses the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    * over ascending-sorted spend, which is tie-order-invariant (equal x
+    * contribute the same Σ i·xᵢ under any permutation of their ranks).
+    * Scale shape: one custkey-keyed agg, a broadcast dim join, then one
+    * per-segment sort for ranks and a hash-agg — the same single-exchange
+    * shape as every per-key window in the window module.
+    */
+  def giniSpend(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("spend"))
+    val cust = broadcast(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend").asc, col("o_custkey").asc)
+    spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("spend"), 2).as("total_spend"),
+        round(lit(2.0) * sum(col("rk") * col("spend"))
+            / (count(lit(1)) * sum("spend"))
+          - (count(lit(1)) + 1).cast("double") / count(lit(1)), 4).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val giniSpendSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(o_totalprice) AS spend
+      |  FROM orders GROUP BY 1
+      |), ranked AS (
+      |  SELECT c_mktsegment, spend,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY spend ASC, o_custkey ASC) AS rk
+      |  FROM spend JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(sum(spend), 2) AS total_spend,
+      |  round(2.0 * sum(rk * spend) / (count(*) * sum(spend))
+      |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 4) AS gini
+      |FROM ranked GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Welch's two-sample t-test: does the `value` distribution differ
+    * between purchase and click events? Means, sample variances, the
+    * t statistic and Welch–Satterthwaite degrees of freedom, all from ONE
+    * conditional-aggregation pass (no per-group subqueries, no second
+    * scan). At scale this is a single map-side-combinable hash-agg over
+    * the event log collapsing to one row.
+    */
+  def welchTtest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("x", when(col("event_type") === "purchase", col("value")))
+      .withColumn("y", when(col("event_type") === "click", col("value")))
+    ev.agg(
+        count(col("x")).as("n1"), avg(col("x")).as("m1"), var_samp(col("x")).as("v1"),
+        count(col("y")).as("n2"), avg(col("y")).as("m2"), var_samp(col("y")).as("v2"))
+      .select(
+        col("n1"), round(col("m1"), 4).as("mean_purchase"),
+        col("n2"), round(col("m2"), 4).as("mean_click"),
+        round((col("m1") - col("m2"))
+          / sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4).as("t_stat"),
+        round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2)
+          / (pow(col("v1") / col("n1"), 2) / (col("n1") - 1)
+            + pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2).as("welch_df"))
+  }
+
+  private val welchTtestSql =
+    """WITH stats AS (
+      |  SELECT
+      |    count(x) AS n1, avg(x) AS m1, var_samp(x) AS v1,
+      |    count(y) AS n2, avg(y) AS m2, var_samp(y) AS v2
+      |  FROM (
+      |    SELECT CASE WHEN event_type = 'purchase' THEN value END AS x,
+      |           CASE WHEN event_type = 'click' THEN value END AS y
+      |    FROM events WHERE event_type IN ('purchase', 'click')))
+      |SELECT n1, round(m1, 4) AS mean_purchase,
+      |  n2, round(m2, 4) AS mean_click,
+      |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+      |  round(pow(v1 / n1 + v2 / n2, 2)
+      |    / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2) AS welch_df
+      |FROM stats""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_gini_spend", giniSpend, Some(giniSpendSql)),
+    QueryDef("agg_welch_ttest", welchTtest, Some(welchTtestSql)),
     QueryDef("agg_percentile_disc", percentileDisc, Some(percentileDiscSql)),
     QueryDef("agg_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     QueryDef("agg_hll_sketch", hllSketch, Some(hllSketchSql)),

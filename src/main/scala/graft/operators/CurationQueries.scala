@@ -854,7 +854,113 @@ object CurationQueries extends QueryModule {
        |       WHEN ppl <= t_mid THEN 'middle' ELSE 'tail' END AS bucket
        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin
 
+  /** First-occurrence n-gram novelty: the share of a document's distinct
+    * 4-gram shingles whose corpus-wide first appearance (min doc_id) is
+    * this document — high-novelty docs contribute new content to the
+    * training mix, near-zero-novelty docs are recombinations of text
+    * already seen (the streaming-corpus analogue ranks by crawl time; the
+    * fixture's doc_id is its ingest order). Scale shape: one shingle-keyed
+    * min() with map-side combine plus one shingle-keyed join back — the
+    * same inverted-index exchange the dedup family rides, and per-shingle
+    * fan-out is exactly its df (no pair generation), so no df cap is
+    * needed.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 4)
+      .select(col("doc_id"), explode(expr("word_shingles(tk, 4)")).as("shingle"))
+    val firstSeen = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(firstSeen, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_shingles"))
+      .withColumn("novelty",
+        round(col("novel_shingles").cast("double") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
+  private val ngramNoveltySql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3])))) AS shingle
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4
+       |), fs AS (
+       |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS novel_shingles,
+       |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS novelty
+       |FROM sh JOIN fs USING (shingle)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Population-stability-index drift gate: for each source, PSI between
+    * its document-length distribution and the REST of the corpus over
+    * fixed 100-char bins — the standard "did this slice drift from the
+    * mix" check run before each training snapshot (PSI > 0.2 is the
+    * conventional act threshold). Proportions are clamped at 1e-4 so
+    * empty cells contribute a finite, deterministic penalty on both
+    * engines. Scale shape: three map-side-combinable hash-aggs over one
+    * scan, then all arithmetic happens on a (sources × bins) grid that is
+    * mix-schema-sized, not corpus-sized.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("bin", expr("CAST(n_chars div 100 AS INT)"))
+    val srcBin = d.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val binTot = d.groupBy("bin").agg(count(lit(1)).as("ct"))
+    val srcTot = d.groupBy("source").agg(count(lit(1)).as("ns"))
+    val total = d.agg(count(lit(1)).as("n"))
+    val grid = d.select("source").distinct()
+      .crossJoin(d.select("bin").distinct())
+    grid.join(srcBin, Seq("source", "bin"), "left")
+      .na.fill(0, Seq("c"))
+      .join(broadcast(binTot), "bin")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("p", greatest(col("c").cast("double") / col("ns"), lit(1e-4)))
+      .withColumn("q", greatest(
+        (col("ct") - col("c")).cast("double") / (col("n") - col("ns")), lit(1e-4)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+      .orderBy("source")
+  }
+
+  private val psiDriftSql =
+    """WITH d AS (
+      |  SELECT source, CAST(n_chars // 100 AS INT) AS bin FROM documents
+      |), sb AS (SELECT source, bin, count(*) AS c FROM d GROUP BY 1, 2),
+      |bt AS (SELECT bin, count(*) AS ct FROM d GROUP BY 1),
+      |st AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM d),
+      |grid AS (
+      |  SELECT s.source, b.bin
+      |  FROM (SELECT DISTINCT source FROM d) s
+      |  CROSS JOIN (SELECT DISTINCT bin FROM d) b),
+      |vals AS (
+      |  SELECT g.source,
+      |    greatest(CAST(coalesce(sb.c, 0) AS DOUBLE) / st.ns, 0.0001) AS p,
+      |    greatest(CAST(bt.ct - coalesce(sb.c, 0) AS DOUBLE) / (tot.n - st.ns), 0.0001) AS q
+      |  FROM grid g
+      |  LEFT JOIN sb ON g.source = sb.source AND g.bin = sb.bin
+      |  JOIN bt ON g.bin = bt.bin
+      |  JOIN st ON g.source = st.source
+      |  CROSS JOIN tot)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+      |  round(sum((p - q) * ln(p / q)), 4) AS psi,
+      |  round(sum((p - q) * ln(p / q)), 4) > 0.2 AS drifted
+      |FROM vals GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    QueryDef("curation_psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("curation_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
     QueryDef("curation_builtin_mask", builtinMask, Some(builtinMaskSql)),
     QueryDef("curation_cdc_chunks", cdcChunks, Some(cdcChunksSql)),

@@ -254,9 +254,71 @@ object GraphQueries extends QueryModule {
        |WHERE NOT list_contains(nu, v) AND len(list_intersect(nu, nv)) >= 1
        |ORDER BY common_neighbors DESC, u, v LIMIT 20""".stripMargin
 
+  /** Adamic–Adar link prediction (the common-neighbor score reweighted by
+    * 1/ln(deg) of each shared neighbor — rare shared neighbors count for
+    * more). Computed in the WEDGE formulation: every node z contributes
+    * C(|hub-neighbors of z|, 2) candidate pairs weighted 1/ln(deg z) —
+    * the same center-expansion shape as the triangle count, so the
+    * per-node cost is bounded by (hub-restricted) neighborhood size, and
+    * no corpus-sized pair table ever forms. The hub filter is a 100-id
+    * broadcast `array_intersect` against each adjacency list; scoring is
+    * one (u,v)-keyed hash-agg over the wedge stream.
+    */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = edges(s, dir)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val adj = und.groupBy("u")
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"), count(lit(1)).as("deg"))
+    val hubs = adj.orderBy(col("deg").desc, col("u").asc).limit(100)
+      .select(col("u").as("node"), col("nbrs"))
+    val hubIds = hubs.agg(sort_array(collect_list("node")).as("hub_ids"))
+    // array_intersect keeps the (sorted) order of its first argument, so
+    // the hub-restricted neighbor list is sorted as pair_combos requires;
+    // a pair implies ≥2 neighbors, so deg ≥ 2 and ln(deg) > 0
+    val wedges = adj
+      .crossJoin(broadcast(hubIds))
+      .select(expr("array_intersect(nbrs, hub_ids)").as("hn"),
+        col("deg").cast("double").as("deg"))
+      .filter(size(col("hn")) >= 2)
+      .select(explode(expr("pair_combos(hn)")).as("p"),
+        (lit(1.0) / log(col("deg"))).as("w"))
+    val scored = wedges
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(round(sum("w"), 4).as("aa_score"), count(lit(1)).as("common_neighbors"))
+    scored
+      .join(hubs.select(col("node").as("u"), col("nbrs").as("nbrs_u")), "u")
+      .filter(!array_contains(col("nbrs_u"), col("v")))
+      .select("u", "v", "common_neighbors", "aa_score")
+      .orderBy(col("aa_score").desc, col("u").asc, col("v").asc)
+      .limit(20)
+  }
+
+  private val adamicAdarSql =
+    s"""WITH $edgesCte,
+       |und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |adj AS (
+       |  SELECT u AS node, list_sort(list(v)) AS nbrs, count(*) AS deg
+       |  FROM und GROUP BY 1),
+       |hubs AS (SELECT node, nbrs FROM adj ORDER BY deg DESC, node ASC LIMIT 100),
+       |wedge AS (
+       |  SELECT a.v AS u, b.v AS v, 1.0 / ln(CAST(z.deg AS DOUBLE)) AS w
+       |  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+       |  JOIN adj z ON z.node = a.u
+       |  WHERE a.v IN (SELECT node FROM hubs) AND b.v IN (SELECT node FROM hubs)
+       |), scored AS (
+       |  SELECT u, v, round(sum(w), 4) AS aa_score,
+       |    CAST(count(*) AS BIGINT) AS common_neighbors
+       |  FROM wedge GROUP BY 1, 2)
+       |SELECT s.u, s.v, s.common_neighbors, s.aa_score
+       |FROM scored s JOIN hubs h ON h.node = s.u
+       |WHERE NOT list_contains(h.nbrs, s.v)
+       |ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql)),
-    QueryDef("graph_link_prediction", linkPrediction, Some(linkPredictionSql))
+    QueryDef("graph_link_prediction", linkPrediction, Some(linkPredictionSql)),
+    QueryDef("graph_adamic_adar", adamicAdar, Some(adamicAdarSql))
   )
 }

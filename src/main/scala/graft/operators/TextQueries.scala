@@ -357,6 +357,93 @@ object TextQueries extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Per-source vocabulary drift: KL(source ‖ corpus) over unigram
+    * distributions — the standard divergence check a mixture planner runs
+    * before reweighting sources (a drifted source either carries novel
+    * vocabulary worth upweighting or template spam worth gating). Source
+    * vocabularies are subsets of the corpus vocabulary, so every p > 0 term
+    * has q > 0 and the sum is finite by construction. Scale shape: one
+    * (source, term)-keyed count shuffle with map-side combine, a term-keyed
+    * rollup to corpus counts, then a term-keyed join — all vocabulary-
+    * bounded, never corpus-row-bounded; the per-source totals and the
+    * grand total are broadcast scalars.
+    */
+  def klDivergence(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("source"), explode(expr(toks)).as("term"))
+    val srcCounts = terms.groupBy("source", "term").agg(count(lit(1)).as("c_src"))
+    val corpusCounts = srcCounts.groupBy("term").agg(sum("c_src").as("c_all"))
+    val srcTotals = srcCounts.groupBy("source").agg(sum("c_src").as("n_src"))
+    val total = corpusCounts.agg(sum("c_all").cast("double").as("n_all"))
+    srcCounts
+      .join(corpusCounts, "term")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("p", col("c_src").cast("double") / col("n_src"))
+      .withColumn("q", col("c_all").cast("double") / col("n_all"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        max("n_src").as("n_tokens"),
+        round(sum(col("p") * log(col("p") / col("q"))), 4).as("kl_nats"))
+      .orderBy("source")
+  }
+
+  private val klDivergenceSql =
+    s"""WITH t AS (
+       |  SELECT source, unnest($dToks) AS term FROM documents
+       |), sc AS (
+       |  SELECT source, term, count(*) AS c_src FROM t GROUP BY 1, 2
+       |), cc AS (
+       |  SELECT term, CAST(sum(c_src) AS BIGINT) AS c_all FROM sc GROUP BY 1
+       |), st AS (
+       |  SELECT source, CAST(sum(c_src) AS BIGINT) AS n_src FROM sc GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(c_all) AS DOUBLE) AS n_all FROM cc)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       |  max(n_src) AS n_tokens,
+       |  round(sum((CAST(c_src AS DOUBLE) / n_src)
+       |    * ln((CAST(c_src AS DOUBLE) / n_src) / (CAST(c_all AS DOUBLE) / n_all))), 4)
+       |    AS kl_nats
+       |FROM sc JOIN cc USING (term) JOIN st USING (source) CROSS JOIN tot
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Zipf rank-frequency fit: the least-squares slope of ln(freq) on
+    * ln(rank) over the top-500 corpus terms — natural text sits near −1
+    * (Zipf's law); strong departures flag synthetic or templated corpora.
+    * The slope/intercept come from the engines' own `regr_slope` /
+    * `regr_intercept` (identical closed forms both sides). Scale shape:
+    * one term-keyed count shuffle, then a single 500-row TakeOrdered cut
+    * — the regression itself runs on a constant-size frame, so the query
+    * is corpus-scan-bound regardless of vocabulary size.
+    */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val top = counts.orderBy(col("freq").desc, col("term").asc).limit(500)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)))
+    top.agg(
+      count(lit(1)).as("n_terms"),
+      round(expr("regr_slope(ln(freq), ln(rank))"), 4).as("zipf_slope"),
+      round(expr("regr_intercept(ln(freq), ln(rank))"), 4).as("zipf_intercept"),
+      round(expr("ln(max(freq))"), 4).as("ln_top_freq"))
+  }
+
+  private val zipfFitSql =
+    s"""WITH tc AS (
+       |  SELECT term, count(*) AS freq
+       |  FROM (SELECT unnest($dToks) AS term FROM documents)
+       |  GROUP BY 1
+       |), top AS (
+       |  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+       |  FROM tc ORDER BY freq DESC, term ASC LIMIT 500)
+       |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |  round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+       |  round(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_intercept,
+       |  round(ln(CAST(max(freq) AS DOUBLE)), 4) AS ln_top_freq
+       |FROM top""".stripMargin
+
   /** Token-length histogram per language: fixed 16-token-wide buckets via
     * integer division (exactly portable, unlike float log-buckets), with
     * per-bucket doc counts and char volume — the corpus-shape profile that
@@ -662,6 +749,8 @@ object TextQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_readability", readability, Some(readabilitySql)),
+    QueryDef("text_kl_divergence", klDivergence, Some(klDivergenceSql)),
+    QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("text_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("text_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),

@@ -566,7 +566,92 @@ object WindowQueries extends QueryModule {
       |         lpad(CAST((start_mi - 1) % 12 + 1 AS VARCHAR), 2, '0')) AS streak_start
       |FROM best WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * lag(event_type) within (user, time)-ordered streams, then transition
+    * counts and row-normalized probabilities — the behavioral model behind
+    * next-event prediction and bot detection. Scale shape: one user-keyed
+    * shuffle+sort for the lag (the same exchange every per-user window in
+    * this module rides), then a hash-agg onto a (|types|²)-bounded matrix
+    * — the probability normalization is a window over that tiny frame,
+    * not over the event log. The order key is (ts, event_id), total, so
+    * lag is deterministic under same-µs ties.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("transitions"))
+    val wp = Window.partitionBy("prev_type")
+    trans
+      .withColumn("prob",
+        round(col("transitions").cast("double") / sum("transitions").over(wp), 4))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val markovTransitionsSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), tr AS (
+      |  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS transitions
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, transitions,
+      |  round(CAST(transitions AS DOUBLE)
+      |    / CAST(sum(transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS prob
+      |FROM tr ORDER BY prev_type, next_type""".stripMargin
+
+  /** Conversion attribution: each purchase is credited to the LAST
+    * non-purchase touch strictly before it and to the FIRST touch of the
+    * user's history (last-touch / first-touch, the two standard marketing
+    * attribution rules), then credit totals per channel. Scale shape:
+    * both assignments ride ONE user-keyed sort (running last_value over
+    * an unbounded-preceding frame + first_value over the same), and the
+    * rollup is a hash-agg onto a |types|-bounded frame. No self-join of
+    * the event log against itself — the naive formulation — ever runs.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, dir)
+      .withColumn("touch", when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("last_touch", last("touch", ignoreNulls = true).over(wPrev))
+      .withColumn("first_touch", first("event_type").over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.filter(col("event_type") === "purchase" && col("last_touch").isNotNull)
+      .groupBy(col("last_touch").as("channel"))
+      .agg(count(lit(1)).as("last_touch_conversions"),
+        round(sum("value"), 4).as("last_touch_value"),
+        sum(when(col("first_touch") === col("last_touch"), 1L).otherwise(0L))
+          .as("also_first_touch"))
+      .orderBy("channel")
+  }
+
+  private val attributionSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+      |    first_value(event_type)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+      |  FROM events)
+      |SELECT last_touch AS channel,
+      |  CAST(count(*) AS BIGINT) AS last_touch_conversions,
+      |  round(sum(value), 4) AS last_touch_value,
+      |  CAST(sum(CASE WHEN first_touch = last_touch THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS also_first_touch
+      |FROM ev WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
+    QueryDef("win_attribution", attribution, Some(attributionSql)),
     QueryDef("win_share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     QueryDef("win_median_trailing", medianTrailing, Some(medianTrailingSql)),
     QueryDef("win_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
