@@ -958,9 +958,48 @@ object CurationQueries extends QueryModule {
       |  round(sum((p - q) * ln(p / q)), 4) > 0.2 AS drifted
       |FROM vals GROUP BY source ORDER BY source""".stripMargin
 
+  /** Importance sampling: each document is kept with probability
+    * proportional to a quality proxy (token count, clamped to [0.1, 0.9])
+    * using a salted-md5 uniform — the deterministic analogue of the
+    * Bernoulli subsampling every mixture re-weighting pass runs, and the
+    * same portable coin-flip family as [[trainSplit]]/[[stratifiedSample]]
+    * (a distinct salt keeps the draws independent of the split coins).
+    * The 16-bit hash fraction and the clamp endpoints are exactly
+    * representable doubles, so the keep decision is bit-identical on both
+    * engines. Pure per-row projection + one source-keyed rollup.
+    */
+  def importanceSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr(s"size($toks)"))
+      .withColumn("p_keep",
+        least(lit(0.9), greatest(lit(0.1), col("n_tokens") / 400.0)))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(CAST(concat('imp', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS DOUBLE) / 65536.0"))
+      .withColumn("keep", col("u") < col("p_keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        round(avg("p_keep"), 4).as("expected_rate"),
+        round(avg(col("keep").cast("double")), 4).as("actual_rate"))
+      .orderBy("source")
+
+  private val importanceSampleSql =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    least(0.9, greatest(0.1, len($dToks) / 400.0)) AS p_keep,
+       |    CAST(('0x' || substr(md5('imp' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+       |      / 65536.0 AS u
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN u < p_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(avg(p_keep), 4) AS expected_rate,
+       |  round(avg(CASE WHEN u < p_keep THEN 1.0 ELSE 0.0 END), 4) AS actual_rate
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("curation_psi_drift", psiDrift, Some(psiDriftSql)),
+    QueryDef("curation_importance_sample", importanceSample, Some(importanceSampleSql)),
     QueryDef("curation_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
     QueryDef("curation_builtin_mask", builtinMask, Some(builtinMaskSql)),
     QueryDef("curation_cdc_chunks", cdcChunks, Some(cdcChunksSql)),

@@ -53,6 +53,78 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Maximum-inner-product search (MIPS — the retrieval objective when
+    * embeddings are NOT normalized, e.g. recommendation scores): exact
+    * top-5 by raw dot product with the classic norm-bound prune. Phase 1
+    * scores only the 32 highest-norm candidates (one query-independent
+    * TakeOrdered) and takes each query's 5th-best dot as a lower bound L;
+    * phase 2 scans all candidates but skips every (q, c) with
+    * ‖q‖·‖c‖ < L − ε, which is EXACT by Cauchy–Schwarz (dot ≤ ‖q‖‖c‖, so
+    * nothing beating L is skipped; the ε slack keeps near-boundary
+    * candidates on both engines despite float-association differences in
+    * the norms). At 100 TB the bound-check is a codegen'd double compare
+    * that rejects most of the scan before any 64-float dot runs, and the
+    * high-norm seed set is the only extra state — 32 rows, broadcast.
+    */
+  def mipsTopK(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("norm", sqrt(expr("dot_product(embedding, embedding)")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val seeds = cand.orderBy(desc("c_norm"), asc("c_id")).limit(32)
+    val wSeed = Window.partitionBy("q_id").orderBy(desc("dot"), asc("c_id"))
+    val bounds = seeds.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("dot", expr("dot_product(q_emb, c_emb)"))
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") === 5)
+      .select(col("q_id"), col("dot").as("lb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("dot_r"), asc("c_id"))
+    cand.join(broadcast(q.join(bounds, "q_id")),
+        col("q_id") =!= col("c_id")
+          && col("q_norm") * col("c_norm") >= col("lb") - 1e-6)
+      .withColumn("dot_r", round(expr("dot_product(q_emb, c_emb)"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), col("dot_r").as("dot"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val mipsTopKSql = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def nrm(a: String) =
+      s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${nrm("embedding")} AS norm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+       |  FROM e WHERE vec_id < 10
+       |), seeds AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb
+       |  FROM e ORDER BY norm DESC, vec_id ASC LIMIT 32
+       |), sb AS (
+       |  SELECT q_id, dot AS lb FROM (
+       |    SELECT q.q_id, ${dot("q.q_emb", "s.c_emb")} AS dot,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dot("q.q_emb", "s.c_emb")} DESC, s.c_id ASC) AS rn
+       |    FROM seeds s JOIN q ON q.q_id <> s.c_id)
+       |  WHERE rn = 5
+       |), ranked AS (
+       |  SELECT q_id, c_id, dot_r,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dot_r DESC, c_id ASC) AS rn
+       |  FROM (
+       |    SELECT q.q_id, c.vec_id AS c_id,
+       |      round(${dot("q.q_emb", "c.embedding")}, 4) AS dot_r
+       |    FROM e c JOIN q ON q.q_id <> c.vec_id
+       |    JOIN sb ON sb.q_id = q.q_id AND q.q_norm * c.norm >= sb.lb - 1e-6))
+       |SELECT q_id, c_id, dot_r AS dot, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** IVF-style ANN: coarse centroids per label (computed with the
     * VectorCentroid typed Aggregator), each query probes only its nearest
     * list. Returns top-3 within the probed list.
@@ -628,6 +700,7 @@ object SimilarityQueries extends QueryModule {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("sim_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),

@@ -649,7 +649,69 @@ object WindowQueries extends QueryModule {
       |FROM ev WHERE event_type = 'purchase' AND last_touch IS NOT NULL
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** Trailing 7-day correlation between daily purchase and click volumes
+    * — the co-movement monitor behind "did these two metrics decouple".
+    * Computed from the closed-form sums corr = (nΣxy − ΣxΣy) /
+    * √(nΣx²−(Σx)²)√(nΣy²−(Σy)²) where x, y are integer daily counts: every
+    * windowed sum is EXACT integer arithmetic, so both engines agree
+    * bit-for-bit before the one final division (no two-pass-vs-one-pass
+    * variance drift, and the zero-variance case is an explicit NULL, not
+    * an engine-specific NaN). Scale shape: the event log collapses to a
+    * days-bounded daily frame FIRST (one hash-agg), and only that tiny
+    * frame flows through the global-order window — the unpartitioned sort
+    * is over days, never events.
+    */
+  def rollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nc"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("np").over(w))
+      .withColumn("sy", sum("nc").over(w))
+      .withColumn("sxx", sum(col("np") * col("np")).over(w))
+      .withColumn("syy", sum(col("nc") * col("nc")).over(w))
+      .withColumn("sxy", sum(col("np") * col("nc")).over(w))
+      .filter(col("n") === 7)
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den",
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .withColumn("corr7",
+        when(col("den") === 0, lit(null)).otherwise(round(col("num") / col("den"), 4)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("np"), col("nc"), col("corr7"))
+      .orderBy("day")
+  }
+
+  private val rollingCorrSql =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+      |  FROM events GROUP BY 1
+      |), sums AS (
+      |  SELECT day, np, nc,
+      |    count(*) OVER w AS n,
+      |    sum(np) OVER w AS sx, sum(nc) OVER w AS sy,
+      |    sum(np * np) OVER w AS sxx, sum(nc * nc) OVER w AS syy,
+      |    sum(np * nc) OVER w AS sxy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |), v AS (
+      |  SELECT day, np, nc,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS den
+      |  FROM sums WHERE n = 7)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, np, nc,
+      |  CASE WHEN den = 0 THEN NULL ELSE round(num / den, 4) END AS corr7
+      |FROM v ORDER BY day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_rolling_corr", rollingCorr, Some(rollingCorrSql)),
     QueryDef("win_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
     QueryDef("win_attribution", attribution, Some(attributionSql)),
     QueryDef("win_share_of_total", shareOfTotal, Some(shareOfTotalSql)),
