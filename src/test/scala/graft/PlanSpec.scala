@@ -302,4 +302,47 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("adamic-adar: wedge expansion only — no corpus cartesian, one tiny broadcast loop") {
+    // candidate pairs come from per-center pair_combos over hub-filtered
+    // adjacency; the ONLY nested-loop allowed is the single-row hub-id
+    // array broadcast against adjacency (everything else is keyed)
+    val p = plan("graph_adamic_adar")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("pair_combos"), p)
+  }
+
+  test("mips: corpus streams against broadcast queries, rank is native top-k") {
+    // both phases stream the big side against a ≤32-row broadcast (the
+    // same shape as sim_brute_topk — there is no equi key in an all-pairs
+    // bound check), the bound predicate sits IN the join condition so
+    // skipped candidates never reach the dot, and the final rank must be
+    // the two-phase TopKPerGroup rewrite, not a row_number window
+    val p = plan("sim_mips_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("c_norm") && p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains(">=")), p)
+    assert(p.contains("TopKPerGroupPartial"), p)
+  }
+
+  test("attribution: both touch assignments fuse into ONE window node") {
+    // last-touch and first-touch must ride the same user-keyed sort — two
+    // Window nodes would mean a second exchange/sort of the event log
+    val p = plan("win_attribution")
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rolling corr: the global-order window runs over the daily aggregate") {
+    // the unpartitioned window is safe ONLY because the event log
+    // collapses to a days-bounded frame first — the Window node must sit
+    // above the daily HashAggregate, never directly on the scan
+    val p = plan("win_rolling_corr")
+    val wi = p.indexOf("Window [")
+    assert(wi >= 0, p)
+    val hi = p.indexOf("HashAggregate", wi)
+    assert(hi > wi, "no aggregate below the window:\n" + p)
+  }
 }

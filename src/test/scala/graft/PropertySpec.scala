@@ -685,4 +685,74 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("dedup_prefix_filter finds exactly the J >= tau pairs of the full index") {
+    // PPJoin's exactness claim: joining only on rarest-prefix shingles
+    // must lose NO pair above the threshold — compare against the
+    // all-shingle inverted index (no prefix cut) on the same fixture
+    functions.GraftFunctions.register(spark)
+    val sh = Tables.documents(spark, Sf)
+      .withColumn("tk", expr("array_remove(split(text, ' ', -1), '')"))
+      .filter(size(col("tk")) >= 4)
+      .select(col("doc_id"), explode(expr("word_shingles(tk, 4)")).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("s_b")),
+        col("shingle") === col("s_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val full = inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= operators.DedupQueries.PrefixTau)
+      .select("doc_a", "doc_b", "jaccard")
+    val pruned = SparkEntry.queries("dedup_prefix_filter")(spark, Sf)
+      .select("doc_a", "doc_b", "jaccard")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "prefix-filtered pairs diverge from the full-index pairs")
+  }
+
+  test("win_markov_transitions: mass conserved, rows normalize to one") {
+    val t = SparkEntry.queries("win_markov_transitions")(spark, Sf).collect()
+    val total = t.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, Sf)
+    val n = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    // each user with k events contributes exactly k-1 transitions
+    assert(total == n - users, s"transition mass $total != $n - $users")
+    t.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val psum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 0.01, s"$prev probabilities sum to $psum")
+    }
+  }
+
+  test("win_attribution: credited conversions bounded by total purchases") {
+    val a = SparkEntry.queries("win_attribution")(spark, Sf).collect()
+    val credited = a.map(_.getLong(1)).sum
+    val purchases = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase").count()
+    // only a user's FIRST event being the purchase itself goes uncredited
+    assert(credited <= purchases, s"credited $credited > purchases $purchases")
+    assert(credited >= purchases / 2, "implausibly few credited conversions")
+    a.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1),
+        s"${r.getString(0)}: also_first_touch exceeds conversions")
+    }
+  }
+
+  test("divergence invariants: KL and PSI nonnegative, Gini within [0, 1)") {
+    // Gibbs' inequality bounds KL >= 0 and PSI's symmetrized form >= 0;
+    // the 4-decimal rounding can dip an exact 0 to at most -5e-5
+    SparkEntry.queries("text_kl_divergence")(spark, Sf).collect().foreach { r =>
+      assert(r.getDouble(3) >= -1e-4, s"${r.getString(0)}: KL ${r.getDouble(3)} < 0")
+    }
+    SparkEntry.queries("curation_psi_drift")(spark, Sf).collect().foreach { r =>
+      assert(r.getDouble(2) >= -1e-4, s"${r.getString(0)}: PSI ${r.getDouble(2)} < 0")
+    }
+    SparkEntry.queries("agg_gini_spend")(spark, Sf).collect().foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g outside [0, 1)")
+    }
+  }
 }

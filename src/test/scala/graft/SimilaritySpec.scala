@@ -51,6 +51,25 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.2, s"mean recall@3 = $mean (per-query: $recalls)")
   }
 
+  test("mips norm-bound prune is exact: equals the unpruned dot top-5") {
+    import org.apache.spark.sql.expressions.Window
+    functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, Sf)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("dot_r"), asc("c_id"))
+    val brute = cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("dot_r", round(expr("dot_product(q_emb, c_emb)"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), col("dot_r"), col("rn"))
+    val mips = SparkEntry.queries("sim_mips_topk")(spark, Sf)
+      .select(col("q_id"), col("c_id"), col("dot").as("dot_r"), col("rn"))
+    assert(mips.exceptAll(brute).isEmpty && brute.exceptAll(mips).isEmpty,
+      "pruned MIPS diverged from brute force")
+  }
+
   test("IVF probes exactly one inverted list and finds in-list neighbors") {
     val ivf = SparkEntry.queries("sim_ivf_topk")(spark, Sf)
     val probes = ivf.select("q_id", "probe_label").distinct()
