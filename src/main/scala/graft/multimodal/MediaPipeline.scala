@@ -382,9 +382,101 @@ object MediaPipeline extends QueryModule {
       |WHERE doc_id % 3 = 2
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Perceptual-hash image near-dup detection: each image payload is
+    * decoded (REAL PNG codec, executor-side), reduced to the 64-bit
+    * average hash (bit i set iff pixel i is strictly above the image
+    * mean — the integer form pixel·64 > total avoids float thresholds),
+    * and near-identical pairs are found by Hamming distance ≤ 4 via
+    * 16-bit banded blocking (a ≤ 3-distance pair must agree on ≥ 1 of
+    * the 4 bands by pigeonhole), with candidates generated as STAR edges
+    * to each bucket's min-id representative — the MinHash family's
+    * treatment — so fan-out is LINEAR in bucket size even when a
+    * duplicate cluster grows with the corpus (the clique form is
+    * quadratic and dies at 100 TB). Only (doc_id, h0, h1) ever shuffles
+    * — 3 longs per image, never pixels or payloads.
+    */
+  def imagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTable(s, dir)
+      .filter(col("media_type") === "image")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val px = pngPixels(rec.payload)
+          val total = px.sum
+          var h0 = 0L; var h1 = 0L
+          var i = 0
+          while (i < 64) {
+            if (px(i) * 64 > total) {
+              if (i < 32) h0 |= 1L << i else h1 |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (rec.doc_id, h0, h1)
+        }
+      }.toDF("doc_id", "h0", "h1")
+    val banded = hashes.select(col("doc_id"), col("h0"), col("h1"),
+        explode(array(
+          struct(lit(0).as("band"), expr("h0 % 65536").as("key")),
+          struct(lit(1).as("band"), expr("h0 div 65536").as("key")),
+          struct(lit(2).as("band"), expr("h1 % 65536").as("key")),
+          struct(lit(3).as("band"), expr("h1 div 65536").as("key")))).as("b"))
+      .select(col("doc_id"), col("h0"), col("h1"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val star = banded
+      .withColumn("rep", min("doc_id").over(wB))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    star
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("h0").as("h0a"), col("h1").as("h1a")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("h0").as("h0b"), col("h1").as("h1b")), "doc_b")
+      .withColumn("hamming",
+        expr("CAST(bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b) AS INT)"))
+      .filter(col("hamming") <= 4)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // the oracle replays the decode from the (lossless) staging formula,
+  // then runs the identical integer hash/band/Hamming pipeline
+  private val imagePhashSql =
+    """WITH px AS (
+      |  SELECT doc_id, list_transform(range(0, 64),
+      |    i -> (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256) AS p
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), tot AS (
+      |  SELECT doc_id, p, list_sum(p) AS s FROM px
+      |), hs AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN p[i + 1] * 64 > s THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS h0,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN p[i + 33] * 64 > s THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS h1
+      |  FROM tot
+      |), banded AS (
+      |  SELECT doc_id, h0, h1, b.band,
+      |    CASE b.band WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
+      |                WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS key
+      |  FROM hs, (SELECT unnest(range(0, 4)) AS band) b
+      |), star AS (
+      |  SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, key) AS rep
+      |    FROM banded)
+      |  WHERE doc_id <> rep)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
+      |FROM star JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+      |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("multimodal_features", extractFeatures, Some(extractFeaturesSql)),
     QueryDef("multimodal_media_stats", mediaStats, Some(mediaStatsSql)),
-    QueryDef("multimodal_frame_sample", frameSamples, Some(frameSamplesSql))
+    QueryDef("multimodal_frame_sample", frameSamples, Some(frameSamplesSql)),
+    QueryDef("multimodal_image_phash", imagePhash, Some(imagePhashSql))
   )
 }

@@ -836,7 +836,34 @@ object AggQueries extends QueryModule {
       |    / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2) AS welch_df
       |FROM stats""".stripMargin
 
+  /** Shannon entropy of each user's event-type mix — the behavioral-
+    * diversity feature (H = ln n − Σ c·ln c / n over per-type counts, so
+    * the ln work is per-DISTINCT-type, bounded by the type alphabet).
+    * Two map-side-combinable hash-aggs: (user, type) counts, then the
+    * per-user fold.
+    */
+  def eventEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    tc.groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+        round(log(sum("c").cast("double"))
+          - sum(col("c").cast("double") * log(col("c").cast("double"))) / sum("c"),
+          4).as("entropy"))
+      .orderBy("user_id")
+  }
+
+  private val eventEntropySql =
+    """WITH tc AS (
+      |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  round(ln(CAST(sum(c) AS DOUBLE))
+      |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy
+      |FROM tc GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_event_entropy", eventEntropy, Some(eventEntropySql)),
     QueryDef("agg_gini_spend", giniSpend, Some(giniSpendSql)),
     QueryDef("agg_welch_ttest", welchTtest, Some(welchTtestSql)),
     QueryDef("agg_percentile_disc", percentileDisc, Some(percentileDiscSql)),

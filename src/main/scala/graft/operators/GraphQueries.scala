@@ -315,10 +315,77 @@ object GraphQueries extends QueryModule {
        |WHERE NOT list_contains(h.nbrs, s.v)
        |ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin
 
+  /** 40-core peeling, three rounds unrolled: repeatedly drop nodes of
+    * degree < 40 and the edges they carry, reporting the surviving
+    * node/edge counts after each peel — the standard "dense cohesive
+    * core" extraction (full k-core runs peels to a fixpoint; a fixed
+    * unroll is the bounded-iteration form, the same treatment the
+    * PageRank query gives power iteration; k = 40 straddles the fixture's
+    * degree median so every round peels). Each round is one degree
+    * hash-agg plus two semi joins keyed on the endpoint — no all-pairs
+    * work, and the edge set only shrinks. The re-select before the
+    * swapped union is load-bearing: semi joins reorder columns, and
+    * UNION is positional — uniting (v, u)-ordered output with a by-name
+    * swap would double ONE endpoint instead of adding both directions.
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val e0 = edges(s, dir)
+    def peel(e0p: DataFrame): DataFrame = {
+      val e = e0p.select(col("u"), col("v"))
+      val deg = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= 40).select(col("u").as("node"))
+      e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+    }
+    def summary(round: Int, e: DataFrame): DataFrame =
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(e.select(col("u")).union(e.select(col("v")))
+          .distinct().agg(count(lit(1)).as("n_nodes")))
+        .select(lit(round).as("peel_round"), col("n_nodes"), col("n_edges"))
+    val e1 = peel(e0); val e2 = peel(e1); val e3 = peel(e2)
+    summary(1, e1).union(summary(2, e2)).union(summary(3, e3))
+      .orderBy("peel_round")
+  }
+
+  private val kcoreSql =
+    s"""WITH $edgesCte,
+       |k1 AS (SELECT n FROM deg WHERE d >= 40),
+       |e1 AS (SELECT u, v FROM pairs
+       |       WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+       |deg1 AS (SELECT n, count(*) AS d FROM (
+       |  SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
+       |k2 AS (SELECT n FROM deg1 WHERE d >= 40),
+       |e2 AS (SELECT u, v FROM e1
+       |       WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+       |deg2 AS (SELECT n, count(*) AS d FROM (
+       |  SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
+       |k3 AS (SELECT n FROM deg2 WHERE d >= 40),
+       |e3 AS (SELECT u, v FROM e2
+       |       WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)),
+       |s1 AS (SELECT 1 AS peel_round,
+       |  (SELECT count(*) FROM (SELECT DISTINCT n FROM (
+       |     SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1))) AS n_nodes,
+       |  (SELECT count(*) FROM e1) AS n_edges),
+       |s2 AS (SELECT 2 AS peel_round,
+       |  (SELECT count(*) FROM (SELECT DISTINCT n FROM (
+       |     SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2))) AS n_nodes,
+       |  (SELECT count(*) FROM e2) AS n_edges),
+       |s3 AS (SELECT 3 AS peel_round,
+       |  (SELECT count(*) FROM (SELECT DISTINCT n FROM (
+       |     SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3))) AS n_nodes,
+       |  (SELECT count(*) FROM e3) AS n_edges)
+       |SELECT CAST(peel_round AS INT) AS peel_round,
+       |  CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |ORDER BY peel_round""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql)),
     QueryDef("graph_link_prediction", linkPrediction, Some(linkPredictionSql)),
-    QueryDef("graph_adamic_adar", adamicAdar, Some(adamicAdarSql))
+    QueryDef("graph_adamic_adar", adamicAdar, Some(adamicAdarSql)),
+    QueryDef("graph_kcore", kcore, Some(kcoreSql))
   )
 }

@@ -125,6 +125,61 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** k-NN classification: each query vector takes the majority label of
+    * its 5 nearest (cosine) neighbors, ties broken toward the smaller
+    * label id — the standard embedding-space label-propagation /
+    * auto-labeling step. Scale shape: the neighbor search is the proven
+    * broadcast-queries × streamed-corpus plan; the vote is a
+    * (query, label)-keyed hash-agg over ≤ 5·|queries| rows.
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("label").as("c_label"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("c_id"))
+    val nn = cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, c_emb)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    val wv = Window.partitionBy("q_id").orderBy(desc("votes"), asc("c_label"))
+    nn.groupBy("q_id", "true_label", "c_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("c_label").as("predicted_label"), col("votes"),
+        (col("c_label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
+  private val knnClassifySql = {
+    val cos = cosineSqlDuck.replace("QA", "q.q_emb").replace("QB", "c.c_emb")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+       |  FROM embeddings WHERE vec_id < 10
+       |), c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, label AS c_label FROM embeddings
+       |), nn AS (
+       |  SELECT q_id, true_label, c_label FROM (
+       |    SELECT q.q_id, q.true_label, c.c_label,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round($cos, 6) DESC, c.c_id ASC) AS rn
+       |    FROM q JOIN c ON q.q_id <> c.c_id)
+       |  WHERE rn <= 5
+       |), votes AS (
+       |  SELECT q_id, true_label, c_label, CAST(count(*) AS BIGINT) AS votes,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY count(*) DESC, c_label ASC) AS vr
+       |  FROM nn GROUP BY 1, 2, 3)
+       |SELECT q_id, true_label, c_label AS predicted_label, votes,
+       |  c_label = true_label AS correct
+       |FROM votes WHERE vr = 1 ORDER BY q_id""".stripMargin
+  }
+
   /** IVF-style ANN: coarse centroids per label (computed with the
     * VectorCentroid typed Aggregator), each query probes only its nearest
     * list. Returns top-3 within the probed list.
@@ -701,6 +756,7 @@ object SimilarityQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
+    QueryDef("sim_knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("sim_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("sim_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
