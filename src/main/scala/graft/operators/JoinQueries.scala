@@ -533,6 +533,46 @@ object JoinQueries extends QueryModule {
       |FROM o JOIN c ON bucket_o IS NOT DISTINCT FROM bucket_c
       |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
+  /** Blocked fuzzy self-match (record linkage): candidate customer pairs
+    * come ONLY from equi-joinable blocks — same nation, same name length,
+    * same hundreds digit — and the edit-distance verify (codegen'd
+    * `levenshtein`, no UDF) runs per candidate, never per pair of the
+    * corpus. Single-pass positional blocking: a pair is admitted iff it
+    * agrees on the block key, so recall is the block design's contract
+    * (production linkage runs the standard multi-pass rotation of block
+    * keys to cover the misses; each pass is this same keyed plan). The
+    * block key grows with the corpus like a hash bucket — fan-out per
+    * block is bounded, never corpus-quadratic.
+    */
+  def fuzzyBlocked(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .withColumn("blk", concat(col("c_nationkey").cast("string"), lit("|"),
+        length(col("c_name")).cast("string"), lit("|"),
+        substring(col("c_name"), 16, 1)))
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      col("c_nationkey").as("nation"), col("blk"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+      col("blk").as("blk_b"))
+    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= 2)
+      .select(col("nation"), col("id_a"), col("id_b"), col("lev"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val fuzzyBlockedSql =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(c_nationkey AS VARCHAR) || '|' || CAST(length(c_name) AS VARCHAR)
+      |      || '|' || substr(c_name, 16, 1) AS blk
+      |  FROM customer)
+      |SELECT a.c_nationkey AS nation, a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+      |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("join_null_safe", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("join_bloom_prefilter", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
@@ -552,6 +592,7 @@ object JoinQueries extends QueryModule {
     QueryDef("join_band_auto_rewrite", bandAutoRewrite, Some(thetaBandAcctbalSql)),
     QueryDef("join_asof_last_order", asofLastOrder, Some(asofLastOrderSql)),
     QueryDef("join_asof_nearest", asofNearestOrder, Some(asofNearestOrderSql)),
-    QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql))
+    QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql)),
+    QueryDef("join_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql))
   )
 }
