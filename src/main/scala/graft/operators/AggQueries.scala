@@ -862,7 +862,64 @@ object AggQueries extends QueryModule {
       |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy
       |FROM tc GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Pearson chi-square independence test over the (source × lang)
+    * contingency table — "is language mix independent of source", the
+    * statistical gate behind stratification decisions. The full grid is
+    * materialized (absent cells contribute their expected mass, which a
+    * cells-only sum would silently drop) and every total is an integer
+    * count, so both engines agree exactly until the final χ² division.
+    * Scale shape: one corpus scan collapses to a (sources × langs)
+    * contingency grid; all arithmetic after that is grid-sized.
+    */
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("source").agg(sum("o").as("rt"))
+    val colT = cells.groupBy("lang").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum("o").cast("double").as("n"))
+    val dims = cells.agg(countDistinct("source").as("r"), countDistinct("lang").as("c"))
+    val grid = cells.select("source").distinct()
+      .crossJoin(cells.select("lang").distinct())
+    grid.join(cells, Seq("source", "lang"), "left")
+      .na.fill(0, Seq("o"))
+      .join(broadcast(rowT), "source")
+      .join(broadcast(colT), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n_cells"), col("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"))
+  }
+
+  private val chiSquareSql =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+      |), rt AS (SELECT source, sum(o) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT lang, sum(o) AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+      |dims AS (
+      |  SELECT count(DISTINCT source) AS r, count(DISTINCT lang) AS c FROM cells),
+      |grid AS (
+      |  SELECT s.source, l.lang
+      |  FROM (SELECT DISTINCT source FROM cells) s
+      |  CROSS JOIN (SELECT DISTINCT lang FROM cells) l),
+      |vals AS (
+      |  SELECT coalesce(cells.o, 0) AS o,
+      |    CAST(rt.rt AS DOUBLE) * ct.ct / tot.n AS e
+      |  FROM grid
+      |  LEFT JOIN cells ON grid.source = cells.source AND grid.lang = cells.lang
+      |  JOIN rt ON grid.source = rt.source
+      |  JOIN ct ON grid.lang = ct.lang
+      |  CROSS JOIN tot)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |  round(sum(pow(o - e, 2) / e), 4) AS chi2,
+      |  CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof
+      |FROM vals CROSS JOIN dims GROUP BY dims.r, dims.c""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("agg_event_entropy", eventEntropy, Some(eventEntropySql)),
     QueryDef("agg_gini_spend", giniSpend, Some(giniSpendSql)),
     QueryDef("agg_welch_ttest", welchTtest, Some(welchTtestSql)),

@@ -996,9 +996,51 @@ object CurationQueries extends QueryModule {
        |  round(avg(CASE WHEN u < p_keep THEN 1.0 ELSE 0.0 END), 4) AS actual_rate
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** First BPE merge step — the corpus-scale heart of tokenizer training:
+    * count adjacent character pairs within words, weighted by word
+    * frequency, and rank the top-20 merge candidates. The heavy lifting
+    * happens on the DISTINCT word table (vocabulary-sized, not
+    * corpus-sized): word counts aggregate first, then each distinct word
+    * explodes into its character bigrams once and carries its count —
+    * exactly how production BPE trainers amortize the pair scan. Ranking
+    * ties break lexicographically on the pair.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .filter(length(col("word")) >= 2)
+    val w = Window.orderBy(col("pair_count").desc, col("pair").asc)
+    words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("pair_count"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("pair"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  private val bpePairsSql =
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS wc FROM (
+       |    SELECT unnest($dToks) AS word FROM documents)
+       |  GROUP BY 1
+       |), pairs AS (
+       |  SELECT unnest(list_transform(range(1, length(word)),
+       |    i -> word[i:i+1])) AS pair, wc
+       |  FROM words WHERE length(word) >= 2
+       |), pc AS (
+       |  SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+       |  FROM pairs GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT) AS rank,
+       |  pair, pair_count
+       |FROM pc ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("curation_psi_drift", psiDrift, Some(psiDriftSql)),
+    QueryDef("curation_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("curation_importance_sample", importanceSample, Some(importanceSampleSql)),
     QueryDef("curation_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
     QueryDef("curation_builtin_mask", builtinMask, Some(builtinMaskSql)),
