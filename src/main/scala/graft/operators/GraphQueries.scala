@@ -329,7 +329,7 @@ object GraphQueries extends QueryModule {
     * swap would double ONE endpoint instead of adding both directions.
     */
   def kcore(s: SparkSession, dir: String): DataFrame = {
-    val e0 = edges(s, dir)
+    import s.implicits._
     def peel(e0p: DataFrame): DataFrame = {
       val e = e0p.select(col("u"), col("v"))
       val deg = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -339,14 +339,29 @@ object GraphQueries extends QueryModule {
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
     }
-    def summary(round: Int, e: DataFrame): DataFrame =
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(e.select(col("u")).union(e.select(col("v")))
-          .distinct().agg(count(lit(1)).as("n_nodes")))
-        .select(lit(round).as("peel_round"), col("n_nodes"), col("n_edges"))
-    val e1 = peel(e0); val e2 = peel(e1); val e3 = peel(e2)
-    summary(1, e1).union(summary(2, e2)).union(summary(3, e3))
-      .orderBy("peel_round")
+    // Each round caches ITS edge frame for the query's duration — without
+    // this, the three summary branches recompute the whole edges() lineage
+    // per branch (measured 16.8 s vs ~4 s at sf0.1). The result is nine
+    // longs, so eager materialization costs nothing and every cache is
+    // released before the frame is returned (the triangle-count treatment
+    // — no cache outlives the query).
+    val cached = scala.collection.mutable.Buffer[DataFrame]()
+    try {
+      val e0 = edges(s, dir).cache()
+      cached += e0
+      var cur = e0
+      val rows = (1 to 3).map { r =>
+        val nxt = peel(cur).cache()
+        cached += nxt
+        val nEdges = nxt.count()
+        val nNodes = nxt.select(col("u")).union(nxt.select(col("v")))
+          .distinct().count()
+        cur = nxt
+        (r, nNodes, nEdges)
+      }
+      rows.toDF("peel_round", "n_nodes", "n_edges")
+        .orderBy("peel_round")
+    } finally cached.foreach(_.unpersist(false))
   }
 
   private val kcoreSql =
