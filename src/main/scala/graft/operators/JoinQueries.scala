@@ -535,42 +535,60 @@ object JoinQueries extends QueryModule {
 
   /** Blocked fuzzy self-match (record linkage): candidate customer pairs
     * come ONLY from equi-joinable blocks — same nation, same name length,
-    * same hundreds digit — and the edit-distance verify (codegen'd
-    * `levenshtein`, no UDF) runs per candidate, never per pair of the
-    * corpus. Single-pass positional blocking: a pair is admitted iff it
-    * agrees on the block key, so recall is the block design's contract
-    * (production linkage runs the standard multi-pass rotation of block
-    * keys to cover the misses; each pass is this same keyed plan). The
-    * block key grows with the corpus like a hash bucket — fan-out per
-    * block is bounded, never corpus-quadratic.
+    * same hundreds digit — and WITHIN a block candidates are
+    * sorted-neighborhood (each record probes the next 8 ranks of the
+    * name-sorted order), so fan-out is LINEAR in block size: a block that
+    * grows 10× (e.g. the scale corpus replicates names verbatim) grows
+    * candidates 10×, not 100× — the in-block clique form is quadratic in
+    * duplicate density and dies at 100 TB. The edit-distance verify
+    * (codegen'd `levenshtein`, no UDF) runs per candidate; the rank probe
+    * is an equi join (the `dedup_sorted_neighborhood` shape). Recall is
+    * the block + window design's contract — production linkage rotates
+    * block keys across passes to cover the misses; each pass is this same
+    * keyed plan.
     */
   def fuzzyBlocked(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy(col("c_name"), col("c_custkey"))
+    val ranked = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .withColumn("blk", concat(col("c_nationkey").cast("string"), lit("|"),
         length(col("c_name")).cast("string"), lit("|"),
         substring(col("c_name"), 16, 1)))
-    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
-      col("c_nationkey").as("nation"), col("blk"))
-    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
-      col("blk").as("blk_b"))
-    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+      .withColumn("rn", row_number().over(w))
+    val probes = ranked.select(col("blk"), col("c_custkey").as("key_a"),
+        col("c_name").as("name_a"), col("c_nationkey").as("nation"),
+        explode(expr("sequence(rn + 1, rn + 8)")).as("rn_b"))
+    probes.join(ranked.select(col("blk"), col("rn").as("rn_b"),
+        col("c_custkey").as("key_b"), col("c_name").as("name_b")),
+        Seq("blk", "rn_b"))
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
       .filter(col("lev") <= 2)
-      .select(col("nation"), col("id_a"), col("id_b"), col("lev"))
+      .select(col("nation"),
+        least(col("key_a"), col("key_b")).as("id_a"),
+        greatest(col("key_a"), col("key_b")).as("id_b"), col("lev"))
       .orderBy("id_a", "id_b")
   }
 
   private val fuzzyBlockedSql =
-    """WITH c AS (
+    """WITH ranked AS (
       |  SELECT c_custkey, c_name, c_nationkey,
       |    CAST(c_nationkey AS VARCHAR) || '|' || CAST(length(c_name) AS VARCHAR)
-      |      || '|' || substr(c_name, 16, 1) AS blk
-      |  FROM customer)
-      |SELECT a.c_nationkey AS nation, a.c_custkey AS id_a, b.c_custkey AS id_b,
-      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
-      |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |      || '|' || substr(c_name, 16, 1) AS blk,
+      |    row_number() OVER (PARTITION BY CAST(c_nationkey AS VARCHAR) || '|'
+      |      || CAST(length(c_name) AS VARCHAR) || '|' || substr(c_name, 16, 1)
+      |      ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer
+      |), probes AS (
+      |  SELECT blk, c_custkey AS key_a, c_name AS name_a,
+      |    c_nationkey AS nation, unnest(range(rn + 1, rn + 9)) AS rn_b
+      |  FROM ranked)
+      |SELECT p.nation,
+      |  least(p.key_a, r.c_custkey) AS id_a,
+      |  greatest(p.key_a, r.c_custkey) AS id_b,
+      |  CAST(levenshtein(p.name_a, r.c_name) AS INT) AS lev
+      |FROM probes p JOIN ranked r ON p.blk = r.blk AND p.rn_b = r.rn
+      |WHERE levenshtein(p.name_a, r.c_name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
