@@ -335,6 +335,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("fuzzy join probes ranks via an equi join, never an in-block clique") {
+    // candidates must come from the (blk, rank) equi probe — a clique
+    // self-join on blk alone is quadratic in duplicate density (the
+    // scale corpus replicates names verbatim, so it would be 100× at 10×)
+    val p = plan("join_fuzzy_blocked")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("rolling corr: the global-order window runs over the daily aggregate") {
     // the unpartitioned window is safe ONLY because the event log
     // collapses to a days-bounded frame first — the Window node must sit
