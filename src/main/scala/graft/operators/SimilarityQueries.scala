@@ -180,6 +180,70 @@ object SimilarityQueries extends QueryModule {
        |FROM votes WHERE vr = 1 ORDER BY q_id""".stripMargin
   }
 
+  /** Matryoshka-prefix evaluation: how much of the full-dimension top-5
+    * does a 16-dim PREFIX of each embedding recover? Nested-dimension
+    * (MRL-style) embeddings are the standard serving trick — retrieve on
+    * a cheap prefix, rerank on the full vector — and this measures the
+    * prefix's recall@5 against full-dimension ground truth per query.
+    * Both arms are the proven broadcast-queries × streamed-corpus plan;
+    * the recall join is (query, candidate)-keyed over two top-5 lists.
+    */
+  def matryoshkaPrefix(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    def topk(scoreCol: String => org.apache.spark.sql.Column) = {
+      val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("c_id"))
+      cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos_r", scoreCol("cos_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("q_id", "c_id")
+    }
+    val full = topk(_ => round(expr("cosine_sim(q_emb, c_emb)"), 6))
+    val prefix = topk(_ => round(expr(
+      "cosine_sim(slice(q_emb, 1, 16), slice(c_emb, 1, 16))"), 6))
+    full.join(prefix.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).as("recovered"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+          .as("prefix_recall"))
+      .orderBy("q_id")
+  }
+
+  private val matryoshkaPrefixSql = {
+    val cosFull = cosineSqlDuck.replace("QA", "q.q_emb").replace("QB", "c.c_emb")
+    val cosPre = cosineSqlDuck.replace("QA", "q.q_emb[1:16]").replace("QB", "c.c_emb[1:16]")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+       |), c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |), full5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round($cosFull, 6) DESC, c.c_id ASC) AS rn
+       |    FROM q JOIN c ON q.q_id <> c.c_id)
+       |  WHERE rn <= 5
+       |), pre5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round($cosPre, 6) DESC, c.c_id ASC) AS rn
+       |    FROM q JOIN c ON q.q_id <> c.c_id)
+       |  WHERE rn <= 5)
+       |SELECT f.q_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS recovered,
+       |  round(CAST(sum(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS prefix_recall
+       |FROM full5 f LEFT JOIN pre5 p ON f.q_id = p.q_id AND f.c_id = p.c_id
+       |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
+  }
+
   /** IVF-style ANN: coarse centroids per label (computed with the
     * VectorCentroid typed Aggregator), each query probes only its nearest
     * list. Returns top-3 within the probed list.
@@ -757,6 +821,7 @@ object SimilarityQueries extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_knn_classify", knnClassify, Some(knnClassifySql)),
+    QueryDef("sim_matryoshka_prefix", matryoshkaPrefix, Some(matryoshkaPrefixSql)),
     QueryDef("sim_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("sim_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
