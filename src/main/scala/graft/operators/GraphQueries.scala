@@ -330,33 +330,50 @@ object GraphQueries extends QueryModule {
     */
   def kcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def peel(e0p: DataFrame): DataFrame = {
+    // The re-select before the swapped union is load-bearing: semi joins
+    // reorder columns, and UNION is positional — uniting (v, u)-ordered
+    // output with a by-name swap would double ONE endpoint instead of
+    // adding both directions.
+    def degrees(e0p: DataFrame): DataFrame = {
       val e = e0p.select(col("u"), col("v"))
-      val deg = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
         .groupBy("u").agg(count(lit(1)).as("d"))
+    }
+    def prune(e0p: DataFrame, deg: DataFrame): DataFrame = {
       val keep = deg.filter(col("d") >= 40).select(col("u").as("node"))
-      e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+      e0p.select(col("u"), col("v"))
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
     }
-    // Each round caches ITS edge frame for the query's duration — without
-    // this, the three summary branches recompute the whole edges() lineage
-    // per branch (measured 16.8 s vs ~4 s at sf0.1). The result is nine
-    // longs, so eager materialization costs nothing and every cache is
-    // released before the frame is returned (the triangle-count treatment
-    // — no cache outlives the query).
+    // Iterative-plan hygiene: each round's surviving edge set is
+    // localCheckpoint'ed (eager), which TRUNCATES the lineage — with
+    // cache() alone the logical tree embeds every prior round ~18× over
+    // (InMemoryRelation keeps its child plan) and OPTIMIZER time grows
+    // exponentially: measured depth 93 → 1 677 → 30 189 nodes and 10 s of
+    // pure planning by round 3; checkpointed, every round is a flat
+    // 24-node plan at constant cost. The degree table is cached and
+    // consumed twice (this round's node count + the next round's peel
+    // decision); the result is nine longs, so the counts materialize
+    // eagerly, caches release before the frame returns, and the ~30 MB of
+    // checkpoint blocks are reclaimed by the ContextCleaner when the
+    // frames go out of scope — the same bounded-iteration treatment
+    // GraphX/ML pipelines give Pregel loops.
     val cached = scala.collection.mutable.Buffer[DataFrame]()
     try {
       val e0 = edges(s, dir).cache()
       cached += e0
+      var deg = degrees(e0).cache()
+      cached += deg
       var cur = e0
       val rows = (1 to 3).map { r =>
-        val nxt = peel(cur).cache()
-        cached += nxt
+        val nxt = prune(cur, deg).localCheckpoint(true)
         val nEdges = nxt.count()
-        val nNodes = nxt.select(col("u")).union(nxt.select(col("v")))
-          .distinct().count()
+        val degN = degrees(nxt).cache()
+        cached += degN
+        val nNodes = degN.count()
         cur = nxt
+        deg = degN
         (r, nNodes, nEdges)
       }
       rows.toDF("peel_round", "n_nodes", "n_edges")
