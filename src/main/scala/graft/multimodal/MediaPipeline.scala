@@ -386,14 +386,18 @@ object MediaPipeline extends QueryModule {
     * decoded (REAL PNG codec, executor-side), reduced to the 64-bit
     * average hash (bit i set iff pixel i is strictly above the image
     * mean — the integer form pixel·64 > total avoids float thresholds),
-    * and near-identical pairs are found by Hamming distance ≤ 4 via
-    * 16-bit banded blocking (a ≤ 3-distance pair must agree on ≥ 1 of
-    * the 4 bands by pigeonhole), with candidates generated as STAR edges
-    * to each bucket's min-id representative — the MinHash family's
-    * treatment — so fan-out is LINEAR in bucket size even when a
-    * duplicate cluster grows with the corpus (the clique form is
-    * quadratic and dies at 100 TB). Only (doc_id, h0, h1) ever shuffles
-    * — 3 longs per image, never pixels or payloads.
+    * and near-identical pairs are found by Hamming distance ≤ 3 via
+    * 16-bit banded blocking — with 4 bands the pigeonhole guarantee is
+    * COMPLETE exactly up to distance 3 (a ≤ 3-distance pair must agree
+    * on ≥ 1 band; at distance 4 one flipped bit per band can evade every
+    * bucket, so advertising ≤ 4 would overstate recall). Candidates are
+    * STAR edges to each bucket's min-id representative — the MinHash
+    * family's treatment — so fan-out is LINEAR in bucket size even when
+    * a duplicate cluster grows with the corpus (the clique form is
+    * quadratic and dies at 100 TB). The representative's hash rides the
+    * same window that picks it (first_value over the bucket), so the
+    * decode scan runs ONCE and only (doc_id, h0, h1) ever shuffles —
+    * 3 longs per image, never pixels or payloads.
     */
   def imagePhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -424,19 +428,20 @@ object MediaPipeline extends QueryModule {
       .select(col("doc_id"), col("h0"), col("h1"),
         col("b.band").as("band"), col("b.key").as("key"))
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-    val star = banded
-      .withColumn("rep", min("doc_id").over(wB))
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    banded
+      .withColumn("rep", first("doc_id").over(wB))
+      .withColumn("h0a", first("h0").over(wB))
+      .withColumn("h1a", first("h1").over(wB))
       .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        col("h0a"), col("h1a"), col("h0").as("h0b"), col("h1").as("h1b"))
       .distinct()
-    star
-      .join(hashes.select(col("doc_id").as("doc_a"),
-        col("h0").as("h0a"), col("h1").as("h1a")), "doc_a")
-      .join(hashes.select(col("doc_id").as("doc_b"),
-        col("h0").as("h0b"), col("h1").as("h1b")), "doc_b")
       .withColumn("hamming",
         expr("CAST(bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b) AS INT)"))
-      .filter(col("hamming") <= 4)
+      .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
@@ -463,14 +468,20 @@ object MediaPipeline extends QueryModule {
       |                WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS key
       |  FROM hs, (SELECT unnest(range(0, 4)) AS band) b
       |), star AS (
-      |  SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM (
-      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, key) AS rep
-      |    FROM banded)
+      |  SELECT DISTINCT rep AS doc_a, doc_id AS doc_b,
+      |    h0a, h1a, h0 AS h0b, h1 AS h1b FROM (
+      |    SELECT doc_id, h0, h1,
+      |      first_value(doc_id) OVER w AS rep,
+      |      first_value(h0) OVER w AS h0a,
+      |      first_value(h1) OVER w AS h1a
+      |    FROM banded
+      |    WINDOW w AS (PARTITION BY band, key ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |  WHERE doc_id <> rep)
       |SELECT doc_a, doc_b,
-      |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
-      |FROM star JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
-      |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 4
+      |  CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS INT) AS hamming
+      |FROM star
+      |WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

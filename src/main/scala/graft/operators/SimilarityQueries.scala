@@ -60,9 +60,12 @@ object SimilarityQueries extends QueryModule {
     * TakeOrdered) and takes each query's 5th-best dot as a lower bound L;
     * phase 2 scans all candidates but skips every (q, c) with
     * ‖q‖·‖c‖ < L − ε, which is EXACT by Cauchy–Schwarz (dot ≤ ‖q‖‖c‖, so
-    * nothing beating L is skipped; the ε slack keeps near-boundary
-    * candidates on both engines despite float-association differences in
-    * the norms). At 100 TB the bound-check is a codegen'd double compare
+    * nothing beating L is skipped). ε = 2·10⁻⁴ covers BOTH noise sources
+    * at the boundary: the final ranking is on round(dot, 4) with an id
+    * tie-break, so a candidate with dot as low as L − 10⁻⁴ can still tie
+    * the 5th rounded score and win on id — the slack keeps every such
+    * candidate, plus float-association differences in the norms, on both
+    * engines. At 100 TB the bound-check is a codegen'd double compare
     * that rejects most of the scan before any 64-float dot runs, and the
     * high-norm seed set is the only extra state — 32 rows, broadcast.
     */
@@ -85,7 +88,7 @@ object SimilarityQueries extends QueryModule {
     val w = Window.partitionBy("q_id").orderBy(desc("dot_r"), asc("c_id"))
     cand.join(broadcast(q.join(bounds, "q_id")),
         col("q_id") =!= col("c_id")
-          && col("q_norm") * col("c_norm") >= col("lb") - 1e-6)
+          && col("q_norm") * col("c_norm") >= col("lb") - 2e-4)
       .withColumn("dot_r", round(expr("dot_product(q_emb, c_emb)"), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -120,7 +123,7 @@ object SimilarityQueries extends QueryModule {
        |    SELECT q.q_id, c.vec_id AS c_id,
        |      round(${dot("q.q_emb", "c.embedding")}, 4) AS dot_r
        |    FROM e c JOIN q ON q.q_id <> c.vec_id
-       |    JOIN sb ON sb.q_id = q.q_id AND q.q_norm * c.norm >= sb.lb - 1e-6))
+       |    JOIN sb ON sb.q_id = q.q_id AND q.q_norm * c.norm >= sb.lb - 2e-4))
        |SELECT q_id, c_id, dot_r AS dot, CAST(rn AS INT) AS rn
        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
@@ -194,16 +197,16 @@ object SimilarityQueries extends QueryModule {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    def topk(scoreCol: String => org.apache.spark.sql.Column) = {
+    def topk(score: org.apache.spark.sql.Column) = {
       val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("c_id"))
       cand.join(broadcast(q), col("q_id") =!= col("c_id"))
-        .withColumn("cos_r", scoreCol("cos_r"))
+        .withColumn("cos_r", score)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select("q_id", "c_id")
     }
-    val full = topk(_ => round(expr("cosine_sim(q_emb, c_emb)"), 6))
-    val prefix = topk(_ => round(expr(
+    val full = topk(round(expr("cosine_sim(q_emb, c_emb)"), 6))
+    val prefix = topk(round(expr(
       "cosine_sim(slice(q_emb, 1, 16), slice(c_emb, 1, 16))"), 6))
     full.join(prefix.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
