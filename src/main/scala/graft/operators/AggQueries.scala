@@ -918,7 +918,67 @@ object AggQueries extends QueryModule {
       |  CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof
       |FROM vals CROSS JOIN dims GROUP BY dims.r, dims.c""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic: D = max |F₁(x) − F₂(x)|
+    * between the purchase and click value distributions, with the α=0.05
+    * decision at the asymptotic critical value 1.358·√((n₁+n₂)/(n₁n₂)).
+    * The ECDFs come from exact integer running counts over the DISTINCT
+    * values (ties collapse first, so the ECDF is evaluated after each
+    * jump — the correct tie handling), and every division is a single
+    * exact-int quotient, so both engines agree bit-for-bit before the one
+    * rounding. Scale shape: the event log collapses to a distinct-value
+    * frame before the global-order window; at 100 TB the values would be
+    * pre-quantized to a fixed grid (bounding D's error by the grid width)
+    * — the standard streaming-KS treatment — with the identical plan.
+    */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+    val vals = ev.groupBy("value").agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+    val tot = ev.agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    vals
+      .withColumn("r1", sum("c1").over(w))
+      .withColumn("r2", sum("c2").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", abs(col("r1").cast("double") / col("n1")
+        - col("r2").cast("double") / col("n2")))
+      .agg(max("n1").as("n1"), max("n2").as("n2"), round(max("d"), 4).as("ks_d"))
+      .withColumn("reject_05", col("ks_d") > lit(1.358)
+        * sqrt((col("n1") + col("n2")).cast("double") / (col("n1") * col("n2"))))
+  }
+
+  private val ksTestSql =
+    """WITH ev AS (
+      |  SELECT value, event_type FROM events
+      |  WHERE event_type IN ('purchase', 'click')
+      |), vals AS (
+      |  SELECT value,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+      |  FROM ev GROUP BY value
+      |), tot AS (
+      |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM ev
+      |), ecdf AS (
+      |  SELECT
+      |    sum(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+      |    sum(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+      |  FROM vals
+      |), agg AS (
+      |  SELECT max(n1) AS n1, max(n2) AS n2,
+      |    round(max(abs(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)), 4) AS ks_d
+      |  FROM ecdf CROSS JOIN tot)
+      |SELECT n1, n2, ks_d,
+      |  ks_d > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
+      |FROM agg""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_ks_test", ksTest, Some(ksTestSql)),
     QueryDef("agg_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("agg_event_entropy", eventEntropy, Some(eventEntropySql)),
     QueryDef("agg_gini_spend", giniSpend, Some(giniSpendSql)),

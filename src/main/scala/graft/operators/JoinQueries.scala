@@ -533,6 +533,44 @@ object JoinQueries extends QueryModule {
       |FROM o JOIN c ON bucket_o IS NOT DISTINCT FROM bucket_c
       |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
+  /** As-of join with a match tolerance — the fourth standard as-of
+    * direction (backward/forward/nearest exist above): the backward match
+    * only counts when it falls within 30 days of the probe, otherwise the
+    * row keeps a NULL (pandas `merge_asof(tolerance=...)` semantics; the
+    * guard every feature-freshness join needs so a stale dimension row is
+    * not silently used). Same scale shape as the rest of the family:
+    * grouped sorted-date dim + per-row array scan, non-expanding probe.
+    */
+  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val od = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderdate"))).as("dates"))
+    e.join(od, col("user_id") === col("o_custkey"), "left")
+      .withColumn("bwd", expr("array_max(filter(dates, d -> d <= ts))"))
+      .withColumn("asof_30d", expr(
+        """CASE WHEN bwd IS NOT NULL AND unix_micros(ts)
+          |  - unix_micros(CAST(bwd AS TIMESTAMP)) <= 2592000000000
+          |THEN bwd END""".stripMargin))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("bwd"), "yyyy-MM-dd").as("last_order_date"),
+        date_format(col("asof_30d"), "yyyy-MM-dd").as("asof_within_30d"))
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceSql =
+    """WITH agg AS (
+      |  SELECT event_id, user_id, ts,
+      |    max(CASE WHEN o_orderdate <= ts THEN o_orderdate END) AS bwd
+      |  FROM events LEFT JOIN orders ON user_id = o_custkey
+      |  GROUP BY event_id, user_id, ts)
+      |SELECT event_id, user_id,
+      |  strftime(bwd, '%Y-%m-%d') AS last_order_date,
+      |  strftime(CASE WHEN bwd IS NOT NULL AND epoch_us(ts)
+      |      - epoch_us(CAST(bwd AS TIMESTAMP)) <= 2592000000000
+      |    THEN bwd END, '%Y-%m-%d') AS asof_within_30d
+      |FROM agg ORDER BY event_id""".stripMargin
+
   /** Blocked fuzzy self-match (record linkage): candidate customer pairs
     * come ONLY from equi-joinable blocks — same nation, same name length,
     * same hundreds digit — and WITHIN a block candidates are
@@ -611,6 +649,7 @@ object JoinQueries extends QueryModule {
     QueryDef("join_asof_last_order", asofLastOrder, Some(asofLastOrderSql)),
     QueryDef("join_asof_nearest", asofNearestOrder, Some(asofNearestOrderSql)),
     QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql)),
-    QueryDef("join_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql))
+    QueryDef("join_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql)),
+    QueryDef("join_asof_tolerance", asofTolerance, Some(asofToleranceSql))
   )
 }
