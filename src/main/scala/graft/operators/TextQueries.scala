@@ -444,6 +444,44 @@ object TextQueries extends QueryModule {
        |  round(ln(CAST(max(freq) AS DOUBLE)), 4) AS ln_top_freq
        |FROM top""".stripMargin
 
+  /** Moving-average type-token ratio (MATTR, Covington & McFall 2010):
+    * TTR over every 50-token sliding window, averaged — the
+    * length-invariant lexical-diversity signal (plain TTR shrinks with
+    * document length, so it can't be compared across lengths; MATTR
+    * can). Documents shorter than the window fall back to plain TTR.
+    * Pure per-row HOF arithmetic — window count × window size is bounded
+    * by document length, no corpus state, embarrassingly parallel.
+    */
+  def mattr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .withColumn("n", size(col("tk")))
+      .withColumn("mattrs", expr(
+        """CASE WHEN n <= 50 THEN array(size(array_distinct(tk)) / CAST(n AS DOUBLE))
+          |ELSE transform(sequence(1, n - 49),
+          |  i -> size(array_distinct(slice(tk, i, 50))) / 50.0) END""".stripMargin))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("round(aggregate(mattrs, 0D, (a, x) -> a + x) / size(mattrs), 4)")
+          .as("mattr"),
+        expr("round(size(array_distinct(tk)) / CAST(n AS DOUBLE), 4)").as("ttr"))
+      .filter(col("n_tokens") >= 1)
+      .orderBy("doc_id")
+
+  private val mattrSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, $dToks AS tk, len($dToks) AS n FROM documents
+       |), m AS (
+       |  SELECT doc_id, n,
+       |    CASE WHEN n <= 50 THEN [len(list_distinct(tk)) / CAST(n AS DOUBLE)]
+       |    ELSE list_transform(range(1, n - 48),
+       |      i -> len(list_distinct(tk[i:i+49])) / 50.0) END AS mattrs,
+       |    len(list_distinct(tk)) / CAST(n AS DOUBLE) AS ttr
+       |  FROM d WHERE n >= 1)
+       |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       |  round(list_sum(mattrs) / len(mattrs), 4) AS mattr,
+       |  round(ttr, 4) AS ttr
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** Token-length histogram per language: fixed 16-token-wide buckets via
     * integer division (exactly portable, unlike float log-buckets), with
     * per-bucket doc counts and char volume — the corpus-shape profile that
@@ -750,6 +788,7 @@ object TextQueries extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_readability", readability, Some(readabilitySql)),
     QueryDef("text_kl_divergence", klDivergence, Some(klDivergenceSql)),
+    QueryDef("text_mattr", mattr, Some(mattrSql)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("text_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
