@@ -977,7 +977,82 @@ object AggQueries extends QueryModule {
       |  ks_d > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject_05
       |FROM agg""".stripMargin
 
+  /** Mann–Whitney U (Wilcoxon rank-sum): are purchase values
+    * stochastically larger than click values? U₁ = R₁ − n₁(n₁+1)/2 from
+    * AVERAGE ranks over the pooled sample — computed tie-correctly from
+    * the collapsed distinct-value frame: a value run spanning ranks
+    * [r+1, r+c] contributes average rank r + (c+1)/2 to each member, so
+    * every quantity is an exact rational with denominator 2 and both
+    * engines agree bit-for-bit. The z approximation uses the tie-corrected
+    * variance. Completes the nonparametric family next to Welch (means)
+    * and KS (distributions). Same scale shape as the KS test: collapse to
+    * distinct values first, one global window over that bounded frame.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+    val vals = ev.groupBy("value").agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+      count(lit(1)).as("c"))
+    val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = ev.agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+    vals
+      .withColumn("r_before", coalesce(sum("c").over(w), lit(0L)))
+      // average rank of this value's run × its sample-1 members; kept as
+      // 2×rank integers so the fold is exact
+      .withColumn("two_r1", col("c1") * (lit(2) * col("r_before") + col("c") + 1))
+      .crossJoin(broadcast(tot))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        (sum("two_r1") / 2.0).as("r1"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("tie_term"))
+      .withColumn("u1", col("r1") - col("n1") * (col("n1") + 1) / 2.0)
+      .withColumn("mu", col("n1") * col("n2") / 2.0)
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("sigma", sqrt(
+        (col("n1") * col("n2")).cast("double") / 12.0
+          * ((col("n") + 1).cast("double")
+            - col("tie_term").cast("double") / (col("n") * (col("n") - 1)))))
+      .select(col("n1"), col("n2"), round(col("u1"), 1).as("u1"),
+        round((col("u1") - col("mu")) / col("sigma"), 4).as("z"))
+  }
+
+  private val mannWhitneySql =
+    """WITH ev AS (
+      |  SELECT value, event_type FROM events
+      |  WHERE event_type IN ('purchase', 'click')
+      |), vals AS (
+      |  SELECT value,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+      |    count(*) AS c
+      |  FROM ev GROUP BY value
+      |), tot AS (
+      |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM ev
+      |), ranked AS (
+      |  SELECT c1, c,
+      |    coalesce(sum(c) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_before
+      |  FROM vals
+      |), agg AS (
+      |  SELECT max(n1) AS n1, max(n2) AS n2,
+      |    sum(c1 * (2 * r_before + c + 1)) / 2.0 AS r1,
+      |    sum(c * c * c - c) AS tie_term
+      |  FROM ranked CROSS JOIN tot
+      |), st AS (
+      |  SELECT n1, n2, r1 - n1 * (n1 + 1) / 2.0 AS u1,
+      |    n1 * n2 / 2.0 AS mu, n1 + n2 AS n, tie_term
+      |  FROM agg)
+      |SELECT n1, n2, round(u1, 1) AS u1,
+      |  round((u1 - mu) / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+      |    * (CAST(n + 1 AS DOUBLE)
+      |      - CAST(tie_term AS DOUBLE) / (n * (n - 1)))), 4) AS z
+      |FROM st""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_mann_whitney", mannWhitney, Some(mannWhitneySql)),
     QueryDef("agg_ks_test", ksTest, Some(ksTestSql)),
     QueryDef("agg_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("agg_event_entropy", eventEntropy, Some(eventEntropySql)),

@@ -1037,7 +1037,56 @@ object CurationQueries extends QueryModule {
        |  pair, pair_count
        |FROM pc ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  /** Quality-signal calibration (reliability diagram): decile-bucket a
+    * cheap quality proxy (type-token ratio) and report each decile's
+    * exact-duplicate rate — the check that a filter score actually
+    * correlates with the outcome it gates before it is trusted in a
+    * curation pipeline. The decile cut is ntile over a TOTAL order
+    * (score, doc_id), deterministic under score ties; at scale that is
+    * Spark's range-partitioned global sort — the one global sort this
+    * operator is fundamentally about. Duplicate membership reuses the
+    * exact-dedup content hash.
+    */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 1)
+      .withColumn("score", expr(
+        "round(size(array_distinct(tk)) / CAST(size(tk) AS DOUBLE), 6)"))
+      .withColumn("content_hash", sha2(
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"), 256))
+    val dup = d.withColumn("n_copies",
+      count(lit(1)).over(Window.partitionBy("content_hash")))
+    val w = Window.orderBy(col("score"), col("doc_id"))
+    dup.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("score"), 4).as("avg_score"),
+        round(avg(when(col("n_copies") > 1, 1.0).otherwise(0.0)), 4).as("dup_rate"))
+      .orderBy("decile")
+  }
+
+  private val qualityCalibrationSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    round(len(list_distinct($dToks)) / CAST(len($dToks) AS DOUBLE), 6) AS score,
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+       |  FROM documents WHERE len($dToks) >= 1
+       |), dup AS (
+       |  SELECT doc_id, score,
+       |    count(*) OVER (PARTITION BY content_hash) AS n_copies
+       |  FROM d
+       |), cut AS (
+       |  SELECT score, n_copies,
+       |    ntile(10) OVER (ORDER BY score, doc_id) AS decile
+       |  FROM dup)
+       |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(avg(score), 4) AS avg_score,
+       |  round(avg(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_rate
+       |FROM cut GROUP BY decile ORDER BY decile""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
     QueryDef("curation_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("curation_psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("curation_bpe_pairs", bpePairs, Some(bpePairsSql)),
