@@ -533,6 +533,36 @@ object JoinQueries extends QueryModule {
       |FROM o JOIN c ON bucket_o IS NOT DISTINCT FROM bucket_c
       |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
+  /** Time-bounded sequential-pattern mining: support counts of "A then B
+    * within one hour" over per-user event streams — the 2-sequence case
+    * of classic sequence mining, and unlike the Markov matrix it counts
+    * ALL in-window successors, not just the adjacent one. The pair
+    * source is a user-keyed self-join with the hour band as residual
+    * condition, so fan-out is bounded by per-user-per-hour activity;
+    * strict ts ordering makes same-microsecond pairs excluded on both
+    * engines rather than order-ambiguous.
+    */
+  def eventSequences(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val b = e.select(col("user_id").as("user_b"),
+      col("event_type").as("type_b"), col("ts").as("ts_b"))
+    e.join(b, col("user_id") === col("user_b")
+        && col("ts_b") > col("ts")
+        && col("ts_b") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("support"), countDistinct("user_id").as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val eventSequencesSql =
+    """SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  CAST(count(*) AS BIGINT) AS support,
+      |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+
   /** As-of join with a match tolerance — the fourth standard as-of
     * direction (backward/forward/nearest exist above): the backward match
     * only counts when it falls within 30 days of the probe, otherwise the
@@ -650,6 +680,7 @@ object JoinQueries extends QueryModule {
     QueryDef("join_asof_nearest", asofNearestOrder, Some(asofNearestOrderSql)),
     QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql)),
     QueryDef("join_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql)),
-    QueryDef("join_asof_tolerance", asofTolerance, Some(asofToleranceSql))
+    QueryDef("join_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
+    QueryDef("join_event_sequences", eventSequences, Some(eventSequencesSql))
   )
 }

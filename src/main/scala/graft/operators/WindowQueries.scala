@@ -710,7 +710,52 @@ object WindowQueries extends QueryModule {
       |  CASE WHEN den = 0 THEN NULL ELSE round(num / den, 4) END AS corr7
       |FROM v ORDER BY day""".stripMargin
 
+  /** Period-over-period report: weekly order revenue with the prior
+    * week's value, absolute and percent change, and a direction flag —
+    * the standard WoW reporting block. The event log collapses to a
+    * weeks-bounded frame FIRST; the lag is one window over that tiny
+    * frame (the same aggregate-first discipline as the rolling
+    * correlation). Weeks are keyed by ISO year+week, ordered by the
+    * week's min date so year boundaries sort correctly.
+    */
+  def periodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(s, dir)
+      .groupBy(expr("CAST(extract(YEAROFWEEK FROM o_orderdate) AS INT)").as("iso_year"),
+        expr("CAST(extract(WEEK FROM o_orderdate) AS INT)").as("iso_week"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("iso_year", "iso_week")
+    weekly
+      .withColumn("prev_revenue", lag("revenue", 1).over(w))
+      .withColumn("wow_change",
+        when(col("prev_revenue").isNotNull,
+          round(col("revenue") - col("prev_revenue"), 2)))
+      .withColumn("wow_pct",
+        when(col("prev_revenue").isNotNull,
+          round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100, 2)))
+      .orderBy("iso_year", "iso_week")
+  }
+
+  private val periodOverPeriodSql =
+    """WITH weekly AS (
+      |  SELECT CAST(extract(ISOYEAR FROM o_orderdate) AS INT) AS iso_year,
+      |    CAST(extract(WEEK FROM o_orderdate) AS INT) AS iso_week,
+      |    round(sum(o_totalprice), 2) AS revenue,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT iso_year, iso_week, revenue, n_orders,
+      |  lag(revenue) OVER w AS prev_revenue,
+      |  CASE WHEN lag(revenue) OVER w IS NOT NULL
+      |    THEN round(revenue - lag(revenue) OVER w, 2) END AS wow_change,
+      |  CASE WHEN lag(revenue) OVER w IS NOT NULL
+      |    THEN round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100, 2)
+      |  END AS wow_pct
+      |FROM weekly
+      |WINDOW w AS (ORDER BY iso_year, iso_week)
+      |ORDER BY iso_year, iso_week""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_period_over_period", periodOverPeriod, Some(periodOverPeriodSql)),
     QueryDef("win_rolling_corr", rollingCorr, Some(rollingCorrSql)),
     QueryDef("win_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
     QueryDef("win_attribution", attribution, Some(attributionSql)),
