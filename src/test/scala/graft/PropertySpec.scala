@@ -741,6 +741,44 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("rank-test invariants: D in [0,1], U within range, calibration partitions") {
+    // KS: D is a difference of two ECDFs, so 0 <= D <= 1
+    val ks = SparkEntry.queries("agg_ks_test")(spark, Sf).collect()(0)
+    val d = ks.getDouble(2)
+    assert(d >= 0.0 && d <= 1.0, s"KS D = $d outside [0, 1]")
+    // Mann-Whitney: 0 <= U1 <= n1*n2 (exact bounds of the U statistic)
+    val mw = SparkEntry.queries("agg_mann_whitney")(spark, Sf).collect()(0)
+    val (n1, n2, u1) = (mw.getLong(0), mw.getLong(1), mw.getDouble(2))
+    assert(u1 >= 0.0 && u1 <= (n1 * n2).toDouble, s"U1 = $u1 outside [0, ${n1 * n2}]")
+    // calibration: the deciles PARTITION the scored corpus with near-equal
+    // sizes (ntile guarantees max-min <= 1)
+    val cal = SparkEntry.queries("curation_quality_calibration")(spark, Sf).collect()
+    assert(cal.map(_.getInt(0)).toSet == (1 to 10).toSet)
+    val sizes = cal.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"ntile sizes unbalanced: ${sizes.toSeq}")
+    val scored = Tables.documents(spark, Sf)
+      .filter(size(expr("array_remove(split(text, ' ', -1), '')")) >= 1).count()
+    assert(sizes.sum == scored, s"deciles don't partition: ${sizes.sum} != $scored")
+  }
+
+  test("sequence/report invariants: WoW arithmetic holds, support bounds users") {
+    // period-over-period: change column must equal the revenue difference
+    val pop = SparkEntry.queries("win_period_over_period")(spark, Sf).collect()
+    pop.filter(r => !r.isNullAt(4)).foreach { r =>
+      val (rev, prev, chg) = (r.getDouble(2), r.getDouble(4), r.getDouble(5))
+      assert(math.abs((rev - prev) - chg) < 0.011, s"WoW change mismatch: $r")
+    }
+    // event sequences: support >= distinct users emitting the pair, and the
+    // adjacent-only Markov transition count is bounded by the in-window
+    // support for every (a, b) that Markov observed inside the hour
+    val seq = SparkEntry.queries("join_event_sequences")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    seq.values.foreach { case (support, users) =>
+      assert(support >= users, s"support $support < users $users")
+    }
+    assert(seq.nonEmpty && seq.values.map(_._1).sum > 0)
+  }
+
   test("divergence invariants: KL and PSI nonnegative, Gini within [0, 1)") {
     // Gibbs' inequality bounds KL >= 0 and PSI's symmetrized form >= 0;
     // the 4-decimal rounding can dip an exact 0 to at most -5e-5
