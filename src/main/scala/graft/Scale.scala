@@ -63,6 +63,42 @@ object ScaleGen {
     }
   }
 
+  /** The amplified corpus with a deliberately HOT key: after the normal
+    * reps× amplification, ~10% of all orders are reassigned to one real
+    * customer and ~10% of all events to the same id as user — the "one
+    * bot / load-test artifact owns a tenth of the log" shape that breaks
+    * plans whose per-key work is quadratic (or whose per-probe cost is
+    * linear in per-key dim size). Everything else is identical to
+    * [[generate]], so a query's skew factor isolates key-distribution
+    * sensitivity, not data volume.
+    */
+  def generateSkewed(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+    generate(spark, src, out, reps)
+    val hot = spark.read.parquet(s"$out/customer.parquet")
+      .agg(min(col("c_custkey")).cast("long")).collect()(0).getLong(0)
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    o.withColumn("o_custkey",
+        when(col("o_orderkey") % 10 === 0, lit(hot)).otherwise(col("o_custkey")))
+      .write.mode("overwrite").parquet(s"$out/orders_skew.parquet")
+    spark.read.parquet(s"$out/events.parquet")
+      .withColumn("user_id",
+        when(col("event_id") % 10 === 0, lit(hot)).otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$out/events_skew.parquet")
+    // swap into place (parquet dirs): the skewed corpus REPLACES orders/
+    // events in its own directory tree, so Tables reads it transparently
+    for (t <- Seq("orders", "events")) {
+      val dir = java.nio.file.Paths.get(out, s"$t.parquet")
+      val skew = java.nio.file.Paths.get(out, s"${t}_skew.parquet")
+      def rm(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rm(dir)
+      java.nio.file.Files.move(skew, dir)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/scale10"
@@ -162,27 +198,65 @@ object BenchScale {
       println(f"[benchscale] ${d.name}%-28s base ${b}%6.2f s   x$reps ${sc}%6.2f s   factor ${factor}%5.2f")
       (d.name, b, sc, factor)
     }
-    // Bound-violation requery (same policy as Bench's outlier re-measure):
-    // this host has multi-minute throttle windows, and a stall landing on
-    // one query's scaled run fabricates a factor violation. Re-time each
-    // apparent violation once on both corpora and keep the per-side min;
-    // the raw first-pass numbers stay in the artifact (`requeried`) so
-    // best-of and as-measured are both visible. A REAL super-linear plan
-    // reproduces on the re-run and still violates.
+    // Bound-violation requery: this host has multi-minute throttle windows,
+    // and a stall landing on one query's scaled run fabricates a factor
+    // violation. Adjudication is MEDIAN-OF-3 per side (the first-pass
+    // figure plus two re-runs), not best-of: a one-off stall is outvoted
+    // by the two clean measurements, but a *flaky real* pathology (GC
+    // pressure, spill threshold) that reproduces in either re-run keeps
+    // the violation — min-of-two would mask it. All raw measurements stay
+    // in the artifact (`requeried_raw`) so adjudicated and as-measured
+    // are both visible.
     def floored(b: Double, sc: Double): Double = sc / math.max(b, BaseTimeFloor)
-    val requeried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val requeried = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def med3(first: Double, x: Double, y: Double): Double = {
+      val v = Seq(first, x, y).filter(_ > 0).sorted
+      if (v.isEmpty) -1.0 else v(v.size / 2)
+    }
     val rows = firstPass.map { case r @ (n, b, sc, _) =>
       if (b > 0 && sc > 0 && !BoundExempt(n) && floored(b, sc) > FactorBound) {
         val d = defs.find(_.name == n).get
         val b2 = timeOne(d, base)
         val sc2 = timeOne(d, scaled)
-        requeried(n) = (b, sc)
-        val bMin = if (b2 > 0) math.min(b, b2) else b
-        val scMin = if (sc2 > 0) math.min(sc, sc2) else sc
-        println(f"[benchscale] ${d.name}%-28s REQUERY base ${bMin}%6.2f s   x$reps ${scMin}%6.2f s   factor ${scMin / bMin}%5.2f")
-        (n, bMin, scMin, scMin / bMin)
+        val b3 = timeOne(d, base)
+        val sc3 = timeOne(d, scaled)
+        requeried(n) = Seq(b, sc, b2, sc2, b3, sc3)
+        val bMed = med3(b, b2, b3)
+        val scMed = med3(sc, sc2, sc3)
+        println(f"[benchscale] ${d.name}%-28s REQUERY(med3) base ${bMed}%6.2f s   x$reps ${scMed}%6.2f s   factor ${scMed / bMed}%5.2f")
+        (n, bMed, scMed, scMed / bMed)
       } else r
     }
+    // Skewed-key sweep: the per-key-density-sensitive families re-measured
+    // on the hot-key corpus (same 10× volume, one customer owning ~10% of
+    // orders and ~10% of events) — the factor vs the base fixture goes
+    // through the SAME floored bound, so a plan whose per-key work is
+    // quadratic (or whose per-probe cost is linear in per-key dim size)
+    // fails the gate here even when the uniform corpus hides it.
+    val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "target/scale10skew")
+    val SkewQueries = Seq("join_asof_last_order", "join_asof_nearest",
+      "join_asof_tolerance", "join_event_sequences")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(skewDir, "lineitem.parquet")))
+      ScaleGen.generateSkewed(spark, base, skewDir, reps)
+    Tables.all.foreach(t => Tables.load(spark, skewDir, t).count())
+    val baseByName = rows.map(r => r._1 -> r._2).toMap
+    val skewRows = SkewQueries.flatMap { n =>
+      defs.find(_.name == n).map { d =>
+        val sk1 = timeOne(d, skewDir)
+        val b = baseByName.getOrElse(n, -1.0)
+        if (b > 0 && sk1 > 0 && floored(b, sk1) > FactorBound) {
+          // same median-of-3 adjudication as the main sweep
+          val sk2 = timeOne(d, skewDir)
+          val sk3 = timeOne(d, skewDir)
+          val skMed = med3(sk1, sk2, sk3)
+          (n, b, skMed, if (b > 0 && skMed > 0) skMed / b else -1.0)
+        } else (n, b, sk1, if (b > 0 && sk1 > 0) sk1 / b else -1.0)
+      }
+    }
+    val skewViolations = skewRows.filter { case (n, b, sk, _) =>
+      b > 0 && sk > 0 && floored(b, sk) > FactorBound
+    }.map(_._1)
+
     // candidate-pair census for the bound-exempt generators, both corpora
     // (outside all timing)
     val census = Seq("base" -> base, "scaled" -> scaled).map { case (tag, dir) =>
@@ -204,10 +278,15 @@ object BenchScale {
       val viol = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
       val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
       val exempt = BoundExempt.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val req = requeried.map { case (n, (b, sc)) =>
-        f""""$n":{"base_sec":$b%.3f,"scaled_sec":$sc%.3f}"""
+      val req = requeried.map { case (n, ms) =>
+        val Seq(b1, sc1, b2, sc2, b3, sc3) = ms
+        f""""$n":{"base_runs":[$b1%.3f,$b2%.3f,$b3%.3f],"scaled_runs":[$sc1%.3f,$sc2%.3f,$sc3%.3f]}"""
       }.mkString("{", ",", "}")
-      f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty},"failed":$fails,"requeried_raw":$req,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
+      val skew = skewRows.map { case (n, b, sk, f) =>
+        f""""$n":{"base_sec":$b%.3f,"skew_sec":$sk%.3f,"factor":$f%.2f}"""
+      }.mkString("{", ",", "}")
+      val skewViol = skewViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty && skewViolations.isEmpty},"failed":$fails,"requeried_raw":$req,"skew_sweep":$skew,"skew_violations":$skewViol,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       json.getBytes("UTF-8"))

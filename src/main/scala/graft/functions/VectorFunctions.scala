@@ -177,5 +177,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_floor", exprs => SortedFloor(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_ceil_strict",
+      exprs => SortedCeilStrict(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -925,21 +925,25 @@ object AggQueries extends QueryModule {
     * values (ties collapse first, so the ECDF is evaluated after each
     * jump — the correct tie handling), and every division is a single
     * exact-int quotient, so both engines agree bit-for-bit before the one
-    * rounding. Scale shape: the event log collapses to a distinct-value
-    * frame before the global-order window; at 100 TB the values would be
-    * pre-quantized to a fixed grid (bounding D's error by the grid width)
-    * — the standard streaming-KS treatment — with the identical plan.
+    * rounding. Scale shape: `value` is QUANTIZED to a fixed 1/64 grid
+    * (`floor(value·64)` — exact IEEE754 on both engines) BEFORE the
+    * global-order window, the standard streaming-KS treatment: for a
+    * continuous metric the distinct-value collapse alone barely reduces
+    * cardinality, so without the grid the single-partition sort is
+    * event-log-sized. The grid bounds the frame at the value range × 64
+    * cells and bounds D's error by the grid width; the oracle applies the
+    * identical grid, so parity is exact.
     */
   def ksTest(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("event_type").isin("purchase", "click"))
-    val vals = ev.groupBy("value").agg(
+    val vals = ev.groupBy(expr("CAST(floor(value * 64) AS BIGINT)").as("qv")).agg(
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
     val tot = ev.agg(
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
-    val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    val w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
     vals
       .withColumn("r1", sum("c1").over(w))
       .withColumn("r2", sum("c2").over(w))
@@ -956,18 +960,18 @@ object AggQueries extends QueryModule {
       |  SELECT value, event_type FROM events
       |  WHERE event_type IN ('purchase', 'click')
       |), vals AS (
-      |  SELECT value,
+      |  SELECT CAST(floor(value * 64) AS BIGINT) AS qv,
       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
-      |  FROM ev GROUP BY value
+      |  FROM ev GROUP BY 1
       |), tot AS (
       |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2
       |  FROM ev
       |), ecdf AS (
       |  SELECT
-      |    sum(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
-      |    sum(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+      |    sum(c1) OVER (ORDER BY qv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+      |    sum(c2) OVER (ORDER BY qv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
       |  FROM vals
       |), agg AS (
       |  SELECT max(n1) AS n1, max(n2) AS n2,
@@ -985,16 +989,18 @@ object AggQueries extends QueryModule {
     * every quantity is an exact rational with denominator 2 and both
     * engines agree bit-for-bit. The z approximation uses the tie-corrected
     * variance. Completes the nonparametric family next to Welch (means)
-    * and KS (distributions). Same scale shape as the KS test: collapse to
-    * distinct values first, one global window over that bounded frame.
+    * and KS (distributions). Same scale shape as the KS test: quantize to
+    * the fixed 1/64 grid first (ranks become grid-cell ranks — the tie
+    * structure both engines share exactly), one global window over that
+    * grid-bounded frame, never the raw event-log-sized distinct set.
     */
   def mannWhitney(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("event_type").isin("purchase", "click"))
-    val vals = ev.groupBy("value").agg(
+    val vals = ev.groupBy(expr("CAST(floor(value * 64) AS BIGINT)").as("qv")).agg(
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
       count(lit(1)).as("c"))
-    val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, -1)
     val tot = ev.agg(
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
@@ -1023,17 +1029,17 @@ object AggQueries extends QueryModule {
       |  SELECT value, event_type FROM events
       |  WHERE event_type IN ('purchase', 'click')
       |), vals AS (
-      |  SELECT value,
+      |  SELECT CAST(floor(value * 64) AS BIGINT) AS qv,
       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
       |    count(*) AS c
-      |  FROM ev GROUP BY value
+      |  FROM ev GROUP BY 1
       |), tot AS (
       |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2
       |  FROM ev
       |), ranked AS (
       |  SELECT c1, c,
-      |    coalesce(sum(c) OVER (ORDER BY value
+      |    coalesce(sum(c) OVER (ORDER BY qv
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_before
       |  FROM vals
       |), agg AS (
@@ -1051,7 +1057,41 @@ object AggQueries extends QueryModule {
       |      - CAST(tie_term AS DOUBLE) / (n * (n - 1)))), 4) AS z
       |FROM st""".stripMargin
 
+  /** Benford first-digit audit over order totals — the classic synthetic-
+    * data / fraud screen: observed first-significant-digit shares vs the
+    * Benford expectation log10(1+1/d). The digit is extracted through an
+    * integer-string path (floor → BIGINT → first char), never floating
+    * log10-of-value, so both engines bucket identically; shares are
+    * exact-int divisions. One scan → 9-row grid; all post-agg arithmetic
+    * is grid-sized.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir).withColumn("digit", expr(
+      "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    d.groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders") / col("n"), 4).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("benford"),
+        round(col("n_orders") / col("n")
+          - log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("excess"))
+      .orderBy("digit")
+  }
+
+  private val benfordDigitsSql =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders
+      |), tot AS (SELECT count(*) AS n FROM d)
+      |SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(count(*) / CAST(n AS DOUBLE), 4) AS share,
+      |  round(log10(1.0 + 1.0 / digit), 4) AS benford,
+      |  round(count(*) / CAST(n AS DOUBLE) - log10(1.0 + 1.0 / digit), 4) AS excess
+      |FROM d CROSS JOIN tot GROUP BY digit, n ORDER BY digit""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_benford_digits", benfordDigits, Some(benfordDigitsSql)),
     QueryDef("agg_mann_whitney", mannWhitney, Some(mannWhitneySql)),
     QueryDef("agg_ks_test", ksTest, Some(ksTestSql)),
     QueryDef("agg_chi_square", chiSquare, Some(chiSquareSql)),

@@ -924,8 +924,14 @@ object CurationQueries extends QueryModule {
       .join(broadcast(srcTot), "source")
       .crossJoin(broadcast(total))
       .withColumn("p", greatest(col("c").cast("double") / col("ns"), lit(1e-4)))
+      // the rest-of-corpus denominator is explicitly guarded: a source
+      // comprising the whole corpus makes (n - ns) = 0, and the two
+      // engines disagree on double x/0 (Spark NULL-ish vs DuckDB inf) —
+      // the CASE pins the degenerate cell to the same 1e-4 clamp on both
       .withColumn("q", greatest(
-        (col("ct") - col("c")).cast("double") / (col("n") - col("ns")), lit(1e-4)))
+        when(col("n") > col("ns"),
+          (col("ct") - col("c")).cast("double") / (col("n") - col("ns")))
+          .otherwise(lit(0.0)), lit(1e-4)))
       .groupBy("source")
       .agg(count(lit(1)).as("n_bins"),
         round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"))
@@ -947,7 +953,9 @@ object CurationQueries extends QueryModule {
       |vals AS (
       |  SELECT g.source,
       |    greatest(CAST(coalesce(sb.c, 0) AS DOUBLE) / st.ns, 0.0001) AS p,
-      |    greatest(CAST(bt.ct - coalesce(sb.c, 0) AS DOUBLE) / (tot.n - st.ns), 0.0001) AS q
+      |    greatest(CASE WHEN tot.n > st.ns
+      |      THEN CAST(bt.ct - coalesce(sb.c, 0) AS DOUBLE) / (tot.n - st.ns)
+      |      ELSE 0 END, 0.0001) AS q
       |  FROM grid g
       |  LEFT JOIN sb ON g.source = sb.source AND g.bin = sb.bin
       |  JOIN bt ON g.bin = bt.bin

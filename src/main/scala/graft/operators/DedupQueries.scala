@@ -700,8 +700,22 @@ object DedupQueries extends QueryModule {
     */
   private val ccLabelsMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memo key: dir + documents.parquet (mtime, size) — an in-place fixture
+    * regeneration mid-JVM must invalidate the materialized labels, not
+    * serve the previous corpus's clusters.
+    */
+  private def docsFixtureKey(dir: String): String = {
+    val fp = try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(dir, "documents.parquet"),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.lastModifiedTime.toMillis}:${a.size}"
+    } catch { case _: Throwable => "absent" }
+    s"$dir@$fp"
+  }
+
   private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val path = ccLabelsMemo.computeIfAbsent(dir, _ => {
+    val path = ccLabelsMemo.computeIfAbsent(docsFixtureKey(dir), _ => {
       val out = graft.Scratch.dir("graft-cc-labels")
       computeClusterLabels(s, dir, out)
       out

@@ -413,7 +413,93 @@ object GraphQueries extends QueryModule {
        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
        |ORDER BY peel_round""".stripMargin
 
+  /** Local clustering coefficient, top-20 nodes by degree: c(v) =
+    * 2·T(v) / (d(v)·(d(v)−1)) — "how close is v's neighborhood to a
+    * clique", the per-node refinement of the global triangle census.
+    * Per-node triangle counts reuse the degree-ordered orientation: each
+    * triangle is found EXACTLY once (at its unique apex edge, via
+    * `array_intersect` of two O(√m)-bounded out-neighbor lists) and
+    * credits all three corners through one explode + node-keyed hash-agg
+    * — never a per-node neighborhood clique expansion, which a hub makes
+    * quadratic. Same size-gated broadcast discipline as the census; the
+    * top-20 cut is a TakeOrdered with (degree, id) total order.
+    */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cached = scala.collection.mutable.Buffer[DataFrame]()
+    try {
+      val pairs = edges(s, dir).cache()
+      cached += pairs
+      val deg = pairs.select(col("u").as("n"))
+        .unionAll(pairs.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")).cache()
+      cached += deg
+      val nEdges = pairs.count()
+      val cap = broadcastMaxBytes(s)
+      def gate(df: DataFrame, bytes: Long): DataFrame =
+        if (bytes <= cap) broadcast(df) else df
+      val oriented = pairs
+        .join(gate(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"),
+          degBytes(nEdges)), "u")
+        .join(gate(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"),
+          degBytes(nEdges)), "v")
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+            .otherwise(col("u")).as("dst"))
+        .cache()
+      cached += oriented
+      val adj = oriented.groupBy("src")
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      // per oriented edge (src, dst): every common out-neighbor w closes
+      // one triangle {src, dst, w}; credit all three corners
+      val credits = oriented
+        .join(gate(adj.select(col("src"), col("nbrs").as("ns")), adjBytes(nEdges)),
+          Seq("src"))
+        .join(gate(adj.select(col("src").as("dst"), col("nbrs").as("nd")),
+          adjBytes(nEdges)), Seq("dst"), "left")
+        .filter(col("nd").isNotNull)
+        .select(col("src"), col("dst"),
+          explode(expr("array_intersect(ns, nd)")).as("w"))
+        .select(explode(array(col("src"), col("dst"), col("w"))).as("n"))
+      val tri = credits.groupBy("n").agg(count(lit(1)).as("t"))
+      val out = deg.join(tri, Seq("n"), "left").na.fill(0L, Seq("t"))
+        .filter(col("d") >= 2)
+        .select(col("n").as("node"), col("d").as("degree"),
+          col("t").as("triangles"),
+          round(col("t") * 2.0 / (col("d") * (col("d") - 1)), 4)
+            .as("clustering_coeff"))
+        .orderBy(col("degree").desc, col("node").asc)
+        .limit(20)
+      // 20-row result: materialize eagerly so every intra-query cache is
+      // released before the frame is handed back (triangleCount's policy)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally cached.foreach(_.unpersist(false))
+  }
+
+  private val clusteringCoeffSql =
+    s"""WITH $edgesCte,
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
+       |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |tpn AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+       |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY n)
+       |SELECT deg.n AS node, deg.d AS degree,
+       |  CAST(coalesce(tpn.t, 0) AS BIGINT) AS triangles,
+       |  round(coalesce(tpn.t, 0) * 2.0 / (deg.d * (deg.d - 1)), 4)
+       |    AS clustering_coeff
+       |FROM deg LEFT JOIN tpn ON deg.n = tpn.n
+       |WHERE deg.d >= 2
+       |ORDER BY degree DESC, node LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql)),
     QueryDef("graph_link_prediction", linkPrediction, Some(linkPredictionSql)),

@@ -249,20 +249,25 @@ object JoinQueries extends QueryModule {
     * matching customer at-or-before the event time. No native Spark as-of
     * join — and the naive equi-join + range + max-aggregate materializes
     * |events| × |orders-per-user| intermediate rows. Instead: fold each
-    * user's order dates into one sorted array (one shuffle, bounded by
-    * per-key order count), join events to that single row per user, and
-    * binary-search-equivalent filter+max inside a codegen'd HOF. Probe side
-    * never expands.
+    * user's order dates into one sorted micros array (one shuffle, bounded
+    * by per-key order count), join events to that single row per user, and
+    * resolve each probe with a TRUE binary search (`sorted_floor`, a
+    * codegen'd Catalyst expression — O(log K) per probe, not the O(K)
+    * `filter` HOF scan). Probe side never expands, and a hot key (one
+    * customer owning 10% of orders) costs M·log K, not M·K in one task.
     */
   def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.events(s, dir)
     val od = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderdate"))).as("dates"))
+      .agg(sort_array(collect_list(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))).as("dates_us"))
     e.join(od, col("user_id") === col("o_custkey"), "left")
       .select(col("event_id"), col("user_id"),
-        date_format(expr("array_max(filter(dates, d -> d <= ts))"), "yyyy-MM-dd")
-          .as("last_order_date"))
+        date_format(
+          expr("timestamp_micros(sorted_floor(dates_us, unix_micros(ts)))"),
+          "yyyy-MM-dd").as("last_order_date"))
       .orderBy("event_id")
   }
 
@@ -277,25 +282,30 @@ object JoinQueries extends QueryModule {
     * [[asofLastOrder]] is the backward form): per event, the next order
     * date strictly after the event and the nearest of the two candidates
     * (ties to the earlier). Same scale shape as backward: the per-key
-    * sorted date array is built once (grouped dim), the probe never
-    * expands, and the direction logic is a per-row array scan.
+    * sorted micros array is built once (grouped dim), the probe never
+    * expands, and BOTH direction lookups are O(log K) binary searches
+    * (`sorted_floor` / `sorted_ceil_strict`) — hot-key-safe.
     */
   def asofNearestOrder(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.events(s, dir)
     val od = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderdate"))).as("dates"))
+      .agg(sort_array(collect_list(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))).as("dates_us"))
     e.join(od, col("user_id") === col("o_custkey"), "left")
-      .withColumn("bwd", expr("array_max(filter(dates, d -> d <= ts))"))
-      .withColumn("fwd", expr("array_min(filter(dates, d -> d > ts))"))
-      .withColumn("nearest", expr(
-        """CASE WHEN bwd IS NULL THEN fwd WHEN fwd IS NULL THEN bwd
-          |  WHEN unix_micros(ts) - unix_micros(CAST(bwd AS TIMESTAMP))
-          |    <= unix_micros(CAST(fwd AS TIMESTAMP)) - unix_micros(ts) THEN bwd
-          |  ELSE fwd END""".stripMargin))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("bwd_us", expr("sorted_floor(dates_us, us)"))
+      .withColumn("fwd_us", expr("sorted_ceil_strict(dates_us, us)"))
+      .withColumn("nearest_us", expr(
+        """CASE WHEN bwd_us IS NULL THEN fwd_us WHEN fwd_us IS NULL THEN bwd_us
+          |  WHEN us - bwd_us <= fwd_us - us THEN bwd_us
+          |  ELSE fwd_us END""".stripMargin))
       .select(col("event_id"), col("user_id"),
-        date_format(col("fwd"), "yyyy-MM-dd").as("next_order_date"),
-        date_format(col("nearest"), "yyyy-MM-dd").as("nearest_order_date"))
+        date_format(expr("timestamp_micros(fwd_us)"), "yyyy-MM-dd")
+          .as("next_order_date"),
+        date_format(expr("timestamp_micros(nearest_us)"), "yyyy-MM-dd")
+          .as("nearest_order_date"))
       .orderBy("event_id")
   }
 
@@ -536,18 +546,29 @@ object JoinQueries extends QueryModule {
   /** Time-bounded sequential-pattern mining: support counts of "A then B
     * within one hour" over per-user event streams — the 2-sequence case
     * of classic sequence mining, and unlike the Markov matrix it counts
-    * ALL in-window successors, not just the adjacent one. The pair
-    * source is a user-keyed self-join with the hour band as residual
-    * condition, so fan-out is bounded by per-user-per-hour activity;
-    * strict ts ordering makes same-microsecond pairs excluded on both
-    * engines rather than order-ambiguous.
+    * ALL in-window successors, not just the adjacent one. The hour band
+    * is IN the equi-join key, not just a residual: each probe row
+    * explodes to its own hour bucket and the next (any successor within
+    * (ts, ts+1h] lands in exactly one of the two, so no pair is matched
+    * twice and none is missed), and the build side carries its bucket.
+    * The shuffle therefore hashes on (user, hour-bucket) and per-task
+    * pair enumeration is bounded by in-window density — a hot user with
+    * 10^6 events spread over a year costs per-hour work, not a 10^12-pair
+    * quadratic blow-up in one task. The exact `ts_b in (ts, ts+1h]`
+    * residual then prunes cross-bucket near-misses; strict ts ordering
+    * makes same-microsecond pairs excluded on both engines rather than
+    * order-ambiguous.
     */
   def eventSequences(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
+    val a = e.withColumn("hr", explode(array(
+      expr("floor(unix_micros(ts) / 3600000000)"),
+      expr("floor(unix_micros(ts) / 3600000000) + 1"))))
     val b = e.select(col("user_id").as("user_b"),
-      col("event_type").as("type_b"), col("ts").as("ts_b"))
-    e.join(b, col("user_id") === col("user_b")
+        col("event_type").as("type_b"), col("ts").as("ts_b"))
+      .withColumn("hr_b", expr("floor(unix_micros(ts_b) / 3600000000)"))
+    a.join(b, col("user_id") === col("user_b") && col("hr") === col("hr_b")
         && col("ts_b") > col("ts")
         && col("ts_b") <= col("ts") + expr("INTERVAL 1 HOUR"))
       .groupBy(col("event_type").as("type_a"), col("type_b"))
@@ -569,22 +590,26 @@ object JoinQueries extends QueryModule {
     * row keeps a NULL (pandas `merge_asof(tolerance=...)` semantics; the
     * guard every feature-freshness join needs so a stale dimension row is
     * not silently used). Same scale shape as the rest of the family:
-    * grouped sorted-date dim + per-row array scan, non-expanding probe.
+    * grouped sorted-micros dim + O(log K) binary-search probe
+    * (`sorted_floor`), non-expanding probe side.
     */
   def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.events(s, dir)
     val od = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderdate"))).as("dates"))
+      .agg(sort_array(collect_list(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))).as("dates_us"))
     e.join(od, col("user_id") === col("o_custkey"), "left")
-      .withColumn("bwd", expr("array_max(filter(dates, d -> d <= ts))"))
-      .withColumn("asof_30d", expr(
-        """CASE WHEN bwd IS NOT NULL AND unix_micros(ts)
-          |  - unix_micros(CAST(bwd AS TIMESTAMP)) <= 2592000000000
-          |THEN bwd END""".stripMargin))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("bwd_us", expr("sorted_floor(dates_us, us)"))
+      .withColumn("asof_30d_us", expr(
+        "CASE WHEN us - bwd_us <= 2592000000000 THEN bwd_us END"))
       .select(col("event_id"), col("user_id"),
-        date_format(col("bwd"), "yyyy-MM-dd").as("last_order_date"),
-        date_format(col("asof_30d"), "yyyy-MM-dd").as("asof_within_30d"))
+        date_format(expr("timestamp_micros(bwd_us)"), "yyyy-MM-dd")
+          .as("last_order_date"),
+        date_format(expr("timestamp_micros(asof_30d_us)"), "yyyy-MM-dd")
+          .as("asof_within_30d"))
       .orderBy("event_id")
   }
 
@@ -659,6 +684,141 @@ object JoinQueries extends QueryModule {
       |WHERE levenshtein(p.name_a, r.c_name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** TPC-H Q3 shape (shipping-priority top-10): segment-filtered customers
+    * ⋈ date-bounded orders ⋈ date-bounded lineitems, revenue per order,
+    * global top 10. Scale shape: both fact filters reach the parquet scan
+    * (pushed), the two fact joins shuffle on their natural keys, and the
+    * final top-10 is a TakeOrdered (no global sort materialization). The
+    * segment-filtered customer side is |C|/5 — it GROWS with SF, so no
+    * broadcast hint; AQE may convert at runtime when it happens to fit.
+    */
+  def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+  }
+
+  private val q03ShippingPrioritySql =
+    """SELECT l_orderkey,
+      |  strftime(orders.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND orders.o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, orders.o_orderdate
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): lineitem ⋈
+    * part (type filter) ⋈ supplier ⋈ nation ⋈ orders, profit aggregated
+    * per (nation, order year). The fixture has no partsupp table, so
+    * supply cost is modeled as 80% of the part's retail price — the join
+    * topology and aggregation are Q9's. Scale shape: the two big joins
+    * (orders, part) shuffle on their keys; supplier/nation broadcast
+    * (true dims); one combining hash-agg over a (nations × years) grid.
+    * Profit subtracts two near-equal quantities, so the per-row value is
+    * pinned to integer MICROS before summing (double hash-agg order would
+    * otherwise flip the cents rounding between engines — catastrophic
+    * cancellation amplifies ulp noise the plain revenue sums never see).
+    */
+  def q09ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      .select("p_partkey", "p_retailprice")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("profit_micros",
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+          - expr("CAST(round(p_retailprice * 0.8 * l_quantity * 1e6) AS BIGINT)"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(round(sum("profit_micros") / 1e6, 2).as("profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  private val q09ProductProfitSql =
+    """SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+      |    - CAST(round(p_retailprice * 0.8 * l_quantity * 1e6) AS BIGINT)) / 1e6, 2)
+      |    AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Latest-snapshot dimension join — the complement of
+    * [[pointInTimeJoin]]: every order joined to the CURRENT version of the
+    * customer's SCD2 status row (max version per key), the "report against
+    * today's dimension" join every warehouse also runs. The dedup is an
+    * arg-max aggregate per key (map-side combinable), never a
+    * window-filter over the history; both sides then shuffle once on the
+    * entity key.
+    */
+  def dimSnapshotLatest(s: SparkSession, dir: String): DataFrame = {
+    val hist = MiscQueries.scd2Frame(s, dir)
+    val latest = hist.groupBy("custkey")
+      .agg(max_by(col("status"), col("version")).as("cur_status"),
+        max("version").as("n_versions"))
+    Tables.orders(s, dir)
+      .join(latest, col("o_custkey") === col("custkey"))
+      .groupBy(col("cur_status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum("n_versions").as("version_mass"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("cur_status")
+  }
+
+  private val dimSnapshotLatestSql =
+    """WITH daily AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day,
+      |    arg_max(o_orderstatus, o_orderkey) AS status
+      |  FROM orders GROUP BY 1, 2
+      |), marked AS (
+      |  SELECT custkey, day, status, lag(status) OVER w AS prev_status
+      |  FROM daily WINDOW w AS (PARTITION BY custkey ORDER BY day)
+      |), changes AS (
+      |  SELECT custkey, day, status FROM marked
+      |  WHERE prev_status IS NULL OR prev_status <> status
+      |), hist AS (
+      |  SELECT custkey, status,
+      |    CAST(row_number() OVER w AS INT) AS version
+      |  FROM changes WINDOW w AS (PARTITION BY custkey ORDER BY day)
+      |), latest AS (
+      |  SELECT custkey, arg_max(status, version) AS cur_status,
+      |    max(version) AS n_versions
+      |  FROM hist GROUP BY custkey)
+      |SELECT cur_status, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(n_versions) AS BIGINT) AS version_mass,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN latest ON o_custkey = custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("join_null_safe", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("join_bloom_prefilter", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
@@ -681,6 +841,9 @@ object JoinQueries extends QueryModule {
     QueryDef("join_self_order_pairs", selfJoinOrderPairs, Some(selfJoinOrderPairsSql)),
     QueryDef("join_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql)),
     QueryDef("join_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
-    QueryDef("join_event_sequences", eventSequences, Some(eventSequencesSql))
+    QueryDef("join_event_sequences", eventSequences, Some(eventSequencesSql)),
+    QueryDef("q03_shipping_priority", q03ShippingPriority, Some(q03ShippingPrioritySql)),
+    QueryDef("q09_product_profit", q09ProductProfit, Some(q09ProductProfitSql)),
+    QueryDef("join_dim_snapshot_latest", dimSnapshotLatest, Some(dimSnapshotLatestSql))
   )
 }

@@ -821,7 +821,40 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Radius (ε-neighborhood) search — the API's complement to top-k: ALL
+    * candidates within cosine ≥ 0.35 of each query, however many or few
+    * that is (dedup gating and recall-first retrieval want "everything
+    * this similar", not a fixed k). Scale shape is the leanest in the
+    * family: broadcast queries × streamed corpus through the codegen'd
+    * cosine kernel, then a pure filter — no per-query window, no top-k
+    * state, no shuffle at all before the final output sort. Both engines
+    * evaluate the same left-to-right 64-dim double fold, so the threshold
+    * compare is engine-stable.
+    */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
+      .filter(col("cos") >= 0.35)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy("q_id", "c_id")
+  }
+
+  private val rangeSearchSql = {
+    val cos = cosineSqlDuck.replace("QA", "q.embedding").replace("QB", "c.embedding")
+    s"""SELECT q.vec_id AS q_id, c.vec_id AS c_id, round($cos, 4) AS cosine
+       |FROM embeddings q JOIN embeddings c
+       |  ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |WHERE $cos >= 0.35
+       |ORDER BY q_id, c_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_range_search", rangeSearch, Some(rangeSearchSql)),
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("sim_matryoshka_prefix", matryoshkaPrefix, Some(matryoshkaPrefixSql)),

@@ -76,7 +76,25 @@ object SubqueryQueries extends QueryModule {
       |                    AND l2.l_quantity > 49.5 AND l2.l_discount > 0.095)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems under half
+    * their part's average quantity, brand-filtered, yearly-averaged. The
+    * correlated scalar average is the point: Catalyst decorrelates it into
+    * one grouped aggregate over lineitem joined back on the part key — a
+    * map-side-combinable agg plus one keyed join, never a per-row
+    * re-execution (the 100 TB difference). `l_quantity` is integer-valued,
+    * so the avg is exact and the `<` comparison is engine-stable.
+    */
+  private val q17SmallQuantitySpark =
+    """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+      |WHERE p_brand = 'Brand#12'
+      |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+      |                      FROM lineitem l2
+      |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q17_small_quantity",
+      (s, d) => sql(s, d, q17SmallQuantitySpark), Some(q17SmallQuantitySpark)),
     QueryDef("sub_exists_not_exists",
       (s, d) => sql(s, d, existsSpark), Some(existsSpark)),
     QueryDef("sub_scalar_correlated",

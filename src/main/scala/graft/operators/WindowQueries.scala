@@ -754,7 +754,86 @@ object WindowQueries extends QueryModule {
       |WINDOW w AS (ORDER BY iso_year, iso_week)
       |ORDER BY iso_year, iso_week""".stripMargin
 
+  /** Maximum drawdown per user over the event value series — the classic
+    * peak-to-trough risk metric (largest drop from a running peak),
+    * gaps-and-islands' financial cousin. One user-keyed sort carries both
+    * the running peak and the drawdown; no accumulation arithmetic (max
+    * and subtraction only), so doubles are engine-exact. The (ts,
+    * event_id) tiebreak makes the running peak's frame total-ordered.
+    */
+  def drawdown(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("peak", max("value").over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("peak") - col("value")), 4).as("max_drawdown"))
+      .orderBy("user_id")
+  }
+
+  private val drawdownSql =
+    """WITH seq AS (
+      |  SELECT user_id, value,
+      |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(max(peak - value), 4) AS max_drawdown
+      |FROM seq GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** CUSUM mean-shift changepoint over daily revenue: the day where the
+    * cumulative deviation from the global mean is largest in magnitude —
+    * the standard offline changepoint estimate for a single level shift.
+    * Determinism is engineered, not hoped for: daily revenue collapses to
+    * integer CENTS first, and the deviation is kept in the exactly-integer
+    * form n·runsum − t·total (CUSUM_t scaled by n), so both engines
+    * compare identical integers and the single division happens once at
+    * output. Scale shape: aggregate-first — the order log collapses to a
+    * days-bounded frame before the one global-order window (at extreme
+    * totals the integer form would move to decimal; the plan is
+    * unchanged).
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(expr("CAST(round(sum(o_totalprice) * 100) AS BIGINT)").as("rc"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = daily.agg(sum("rc").as("total"), count(lit(1)).as("n"))
+    daily
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("runsum", sum("rc").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", col("n") * col("runsum") - col("t") * col("total"))
+      .orderBy(abs(col("dev")).desc, col("day"))
+      .limit(1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+        round(col("dev").cast("double") / (col("n") * 100.0), 2).as("cusum"),
+        col("n").as("n_days"))
+  }
+
+  private val cusumChangepointSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rc
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(rc) AS BIGINT) AS total, count(*) AS n FROM daily
+      |), dev AS (
+      |  SELECT day,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    sum(rc) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum
+      |  FROM daily)
+      |SELECT strftime(day, '%Y-%m-%d') AS change_day,
+      |  round(CAST(n * runsum - t * total AS DOUBLE) / (n * 100.0), 2) AS cusum,
+      |  CAST(n AS BIGINT) AS n_days
+      |FROM dev CROSS JOIN tot
+      |ORDER BY abs(n * runsum - t * total) DESC, day LIMIT 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_drawdown", drawdown, Some(drawdownSql)),
+    QueryDef("win_cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),
     QueryDef("win_period_over_period", periodOverPeriod, Some(periodOverPeriodSql)),
     QueryDef("win_rolling_corr", rollingCorr, Some(rollingCorrSql)),
     QueryDef("win_markov_transitions", markovTransitions, Some(markovTransitionsSql)),

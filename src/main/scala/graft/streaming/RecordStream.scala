@@ -95,10 +95,28 @@ object RecordStream {
     * One parquet-footer read per fixture dir, memoized.
     */
   private val tsDiskTypes = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** Memo key: directory + the events file's (mtime, size) fingerprint —
+    * NOT the bare directory. The driver regenerates fixture dirs in place
+    * between rounds, sometimes with a different parquet vintage; a
+    * JVM-lifetime dir-keyed memo would then serve a stale schema (and
+    * stale staged sentinels) for the new data. A changed fingerprint
+    * simply computes a fresh entry; stale ones are harmless garbage.
+    */
+  private def fixtureKey(dir: String): String = {
+    val fp = try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.lastModifiedTime.toMillis}:${a.size}"
+    } catch { case _: Throwable => "absent" }
+    s"$dir@$fp"
+  }
+
   private def tsDiskType(spark: SparkSession, dir: String): DataType =
-    tsDiskTypes.computeIfAbsent(dir, d => {
+    tsDiskTypes.computeIfAbsent(fixtureKey(dir), _ => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     })
 
   private def normalizeTs(df: DataFrame, tsType: DataType): DataFrame = tsType match {
@@ -138,7 +156,7 @@ object RecordStream {
       filesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = tsDiskType(spark, dir)
-    val stage = stagedDirs.computeIfAbsent(dir, d => stageSentinels(spark, d))
+    val stage = stagedDirs.computeIfAbsent(fixtureKey(dir), _ => stageSentinels(spark, dir))
     normalizeTs(
       spark.readStream
         .schema(eventsSchema(tsType))
@@ -221,7 +239,8 @@ object RecordStream {
     * [[graft.streaming.source.KinesisLikeProvider]].
     */
   def kinesisFixture(spark: SparkSession, dir: String): String =
-    kinesisStaged.computeIfAbsent(dir, d => {
+    kinesisStaged.computeIfAbsent(fixtureKey(dir), _ => {
+      val d = dir
       val stage = graft.Scratch.dir("graft_kinesis_")
       val rows = graft.Tables.events(spark, d)
         .select(
@@ -256,7 +275,8 @@ object RecordStream {
     * independently.
     */
   def kinesisReshardFixture(spark: SparkSession, dir: String): String =
-    kinesisReshardStaged.computeIfAbsent(dir, d => {
+    kinesisReshardStaged.computeIfAbsent(fixtureKey(dir), _ => {
+      val d = dir
       val stage = graft.Scratch.dir("graft_kinesis_rs_")
       val splitNanos = java.time.Instant.parse("2024-01-15T00:00:00Z")
         .getEpochSecond * 1000000000L

@@ -345,6 +345,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("event sequences: the hour bucket is IN the equi-join key") {
+    // joining on user_id alone with the 1-hour band as a residual makes
+    // per-user pair enumeration quadratic in that user's TOTAL event
+    // count (a 10^6-event bot = 10^12 pairs in one task); the hour
+    // bucket must appear in the shuffle key so fan-out is bounded by
+    // in-window density
+    val p = plan("join_event_sequences")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+      .getOrElse(sys.error("no hash/merge join in plan:\n" + p))
+    assert(joinLine.contains("hr#") && joinLine.contains("hr_b#"), joinLine)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rolling corr: the global-order window runs over the daily aggregate") {
     // the unpartitioned window is safe ONLY because the event log
     // collapses to a days-bounded frame first — the Window node must sit
