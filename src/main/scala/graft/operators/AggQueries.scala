@@ -730,6 +730,70 @@ object AggQueries extends QueryModule {
       |  true AS within_5pct
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Kaplan–Meier survival estimator over user lifetimes — the standard
+    * right-censored "how long do users stay active" curve (lifetime =
+    * days between a user's first and last event; users still active in
+    * the last 7 days of the window are CENSORED, not dead — dropping
+    * them, or counting them as deaths, both bias the curve). At each
+    * death time tᵢ: S(tᵢ) = Π(1 − dⱼ/nⱼ) over j ≤ i, with the at-risk
+    * count nⱼ derived from one exact-integer running sum (total minus
+    * everyone already gone). Scale shape: one user-keyed shuffle collapses
+    * the event log to per-user lifetimes; everything after runs on the
+    * days-bounded distinct-lifetime frame, so the two global windows are
+    * tiny. The product is exp(Σ ln(·)) with the identical expression on
+    * both engines (the repo's established ln-parity discipline).
+    */
+  def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val per = ev.groupBy("user_id")
+      .agg(min(col("ts")).cast("date").as("first_day"),
+        max(col("ts")).cast("date").as("last_day"))
+    val cut = ev.agg(date_sub(max(col("ts")).cast("date"), 7).as("cutoff"))
+    val life = per.crossJoin(broadcast(cut))
+      .select(datediff(col("last_day"), col("first_day")).as("t"),
+        (col("last_day") > col("cutoff")).as("censored"))
+    val byT = life.groupBy("t")
+      .agg(count(when(!col("censored"), 1)).as("d"),
+        count(when(col("censored"), 1)).as("c"))
+    val tot = life.agg(count(lit(1)).as("total"))
+    val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("total") - sum(col("d") + col("c")).over(wCum) + col("d") + col("c"))
+      .filter(col("d") > 0)
+      .withColumn("survival",
+        round(exp(sum(log(expr("CAST(n_risk - d AS DOUBLE) / n_risk"))).over(wCum)), 4))
+      .select(col("t").cast("int").as("t_days"), col("n_risk"),
+        col("d").as("n_deaths"), col("survival"))
+      .orderBy("t_days")
+  }
+
+  private val survivalKmSql =
+    """WITH per AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
+      |    CAST(max(ts) AS DATE) AS last_day
+      |  FROM events GROUP BY user_id
+      |), cut AS (
+      |  SELECT CAST(max(ts) AS DATE) - INTERVAL 7 DAY AS cutoff FROM events
+      |), life AS (
+      |  SELECT datediff('day', first_day, last_day) AS t,
+      |    (last_day > cutoff) AS censored
+      |  FROM per CROSS JOIN cut
+      |), byt AS (
+      |  SELECT t, CAST(count(CASE WHEN NOT censored THEN 1 END) AS BIGINT) AS d,
+      |    CAST(count(CASE WHEN censored THEN 1 END) AS BIGINT) AS c
+      |  FROM life GROUP BY t
+      |), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM life),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    total - sum(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + d + c AS n_risk
+      |  FROM byt CROSS JOIN tot)
+      |SELECT CAST(t AS INT) AS t_days, n_risk, d AS n_deaths,
+      |  round(exp(sum(ln(CAST(n_risk - d AS DOUBLE) / n_risk)) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS survival
+      |FROM risk WHERE d > 0 ORDER BY t_days""".stripMargin
+
   /** Ordered-set aggregates (`WITHIN GROUP`): `percentile_disc` picks an
     * ACTUAL data value (no interpolation — exact on any type, no float
     * boundary risk), `percentile_cont` interpolates; both declared side
@@ -1099,6 +1163,7 @@ object AggQueries extends QueryModule {
     QueryDef("agg_gini_spend", giniSpend, Some(giniSpendSql)),
     QueryDef("agg_welch_ttest", welchTtest, Some(welchTtestSql)),
     QueryDef("agg_percentile_disc", percentileDisc, Some(percentileDiscSql)),
+    QueryDef("agg_survival_km", survivalKm, Some(survivalKmSql)),
     QueryDef("agg_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     QueryDef("agg_hll_sketch", hllSketch, Some(hllSketchSql)),
     QueryDef("agg_bool_aggs", boolAggs, Some(boolAggsSql)),

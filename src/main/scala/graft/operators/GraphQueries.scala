@@ -623,8 +623,60 @@ object GraphQueries extends QueryModule {
   // degree_hist leads: the first graph query pays the one-time per-fixture
   // edge materialization, and the cheapest query should be the one that
   // absorbs it (every later family member then reads the scratch parquet)
+  /** Two unrolled synchronous rounds of min-label propagation — the
+    * communication pattern under connected components / community
+    * detection (each node adopts the smallest label in its closed
+    * neighborhood; after r rounds a node carries the minimum id within r
+    * hops). The full fixpoint already exists as the materialized cluster
+    * table (DedupQueries); this declares the PER-ROUND primitive so the
+    * propagation step itself is oracle-checked. Scale shape per round:
+    * two edge-keyed equi-joins (one per endpoint orientation) + one
+    * node-keyed min — all map-side combinable, label table never exceeds
+    * the node count, no pair expansion anywhere. Two rounds keep the
+    * lineage shallow enough that no checkpoint is needed (the measured
+    * blow-up threshold from the k-core work sits at ~3 chained rounds).
+    */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val pairs = edges(s, dir)
+    val nodes = pairs.select(col("u").as("n"))
+      .union(pairs.select(col("v"))).distinct()
+    def step(lbl: DataFrame): DataFrame =
+      lbl.select("n", "lbl")
+        .union(pairs.join(lbl, col("u") === col("n"))
+          .select(col("v").as("n"), col("lbl")))
+        .union(pairs.join(lbl, col("v") === col("n"))
+          .select(col("u").as("n"), col("lbl")))
+        .groupBy("n").agg(min("lbl").as("lbl"))
+    val l2 = step(step(nodes.withColumn("lbl", col("n"))))
+    l2.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), asc("label"))
+      .limit(50)
+  }
+
+  private val labelPropagationSql =
+    s"""WITH $edgesCte,
+       |nodes AS (SELECT u AS n FROM pairs UNION SELECT v FROM pairs),
+       |l0 AS (SELECT n, n AS lbl FROM nodes),
+       |l1 AS (
+       |  SELECT n, min(lbl) AS lbl FROM (
+       |    SELECT n, lbl FROM l0
+       |    UNION ALL SELECT p.v AS n, l.lbl FROM pairs p JOIN l0 l ON p.u = l.n
+       |    UNION ALL SELECT p.u AS n, l.lbl FROM pairs p JOIN l0 l ON p.v = l.n)
+       |  GROUP BY n),
+       |l2 AS (
+       |  SELECT n, min(lbl) AS lbl FROM (
+       |    SELECT n, lbl FROM l1
+       |    UNION ALL SELECT p.v AS n, l.lbl FROM pairs p JOIN l1 l ON p.u = l.n
+       |    UNION ALL SELECT p.u AS n, l.lbl FROM pairs p JOIN l1 l ON p.v = l.n)
+       |  GROUP BY n)
+       |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l2 GROUP BY lbl
+       |ORDER BY n_members DESC, label LIMIT 50""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql)),
+    QueryDef("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),
     QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("graph_clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     QueryDef("graph_bfs_reach", bfsReach, Some(bfsReachSql)),

@@ -819,6 +819,143 @@ object JoinQueries extends QueryModule {
       |FROM orders JOIN latest ON o_custkey = custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q5 shape (local supplier volume): revenue kept inside one
+    * region — customer and supplier must share a nation — per nation for
+    * one order year. The defining feature is the SECOND equi-condition on
+    * the supplier join (`c_nationkey = s_nationkey`): it rides the same
+    * shuffle as the key join, so "local" costs nothing extra. Scale
+    * shape: the date filter is pushed to the orders scan, the two fact
+    * joins shuffle on their natural keys, supplier/nation/region are true
+    * broadcast dims, and the final agg is a |nations|-sized grid.
+    */
+  def q05LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val n = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("nation"))
+  }
+
+  private val q05LocalSupplierSql =
+    """SELECT n_name AS nation,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, nation""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): of the revenue that AMERICA
+    * region customers generate, what fraction is supplied by NATION_6,
+    * per order year. The share is a conditional aggregate over ONE join
+    * tree (no second pass over the facts): numerator and denominator come
+    * out of the same hash-agg via `sum(CASE …)`. Both sums are pinned to
+    * integer micros first — the share divides two large near-proportional
+    * sums, where double agg-order noise would flip the 4th decimal.
+    */
+  def q08MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val supN = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev_micros",
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)"))
+      .groupBy("o_year")
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_6", col("rev_micros"))
+          .otherwise(lit(0L))).cast("double")
+          / sum("rev_micros"), 4).as("mkt_share"),
+        round(sum("rev_micros") / 1e6, 2).as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  private val q08MarketShareSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_6' THEN rev_micros ELSE 0 END)
+      |    AS DOUBLE) / sum(rev_micros), 4) AS mkt_share,
+      |  round(sum(rev_micros) / 1e6, 2) AS total_revenue
+      |FROM (SELECT l_orderkey, l_suppkey,
+      |        CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+      |          AS rev_micros
+      |      FROM lineitem) li
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE r_name = 'AMERICA'
+      |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): how many
+    * customers placed exactly k orders, including k = 0 — the LEFT join
+    * is load-bearing (inner would silently drop the zero bucket). Scale
+    * shape: one customer-keyed shuffle for the per-customer count, then a
+    * second agg over a frame bounded by max orders-per-customer (tiny),
+    * both map-side combinable. The priority filter lives in the JOIN
+    * condition, not WHERE — on a LEFT join those are different queries.
+    */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  private val q13CustomerDistributionSql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("join_null_safe", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("join_bloom_prefilter", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
@@ -844,6 +981,10 @@ object JoinQueries extends QueryModule {
     QueryDef("join_event_sequences", eventSequences, Some(eventSequencesSql)),
     QueryDef("q03_shipping_priority", q03ShippingPriority, Some(q03ShippingPrioritySql)),
     QueryDef("q09_product_profit", q09ProductProfit, Some(q09ProductProfitSql)),
-    QueryDef("join_dim_snapshot_latest", dimSnapshotLatest, Some(dimSnapshotLatestSql))
+    QueryDef("join_dim_snapshot_latest", dimSnapshotLatest, Some(dimSnapshotLatestSql)),
+    QueryDef("q05_local_supplier", q05LocalSupplier, Some(q05LocalSupplierSql)),
+    QueryDef("q08_market_share", q08MarketShare, Some(q08MarketShareSql)),
+    QueryDef("q13_customer_distribution", q13CustomerDistribution,
+      Some(q13CustomerDistributionSql))
   )
 }

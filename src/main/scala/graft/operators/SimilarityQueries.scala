@@ -311,6 +311,91 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Two unrolled Lloyd iterations of k-means (k = 8, seeds = the 8
+    * lowest vec_ids) — the clustering step under SemDeDup / IVF-index
+    * training, declared as a query so the iteration itself is
+    * oracle-checked (assignments, centroid recompute, convergence
+    * movement). Scale shape per round: assignment is a broadcast of k
+    * centroid rows against the streamed corpus (fan-out ×k, argmin as a
+    * map-side-combinable min_by — no per-vector sort window), and the
+    * centroid recompute is one (cluster, dim)-keyed hash-agg. That is the
+    * canonical distributed k-means plan; more rounds = more passes, never
+    * a bigger shuffle. Determinism: distances round to 6 before the
+    * argmin with a cluster-id tie-break (the repo's float-ordering rule),
+    * the recomputed centroid goes through the same double-avg → FLOAT
+    * cast on both engines, and inertia sums exact integer micros.
+    */
+  def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val seeds = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val asg1 = e.crossJoin(broadcast(seeds))
+      .withColumn("d", round(expr("l2_sq(embedding, cemb)"), 6))
+      .groupBy("vec_id")
+      .agg(expr("min_by(cid, struct(d, cid))").as("a1"),
+        first(col("embedding")).as("embedding"))
+    val cent2 = asg1
+      .select(col("a1").as("cid2"), posexplode(col("embedding")))
+      .groupBy("cid2", "pos")
+      .agg(avg(col("col").cast("double")).as("avg_v"))
+      .groupBy("cid2")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, avg_v))), p -> CAST(p.avg_v AS FLOAT))")
+        .as("cemb2"))
+    asg1.crossJoin(broadcast(cent2))
+      .withColumn("d", round(expr("l2_sq(embedding, cemb2)"), 6))
+      .groupBy("vec_id")
+      .agg(expr("min_by(struct(cid2, d), struct(d, cid2))").as("best"),
+        first(col("a1")).as("a1"))
+      .select(col("vec_id"), col("a1"), col("best.cid2").as("cluster"),
+        col("best.d").as("d2"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(expr("CAST(round(d2 * 1e6) AS BIGINT)")) / 1e6, 4).as("inertia"),
+        count(when(col("a1") =!= col("cluster"), 1)).as("n_moved"))
+      .orderBy("cluster")
+  }
+
+  private val kmeansLloydSql = {
+    def l2(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  ORDER BY vec_id LIMIT 8
+       |), asg1 AS (
+       |  SELECT vec_id, embedding, cid AS a1 FROM (
+       |    SELECT e.vec_id, e.embedding, s.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${l2("e.embedding", "s.cemb")}, 6) ASC, s.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s)
+       |  WHERE rn = 1
+       |), cent2 AS (
+       |  SELECT a1 AS cid2,
+       |    list_transform(list(avg_v ORDER BY dim), x -> CAST(x AS FLOAT)) AS cemb2
+       |  FROM (
+       |    SELECT a1, dim, avg(CAST(v AS DOUBLE)) AS avg_v
+       |    FROM (SELECT a1, unnest(embedding) AS v,
+       |            generate_subscripts(embedding, 1) AS dim
+       |          FROM asg1)
+       |    GROUP BY a1, dim)
+       |  GROUP BY a1
+       |), asg2 AS (
+       |  SELECT vec_id, a1, cid2 AS cluster, d2 FROM (
+       |    SELECT t.vec_id, t.a1, c.cid2,
+       |      round(${l2("t.embedding", "c.cemb2")}, 6) AS d2,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY round(${l2("t.embedding", "c.cemb2")}, 6) ASC, c.cid2 ASC) AS rn
+       |    FROM asg1 t CROSS JOIN cent2 c)
+       |  WHERE rn = 1)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  round(sum(CAST(round(d2 * 1e6) AS BIGINT)) / 1e6, 4) AS inertia,
+       |  CAST(count(CASE WHEN a1 <> cluster THEN 1 END) AS BIGINT) AS n_moved
+       |FROM asg2 GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   /** Per-label centroid vectors themselves, exploded per dimension —
     * exercises the typed Aggregator end-to-end against an avg-per-dim
     * oracle.
@@ -866,6 +951,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
     QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     QueryDef("sim_pq_adc_topk", pqAdcTopK, Some(pqAdcTopKSql)),
-    QueryDef("sim_label_centroids", centroids, Some(centroidsSql))
+    QueryDef("sim_label_centroids", centroids, Some(centroidsSql)),
+    QueryDef("sim_kmeans_lloyd", kmeansLloyd, Some(kmeansLloydSql))
   )
 }

@@ -51,30 +51,37 @@ object TextQueries extends QueryModule {
        |  (len($dToks) < 10) AS is_short
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Marker-word sets + the deterministic priority tie-break shared by the
+  // per-doc langid report and the confusion-matrix evaluation below.
+  private val langSets = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "les", "et", "un", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"))
+
+  private def langScore(lang: String): String = {
+    val lits = langSets(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter($toks, t -> t IN ($lits)))"
+  }
+
+  private val langPredictCase =
+    """CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unknown'
+      |  WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+      |  WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+      |  WHEN s_fr >= s_de THEN 'fr'
+      |  ELSE 'de' END""".stripMargin
+
   /** N-gram-heuristic language ID: score by per-language marker-word hits,
     * deterministic priority tie-break, compared against the labeled lang.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val sets = Map(
-      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-      "es" -> Seq("el", "la", "de", "los", "que", "y", "es"),
-      "fr" -> Seq("le", "la", "de", "les", "et", "un", "est"),
-      "de" -> Seq("der", "die", "das", "und", "ein", "ist"))
-    def score(lang: String): String = {
-      val lits = sets(lang).map(w => s"'$w'").mkString(", ")
-      s"size(filter($toks, t -> t IN ($lits)))"
-    }
+    def score(lang: String): String = langScore(lang)
     Tables.documents(s, dir)
       .withColumn("s_en", expr(score("en")))
       .withColumn("s_es", expr(score("es")))
       .withColumn("s_fr", expr(score("fr")))
       .withColumn("s_de", expr(score("de")))
-      .withColumn("predicted",
-        expr("""CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unknown'
-                |  WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
-                |  WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
-                |  WHEN s_fr >= s_de THEN 'fr'
-                |  ELSE 'de' END""".stripMargin))
+      .withColumn("predicted", expr(langPredictCase))
       .select(col("doc_id"), col("lang"), col("predicted"),
         (col("lang") === col("predicted")).as("correct"),
         col("s_en"), col("s_es"), col("s_fr"), col("s_de"))
@@ -101,6 +108,52 @@ object TextQueries extends QueryModule {
        |    WHEN s_fr >= s_de THEN 'fr'
        |    ELSE 'de' END AS predicted)
        |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID confusion matrix — the evaluation twin of [[langId]]:
+    * per (actual, predicted) cell counts plus each cell's share of its
+    * actual-language row (recall on the diagonal, the error budget off
+    * it). This is the classifier-eval shape every model-quality pipeline
+    * reports. Scale shape: the scoring is the same codegen'd per-row
+    * projection as langId, and the aggregate collapses to a
+    * |langs|² grid — map-side combinable, constant output.
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("s_en", expr(langScore("en")))
+      .withColumn("s_es", expr(langScore("es")))
+      .withColumn("s_fr", expr(langScore("fr")))
+      .withColumn("s_de", expr(langScore("de")))
+      .withColumn("predicted", expr(langPredictCase))
+    scored
+      .withColumn("n_actual",
+        count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy(col("lang").as("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"),
+        round(count(lit(1)).cast("double") / first("n_actual"), 4)
+          .as("share_of_actual"))
+      .orderBy("actual", "predicted")
+  }
+
+  private val langIdConfusionSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    ${dScore(langSets("en"))} AS s_en,
+       |    ${dScore(langSets("es"))} AS s_es,
+       |    ${dScore(langSets("fr"))} AS s_fr,
+       |    ${dScore(langSets("de"))} AS s_de
+       |  FROM documents
+       |), pred AS (
+       |  SELECT lang, CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unknown'
+       |    WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+       |    WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+       |    WHEN s_fr >= s_de THEN 'fr'
+       |    ELSE 'de' END AS predicted,
+       |    count(*) OVER (PARTITION BY lang) AS n_actual
+       |  FROM scored)
+       |SELECT lang AS actual, predicted, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(count(*) AS DOUBLE) / any_value(n_actual), 4)
+       |    AS share_of_actual
+       |FROM pred GROUP BY lang, predicted ORDER BY actual, predicted""".stripMargin
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols).
@@ -800,6 +853,7 @@ object TextQueries extends QueryModule {
     QueryDef("text_quality_flags", qualityFlags, Some(qualityFlagsSql)),
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
+    QueryDef("text_langid_confusion", langIdConfusion, Some(langIdConfusionSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),

@@ -831,8 +831,59 @@ object WindowQueries extends QueryModule {
       |FROM dev CROSS JOIN tot
       |ORDER BY abs(n * runsum - t * total) DESC, day LIMIT 1""".stripMargin
 
+  /** Robust anomaly detection on daily revenue via median absolute
+    * deviation — the outlier-immune complement of [[anomalyZscore]] (one
+    * extreme day corrupts a mean/stddev gate but moves the median not at
+    * all). Determinism is exact-integer end to end: daily revenue pins to
+    * cents, and both the median and the MAD are DISCRETE order statistics
+    * (element ceil(n/2) of the sorted frame — percentile_disc semantics,
+    * which DuckDB's quantile_disc matches at q=0.5), so both engines
+    * compare identical integers; the only doubles are one multiply for
+    * the threshold and one divide for the reported score. Scale shape:
+    * aggregate-first — the order log collapses to a days-bounded frame
+    * (one keyed shuffle), and the two sorted-array order statistics run
+    * over that bounded frame, never over raw orders.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(expr("CAST(round(sum(o_totalprice) * 100) AS BIGINT)").as("rc"))
+    val med = daily.agg(
+      expr("element_at(sort_array(collect_list(rc)), CAST(ceil(count(*) / 2.0) AS INT))")
+        .as("med"))
+    val mad = daily.crossJoin(broadcast(med)).agg(
+      expr("element_at(sort_array(collect_list(abs(rc - med))), CAST(ceil(count(*) / 2.0) AS INT))")
+        .as("mad"),
+      first("med").as("med"))
+    daily.crossJoin(broadcast(mad))
+      .filter(abs(col("rc") - col("med")).cast("double") > lit(4.4478) * col("mad"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("rc") / 100.0, 2).as("revenue"),
+        round((col("rc") - col("med")).cast("double") / (lit(1.4826) * col("mad")), 2)
+          .as("robust_z"))
+      .orderBy("day")
+  }
+
+  private val anomalyMadSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rc
+      |  FROM orders GROUP BY 1
+      |), med AS (
+      |  SELECT quantile_disc(rc, 0.5) AS med FROM daily
+      |), mads AS (
+      |  SELECT quantile_disc(abs(rc - med), 0.5) AS mad, any_value(med) AS med
+      |  FROM daily CROSS JOIN med)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  round(rc / 100.0, 2) AS revenue,
+      |  round(CAST(rc - med AS DOUBLE) / (1.4826 * mad), 2) AS robust_z
+      |FROM daily CROSS JOIN mads
+      |WHERE CAST(abs(rc - med) AS DOUBLE) > 4.4478 * mad
+      |ORDER BY day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("win_drawdown", drawdown, Some(drawdownSql)),
+    QueryDef("win_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
     QueryDef("win_cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),
     QueryDef("win_period_over_period", periodOverPeriod, Some(periodOverPeriodSql)),
     QueryDef("win_rolling_corr", rollingCorr, Some(rollingCorrSql)),
