@@ -732,26 +732,31 @@ object AggQueries extends QueryModule {
 
   /** Kaplan–Meier survival estimator over user lifetimes — the standard
     * right-censored "how long do users stay active" curve (lifetime =
-    * days between a user's first and last event; users still active in
-    * the last 7 days of the window are CENSORED, not dead — dropping
-    * them, or counting them as deaths, both bias the curve). At each
+    * whole hours between a user's first and last event; users still
+    * active in the last 24 h of the window are CENSORED, not dead —
+    * dropping them, or counting them as deaths, both bias the curve;
+    * hour granularity because the fixture's event window is only 30 days
+    * and every user spans most of it, so day buckets degenerate). At each
     * death time tᵢ: S(tᵢ) = Π(1 − dⱼ/nⱼ) over j ≤ i, with the at-risk
     * count nⱼ derived from one exact-integer running sum (total minus
-    * everyone already gone). Scale shape: one user-keyed shuffle collapses
-    * the event log to per-user lifetimes; everything after runs on the
-    * days-bounded distinct-lifetime frame, so the two global windows are
-    * tiny. The product is exp(Σ ln(·)) with the identical expression on
-    * both engines (the repo's established ln-parity discipline).
+    * everyone already gone); lifetimes are exact integer µs divisions,
+    * never boundary-counting datediffs (the two engines disagree on
+    * those). Scale shape: one user-keyed shuffle collapses the event log
+    * to per-user lifetimes; everything after runs on the hours-bounded
+    * distinct-lifetime frame, so the two global windows are tiny. The
+    * product is exp(Σ ln(·)) with the identical expression on both
+    * engines (the repo's established ln-parity discipline).
     */
   def survivalKm(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val per = ev.groupBy("user_id")
-      .agg(min(col("ts")).cast("date").as("first_day"),
-        max(col("ts")).cast("date").as("last_day"))
-    val cut = ev.agg(date_sub(max(col("ts")).cast("date"), 7).as("cutoff"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val cut = ev.agg((max(col("ts")) - expr("INTERVAL 24 HOURS")).as("cutoff"))
     val life = per.crossJoin(broadcast(cut))
-      .select(datediff(col("last_day"), col("first_day")).as("t"),
-        (col("last_day") > col("cutoff")).as("censored"))
+      .select(
+        expr("(unix_micros(last_ts) - unix_micros(first_ts)) div 3600000000")
+          .as("t"),
+        (col("last_ts") > col("cutoff")).as("censored"))
     val byT = life.groupBy("t")
       .agg(count(when(!col("censored"), 1)).as("d"),
         count(when(col("censored"), 1)).as("c"))
@@ -763,21 +768,20 @@ object AggQueries extends QueryModule {
       .filter(col("d") > 0)
       .withColumn("survival",
         round(exp(sum(log(expr("CAST(n_risk - d AS DOUBLE) / n_risk"))).over(wCum)), 4))
-      .select(col("t").cast("int").as("t_days"), col("n_risk"),
+      .select(col("t").cast("int").as("t_hours"), col("n_risk"),
         col("d").as("n_deaths"), col("survival"))
-      .orderBy("t_days")
+      .orderBy("t_hours")
   }
 
   private val survivalKmSql =
     """WITH per AS (
-      |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
-      |    CAST(max(ts) AS DATE) AS last_day
+      |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
       |  FROM events GROUP BY user_id
       |), cut AS (
-      |  SELECT CAST(max(ts) AS DATE) - INTERVAL 7 DAY AS cutoff FROM events
+      |  SELECT max(ts) - INTERVAL 24 HOUR AS cutoff FROM events
       |), life AS (
-      |  SELECT datediff('day', first_day, last_day) AS t,
-      |    (last_day > cutoff) AS censored
+      |  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 3600000000 AS t,
+      |    (last_ts > cutoff) AS censored
       |  FROM per CROSS JOIN cut
       |), byt AS (
       |  SELECT t, CAST(count(CASE WHEN NOT censored THEN 1 END) AS BIGINT) AS d,
@@ -786,13 +790,14 @@ object AggQueries extends QueryModule {
       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM life),
       |risk AS (
       |  SELECT t, d, c,
-      |    total - sum(d + c) OVER (ORDER BY t
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + d + c AS n_risk
+      |    CAST(total - sum(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + d + c
+      |      AS BIGINT) AS n_risk
       |  FROM byt CROSS JOIN tot)
-      |SELECT CAST(t AS INT) AS t_days, n_risk, d AS n_deaths,
+      |SELECT CAST(t AS INT) AS t_hours, n_risk, d AS n_deaths,
       |  round(exp(sum(ln(CAST(n_risk - d AS DOUBLE) / n_risk)) OVER (ORDER BY t
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS survival
-      |FROM risk WHERE d > 0 ORDER BY t_days""".stripMargin
+      |FROM risk WHERE d > 0 ORDER BY t_hours""".stripMargin
 
   /** Ordered-set aggregates (`WITHIN GROUP`): `percentile_disc` picks an
     * ACTUAL data value (no interpolation — exact on any type, no float

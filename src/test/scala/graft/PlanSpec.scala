@@ -371,4 +371,37 @@ class PlanSpec extends SparkSuite {
     val hi = p.indexOf("HashAggregate", wi)
     assert(hi > wi, "no aggregate below the window:\n" + p)
   }
+
+  test("q05: the same-nation constraint is an equi-join condition, not a residual filter") {
+    // the supplier join must carry BOTH keys (suppkey AND nationkey) so
+    // "local" rides the existing shuffle/broadcast — a post-join filter
+    // would first enumerate every (lineitem, supplier) key match across
+    // nations and throw most of them away
+    val p = plan("q05_local_supplier")
+    val supJoin = p.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin"))
+      .find(_.contains("s_suppkey"))
+      .getOrElse(sys.error("no supplier join in plan:\n" + p))
+    assert(supJoin.contains("c_nationkey") && supJoin.contains("s_nationkey"), supJoin)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kmeans: argmin assignment is a combining aggregate, never a per-vector sort window") {
+    // a row_number window per vec_id would shuffle-and-sort the ×k
+    // fan-out; min_by keeps the argmin map-side combinable, and the
+    // k-row centroid tables must broadcast against the streamed corpus
+    val p = plan("sim_kmeans_lloyd")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("label propagation: every round is keyed joins + keyed min, no pair expansion") {
+    val p = plan("graph_label_propagation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // two rounds × two endpoint orientations = at least 4 equi joins
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size >= 4, p)
+  }
 }
