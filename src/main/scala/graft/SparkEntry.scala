@@ -23,6 +23,7 @@ object SparkEntry {
     operators.GraphQueries,
     operators.MiscQueries,
     operators.TypedQueries,
+    operators.TpchQueries,
     sources.SourceQueries,
     operators.DedupQueries,
     operators.CurationQueries,

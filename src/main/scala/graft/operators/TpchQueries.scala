@@ -1,0 +1,627 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query shapes (Q2, Q4, Q6, Q7, Q10, Q11, Q12, Q14,
+  * Q15, Q16, Q18, Q19, Q20, Q21, Q22) adapted to the fixture schema —
+  * together with Q1/Q3/Q5/Q8/Q9/Q13/Q17 (AggQueries / JoinQueries) the
+  * engine covers all 22 TPC-H query shapes.
+  *
+  * Fixture adaptations (the fixture has no `partsupp`, `l_shipmode`,
+  * `l_commitdate`/`l_receiptdate`, comments or phones):
+  *   - "supply cost / availability" shapes (Q2, Q11, Q20) read supply facts
+  *     from `lineitem` (unit price = extendedprice/quantity) instead of
+  *     partsupp.
+  *   - "late delivery" (Q4, Q12, Q21) is `l_shipdate > o_orderdate + 365
+  *     days` instead of commit-vs-receipt comparison.
+  *   - Q16's supplier exclusion is `s_acctbal < 500` instead of a comment
+  *     LIKE; Q22's country code is the customer's nation name.
+  *
+  * Determinism discipline (driver hash-compares against DuckDB):
+  *   - every revenue/value sum is pinned to integer micros BEFORE the
+  *     hash-agg (`CAST(round(expr * 1e6) AS BIGINT)`) so the sum is exact
+  *     integer arithmetic in both engines regardless of combine order;
+  *   - every threshold-vs-aggregate comparison (Q11, Q20, Q22) is an exact
+  *     integer cross-multiplication, never a double divide;
+  *   - every output is totally ordered with a unique tiebreaker.
+  *
+  * Scale discipline: the facts (`lineitem`, `orders`) shuffle at most once
+  * on their join key; `part`, `supplier`, `nation`, `region` and every
+  * single-row aggregate are broadcast; `customer` joins are key-shuffled
+  * (it grows with SF). Per-group argmin/top-k use aggregate-then-join or
+  * TakeOrdered, never a global sort of the fact table.
+  */
+object TpchQueries extends QueryModule {
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  /** Integer-micros revenue term: exact under any aggregation order. */
+  private val revMicros =
+    expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+
+  // --------------------------------------------------------------------
+  // Q2 — min-cost supplier: for each PROMO part, the ASIA supplier(s)
+  // shipping it at the minimum unit price. partsupp is modeled from
+  // lineitem; the correlated-min subquery is an aggregate-then-equijoin on
+  // (partkey, price) — both shuffles are on l_partkey, dims broadcast.
+  // --------------------------------------------------------------------
+  def q02MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val asiaSup = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val px = Tables.lineitem(s, dir)
+      .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .withColumn("pm",
+        expr("CAST(round(l_extendedprice * 1e6 / l_quantity) AS BIGINT)"))
+      .select("p_partkey", "s_suppkey", "s_name", "n_name", "pm")
+    val mins = px.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min("pm").as("min_pm"))
+    px.join(mins,
+        col("p_partkey") === col("m_partkey") && col("pm") === col("min_pm"))
+      .groupBy(col("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"))
+      .agg(round(min("min_pm") / 1e6, 2).as("unit_price"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  private val q02MinCostSupplierSql =
+    """WITH px AS (
+      |  SELECT p_partkey, s_suppkey, s_name, n_name,
+      |    CAST(round(l_extendedprice * 1e6 / l_quantity) AS BIGINT) AS pm
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'),
+      |mins AS (SELECT p_partkey, min(pm) AS min_pm FROM px GROUP BY 1)
+      |SELECT px.p_partkey, s_suppkey, s_name, n_name,
+      |  round(min(min_pm) / 1e6, 2) AS unit_price
+      |FROM px JOIN mins ON px.p_partkey = mins.p_partkey AND pm = min_pm
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q4 — order priority checking: orders in a 9-month window with at least
+  // one late line. EXISTS plans as a left-semi hash join on o_orderkey
+  // with the lateness condition as a join residual; the 5-row priority agg
+  // is map-side combinable.
+  // --------------------------------------------------------------------
+  def q04OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1997-10-01"))
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q04OrderPrioritySql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 365 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q6 — forecast revenue change: pure scan-filter-agg, no join. The
+  // filters reach the parquet scan as pushed predicates; the single-row
+  // sum is exact integer micros.
+  // --------------------------------------------------------------------
+  def q06ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(round(sum(
+        expr("CAST(round(l_extendedprice * l_discount * 1e6) AS BIGINT)")) / 1e6, 2)
+        .as("revenue"))
+
+  private val q06ForecastRevenueSql =
+    """SELECT round(sum(CAST(round(l_extendedprice * l_discount * 1e6) AS BIGINT)) / 1e6, 2)
+      |  AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q7 — volume shipping between two trading regions (ASIA⇄EUROPE; the
+  // fixture's nations are synthetic so the classic nation pair becomes a
+  // region pair). lineitem shuffles once on l_orderkey (orders join) and
+  // once on o_custkey (customer join); supplier/nation/region broadcast on
+  // both legs. The disjunctive pair filter sits above the joins.
+  // --------------------------------------------------------------------
+  def q07VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val supRegion = Tables.supplier(s, dir)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name").as("supp_region"))
+    val custRegion = n
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"), col("r_name").as("cust_region"))
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    li.join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custRegion), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+        (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(revMicros) / 1e6, 2).as("revenue"))
+      .orderBy("supp_region", "cust_region", "l_year")
+  }
+
+  private val q07VolumeShippingSql =
+    """SELECT supp_region, cust_region, l_year,
+      |  round(sum(rev_m) / 1e6, 2) AS revenue
+      |FROM (
+      |  SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT) AS rev_m
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      |  WHERE (rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE')
+      |     OR (rs.r_name = 'EUROPE' AND rc.r_name = 'ASIA')) t
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q10 — returned-item reporting: top 20 customers by returned revenue in
+  // a quarter. Revenue agg keys on the customer attributes (one shuffle on
+  // c_custkey after the orders join); top-20 is TakeOrdered on the ~|C|
+  // aggregate, never a global sort of lineitem.
+  // --------------------------------------------------------------------
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1997-07-01") &&
+        col("o_orderdate") < ts("1997-10-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(revMicros).as("rev_m"))
+      .orderBy(desc("rev_m"), col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("rev_m") / 1e6, 2).as("revenue"),
+        col("c_acctbal"), col("n_name"))
+  }
+
+  private val q10ReturnedItemsSql =
+    """SELECT c_custkey, c_name, round(sum(rev_m) / 1e6, 2) AS revenue,
+      |  c_acctbal, n_name
+      |FROM (
+      |  SELECT c_custkey, c_name, c_acctbal, n_name,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT) AS rev_m
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1997-07-01'
+      |    AND o_orderdate < TIMESTAMP '1997-10-01') t
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY sum(rev_m) DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q11 — important stock: per-part ASIA supply value with a HAVING
+  // against a scalar fraction of the global total. The global total is a
+  // single-row aggregate broadcast into the filter; the comparison is an
+  // exact integer cross-multiply (value * 2000 > total), not a double
+  // threshold, so the boundary part never flips between engines.
+  // --------------------------------------------------------------------
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val asiaSup = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val vals = Tables.lineitem(s, dir)
+      .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("v_m", expr("CAST(round(l_extendedprice * 1e6) AS BIGINT)"))
+      .groupBy("l_partkey")
+      .agg(sum("v_m").as("value_m"))
+    val total = vals.agg(sum("value_m").as("total_m"))
+    vals.join(broadcast(total))
+      .filter(col("value_m") * 2000 > col("total_m"))
+      .select(col("l_partkey"), round(col("value_m") / 1e6, 2).as("value"))
+      .orderBy(desc("value"), col("l_partkey"))
+  }
+
+  private val q11ImportantStockSql =
+    """WITH vals AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS value_m
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY 1)
+      |SELECT l_partkey, round(value_m / 1e6, 2) AS value
+      |FROM vals
+      |WHERE value_m * 2000 > (SELECT sum(value_m) FROM vals)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q12 — shipping-delay priority split (the fixture has no l_shipmode, so
+  // Q12's mode classes become delay classes): one orders⋈lineitem join on
+  // the order key, conditional counts in a 2-row hash agg.
+  // --------------------------------------------------------------------
+  def q12ShipDelayPriority(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .select("l_orderkey", "l_shipdate")
+    li.join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_class",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 365, "LATE")
+          .otherwise("ONTIME"))
+      .groupBy("delay_class")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_class")
+  }
+
+  private val q12ShipDelayPrioritySql =
+    """SELECT
+      |  CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 365
+      |    THEN 'LATE' ELSE 'ONTIME' END AS delay_class,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q14 — promo revenue share: lineitem⋈broadcast(part), one conditional
+  // hash agg produces numerator and denominator in a single pass (same
+  // one-agg discipline as q08_market_share).
+  // --------------------------------------------------------------------
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-07-01") &&
+        col("l_shipdate") < ts("1997-10-01"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revMicros).otherwise(0L)).as("promo_m"),
+        sum(revMicros).as("total_m"))
+      .select(round(lit(100.0) * col("promo_m") / col("total_m"), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  private val q14PromoRevenueSql =
+    """SELECT round(100.0 * promo_m / total_m, 4) AS promo_revenue_pct
+      |FROM (
+      |  SELECT
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+      |      ELSE 0 END) AS promo_m,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+      |      AS total_m
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+      |    AND l_shipdate < TIMESTAMP '1997-10-01') t""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q15 — top supplier: quarterly revenue per supplier, keep the max.
+  // Revenue is an exact integer per supplier so the `= max` equality is
+  // exact; the single-row max broadcasts back over the 100-row aggregate.
+  // --------------------------------------------------------------------
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revMicros).as("rev_m"))
+    val maxRev = rev.agg(max("rev_m").as("max_m"))
+    rev.join(broadcast(maxRev)).filter(col("rev_m") === col("max_m"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_m") / 1e6, 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15TopSupplierSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+      |      AS rev_m
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, round(rev_m / 1e6, 2) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_m = (SELECT max(rev_m) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q16 — parts/supplier relationship: distinct-supplier counts per
+  // (brand, type, size) bucket with a NOT IN supplier exclusion (planned
+  // as a broadcast anti join — the exclusion list is tiny at every SF).
+  // The distinct-agg shuffles once on the 3-part grouping key.
+  // --------------------------------------------------------------------
+  def q16PartsSupplier(s: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(s, dir).filter(col("s_acctbal") < 500)
+      .select("s_suppkey")
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val q16PartsSupplierSql =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q18 — large-volume orders: group-having IN subquery planned as an
+  // aggregate on l_orderkey joined back to orders⋈customer. The having
+  // aggregate is map-side combinable; top-100 is TakeOrdered.
+  // --------------------------------------------------------------------
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 300)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18LargeOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_totalprice, total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q19 — discounted revenue under a disjunction of brand/size/quantity
+  // conjuncts. The whole OR-of-ANDs stays a single codegen'd filter above
+  // one broadcast join; Catalyst extracts the common l_partkey=p_partkey
+  // equi-key so this never plans as a cartesian.
+  // --------------------------------------------------------------------
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 40)))
+      .agg(round(sum(revMicros) / 1e6, 2).as("revenue"))
+  }
+
+  private val q19DiscountedRevenueSql =
+    """SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) / 1e6, 2)
+      |  AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q20 — potential promotion: suppliers whose 1997 PROMO volume exceeds
+  // 1.2× the average supplier's. The threshold is scale-invariant (it
+  // tracks the corpus) and the comparison is an exact integer
+  // cross-multiply: sumq * n * 10 > total * 12. Quantities are
+  // integer-valued in the fixture so the BIGINT cast is lossless.
+  // --------------------------------------------------------------------
+  def q20PotentialPromotion(s: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val perSup = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast("bigint")).as("sumq"))
+    val tot = perSup.agg(sum("sumq").as("total"), count(lit(1)).as("n"))
+    perSup.join(broadcast(tot))
+      .filter(col("sumq") * col("n") * 10 > col("total") * 12)
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("sumq").as("promo_qty"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q20PotentialPromotionSql =
+    """WITH per_sup AS (
+      |  SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sumq
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(sumq) AS total, count(*) AS n FROM per_sup)
+      |SELECT s_suppkey, s_name, CAST(sumq AS BIGINT) AS promo_qty
+      |FROM per_sup CROSS JOIN tot
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE sumq * n * 10 > total * 12
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q21 — suppliers who kept orders waiting: on finished multi-supplier
+  // orders, the lines whose supplier was the ONLY late one. The classic
+  // EXISTS/NOT-EXISTS pair becomes two aggregates over the same
+  // (orderkey, suppkey) flag frame — each shuffles on the order key; no
+  // correlated re-scan of lineitem.
+  // --------------------------------------------------------------------
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val flags = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 365, 1L)
+          .otherwise(0L))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("late").as("late"))
+    val perOrder = flags.groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+    flags.filter(col("late") === 1)
+      .join(perOrder,
+        col("l_orderkey") === col("g_orderkey") &&
+          col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(10)
+  }
+
+  private val q21WaitingSupplierSql =
+    """WITH flags AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 365
+      |      THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1, 2),
+      |per_order AS (
+      |  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+      |  FROM flags GROUP BY 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM flags
+      |JOIN per_order USING (l_orderkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE flags.late = 1 AND n_supp >= 2 AND n_late = 1
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Q22 — global sales opportunity: above-average-balance customers with
+  // no recent orders, counted per nation. The positive-balance average is
+  // pinned to integer cents and compared by cross-multiplication
+  // (cents * n > total_cents); the "no recent orders" is a broadcast-able
+  // anti join on the distinct recent customer set.
+  // --------------------------------------------------------------------
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .withColumn("bal_c", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+    val cut = c.filter(col("bal_c") > 0)
+      .agg(sum("bal_c").as("total_c"), count(lit(1)).as("n"))
+    val active = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1999-01-01"))
+      .select("o_custkey").distinct()
+    c.join(broadcast(cut))
+      .filter(col("bal_c") * col("n") > col("total_c"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum("bal_c") / 100.0, 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  private val q22GlobalSalesSql =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |cut AS (SELECT sum(bal_c) AS total_c, count(*) AS n
+      |        FROM c WHERE bal_c > 0)
+      |SELECT n_name, count(*) AS numcust,
+      |  round(sum(bal_c) / 100.0, 2) AS totacctbal
+      |FROM c CROSS JOIN cut
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE bal_c * n > total_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q02_min_cost_supplier", q02MinCostSupplier, Some(q02MinCostSupplierSql)),
+    QueryDef("q04_order_priority", q04OrderPriority, Some(q04OrderPrioritySql)),
+    QueryDef("q06_forecast_revenue", q06ForecastRevenue, Some(q06ForecastRevenueSql)),
+    QueryDef("q07_volume_shipping", q07VolumeShipping, Some(q07VolumeShippingSql)),
+    QueryDef("q10_returned_items", q10ReturnedItems, Some(q10ReturnedItemsSql)),
+    QueryDef("q11_important_stock", q11ImportantStock, Some(q11ImportantStockSql)),
+    QueryDef("q12_ship_delay_priority", q12ShipDelayPriority, Some(q12ShipDelayPrioritySql)),
+    QueryDef("q14_promo_revenue", q14PromoRevenue, Some(q14PromoRevenueSql)),
+    QueryDef("q15_top_supplier", q15TopSupplier, Some(q15TopSupplierSql)),
+    QueryDef("q16_parts_supplier", q16PartsSupplier, Some(q16PartsSupplierSql)),
+    QueryDef("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersSql)),
+    QueryDef("q19_discounted_revenue", q19DiscountedRevenue, Some(q19DiscountedRevenueSql)),
+    QueryDef("q20_potential_promotion", q20PotentialPromotion, Some(q20PotentialPromotionSql)),
+    QueryDef("q21_waiting_supplier", q21WaitingSupplier, Some(q21WaitingSupplierSql)),
+    QueryDef("q22_global_sales", q22GlobalSales, Some(q22GlobalSalesSql))
+  )
+}
