@@ -24,6 +24,7 @@ object SparkEntry {
     operators.MiscQueries,
     operators.TypedQueries,
     operators.TpchQueries,
+    operators.AnalyticsQueries,
     sources.SourceQueries,
     operators.DedupQueries,
     operators.CurationQueries,

@@ -1,0 +1,370 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / time-series analytics beyond the TPC-H shapes: rank
+  * correlation, k-sample ANOVA, interval union, OHLC downsampling, PMI
+  * collocations and an epoch-capped mixture plan.
+  *
+  * Determinism discipline (same as TpchQueries): money is pinned to
+  * integer cents before any aggregation; rank statistics use doubled
+  * average ranks so tie handling is exact integer arithmetic; the only
+  * doubles are final scalar expressions computed with the identical
+  * operation tree in Spark and DuckDB, then rounded.
+  *
+  * Scale discipline: every window is partitioned by a grouping key that
+  * grows with the data (nation, customer, event_type×bucket) — there is no
+  * unpartitioned global sort in this module. Group-count frames (5
+  * priorities, 25 nations, ~600 bars) are the only single-partition
+  * reductions.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  // ------------------------------------------------------------------
+  // Spearman rank correlation, per nation, between a customer's account
+  // balance and their lifetime spend. Average ranks for ties are kept as
+  // exact integers by doubling (2·avg_rank = 2·min_rank + ties − 1); the
+  // Pearson formula over the doubled ranks runs in exact BIGINT sums and
+  // only the final normalization is floating point. Both rank windows are
+  // partitioned by nation — no global sort.
+  // ------------------------------------------------------------------
+  def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_c"))
+    val cust = Tables.customer(s, dir)
+      .withColumn("bal_c", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      .select("c_custkey", "c_nationkey", "bal_c")
+    val n = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    val base = spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "bal_c", "spend_c")
+    val rx = rank().over(Window.partitionBy("n_name").orderBy("bal_c")) * 2 +
+      count(lit(1)).over(Window.partitionBy("n_name", "bal_c")) - 3
+    val ry = rank().over(Window.partitionBy("n_name").orderBy("spend_c")) * 2 +
+      count(lit(1)).over(Window.partitionBy("n_name", "spend_c")) - 3
+    base
+      .withColumn("rx", rx.cast("long")).withColumn("ry", ry.cast("long"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(col("n_name"), col("n_customers"),
+        round((col("n_customers") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt((col("n_customers") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n_customers") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 6).as("rho"))
+      .orderBy("n_name")
+  }
+
+  // rank()*2 + ties − 3 == 2·avg_rank − 2: a constant shift (invariant for
+  // the correlation) that keeps every tie-averaged rank an exact integer.
+  private val spearmanCorrSql =
+    """WITH base AS (
+      |  SELECT n_name, c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c, spend_c
+      |  FROM (SELECT o_custkey,
+      |          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |            AS spend_c
+      |        FROM orders GROUP BY 1) sp
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |ranked AS (
+      |  SELECT n_name,
+      |    CAST(rank() OVER (PARTITION BY n_name ORDER BY bal_c) * 2
+      |      + count(*) OVER (PARTITION BY n_name, bal_c) - 3 AS BIGINT) AS rx,
+      |    CAST(rank() OVER (PARTITION BY n_name ORDER BY spend_c) * 2
+      |      + count(*) OVER (PARTITION BY n_name, spend_c) - 3 AS BIGINT) AS ry
+      |  FROM base)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(CAST(count(*) * sum(rx * ry) - sum(rx) * sum(ry) AS DOUBLE)
+      |    / sqrt(CAST(count(*) * sum(rx * rx) - sum(rx) * sum(rx) AS DOUBLE)
+      |         * CAST(count(*) * sum(ry * ry) - sum(ry) * sum(ry) AS DOUBLE)),
+      |    6) AS rho
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // One-way ANOVA F across the five order priorities on order value.
+  // Group sums and sums-of-squares are exact (cents in BIGINT, squares in
+  // DECIMAL(38,0) / HUGEINT); the between/within decomposition happens in
+  // doubles over the 5-row group-stat frame where ordering noise is ~1
+  // ulp of 1e19 against an F rounded at 4 dp.
+  // ------------------------------------------------------------------
+  def anovaF(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .withColumn("x", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("s_g"),
+        sum(expr("CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))"))
+          .as("ss_g"))
+    g.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum("s_g").as("t"),
+        sum(col("ss_g")).cast("double").as("ss_all"),
+        sum(col("s_g").cast("double") * col("s_g").cast("double")
+          / col("n_g").cast("double")).as("a"))
+      .select(col("k"), col("n"),
+        round(((col("a") - col("t").cast("double") * col("t").cast("double")
+            / col("n").cast("double")) / (col("k") - 1).cast("double")) /
+          ((col("ss_all") - col("a")) / (col("n") - col("k")).cast("double")),
+          4).as("f_stat"))
+  }
+
+  private val anovaFSql =
+    """WITH g AS (
+      |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_g,
+      |    CAST(sum(x) AS BIGINT) AS s_g,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss_g
+      |  FROM (SELECT o_orderpriority,
+      |          CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      |        FROM orders) t
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(sum(s_g) AS BIGINT) AS t, CAST(sum(ss_g) AS DOUBLE) AS ss_all,
+      |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |      / CAST(n_g AS DOUBLE)) AS a
+      |  FROM g)
+      |SELECT k, n,
+      |  round(((a - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(k - 1 AS DOUBLE)) /
+      |    ((ss_all - a) / CAST(n - k AS DOUBLE)), 4) AS f_stat
+      |FROM tot""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Interval union (merge overlapping intervals): each order opens a
+  // 30-day activity window; per customer, overlapping windows merge into
+  // islands via the classic running-max-of-end scan — a window partitioned
+  // by customer, never global. Output is the distribution of merged-island
+  // counts with exact day totals.
+  // ------------------------------------------------------------------
+  def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").as("start"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("end"))
+    val wPrev = Window.partitionBy("o_custkey")
+      .orderBy(col("start"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("o_custkey")
+      .orderBy(col("start"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = iv
+      .withColumn("prev_end", max("end").over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("start") >= col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy("o_custkey", "island")
+      .agg(min("start").as("is_start"), max("end").as("is_end"))
+    val perCust = islands.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(datediff(col("is_end"), col("is_start")).cast("long"))
+          .as("covered_days"))
+    perCust.groupBy("n_islands")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("covered_days").as("total_covered_days"))
+      .orderBy("n_islands")
+  }
+
+  private val intervalMergeSql =
+    """WITH iv AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate AS st,
+      |    o_orderdate + INTERVAL 30 DAY AS en
+      |  FROM orders),
+      |flagged AS (
+      |  SELECT o_custkey, st, en,
+      |    CASE WHEN max(en) OVER (PARTITION BY o_custkey
+      |        ORDER BY st, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR st >= max(en) OVER (PARTITION BY o_custkey
+      |        ORDER BY st, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS new_island,
+      |    o_orderkey
+      |  FROM iv),
+      |islands AS (
+      |  SELECT o_custkey,
+      |    sum(new_island) OVER (PARTITION BY o_custkey
+      |      ORDER BY st, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+      |    st, en
+      |  FROM flagged),
+      |merged AS (
+      |  SELECT o_custkey, island, min(st) AS is_start, max(en) AS is_end
+      |  FROM islands GROUP BY 1, 2),
+      |per_cust AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_islands,
+      |    CAST(sum(date_diff('day', is_start, is_end)) AS BIGINT)
+      |      AS covered_days
+      |  FROM merged GROUP BY 1)
+      |SELECT n_islands, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(covered_days) AS BIGINT) AS total_covered_days
+      |FROM per_cust GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // OHLC bars: downsample the event stream into 6-hour bars per event
+  // type — open/close via row_number at the bar edges (ts, event_id is a
+  // total order), high/low/count as plain aggregates. The window is
+  // partitioned per (type, bar): at 100 TB each bar's events hash to one
+  // reducer and bars parallelize freely.
+  // ------------------------------------------------------------------
+  def ohlcBars(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("bar", expr("unix_micros(ts) div 21600000000"))
+    val w = Window.partitionBy("event_type", "bar")
+    val asc = w.orderBy(col("ts"), col("event_id"))
+    val desc0 = w.orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc0))
+      .groupBy("event_type", "bar")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"))
+      .select(col("event_type"),
+        date_format(expr("timestamp_micros(bar * 21600000000)"),
+          "yyyy-MM-dd HH:mm:ss").as("bar_start"),
+        col("n_events"), col("open"), col("high"), col("low"), col("close"))
+      .orderBy("event_type", "bar_start")
+  }
+
+  private val ohlcBarsSql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 21600000000 AS bar, ts, event_id,
+      |    value
+      |  FROM events),
+      |rn AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, bar
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, bar
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT event_type,
+      |  strftime(make_timestamp(bar * 21600000000), '%Y-%m-%d %H:%M:%S')
+      |    AS bar_start,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+      |FROM rn GROUP BY event_type, bar
+      |ORDER BY event_type, bar_start""".stripMargin
+
+  // ------------------------------------------------------------------
+  // PMI collocations: top-20 bigrams by pointwise mutual information with
+  // a min-count gate. Margins roll up FROM the bigram counts (one corpus
+  // explode, three consumers); the PMI log runs over an exact integer
+  // rational so both engines see identical doubles.
+  // ------------------------------------------------------------------
+  private val toks = "array_remove(split(text, ' ', -1), '')"
+  private val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(expr(toks).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val m1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val m2 = c12.groupBy("w2").agg(sum("c12").as("c2"))
+    val tot = c12.agg(sum("c12").as("n"))
+    c12.filter(col("c12") >= 5)
+      .join(m1, "w1").join(m2, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        round(log(col("n").cast("double") * col("c12").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(20)
+      .select("w1", "w2", "c12", "pmi")
+  }
+
+  private val pmiCollocationsSql =
+    s"""WITH tk AS (
+       |  SELECT $dToks AS tk FROM documents
+       |), bg AS (
+       |  SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+       |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+       |        FROM tk WHERE len(tk) >= 2)
+       |), c AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+       |), m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1
+       |), m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c GROUP BY 1
+       |), tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c)
+       |SELECT w1, w2, c12,
+       |  round(ln(CAST(n AS DOUBLE) * CAST(c12 AS DOUBLE)
+       |    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+       |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+       |WHERE c12 >= 5
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Epoch-capped mixture plan: the upsampling complement of
+  // curation_mixture_plan (which only downsamples). Each source is pulled
+  // toward an equal token share, but repeats are capped at 4 epochs —
+  // the standard guard against overfitting rare sources in LLM data
+  // mixtures. All planning arithmetic is exact integers; only the final
+  // epoch ratio is a rounded double.
+  // ------------------------------------------------------------------
+  def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"size($toks)").cast("long")).as("src_tokens"))
+    val tot = perSrc.agg(
+      sum("src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("total_tokens div n_sources"))
+      .withColumn("planned_tokens",
+        least(col("src_tokens") * 4, greatest(col("target_tokens"), col("src_tokens"))))
+      .withColumn("epochs",
+        round(col("planned_tokens").cast("double") /
+          col("src_tokens").cast("double"), 4))
+      .withColumn("upsampled", (col("planned_tokens") > col("src_tokens")).cast("boolean"))
+      .select("source", "n_docs", "src_tokens", "target_tokens",
+        "planned_tokens", "epochs", "upsampled")
+      .orderBy("source")
+  }
+
+  private val epochPlanSql =
+    s"""WITH per_src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($dToks)) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_sources
+       |  FROM per_src)
+       |SELECT source, n_docs, src_tokens,
+       |  total_tokens // n_sources AS target_tokens,
+       |  least(src_tokens * 4,
+       |    greatest(total_tokens // n_sources, src_tokens)) AS planned_tokens,
+       |  round(CAST(least(src_tokens * 4,
+       |      greatest(total_tokens // n_sources, src_tokens)) AS DOUBLE)
+       |    / CAST(src_tokens AS DOUBLE), 4) AS epochs,
+       |  least(src_tokens * 4,
+       |    greatest(total_tokens // n_sources, src_tokens)) > src_tokens
+       |    AS upsampled
+       |FROM per_src CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_spearman_corr", spearmanCorr, Some(spearmanCorrSql)),
+    QueryDef("agg_anova_f", anovaF, Some(anovaFSql)),
+    QueryDef("misc_interval_merge", intervalMerge, Some(intervalMergeSql)),
+    QueryDef("win_ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
+    QueryDef("text_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
+    QueryDef("curation_epoch_plan", epochPlan, Some(epochPlanSql))
+  )
+}

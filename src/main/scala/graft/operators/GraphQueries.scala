@@ -674,7 +674,50 @@ object GraphQueries extends QueryModule {
        |FROM l2 GROUP BY lbl
        |ORDER BY n_members DESC, label LIMIT 50""".stripMargin
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed orientation of the edge list.
+    * By symmetry the x/y margins coincide, so r reduces to
+    * (n·Σxy − Sx²)/(n·Σxx − Sx²) with every sum an exact BIGINT over the
+    * materialized edge table (one broadcast degree join, one scan); the
+    * final ratio is the only floating-point step and is identical in both
+    * engines (the inputs are exact integers converted once to doubles).
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = edges(s, dir)
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("un"), col("d").as("du"))
+    val dv = deg.select(col("n").as("vn"), col("d").as("dv"))
+    pairs
+      .join(broadcast(du), col("u") === col("un"))
+      .join(broadcast(dv), col("v") === col("vn"))
+      .agg((count(lit(1)) * 2).as("n"),
+        sum(col("du") + col("dv")).as("sx"),
+        (sum(col("du") * col("dv")) * 2).as("sxy"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"))
+      .select(col("n").as("n_directed_edges"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("assortativity"))
+  }
+
+  private val assortativitySql =
+    s"""WITH $edgesCte
+       |SELECT CAST(count(*) * 2 AS BIGINT) AS n_directed_edges,
+       |  round((CAST(count(*) * 2 AS DOUBLE) * CAST(sum(du.d * dv.d) * 2 AS DOUBLE)
+       |      - CAST(sum(du.d + dv.d) AS DOUBLE) * CAST(sum(du.d + dv.d) AS DOUBLE)) /
+       |    (CAST(count(*) * 2 AS DOUBLE) * CAST(sum(du.d * du.d + dv.d * dv.d) AS DOUBLE)
+       |      - CAST(sum(du.d + dv.d) AS DOUBLE) * CAST(sum(du.d + dv.d) AS DOUBLE)),
+       |    6) AS assortativity
+       |FROM pairs
+       |JOIN deg du ON pairs.u = du.n
+       |JOIN deg dv ON pairs.v = dv.n""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql)),
     QueryDef("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),
     QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
