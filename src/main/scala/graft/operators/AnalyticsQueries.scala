@@ -359,7 +359,158 @@ object AnalyticsQueries extends QueryModule {
        |FROM per_src CROSS JOIN tot
        |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Poisson-bootstrap confidence interval for the mean order value — the
+  // scalable bootstrap (Poisson(1) resample weights instead of true
+  // multinomial resampling) that works in one pass over a sharded corpus.
+  // Weights are DETERMINISTIC: a per-(resample, row) md5-derived uniform
+  // inverted through the Poisson(1) CDF, identically on both engines.
+  // Each resample mean is an exact-integer ratio; the interval bounds are
+  // explicit order statistics over the sorted 64-element resample frame
+  // (never an engine-specific quantile interpolation).
+  // Scale shape: the ×B fan-out feeds a map-side-combinable hash agg with
+  // exactly B groups — no shuffle grows with the data.
+  // ------------------------------------------------------------------
+  private val poissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val caseW = poissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 6L END")
+    val means = Tables.orders(s, dir)
+      .withColumn("x", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .withColumn("b", explode(expr("sequence(1, 64)")))
+      .withColumn("u", expr(
+        """CAST(conv(substring(md5(CAST(concat('boot', CAST(b AS STRING), '_',
+          |  CAST(o_orderkey AS STRING)) AS BINARY)), 1, 6), 16, 10) AS DOUBLE)
+          |  / 16777216.0""".stripMargin))
+      .withColumn("w", expr(caseW))
+      .groupBy("b")
+      .agg((sum(col("w") * col("x")).cast("double") /
+        sum("w").cast("double")).as("mean_b"))
+    means.agg(count(lit(1)).as("n_resamples"),
+        sort_array(collect_list("mean_b")).as("ms"))
+      .select(col("n_resamples"),
+        round(element_at(col("ms"), 2) / 100.0, 4).as("ci_lo"),
+        round(element_at(col("ms"), 63) / 100.0, 4).as("ci_hi"))
+  }
+
+  private val bootstrapCiSql = {
+    val caseW = poissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH fan AS (
+       |  SELECT b, CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+       |    CAST(('0x' || substr(md5('boot' || CAST(b AS VARCHAR) || '_'
+       |      || CAST(o_orderkey AS VARCHAR)), 1, 6)) AS INT)
+       |      / 16777216.0 AS u
+       |  FROM orders CROSS JOIN (SELECT unnest(range(1, 65)) AS b) bs),
+       |means AS (
+       |  SELECT b,
+       |    CAST(sum(($caseW) * x) AS DOUBLE)
+       |      / CAST(sum($caseW) AS DOUBLE) AS mean_b
+       |  FROM fan GROUP BY b),
+       |ms AS (SELECT list_sort(list(mean_b)) AS l,
+       |  CAST(count(*) AS BIGINT) AS n_resamples FROM means)
+       |SELECT n_resamples, round(l[2] / 100.0, 4) AS ci_lo,
+       |  round(l[63] / 100.0, 4) AS ci_hi
+       |FROM ms""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Herfindahl–Hirschman concentration of spend per nation: Σ share² over
+  // customers, the standard market-concentration index. Σ spend² runs in
+  // DECIMAL(38,0)/HUGEINT; the final ratio is one double division.
+  // ------------------------------------------------------------------
+  def hhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sp"))
+    val n = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    spend
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(sp AS DECIMAL(19,0)) * CAST(sp AS DECIMAL(19,0))"))
+          .cast("double").as("ss"),
+        sum("sp").cast("double").as("t"))
+      .select(col("n_name"), col("n_customers"),
+        round(col("ss") / (col("t") * col("t")) * 10000, 4).as("hhi"))
+      .orderBy("n_name")
+  }
+
+  private val hhiConcentrationSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+      |  FROM orders GROUP BY 1)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(CAST(sum(CAST(sp AS HUGEINT) * CAST(sp AS HUGEINT)) AS DOUBLE)
+      |    / (CAST(sum(sp) AS DOUBLE) * CAST(sum(sp) AS DOUBLE)) * 10000, 4)
+      |    AS hhi
+      |FROM spend
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Day-of-week seasonal index of shipment revenue: ISO weekday, revenue
+  // share and per-active-day index vs the overall daily average. All
+  // inputs are exact integers (micros revenue, distinct-day counts).
+  // ------------------------------------------------------------------
+  def seasonalityDow(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(revMicros2).as("rev_m"))
+      .withColumn("isodow", weekday(col("day")) + 1)
+    val byDow = daily.groupBy("isodow")
+      .agg(count(lit(1)).as("n_days"), sum("rev_m").as("rev_dow"))
+    val tot = byDow.agg(sum("n_days").as("total_days"),
+      sum("rev_dow").as("total_rev"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("isodow"), col("n_days"),
+        round(col("rev_dow") / 1e6, 2).as("revenue"),
+        round(col("rev_dow").cast("double") / col("total_rev").cast("double"),
+          6).as("rev_share"),
+        round((col("rev_dow").cast("double") / col("n_days").cast("double")) /
+          (col("total_rev").cast("double") / col("total_days").cast("double")),
+          4).as("seasonal_index"))
+      .orderBy("isodow")
+  }
+
+  private val seasonalityDowSql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+      |      AS BIGINT)) AS BIGINT) AS rev_m
+      |  FROM lineitem GROUP BY 1),
+      |by_dow AS (
+      |  SELECT CAST(isodow(day) AS INT) AS isodow,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(rev_m) AS BIGINT) AS rev_dow
+      |  FROM daily GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS total_days,
+      |  CAST(sum(rev_dow) AS BIGINT) AS total_rev FROM by_dow)
+      |SELECT isodow, n_days, round(rev_dow / 1e6, 2) AS revenue,
+      |  round(CAST(rev_dow AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+      |    AS rev_share,
+      |  round((CAST(rev_dow AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    / (CAST(total_rev AS DOUBLE) / CAST(total_days AS DOUBLE)), 4)
+      |    AS seasonal_index
+      |FROM by_dow CROSS JOIN tot
+      |ORDER BY isodow""".stripMargin
+
+  private val revMicros2 =
+    expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
+    QueryDef("agg_hhi_concentration", hhiConcentration, Some(hhiConcentrationSql)),
+    QueryDef("win_seasonality_dow", seasonalityDow, Some(seasonalityDowSql)),
     QueryDef("agg_spearman_corr", spearmanCorr, Some(spearmanCorrSql)),
     QueryDef("agg_anova_f", anovaF, Some(anovaFSql)),
     QueryDef("misc_interval_merge", intervalMerge, Some(intervalMergeSql)),

@@ -404,4 +404,54 @@ class PlanSpec extends SparkSuite {
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(p).size >= 4, p)
   }
+
+  test("q04: EXISTS plans as one semi join, no correlated re-scan") {
+    val p = plan("q04_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one scan of each table: the EXISTS must not re-scan lineitem per row
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q19: disjunctive predicate stays above a single equi join") {
+    // Catalyst must extract the common l_partkey = p_partkey key from the
+    // OR-of-ANDs — a cartesian with a residual filter would be quadratic
+    val p = plan("q19_discounted_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q21: waiting-supplier correlation is aggregates over one lineitem scan pair, no window") {
+    val p = plan("q21_waiting_supplier")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q16: NOT IN exclusion plans as a broadcast anti join") {
+    val p = plan("q16_parts_supplier")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("spearman: rank windows are nation-partitioned, never a global sort") {
+    val p = plan("agg_spearman_corr")
+    assert(p.contains("Window"), p)
+    // every window exchange hashes on the partition key; a global-rank
+    // plan would show 'Exchange SinglePartition' feeding a Window
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("n_name")), p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+  }
+
+  test("ohlc bars: both edge windows ride one (type, bar) partitioning") {
+    val p = plan("win_ohlc_bars")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+  }
+
+  test("assortativity: degree joins broadcast over one edge scan") {
+    val p = plan("graph_assortativity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
