@@ -687,11 +687,18 @@ object GraphQueries extends QueryModule {
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+    // same size gate as the triangle census: the degree table is
+    // node-cardinality and broadcasts below the cap; past it the two
+    // joins shuffle on the endpoint keys instead of OOMing the driver
+    val cap = broadcastMaxBytes(s)
+    val nEdges = pairs.count()
+    def gate(df: DataFrame): DataFrame =
+      if (degBytes(nEdges) <= cap) broadcast(df) else df
     val du = deg.select(col("n").as("un"), col("d").as("du"))
     val dv = deg.select(col("n").as("vn"), col("d").as("dv"))
     pairs
-      .join(broadcast(du), col("u") === col("un"))
-      .join(broadcast(dv), col("v") === col("vn"))
+      .join(gate(du), col("u") === col("un"))
+      .join(gate(dv), col("v") === col("vn"))
       .agg((count(lit(1)) * 2).as("n"),
         sum(col("du") + col("dv")).as("sx"),
         (sum(col("du") * col("dv")) * 2).as("sxy"),
