@@ -507,7 +507,120 @@ object AnalyticsQueries extends QueryModule {
   private val revMicros2 =
     expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
 
+  // ------------------------------------------------------------------
+  // RFM segmentation with FIXED thresholds (calibrated near the fixture's
+  // quintiles): score ladders are pure integer comparisons on one
+  // custkey-keyed aggregate — no global ntile sort, so the op is a single
+  // map-side-combinable shuffle at any scale (a quantile-based variant
+  // would pay a total order; fixed cut-lines are also how production RFM
+  // stays comparable across runs).
+  // ------------------------------------------------------------------
+  def rfmSegmentation(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon_c"))
+      .withColumn("rec_days",
+        datediff(lit("2002-01-01").cast("timestamp"), col("last_order"))
+          .cast("long"))
+    val r = when(col("rec_days") <= 210, 5L).when(col("rec_days") <= 280, 4L)
+      .when(col("rec_days") <= 375, 3L).when(col("rec_days") <= 545, 2L)
+      .otherwise(1L)
+    val f = when(col("freq") >= 14, 5L).when(col("freq") >= 12, 4L)
+      .when(col("freq") >= 10, 3L).when(col("freq") >= 8, 2L).otherwise(1L)
+    val m = when(col("mon_c") >= 325000000L, 5L)
+      .when(col("mon_c") >= 267000000L, 4L)
+      .when(col("mon_c") >= 223000000L, 3L)
+      .when(col("mon_c") >= 171000000L, 2L).otherwise(1L)
+    per.withColumn("segment", r * 100 + f * 10 + m)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("mon_c") / 100.0, 2).as("total_spend"))
+      .orderBy("segment")
+  }
+
+  private val rfmSegmentationSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', max(o_orderdate), TIMESTAMP '2002-01-01') AS rec_days,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT mon_c,
+      |    (CASE WHEN rec_days <= 210 THEN 5 WHEN rec_days <= 280 THEN 4
+      |      WHEN rec_days <= 375 THEN 3 WHEN rec_days <= 545 THEN 2
+      |      ELSE 1 END) * 100 +
+      |    (CASE WHEN freq >= 14 THEN 5 WHEN freq >= 12 THEN 4
+      |      WHEN freq >= 10 THEN 3 WHEN freq >= 8 THEN 2 ELSE 1 END) * 10 +
+      |    (CASE WHEN mon_c >= 325000000 THEN 5 WHEN mon_c >= 267000000 THEN 4
+      |      WHEN mon_c >= 223000000 THEN 3 WHEN mon_c >= 171000000 THEN 2
+      |      ELSE 1 END) AS segment
+      |  FROM per)
+      |SELECT CAST(segment AS BIGINT) AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(CAST(sum(mon_c) AS DOUBLE) / 100.0, 2) AS total_spend
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cohort LTV curve: customers grouped by first-order month, cumulative
+  // revenue tracked over the first 12 months of cohort age. Age is exact
+  // integer month arithmetic; the cumsum window runs per cohort over an
+  // aggregate-first (cohort × age) frame — a few thousand rows at any SF.
+  // ------------------------------------------------------------------
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cohorts = o.groupBy("o_custkey")
+      .agg(min(date_trunc("month", col("o_orderdate"))).as("cohort"))
+    val aged = o.join(cohorts, "o_custkey")
+      .withColumn("age",
+        (year(col("o_orderdate")) - year(col("cohort"))) * 12 +
+          (month(col("o_orderdate")) - month(col("cohort"))))
+      .filter(col("age") < 12)
+    val frame = aged.groupBy(col("cohort"), col("age"))
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_c"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame.withColumn("cum_c", sum("rev_c").over(w))
+      .select(date_format(col("cohort"), "yyyy-MM").as("cohort"),
+        col("age"), col("n_orders"),
+        round(col("cum_c") / 100.0, 2).as("cum_revenue"))
+      .orderBy("cohort", "age")
+  }
+
+  private val cohortLtvSql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |cohorts AS (
+      |  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      |  FROM o GROUP BY 1),
+      |aged AS (
+      |  SELECT cohort,
+      |    (year(o_orderdate) - year(cohort)) * 12
+      |      + (month(o_orderdate) - month(cohort)) AS age,
+      |    cents
+      |  FROM o JOIN cohorts USING (o_custkey)
+      |  WHERE (year(o_orderdate) - year(cohort)) * 12
+      |      + (month(o_orderdate) - month(cohort)) < 12),
+      |frame AS (
+      |  SELECT cohort, CAST(age AS INT) AS age,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(cents) AS BIGINT) AS rev_c
+      |  FROM aged GROUP BY 1, 2)
+      |SELECT strftime(cohort, '%Y-%m') AS cohort, age, n_orders,
+      |  round(CAST(sum(rev_c) OVER (PARTITION BY cohort ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / 100.0, 2) AS cum_revenue
+      |FROM frame ORDER BY cohort, age""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_rfm_segmentation", rfmSegmentation, Some(rfmSegmentationSql)),
+    QueryDef("agg_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("agg_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("agg_hhi_concentration", hhiConcentration, Some(hhiConcentrationSql)),
     QueryDef("win_seasonality_dow", seasonalityDow, Some(seasonalityDowSql)),

@@ -181,7 +181,53 @@ object SqlSyntaxQueries extends QueryModule {
       |  round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
 
+  /** GROUP BY ALL (Spark 3.4+ / DuckDB): the grouping key is inferred as
+    * every non-aggregate SELECT item — both engines run the literal same
+    * statement, so the oracle IS the query.
+    */
+  private def groupByAll(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  private val groupByAllSql =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY ALL
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Named WINDOW clause: two frames share one PARTITION/ORDER definition,
+    * which the planner recognizes as a single sort — the SQL-surface twin
+    * of the "both windows ride one partitioning" plan discipline. The
+    * running sum is on integer cents so the frame-by-frame accumulation is
+    * exact in both engines.
+    */
+  private def windowClause(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT o_custkey, o_orderkey, rank() OVER w AS rk,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w2
+        |    / 100.0, 2) AS run_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey LIMIT 500""".stripMargin)
+
+  private val windowClauseSql =
+    """SELECT o_custkey, o_orderkey, CAST(rank() OVER w AS BIGINT) AS rk,
+      |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w2
+      |    AS DOUBLE) / 100.0, 2) AS run_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey LIMIT 500""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_group_by_all", groupByAll, Some(groupByAllSql)),
+    QueryDef("sql_window_clause", windowClause, Some(windowClauseSql)),
     QueryDef("sql_identifier_templating", identifierTemplating,
       Some(identifierTemplatingSql)),
     QueryDef("sql_pipe_syntax", pipeSyntax, Some(pipeSyntaxSql)),

@@ -178,6 +178,36 @@ object StreamingQueries extends QueryModule {
        |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Streaming OHLC bars: 6-hour tumbling windows per event type with
+    * open/close resolved by `min_by`/`max_by` on the event timestamp —
+    * unlike the batch twin (`win_ohlc_bars`, edge row_numbers over a
+    * sort), a streaming aggregation cannot sort its window, so the bar
+    * edges must come from combinable aggregates. (event_type, ts) is
+    * unique in the fixture, so the arg-extrema are well-defined; complete
+    * mode, no watermark.
+    */
+  def ohlcBars(s: SparkSession, dir: String): DataFrame = {
+    val agg = RecordStream.eventsStream(s, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), col("ts")).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), col("ts")).as("close"))
+    RecordStream.runToMemory(s, agg, "stream_ohlc_sink", "complete")
+      .select(date_format(col("w.start"), TsFmt).as("bar_start"),
+        col("event_type"), col("n_events"),
+        col("open"), col("high"), col("low"), col("close"))
+      .orderBy("bar_start", "event_type")
+  }
+
+  private val ohlcBarsSql =
+    s"""SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)), '$DTsFmt')
+       |    AS bar_start,
+       |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+       |  arg_max(value, ts) AS close
+       |FROM events GROUP BY 1, 2 ORDER BY bar_start, event_type""".stripMargin
+
   /** Sliding 1-hour windows every 30 minutes (complete mode). */
   def sliding(s: SparkSession, dir: String): DataFrame = {
     val agg = RecordStream.eventsStream(s, dir)
@@ -980,6 +1010,7 @@ object StreamingQueries extends QueryModule {
     // same closure contract, state-v2 realization → same batch oracle
     QueryDef("stream_tws_sessions", twsSessions, Some(statefulSessionsSql)),
     QueryDef("stream_tumbling_counts", tumbling, Some(tumblingSql)),
+    QueryDef("stream_ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
     QueryDef("stream_sliding_counts", sliding, Some(slidingSql)),
     QueryDef("stream_session_windows", sessions, Some(sessionsSql)),
     QueryDef("stream_dedup", dedup, Some(dedupSql)),
