@@ -618,7 +618,204 @@ object AnalyticsQueries extends QueryModule {
       |    / 100.0, 2) AS cum_revenue
       |FROM frame ORDER BY cohort, age""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Autocorrelation of daily revenue at lags 1–7: the lag join is a
+  // date-shifted equi-join over the aggregate-first daily frame (a few
+  // thousand rows at ANY corpus size — the frame scales with the time
+  // span, not the data), and the ACF estimator runs in doubles computed
+  // from exact integer sums with the identical expression tree in both
+  // engines.
+  // ------------------------------------------------------------------
+  def autocorrLag(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("t"),
+      sum(expr("CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))"))
+        .cast("double").as("sxx"))
+    val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+    val a = daily.select(col("day").as("day_a"), col("x").as("xa"))
+    val b = daily.select(col("day").as("day_b"), col("x").as("xb"))
+    a.crossJoin(broadcast(lags))
+      .join(b, expr("day_b = date_add(day_a, lag)"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(xa AS DECIMAL(19,0)) * CAST(xb AS DECIMAL(19,0))"))
+          .cast("double").as("sxy"),
+        sum("xa").cast("double").as("sa"), sum("xb").cast("double").as("sb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("m", col("t").cast("double") / col("n").cast("double"))
+      .select(col("lag"), col("n_pairs"),
+        round((col("sxy") - col("m") * (col("sa") + col("sb"))
+            + col("n_pairs").cast("double") * col("m") * col("m")) /
+          (col("sxx") - lit(2.0) * col("m") * col("t").cast("double")
+            + col("n").cast("double") * col("m") * col("m")), 4).as("acf"))
+      .orderBy("lag")
+  }
+
+  private val autocorrLagSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx
+      |  FROM daily),
+      |lagged AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT)) AS DOUBLE) AS sxy,
+      |    CAST(sum(a.x) AS DOUBLE) AS sa, CAST(sum(b.x) AS DOUBLE) AS sb
+      |  FROM daily a
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |  JOIN daily b ON b.day = a.day + CAST(lag AS INT)
+      |  GROUP BY 1)
+      |SELECT CAST(lag AS INT) AS lag, n_pairs,
+      |  round((sxy - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) * (sa + sb)
+      |      + CAST(n_pairs AS DOUBLE) * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))) /
+      |    (sxx - 2.0 * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(t AS DOUBLE)
+      |      + CAST(n AS DOUBLE) * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS acf
+      |FROM lagged CROSS JOIN tot
+      |ORDER BY lag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Market-basket association rules over co-purchased part pairs:
+  // support / confidence / lift with a min-co-count gate, top-20 by lift.
+  // The pair expansion is the same per-order DISTINCT-pair shape as the
+  // graph edge derivation — fan-out bounded by lines-per-order², never by
+  // corpus size; margins and totals broadcast as single-row aggregates.
+  // ------------------------------------------------------------------
+  def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select("ok").distinct().count()
+    val margin = items.groupBy("pk").agg(count(lit(1)).as("cp"))
+    val a = items.select(col("ok"), col("pk").as("u"))
+    val b = items.select(col("ok").as("ok_b"), col("pk").as("v"))
+    val pairs = a.join(b, col("ok") === col("ok_b") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+      .filter(col("cuv") >= 3)
+    pairs
+      .join(margin.select(col("pk").as("u"), col("cp").as("cu")), "u")
+      .join(margin.select(col("pk").as("v"), col("cp").as("cv")), "v")
+      .select(col("u"), col("v"), col("cuv"),
+        round(col("cuv").cast("double") / lit(nOrders.toDouble), 6).as("support"),
+        round(col("cuv").cast("double") / col("cu").cast("double"), 4)
+          .as("confidence"),
+        round(col("cuv").cast("double") * lit(nOrders.toDouble) /
+          (col("cu").cast("double") * col("cv").cast("double")), 4).as("lift"))
+      .orderBy(desc("lift"), col("u"), col("v"))
+      .limit(20)
+  }
+
+  private val marketBasketSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+      |margin AS (SELECT pk, CAST(count(*) AS BIGINT) AS cp
+      |  FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS cuv
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT u, v, cuv,
+      |  round(CAST(cuv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+      |  round(CAST(cuv AS DOUBLE) / CAST(mu.cp AS DOUBLE), 4) AS confidence,
+      |  round(CAST(cuv AS DOUBLE) * CAST(n AS DOUBLE)
+      |    / (CAST(mu.cp AS DOUBLE) * CAST(mv.cp AS DOUBLE)), 4) AS lift
+      |FROM pairs
+      |JOIN margin mu ON pairs.u = mu.pk
+      |JOIN margin mv ON pairs.v = mv.pk
+      |CROSS JOIN tot
+      |ORDER BY lift DESC, u, v LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Reciprocal (mutual) nearest neighbors over a bounded catalog slice —
+  // the embedding-space entity-matching step (a, b) where each is the
+  // other's top-1 cosine neighbor. The catalog slice keeps the brute pass
+  // |catalog|²-bounded; at scale the same mutual-join runs on top of any
+  // ANN arm's top-1 output.
+  // ------------------------------------------------------------------
+  def reciprocalNn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
+    val nn = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .withColumn("cos", round(expr("cosine_sim(a_emb, b_emb)"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id"), col("b_id"), col("cos"))
+    val rev = nn.select(col("a_id").as("r_b"), col("b_id").as("r_a"))
+    nn.join(rev, col("a_id") === col("r_a") && col("b_id") === col("r_b"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy("a_id")
+  }
+
+  private val reciprocalNnSql = {
+    val cos = """list_sum(list_transform(list_zip(a_emb, b_emb),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+      .stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+       |nn AS (
+       |  SELECT a_id, b_id, cos FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      round($cos, 4) AS cos,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($cos, 4) DESC, b.vec_id ASC) AS rn
+       |    FROM (SELECT vec_id, embedding AS a_emb FROM e) a(vec_id, a_emb)
+       |    JOIN (SELECT vec_id, embedding AS b_emb FROM e) b(vec_id, b_emb)
+       |      ON a.vec_id <> b.vec_id)
+       |  WHERE rn = 1)
+       |SELECT x.a_id, x.b_id, x.cos
+       |FROM nn x JOIN nn y ON x.a_id = y.b_id AND x.b_id = y.a_id
+       |WHERE x.a_id < x.b_id
+       |ORDER BY x.a_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Hashing-trick featurization: tokens bucketed into 256 hash features
+  // via the portable md5 path (Spark's murmur hash is engine-specific —
+  // the same reason hash_engine_specific is oracle-exempt; md5 is not).
+  // Reports the 10 heaviest buckets with their collision load.
+  // ------------------------------------------------------------------
+  def hashingFeatures(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("token"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(token AS BINARY)), 1, 4), 16, 10) AS INT) % 256"))
+    tok.groupBy("bucket")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("token").as("n_distinct_tokens"))
+      .orderBy(desc("n_occurrences"), col("bucket"))
+      .limit(10)
+  }
+
+  private val hashingFeaturesSql =
+    s"""WITH tok AS (
+       |  SELECT unnest($dToks) AS token FROM documents),
+       |b AS (
+       |  SELECT CAST(('0x' || substr(md5(token), 1, 4)) AS INT) % 256 AS bucket,
+       |    token
+       |  FROM tok)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+       |FROM b GROUP BY 1
+       |ORDER BY n_occurrences DESC, bucket LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_autocorr_lag", autocorrLag, Some(autocorrLagSql)),
+    QueryDef("misc_market_basket", marketBasket, Some(marketBasketSql)),
+    QueryDef("sim_reciprocal_nn", reciprocalNn, Some(reciprocalNnSql)),
+    QueryDef("text_hashing_features", hashingFeatures, Some(hashingFeaturesSql)),
     QueryDef("win_rfm_segmentation", rfmSegmentation, Some(rfmSegmentationSql)),
     QueryDef("agg_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("agg_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
