@@ -811,7 +811,99 @@ object AnalyticsQueries extends QueryModule {
        |FROM b GROUP BY 1
        |ORDER BY n_occurrences DESC, bucket LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Rolling 7-day active users (WAU) + stickiness: COUNT DISTINCT over a
+  // sliding window is not decomposable, so each (user, active-day) pair is
+  // exploded into the 7 windows it contributes to and deduplicated by the
+  // (window-day, user) grouping — a constant ×7 fan-out of the already
+  // user-day-deduplicated frame, never of the raw events. This is the
+  // standard scalable DAU/WAU shape; an approximate variant would swap the
+  // exact distinct for HLL sketch merges.
+  // ------------------------------------------------------------------
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .withColumn("w_day", explode(expr(
+        "transform(sequence(0, 6), i -> date_add(day, i))")))
+      .select("w_day", "user_id").distinct()
+      .groupBy(col("w_day").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  private val rollingActiveUsersSql =
+    """WITH user_days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+      |  FROM user_days GROUP BY 1),
+      |wau AS (
+      |  SELECT w_day AS day, CAST(count(*) AS BIGINT) AS wau FROM (
+      |    SELECT DISTINCT day + CAST(i AS INT) AS w_day, user_id
+      |    FROM user_days CROSS JOIN (SELECT unnest(range(0, 7)) AS i) s)
+      |  GROUP BY 1)
+      |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+      |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4) AS stickiness
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cramér's V effect size for the source × lang association — the
+  // normalized companion of agg_chi_square (a χ² alone grows with n; V is
+  // comparable across corpora). Same one-scan contingency shape; all
+  // observed/expected arithmetic from exact integer counts.
+  // ------------------------------------------------------------------
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rows = obs.groupBy("source").agg(sum("o").as("rs"))
+    val cols = obs.groupBy("lang").agg(sum("o").as("cs"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct("source").as("r"), countDistinct("lang").as("c"))
+    obs.join(rows, "source").join(cols, "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rs").cast("double") * col("cs").cast("double") /
+        col("n").cast("double"))
+      .agg(max("n").as("n"), max("r").as("r"), max("c").as("c"),
+        sum(pow(col("o").cast("double") - col("e"), 2) / col("e")).as("chi2"))
+      .select(col("n"), round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") / (col("n").cast("double") *
+          (least(col("r"), col("c")) - 1).cast("double"))), 4).as("cramers_v"))
+  }
+
+  private val cramersVSql =
+    """WITH obs AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rows_m AS (SELECT source, CAST(sum(o) AS BIGINT) AS rs
+      |  FROM obs GROUP BY 1),
+      |cols_m AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cs
+      |  FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS r,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS c FROM obs),
+      |terms AS (
+      |  SELECT n, r, c, o,
+      |    CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) AS e
+      |  FROM obs JOIN rows_m USING (source) JOIN cols_m USING (lang)
+      |  CROSS JOIN tot)
+      |SELECT max(n) AS n,
+      |  round(sum(pow(CAST(o AS DOUBLE) - e, 2) / e), 4) AS chi2,
+      |  round(sqrt(sum(pow(CAST(o AS DOUBLE) - e, 2) / e)
+      |    / (CAST(max(n) AS DOUBLE) * CAST(least(max(r), max(c)) - 1 AS DOUBLE))),
+      |    4) AS cramers_v
+      |FROM terms""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_rolling_active_users", rollingActiveUsers,
+      Some(rollingActiveUsersSql)),
+    QueryDef("agg_cramers_v", cramersV, Some(cramersVSql)),
     QueryDef("agg_autocorr_lag", autocorrLag, Some(autocorrLagSql)),
     QueryDef("misc_market_basket", marketBasket, Some(marketBasketSql)),
     QueryDef("sim_reciprocal_nn", reciprocalNn, Some(reciprocalNnSql)),

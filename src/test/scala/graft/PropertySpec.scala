@@ -793,4 +793,46 @@ class PropertySpec extends SparkSuite {
       assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g outside [0, 1)")
     }
   }
+
+  test("correlation-family invariants: Spearman, assortativity, ACF bounded") {
+    SparkEntry.queries("agg_spearman_corr")(spark, Sf).collect().foreach { r =>
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 && rho <= 1.0, s"${r.getString(0)}: rho $rho outside [-1, 1]")
+    }
+    SparkEntry.queries("graph_assortativity")(spark, Sf).collect().foreach { r =>
+      val a = r.getDouble(1)
+      assert(a >= -1.0 && a <= 1.0, s"assortativity $a outside [-1, 1]")
+    }
+    // the lagged-pair ACF estimator is not strictly Cauchy–Schwarz-bounded
+    // (numerator pairs ≠ denominator support), so only a sanity band
+    SparkEntry.queries("agg_autocorr_lag")(spark, Sf).collect().foreach { r =>
+      val acf = r.getDouble(2)
+      assert(acf >= -1.2 && acf <= 1.2, s"lag ${r.getInt(0)}: acf $acf implausible")
+    }
+  }
+
+  test("interval-merge and RFM invariants") {
+    // every merged island spans at least one 30-day interval
+    SparkEntry.queries("misc_interval_merge")(spark, Sf).collect().foreach { r =>
+      val (islands, custs, days) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(days >= 30L * islands * custs,
+        s"$custs customers with $islands islands cover only $days days")
+    }
+    // segment codes are three digits of 1..5
+    SparkEntry.queries("win_rfm_segmentation")(spark, Sf).collect().foreach { r =>
+      val seg = r.getLong(0)
+      val (a, b, c) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(Seq(a, b, c).forall(d => d >= 1 && d <= 5), s"segment $seg")
+    }
+  }
+
+  test("bootstrap CI is ordered and within the order-value range") {
+    val row = SparkEntry.queries("agg_bootstrap_ci")(spark, Sf).collect().head
+    val (lo, hi) = (row.getDouble(1), row.getDouble(2))
+    assert(lo <= hi, s"ci [$lo, $hi] inverted")
+    val mm = Tables.orders(spark, Sf)
+      .agg(min("o_totalprice"), max("o_totalprice")).collect().head
+    assert(lo >= mm.getDouble(0) && hi <= mm.getDouble(1),
+      s"ci [$lo, $hi] outside order-value range")
+  }
 }
