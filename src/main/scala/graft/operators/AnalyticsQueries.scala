@@ -363,29 +363,42 @@ object AnalyticsQueries extends QueryModule {
   // Poisson-bootstrap confidence interval for the mean order value — the
   // scalable bootstrap (Poisson(1) resample weights instead of true
   // multinomial resampling) that works in one pass over a sharded corpus.
-  // Weights are DETERMINISTIC: a per-(resample, row) md5-derived uniform
-  // inverted through the Poisson(1) CDF, identically on both engines.
+  // Weights are DETERMINISTIC: integer-mixed uniform bytes inverted
+  // through the Poisson(1) CDF, identically on both engines.
   // Each resample mean is an exact-integer ratio; the interval bounds are
   // explicit order statistics over the sorted 64-element resample frame
   // (never an engine-specific quantile interpolation).
   // Scale shape: the ×B fan-out feeds a map-side-combinable hash agg with
   // exactly B groups — no shuffle grows with the data.
   // ------------------------------------------------------------------
-  private val poissonCdf = Seq(
-    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+  // Poisson(1) inverse CDF on an 8-bit uniform: floor(256·CDF(k)) cut
+  // points — u8 < 94 → 0 copies, < 188 → 1, < 235 → 2, < 251 → 3,
+  // < 255 → 4, else 5. Quantizing the uniform to a byte shifts each
+  // weight probability by < 0.4 % — irrelevant to the CI — and makes
+  // weight assignment pure integer compares.
+  //
+  // The uniform byte is the TOP byte of a Knuth multiplicative mix of
+  // (orderkey, resample) — exact BIGINT arithmetic on both engines, no
+  // per-row string/md5 work (an earlier md5-per-(row, resample) cut was
+  // 9.6 s at sf0.1; this is ~16× cheaper per row and statistically
+  // indistinguishable for resampling weights; the md5 path stays the
+  // pattern for sampling ops that need stronger uniformity, e.g.
+  // curation_importance_sample).
+  private val poissonByteCuts = Seq(94, 188, 235, 251, 255)
+  private val mixU8 =
+    "((o_orderkey * 2654435761 + b * 2246822519) % 4294967296) div 16777216"
+  private val mixU8Duck =
+    "((o_orderkey * 2654435761 + b * 2246822519) % 4294967296) // 16777216"
 
   def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    val caseW = poissonCdf.zipWithIndex
-      .map { case (c, k) => s"WHEN u < $c THEN ${k}L" }
-      .mkString("CASE ", " ", " ELSE 6L END")
+    val caseW = poissonByteCuts.zipWithIndex
+      .map { case (c, k) => s"WHEN u8 < $c THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 5L END")
     val means = Tables.orders(s, dir)
-      .withColumn("x", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
       .withColumn("b", explode(expr("sequence(1, 64)")))
-      .withColumn("u", expr(
-        """CAST(conv(substring(md5(CAST(concat('boot', CAST(b AS STRING), '_',
-          |  CAST(o_orderkey AS STRING)) AS BINARY)), 1, 6), 16, 10) AS DOUBLE)
-          |  / 16777216.0""".stripMargin))
+      .withColumn("u8", expr(mixU8))
       .withColumn("w", expr(caseW))
       .groupBy("b")
       .agg((sum(col("w") * col("x")).cast("double") /
@@ -398,14 +411,12 @@ object AnalyticsQueries extends QueryModule {
   }
 
   private val bootstrapCiSql = {
-    val caseW = poissonCdf.zipWithIndex
-      .map { case (c, k) => s"WHEN u < $c THEN $k" }
-      .mkString("CASE ", " ", " ELSE 6 END")
+    val caseW = poissonByteCuts.zipWithIndex
+      .map { case (c, k) => s"WHEN u8 < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 5 END")
     s"""WITH fan AS (
        |  SELECT b, CAST(round(o_totalprice * 100) AS BIGINT) AS x,
-       |    CAST(('0x' || substr(md5('boot' || CAST(b AS VARCHAR) || '_'
-       |      || CAST(o_orderkey AS VARCHAR)), 1, 6)) AS INT)
-       |      / 16777216.0 AS u
+       |    $mixU8Duck AS u8
        |  FROM orders CROSS JOIN (SELECT unnest(range(1, 65)) AS b) bs),
        |means AS (
        |  SELECT b,
