@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A multimodal record: opaque binary payload + typed metadata. At 100 TB
@@ -484,7 +485,60 @@ object MediaPipeline extends QueryModule {
       |WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Training-shard packing plan (the WebDataset/tar-shard step of every
+    * multimodal pipeline): media records are packed in doc-id order into
+    * ~8 KB shards by a DISTRIBUTED prefix sum — per-bucket exclusive
+    * cumsum (window partitioned by `doc_id div 256`) plus a broadcast
+    * running offset over the 1-row-per-bucket totals frame. The only
+    * global window runs over bucket totals, never over records, so the
+    * plan survives a corpus that no longer fits one partition's sort; the
+    * shard assignment `prefix div target` is exact integer arithmetic.
+    */
+  def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 8192L
+    val sized = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("bytes"),
+        expr("doc_id div 256").as("bucket"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy("bucket").agg(sum("bytes").as("btot"))
+      .withColumn("b_off", coalesce(sum("btot").over(wOff), lit(0L)))
+      .select("bucket", "b_off")
+    sized
+      .withColumn("in_off", coalesce(sum("bytes").over(wIn), lit(0L)))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("shard", expr(s"(b_off + in_off) div $target"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_items"), sum("bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
+  private val shardPlanSql =
+    """WITH sized AS (
+      |  SELECT doc_id, n_chars AS bytes, doc_id // 256 AS bucket
+      |  FROM documents),
+      |offs AS (
+      |  SELECT bucket,
+      |    coalesce(sum(btot) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b_off
+      |  FROM (SELECT bucket, sum(bytes) AS btot FROM sized GROUP BY 1) t),
+      |pref AS (
+      |  SELECT doc_id, bytes,
+      |    (b_off + coalesce(sum(bytes) OVER (PARTITION BY sized.bucket
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)) // 8192 AS shard
+      |  FROM sized JOIN offs ON sized.bucket = offs.bucket)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM pref GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("multimodal_shard_plan", shardPlan, Some(shardPlanSql)),
     QueryDef("multimodal_features", extractFeatures, Some(extractFeaturesSql)),
     QueryDef("multimodal_media_stats", mediaStats, Some(mediaStatsSql)),
     QueryDef("multimodal_frame_sample", frameSamples, Some(frameSamplesSql)),

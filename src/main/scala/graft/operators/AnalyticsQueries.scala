@@ -911,7 +911,41 @@ object AnalyticsQueries extends QueryModule {
       |    4) AS cramers_v
       |FROM terms""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Incremental aggregate-view maintenance: the base view (orders before
+  // the cutoff) merges with a change batch (orders at/after it) by
+  // re-aggregating PARTIAL aggregates — count and integer-cents sum are
+  // algebraically mergeable, so the merged view must equal the full
+  // recompute (which is exactly what the oracle computes). At 100 TB this
+  // is the nightly-view + intraday-delta pattern: the base is never
+  // rescanned, only the delta and the k-row partial frame.
+  // ------------------------------------------------------------------
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+      col("o_orderdate"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val base = partial(o.filter(col("o_orderdate") < cutoff))
+    val delta = partial(o.filter(col("o_orderdate") >= cutoff))
+    base.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n_orders"),
+        round(sum("c") / 100.0, 2).as("total_spend"))
+      .orderBy("o_orderpriority")
+  }
+
+  // the oracle is the FULL recompute — passing means merge == recompute
+  private val incrementalAggSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0, 2) AS total_spend
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("win_rolling_active_users", rollingActiveUsers,
       Some(rollingActiveUsersSql)),
     QueryDef("agg_cramers_v", cramersV, Some(cramersVSql)),
