@@ -44,10 +44,14 @@ object TpchQueries extends QueryModule {
   // --------------------------------------------------------------------
   // Q2 — min-cost supplier: for each PROMO part, the ASIA supplier(s)
   // shipping it at the minimum unit price. partsupp is modeled from
-  // lineitem; the correlated-min subquery is an aggregate-then-equijoin on
-  // (partkey, price) — both shuffles are on l_partkey, dims broadcast.
+  // lineitem; the correlated min is a rank() window over the partkey
+  // partition — rank ties keep EVERY min-price supplier, and the whole
+  // query is ONE fact scan + ONE partkey shuffle (the
+  // aggregate-then-rejoin formulation scans the fact and its dim chain
+  // twice, which Spark does not exchange-reuse — measured in the plan).
   // --------------------------------------------------------------------
   def q02MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val asiaSup = Tables.supplier(s, dir)
       .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
@@ -61,13 +65,12 @@ object TpchQueries extends QueryModule {
       .withColumn("pm",
         expr("CAST(round(l_extendedprice * 1e6 / l_quantity) AS BIGINT)"))
       .select("p_partkey", "s_suppkey", "s_name", "n_name", "pm")
-    val mins = px.groupBy(col("p_partkey").as("m_partkey"))
-      .agg(min("pm").as("min_pm"))
-    px.join(mins,
-        col("p_partkey") === col("m_partkey") && col("pm") === col("min_pm"))
+    val w = Window.partitionBy("p_partkey").orderBy("pm")
+    px.withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1)
       .groupBy(col("p_partkey"), col("s_suppkey"),
         col("s_name"), col("n_name"))
-      .agg(round(min("min_pm") / 1e6, 2).as("unit_price"))
+      .agg(round(min("pm") / 1e6, 2).as("unit_price"))
       .orderBy("p_partkey", "s_suppkey")
   }
 

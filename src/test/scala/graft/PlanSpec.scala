@@ -449,6 +449,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
   }
 
+  test("q02: correlated min is one fact scan through a partkey rank window") {
+    // the aggregate-then-rejoin form scans lineitem + the dim chain twice
+    // (no exchange reuse) — the window form must keep exactly one scan of
+    // each of the five tables
+    val p = plan("q02_min_cost_supplier")
+    assert("Scan parquet".r.findAllIn(p).size == 5, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("assortativity: degree joins broadcast over one edge scan") {
     val p = plan("graph_assortativity")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
