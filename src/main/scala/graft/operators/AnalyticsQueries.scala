@@ -318,13 +318,16 @@ object AnalyticsQueries extends QueryModule {
   // epoch ratio is a rounded double.
   // ------------------------------------------------------------------
   def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    // corpus totals via a window over the |sources|-row aggregate frame —
+    // a scalar-aggregate consumer would re-tokenize the whole corpus
+    val wAll = Window.partitionBy()
     val perSrc = Tables.documents(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(expr(s"size($toks)").cast("long")).as("src_tokens"))
-    val tot = perSrc.agg(
-      sum("src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
-    perSrc.crossJoin(broadcast(tot))
+      .withColumn("total_tokens", sum("src_tokens").over(wAll))
+      .withColumn("n_sources", count(lit(1)).over(wAll))
+    perSrc
       .withColumn("target_tokens", expr("total_tokens div n_sources"))
       .withColumn("planned_tokens",
         least(col("src_tokens") * 4, greatest(col("target_tokens"), col("src_tokens"))))
@@ -480,9 +483,11 @@ object AnalyticsQueries extends QueryModule {
       .withColumn("isodow", weekday(col("day")) + 1)
     val byDow = daily.groupBy("isodow")
       .agg(count(lit(1)).as("n_days"), sum("rev_m").as("rev_dow"))
-    val tot = byDow.agg(sum("n_days").as("total_days"),
-      sum("rev_dow").as("total_rev"))
-    byDow.crossJoin(broadcast(tot))
+    // totals via a window over the 7-row aggregate frame (one fact scan)
+    val wAll = Window.partitionBy()
+    byDow
+      .withColumn("total_days", sum("n_days").over(wAll))
+      .withColumn("total_rev", sum("rev_dow").over(wAll))
       .select(col("isodow"), col("n_days"),
         round(col("rev_dow") / 1e6, 2).as("revenue"),
         round(col("rev_dow").cast("double") / col("total_rev").cast("double"),
@@ -581,12 +586,16 @@ object AnalyticsQueries extends QueryModule {
   // aggregate-first (cohort × age) frame — a few thousand rows at any SF.
   // ------------------------------------------------------------------
   def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    // the cohort month is a custkey-PARTITIONED window min — one orders
+    // scan, one custkey shuffle (the aggregate-then-rejoin form scanned
+    // orders twice)
     val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
       col("o_orderdate"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-    val cohorts = o.groupBy("o_custkey")
-      .agg(min(date_trunc("month", col("o_orderdate"))).as("cohort"))
-    val aged = o.join(cohorts, "o_custkey")
+    val aged = o
+      .withColumn("cohort",
+        min(date_trunc("month", col("o_orderdate")))
+          .over(Window.partitionBy("o_custkey")))
       .withColumn("age",
         (year(col("o_orderdate")) - year(col("cohort"))) * 12 +
           (month(col("o_orderdate")) - month(col("cohort"))))
@@ -638,9 +647,13 @@ object AnalyticsQueries extends QueryModule {
   // engines.
   // ------------------------------------------------------------------
   def autocorrLag(s: SparkSession, dir: String): DataFrame = {
+    // the daily frame is consumed three times (moment totals + both lag
+    // sides); localCheckpoint materializes its ~|days| rows once so the
+    // orders scan + aggregation run once, not three times
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .localCheckpoint()
     val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("t"),
       sum(expr("CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))"))
         .cast("double").as("sxx"))
@@ -699,8 +712,12 @@ object AnalyticsQueries extends QueryModule {
   // corpus size; margins and totals broadcast as single-row aggregates.
   // ------------------------------------------------------------------
   def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    // the item table feeds four consumers (both self-join sides, the
+    // margin counts, the order total) — localCheckpoint materializes the
+    // deduplicated pairs once instead of four lineitem scans + distincts
     val items = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint()
     val nOrders = items.select("ok").distinct().count()
     val margin = items.groupBy("pk").agg(count(lit(1)).as("cp"))
     val a = items.select(col("ok"), col("pk").as("u"))

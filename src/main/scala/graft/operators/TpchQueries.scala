@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The remaining TPC-H query shapes (Q2, Q4, Q6, Q7, Q10, Q11, Q12, Q14,
@@ -51,7 +52,6 @@ object TpchQueries extends QueryModule {
   // twice, which Spark does not exchange-reuse — measured in the plan).
   // --------------------------------------------------------------------
   def q02MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val asiaSup = Tables.supplier(s, dir)
       .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
@@ -240,10 +240,13 @@ object TpchQueries extends QueryModule {
 
   // --------------------------------------------------------------------
   // Q11 — important stock: per-part ASIA supply value with a HAVING
-  // against a scalar fraction of the global total. The global total is a
-  // single-row aggregate broadcast into the filter; the comparison is an
-  // exact integer cross-multiply (value * 2000 > total), not a double
-  // threshold, so the boundary part never flips between engines.
+  // against a scalar fraction of the global total. The total is a window
+  // over the per-part AGGREGATE frame (one fact scan; a scalar-aggregate
+  // consumer would rescan lineitem); at extreme |parts| swap the
+  // one-partition window for a persisted frame + broadcast scalar. The
+  // comparison is an exact integer cross-multiply (value * 2000 > total),
+  // not a double threshold, so the boundary part never flips between
+  // engines.
   // --------------------------------------------------------------------
   def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
     val asiaSup = Tables.supplier(s, dir)
@@ -251,13 +254,17 @@ object TpchQueries extends QueryModule {
       .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey")
+    // the global total is a window over the ALREADY-AGGREGATED per-part
+    // frame (|parts| rows, not the fact) — a separate scalar aggregate
+    // would recompute the whole lineitem scan a second time (Spark does
+    // not exchange-reuse the two differently-shaped consumers)
     val vals = Tables.lineitem(s, dir)
       .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
       .withColumn("v_m", expr("CAST(round(l_extendedprice * 1e6) AS BIGINT)"))
       .groupBy("l_partkey")
       .agg(sum("v_m").as("value_m"))
-    val total = vals.agg(sum("value_m").as("total_m"))
-    vals.join(broadcast(total))
+    vals
+      .withColumn("total_m", sum("value_m").over(Window.partitionBy()))
       .filter(col("value_m") * 2000 > col("total_m"))
       .select(col("l_partkey"), round(col("value_m") / 1e6, 2).as("value"))
       .orderBy(desc("value"), col("l_partkey"))
@@ -349,16 +356,19 @@ object TpchQueries extends QueryModule {
   // --------------------------------------------------------------------
   // Q15 — top supplier: quarterly revenue per supplier, keep the max.
   // Revenue is an exact integer per supplier so the `= max` equality is
-  // exact; the single-row max broadcasts back over the 100-row aggregate.
+  // exact; the max is a window over the |suppliers|-row aggregate frame
+  // (one fact scan).
   // --------------------------------------------------------------------
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    // max over the |suppliers|-row aggregate frame via window — a scalar
+    // aggregate consumer would rescan lineitem a second time
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= ts("1997-01-01") &&
         col("l_shipdate") < ts("1997-04-01"))
       .groupBy("l_suppkey")
       .agg(sum(revMicros).as("rev_m"))
-    val maxRev = rev.agg(max("rev_m").as("max_m"))
-    rev.join(broadcast(maxRev)).filter(col("rev_m") === col("max_m"))
+    rev.withColumn("max_m", max("rev_m").over(Window.partitionBy()))
+      .filter(col("rev_m") === col("max_m"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
@@ -491,8 +501,10 @@ object TpchQueries extends QueryModule {
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey")
       .agg(sum(col("l_quantity").cast("bigint")).as("sumq"))
-    val tot = perSup.agg(sum("sumq").as("total"), count(lit(1)).as("n"))
-    perSup.join(broadcast(tot))
+    val wAll = Window.partitionBy()
+    perSup
+      .withColumn("total", sum("sumq").over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
       .filter(col("sumq") * col("n") * 10 > col("total") * 12)
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
@@ -518,9 +530,10 @@ object TpchQueries extends QueryModule {
   // --------------------------------------------------------------------
   // Q21 — suppliers who kept orders waiting: on finished multi-supplier
   // orders, the lines whose supplier was the ONLY late one. The classic
-  // EXISTS/NOT-EXISTS pair becomes two aggregates over the same
-  // (orderkey, suppkey) flag frame — each shuffles on the order key; no
-  // correlated re-scan of lineitem.
+  // EXISTS/NOT-EXISTS pair becomes two ORDERKEY-PARTITIONED window
+  // aggregates over the (orderkey, suppkey) flag frame — one lineitem
+  // scan, one orderkey shuffle (the aggregate-then-rejoin form computed
+  // the whole flag subtree twice; Spark does not exchange-reuse it).
   // --------------------------------------------------------------------
   def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
@@ -533,12 +546,11 @@ object TpchQueries extends QueryModule {
           .otherwise(0L))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max("late").as("late"))
-    val perOrder = flags.groupBy(col("l_orderkey").as("g_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
-    flags.filter(col("late") === 1)
-      .join(perOrder,
-        col("l_orderkey") === col("g_orderkey") &&
-          col("n_supp") >= 2 && col("n_late") === 1)
+    val wOrder = Window.partitionBy("l_orderkey")
+    flags
+      .withColumn("n_supp", count(lit(1)).over(wOrder))
+      .withColumn("n_late", sum("late").over(wOrder))
+      .filter(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
@@ -575,6 +587,10 @@ object TpchQueries extends QueryModule {
   // anti join on the distinct recent customer set.
   // --------------------------------------------------------------------
   def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    // the cutoff is a tree-reduced scalar broadcast back over customer —
+    // NOT a single-partition window: customer grows with SF, so funneling
+    // every row through one window partition is the scale-killer here,
+    // while the second column-pruned customer scan is cheap
     val c = Tables.customer(s, dir)
       .withColumn("bal_c", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
     val cut = c.filter(col("bal_c") > 0)

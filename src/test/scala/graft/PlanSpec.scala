@@ -421,9 +421,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q21: waiting-supplier correlation is aggregates over one lineitem scan pair, no window") {
+  test("q21: waiting-supplier correlation reads lineitem ONCE through orderkey windows") {
+    // the aggregate-then-rejoin form computed the flag subtree twice; the
+    // orderkey-partitioned windows must keep exactly one scan of each table
     val p = plan("q21_waiting_supplier")
-    assert(!p.contains("Window"), p)
+    // lineitem + orders + supplier(name join), each exactly once
+    assert("Scan parquet".r.findAllIn(p).size == 3, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
