@@ -714,7 +714,7 @@ object DedupQueries extends QueryModule {
     s"$dir@$fp"
   }
 
-  private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val path = ccLabelsMemo.computeIfAbsent(docsFixtureKey(dir), _ => {
       val out = graft.Scratch.dir("graft-cc-labels")
       computeClusterLabels(s, dir, out)
