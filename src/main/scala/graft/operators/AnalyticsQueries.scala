@@ -961,7 +961,87 @@ object AnalyticsQueries extends QueryModule {
       |    / 100.0, 2) AS total_spend
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Curriculum ordering: documents bucketed by difficulty (token length,
+  // fixed quartile-calibrated cut lines) and interleaved round-robin —
+  // global position (rank_within_bucket − 1) · 4 + bucket guarantees the
+  // schedule never runs two same-bucket docs back-to-back while all four
+  // buckets last. Windows are bucket-partitioned; the global position is
+  // arithmetic, not a global sort. The checkable output is the first 48
+  // schedule slots — the interleave pattern itself.
+  // ------------------------------------------------------------------
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"size($toks)").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") < 32, 0L).when(col("n_tokens") < 56, 1L)
+          .when(col("n_tokens") < 76, 2L).otherwise(3L))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    d.withColumn("global_pos",
+        (row_number().over(w) - 1) * 4 + col("bucket"))
+      .select("global_pos", "doc_id", "bucket", "n_tokens")
+      .orderBy("global_pos")
+      .limit(48)
+  }
+
+  private val curriculumOrderSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, len($dToks) AS n_tokens,
+       |    CASE WHEN len($dToks) < 32 THEN 0 WHEN len($dToks) < 56 THEN 1
+       |      WHEN len($dToks) < 76 THEN 2 ELSE 3 END AS bucket
+       |  FROM documents)
+       |SELECT CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+       |    - 1) * 4 + bucket AS BIGINT) AS global_pos,
+       |  doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(n_tokens AS INT) AS n_tokens
+       |FROM d ORDER BY global_pos LIMIT 48""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Burstiness (Fano factor) of user activity: variance-to-mean ratio of
+  // hourly event counts over each user's ACTIVE hours — Poisson traffic
+  // gives F ≈ 1, bursty bots ≫ 1. Two map-side-combinable aggs (hour
+  // bucket, then user); the moment formula runs on exact integer sums.
+  // ------------------------------------------------------------------
+  def burstinessFano(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"), sum("c").as("n_events"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("n_hours") >= 12)
+      .select(col("user_id"), col("n_hours"), col("n_events"),
+        round((col("ss").cast("double") / col("n_hours").cast("double")
+          - (col("n_events").cast("double") / col("n_hours").cast("double"))
+            * (col("n_events").cast("double") / col("n_hours").cast("double")))
+          / (col("n_events").cast("double") / col("n_hours").cast("double")),
+          4).as("fano"))
+      .orderBy(desc("fano"), col("user_id"))
+      .limit(25)
+  }
+
+  private val burstinessFanoSql =
+    """WITH hourly AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |per_user AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+      |    CAST(sum(c) AS BIGINT) AS n_events,
+      |    CAST(sum(c * c) AS BIGINT) AS ss
+      |  FROM hourly GROUP BY 1)
+      |SELECT user_id, n_hours, n_events,
+      |  round((CAST(ss AS DOUBLE) / CAST(n_hours AS DOUBLE)
+      |    - (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE))
+      |      * (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+      |    / (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE)), 4) AS fano
+      |FROM per_user WHERE n_hours >= 12
+      |ORDER BY fano DESC, user_id LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_curriculum_order", curriculumOrder,
+      Some(curriculumOrderSql)),
+    QueryDef("agg_burstiness_fano", burstinessFano, Some(burstinessFanoSql)),
     QueryDef("misc_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("win_rolling_active_users", rollingActiveUsers,
       Some(rollingActiveUsersSql)),
