@@ -1038,7 +1038,75 @@ object AnalyticsQueries extends QueryModule {
       |FROM per_user WHERE n_hours >= 12
       |ORDER BY fano DESC, user_id LIMIT 25""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Weighted reservoir sample (Efraimidis–Spirakis A-Res): each document
+  // draws key u^(1/w) from a deterministic md5 uniform with token-count
+  // weight; the global sample is the top-32 keys. One pass, fully
+  // parallel — the distributed form of weighted sampling without
+  // replacement (TakeOrdered over the keys, no shuffle of the corpus).
+  // ------------------------------------------------------------------
+  def weightedReservoir(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr(s"size($toks)").cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("u", expr(
+        """CAST(conv(substring(md5(CAST(concat('res', CAST(doc_id AS STRING))
+          |  AS BINARY)), 1, 6), 16, 10) AS DOUBLE) / 16777216.0""".stripMargin))
+      .withColumn("k", round(pow(col("u"), lit(1.0) / col("w")), 10))
+      .orderBy(desc("k"), col("doc_id"))
+      .limit(32)
+      .select(col("doc_id"), col("source"), col("w").cast("long").as("n_tokens"),
+        col("k"))
+
+  private val weightedReservoirSql =
+    s"""SELECT doc_id, source, CAST(len($dToks) AS BIGINT) AS n_tokens,
+       |  round(pow(
+       |    CAST(('0x' || substr(md5('res' || CAST(doc_id AS VARCHAR)), 1, 6))
+       |      AS INT) / 16777216.0,
+       |    1.0 / CAST(len($dToks) AS DOUBLE)), 10) AS k
+       |FROM documents
+       |WHERE len($dToks) > 0
+       |ORDER BY k DESC, doc_id LIMIT 32""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Conditional entropy H(lang | source) — the information-theoretic
+  // "how much does knowing the source tell you about language": one
+  // contingency scan, grid-sized ln arithmetic from exact integer counts,
+  // alongside H(lang) so the mutual information falls out by subtraction.
+  // ------------------------------------------------------------------
+  def conditionalEntropy(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val bySrc = Window.partitionBy("source")
+    val wAll = Window.partitionBy()
+    obs
+      .withColumn("ns", sum("o").over(bySrc))
+      .withColumn("n", sum("o").over(wAll))
+      .withColumn("term", (col("o").cast("double") / col("n").cast("double")) *
+        log(col("o").cast("double") / col("ns").cast("double")))
+      .agg(round(-sum("term"), 6).as("h_lang_given_source"))
+  }
+
+  private val conditionalEntropySql =
+    """WITH obs AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (
+      |  SELECT o,
+      |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS ns,
+      |    CAST(sum(o) OVER () AS BIGINT) AS n
+      |  FROM obs)
+      |SELECT round(-sum((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |  * ln(CAST(o AS DOUBLE) / CAST(ns AS DOUBLE))), 6)
+      |  AS h_lang_given_source
+      |FROM t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_weighted_reservoir", weightedReservoir,
+      Some(weightedReservoirSql)),
+    QueryDef("agg_conditional_entropy", conditionalEntropy,
+      Some(conditionalEntropySql)),
     QueryDef("curation_curriculum_order", curriculumOrder,
       Some(curriculumOrderSql)),
     QueryDef("agg_burstiness_fano", burstinessFano, Some(burstinessFanoSql)),
