@@ -208,6 +208,46 @@ object StreamingQueries extends QueryModule {
        |  arg_max(value, ts) AS close
        |FROM events GROUP BY 1, 2 ORDER BY bar_start, event_type""".stripMargin
 
+  /** Top event types per 6-hour window, by count then total value: the
+    * streaming aggregation drains into the NATIVE two-phase top-k
+    * operator ([[graft.plans.GroupTopK]] — partial heaps bound the
+    * shuffle at k·windows rows) rather than a row_number window over the
+    * drained table. The composition is the production shape: stream →
+    * windowed state → persisted micro-batch result → batch top-k report.
+    */
+  def windowedTopk(s: SparkSession, dir: String): DataFrame = {
+    val agg = RecordStream.eventsStream(s, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+          .as("val_c"))
+    val drained = RecordStream
+      .runToMemory(s, agg, "stream_wtopk_sink", "complete")
+      .select(date_format(col("w.start"), TsFmt).as("window_start"),
+        col("event_type"), col("n"), col("val_c"))
+    graft.plans.GroupTopK(drained, 3, Seq("window_start"),
+        Seq(desc("n"), desc("val_c"), asc("event_type")))
+      .withColumnRenamed("gtk_rank", "rn")
+      .select(col("window_start"), col("rn"), col("event_type"), col("n"),
+        round(col("val_c") / 100.0, 2).as("total_value"))
+      .orderBy("window_start", "rn")
+  }
+
+  private val windowedTopkSql =
+    s"""WITH agg AS (
+       |  SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)), '$DTsFmt')
+       |      AS window_start,
+       |    event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_c
+       |  FROM events GROUP BY 1, 2)
+       |SELECT window_start, CAST(rn AS INT) AS rn, event_type, n,
+       |  round(val_c / 100.0, 2) AS total_value
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY window_start
+       |    ORDER BY n DESC, val_c DESC, event_type ASC) AS rn
+       |  FROM agg)
+       |WHERE rn <= 3 ORDER BY window_start, rn""".stripMargin
+
   /** Sliding 1-hour windows every 30 minutes (complete mode). */
   def sliding(s: SparkSession, dir: String): DataFrame = {
     val agg = RecordStream.eventsStream(s, dir)
@@ -1011,6 +1051,7 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_tws_sessions", twsSessions, Some(statefulSessionsSql)),
     QueryDef("stream_tumbling_counts", tumbling, Some(tumblingSql)),
     QueryDef("stream_ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
+    QueryDef("stream_windowed_topk", windowedTopk, Some(windowedTopkSql)),
     QueryDef("stream_sliding_counts", sliding, Some(slidingSql)),
     QueryDef("stream_session_windows", sessions, Some(sessionsSql)),
     QueryDef("stream_dedup", dedup, Some(dedupSql)),

@@ -826,6 +826,34 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("curriculum schedule interleaves buckets round-robin while all are alive") {
+    // with 4 difficulty buckets and a fixture far larger than 48/4 docs per
+    // bucket, slot p must hold a bucket-(p mod 4) document
+    val rows = SparkEntry.queries("curation_curriculum_order")(spark, Sf).collect()
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) % 4,
+        s"slot ${r.getLong(0)} holds bucket ${r.getLong(2)}")
+    }
+  }
+
+  test("reservoir keys are valid A-Res draws: distinct docs, keys in (0, 1]") {
+    val rows = SparkEntry.queries("curation_weighted_reservoir")(spark, Sf).collect()
+    assert(rows.length == 32)
+    assert(rows.map(_.getLong(0)).distinct.length == 32)
+    rows.foreach { r =>
+      val k = r.getDouble(3)
+      assert(k > 0.0 && k <= 1.0, s"key $k outside (0, 1]")
+    }
+  }
+
+  test("Fano factors are nonnegative with the active-hours floor") {
+    SparkEntry.queries("agg_burstiness_fano")(spark, Sf).collect().foreach { r =>
+      assert(r.getLong(1) >= 12, s"n_hours ${r.getLong(1)} below floor")
+      assert(r.getDouble(3) >= 0.0, s"fano ${r.getDouble(3)} negative")
+    }
+  }
+
   test("bootstrap CI is ordered and within the order-value range") {
     val row = SparkEntry.queries("agg_bootstrap_ci")(spark, Sf).collect().head
     val (lo, hi) = (row.getDouble(1), row.getDouble(2))
