@@ -1102,7 +1102,93 @@ object AnalyticsQueries extends QueryModule {
       |  AS h_lang_given_source
       |FROM t""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Local-maxima (peak) detection in daily revenue: strict left / strict
+  // right comparison via lag/lead over the aggregate-first daily frame —
+  // the same bounded-global-window discipline as the CUSUM/EWMA family
+  // (the window's input is |days| rows at any corpus size). Exact integer
+  // cents end to end.
+  // ------------------------------------------------------------------
+  def peakDetection(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("prev", lag("x", 1).over(w))
+      .withColumn("next", lead("x", 1).over(w))
+      .filter(col("prev").isNotNull && col("next").isNotNull &&
+        col("x") > col("prev") && col("x") > col("next"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("x") / 100.0, 2).as("revenue"),
+        round((col("x") - col("prev")) / 100.0, 2).as("rise"),
+        round((col("x") - col("next")) / 100.0, 2).as("fall"))
+      .orderBy(desc("revenue"), col("day"))
+      .limit(10)
+  }
+
+  private val peakDetectionSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT day, x,
+      |    lag(x) OVER (ORDER BY day) AS prev,
+      |    lead(x) OVER (ORDER BY day) AS next
+      |  FROM daily)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  round(x / 100.0, 2) AS revenue,
+      |  round((x - prev) / 100.0, 2) AS rise,
+      |  round((x - next) / 100.0, 2) AS fall
+      |FROM lagged
+      |WHERE prev IS NOT NULL AND next IS NOT NULL AND x > prev AND x > next
+      |ORDER BY revenue DESC, day LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Heavy-change detection: the parts whose yearly revenue moved most
+  // between 1997 and 1998 — numerator/denominator-style conditional sums
+  // in ONE partkey hash-agg, top-20 by absolute integer delta.
+  // ------------------------------------------------------------------
+  def heavyChange(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .withColumn("y98", (col("l_shipdate") >= lit("1998-01-01").cast("timestamp")))
+    li.groupBy("l_partkey")
+      .agg(sum(when(!col("y98"), revMicros2).otherwise(0L)).as("rev97_m"),
+        sum(when(col("y98"), revMicros2).otherwise(0L)).as("rev98_m"))
+      .withColumn("delta_m", abs(col("rev98_m") - col("rev97_m")))
+      .orderBy(desc("delta_m"), col("l_partkey"))
+      .limit(20)
+      .select(col("l_partkey"),
+        round(col("rev97_m") / 1e6, 2).as("rev_1997"),
+        round(col("rev98_m") / 1e6, 2).as("rev_1998"),
+        round(col("delta_m") / 1e6, 2).as("abs_change"))
+  }
+
+  private val heavyChangeSql =
+    """WITH t AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+      |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev97_m,
+      |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+      |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev98_m
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1999-01-01'
+      |  GROUP BY 1)
+      |SELECT l_partkey, round(rev97_m / 1e6, 2) AS rev_1997,
+      |  round(rev98_m / 1e6, 2) AS rev_1998,
+      |  round(abs(rev98_m - rev97_m) / 1e6, 2) AS abs_change
+      |FROM t
+      |ORDER BY abs(rev98_m - rev97_m) DESC, l_partkey LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_peak_detection", peakDetection, Some(peakDetectionSql)),
+    QueryDef("misc_heavy_change", heavyChange, Some(heavyChangeSql)),
     QueryDef("curation_weighted_reservoir", weightedReservoir,
       Some(weightedReservoirSql)),
     QueryDef("agg_conditional_entropy", conditionalEntropy,
