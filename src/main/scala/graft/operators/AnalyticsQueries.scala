@@ -46,21 +46,26 @@ object AnalyticsQueries extends QueryModule {
       count(lit(1)).over(Window.partitionBy("n_name", "bal_c")) - 3
     val ry = rank().over(Window.partitionBy("n_name").orderBy("spend_c")) * 2 +
       count(lit(1)).over(Window.partitionBy("n_name", "spend_c")) - 3
+    // rank products go through DECIMAL(19,0)² → DECIMAL(38,0) sums (4n³
+    // with doubled ranks overflows BIGINT once a partition holds ~1.3M
+    // rows — the same guard anovaF/hhi/autocorr use); the normalized
+    // formula then runs in doubles computed identically on both engines.
+    def sq(a: String, b: String) =
+      sum(expr(s"CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))"))
+        .cast("double")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
     base
       .withColumn("rx", rx.cast("long")).withColumn("ry", ry.cast("long"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_customers"),
         sum("rx").as("sx"), sum("ry").as("sy"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"))
+        sq("rx", "ry").as("sxy"), sq("rx", "rx").as("sxx"),
+        sq("ry", "ry").as("syy"))
       .select(col("n_name"), col("n_customers"),
-        round((col("n_customers") * col("sxy") - col("sx") * col("sy"))
-          .cast("double") /
-          sqrt((col("n_customers") * col("sxx") - col("sx") * col("sx"))
-            .cast("double") *
-            (col("n_customers") * col("syy") - col("sy") * col("sy"))
-              .cast("double")), 6).as("rho"))
+        round((d(col("n_customers")) * col("sxy") - d(col("sx")) * d(col("sy"))) /
+          sqrt((d(col("n_customers")) * col("sxx") - d(col("sx")) * d(col("sx"))) *
+            (d(col("n_customers")) * col("syy") - d(col("sy")) * d(col("sy")))),
+          6).as("rho"))
       .orderBy("n_name")
   }
 
@@ -84,9 +89,15 @@ object AnalyticsQueries extends QueryModule {
       |      + count(*) OVER (PARTITION BY n_name, spend_c) - 3 AS BIGINT) AS ry
       |  FROM base)
       |SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
-      |  round(CAST(count(*) * sum(rx * ry) - sum(rx) * sum(ry) AS DOUBLE)
-      |    / sqrt(CAST(count(*) * sum(rx * rx) - sum(rx) * sum(rx) AS DOUBLE)
-      |         * CAST(count(*) * sum(ry * ry) - sum(ry) * sum(ry) AS DOUBLE)),
+      |  round((CAST(count(*) AS DOUBLE)
+      |      * CAST(sum(CAST(rx AS HUGEINT) * ry) AS DOUBLE)
+      |      - CAST(sum(rx) AS DOUBLE) * CAST(sum(ry) AS DOUBLE))
+      |    / sqrt((CAST(count(*) AS DOUBLE)
+      |        * CAST(sum(CAST(rx AS HUGEINT) * rx) AS DOUBLE)
+      |        - CAST(sum(rx) AS DOUBLE) * CAST(sum(rx) AS DOUBLE))
+      |      * (CAST(count(*) AS DOUBLE)
+      |        * CAST(sum(CAST(ry AS HUGEINT) * ry) AS DOUBLE)
+      |        - CAST(sum(ry) AS DOUBLE) * CAST(sum(ry) AS DOUBLE))),
       |    6) AS rho
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -263,8 +274,8 @@ object AnalyticsQueries extends QueryModule {
   // explode, three consumers); the PMI log runs over an exact integer
   // rational so both engines see identical doubles.
   // ------------------------------------------------------------------
-  private val toks = "array_remove(split(text, ' ', -1), '')"
-  private val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val toks = SharedExprs.toks
+  private val dToks = SharedExprs.dToks
 
   def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(s, dir)
@@ -520,8 +531,7 @@ object AnalyticsQueries extends QueryModule {
       |FROM by_dow CROSS JOIN tot
       |ORDER BY isodow""".stripMargin
 
-  private val revMicros2 =
-    expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+  private def revMicros2 = SharedExprs.revMicros
 
   // ------------------------------------------------------------------
   // RFM segmentation with FIXED thresholds (calibrated near the fixture's
@@ -718,7 +728,10 @@ object AnalyticsQueries extends QueryModule {
     val items = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       .localCheckpoint()
-    val nOrders = items.select("ok").distinct().count()
+    // the order total stays IN the plan as a broadcast single-row agg —
+    // an eager driver-side count() would launch an extra job at
+    // DataFrame-construction time (including on every explain)
+    val tot = items.agg(countDistinct("ok").as("n_orders"))
     val margin = items.groupBy("pk").agg(count(lit(1)).as("cp"))
     val a = items.select(col("ok"), col("pk").as("u"))
     val b = items.select(col("ok").as("ok_b"), col("pk").as("v"))
@@ -728,11 +741,13 @@ object AnalyticsQueries extends QueryModule {
     pairs
       .join(margin.select(col("pk").as("u"), col("cp").as("cu")), "u")
       .join(margin.select(col("pk").as("v"), col("cp").as("cv")), "v")
+      .crossJoin(broadcast(tot))
       .select(col("u"), col("v"), col("cuv"),
-        round(col("cuv").cast("double") / lit(nOrders.toDouble), 6).as("support"),
+        round(col("cuv").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
         round(col("cuv").cast("double") / col("cu").cast("double"), 4)
           .as("confidence"),
-        round(col("cuv").cast("double") * lit(nOrders.toDouble) /
+        round(col("cuv").cast("double") * col("n_orders").cast("double") /
           (col("cu").cast("double") * col("cv").cast("double")), 4).as("lift"))
       .orderBy(desc("lift"), col("u"), col("v"))
       .limit(20)
@@ -884,8 +899,11 @@ object AnalyticsQueries extends QueryModule {
   // ------------------------------------------------------------------
   // Cramér's V effect size for the source × lang association — the
   // normalized companion of agg_chi_square (a χ² alone grows with n; V is
-  // comparable across corpora). Same one-scan contingency shape; all
-  // observed/expected arithmetic from exact integer counts.
+  // comparable across corpora). Same FULL-GRID contingency discipline as
+  // agg_chi_square: absent (source, lang) cells contribute their expected
+  // mass (0 − e)²/e = e — a cells-only sum silently understates χ² and V
+  // (~13% low on this fixture, both engines agreeing on the wrong value,
+  // which is exactly the class of bug the oracle gate cannot catch).
   // ------------------------------------------------------------------
   def cramersV(s: SparkSession, dir: String): DataFrame = {
     val obs = Tables.documents(s, dir)
@@ -894,7 +912,11 @@ object AnalyticsQueries extends QueryModule {
     val cols = obs.groupBy("lang").agg(sum("o").as("cs"))
     val tot = obs.agg(sum("o").as("n"),
       countDistinct("source").as("r"), countDistinct("lang").as("c"))
-    obs.join(rows, "source").join(cols, "lang")
+    val grid = obs.select("source").distinct()
+      .crossJoin(obs.select("lang").distinct())
+    grid.join(obs, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("o"))
+      .join(broadcast(rows), "source").join(broadcast(cols), "lang")
       .crossJoin(broadcast(tot))
       .withColumn("e", col("rs").cast("double") * col("cs").cast("double") /
         col("n").cast("double"))
@@ -916,10 +938,17 @@ object AnalyticsQueries extends QueryModule {
       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
       |  CAST(count(DISTINCT source) AS BIGINT) AS r,
       |  CAST(count(DISTINCT lang) AS BIGINT) AS c FROM obs),
+      |grid AS (
+      |  SELECT s.source, l.lang
+      |  FROM (SELECT DISTINCT source FROM obs) s
+      |  CROSS JOIN (SELECT DISTINCT lang FROM obs) l),
       |terms AS (
-      |  SELECT n, r, c, o,
+      |  SELECT n, r, c, coalesce(obs.o, 0) AS o,
       |    CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) AS e
-      |  FROM obs JOIN rows_m USING (source) JOIN cols_m USING (lang)
+      |  FROM grid
+      |  LEFT JOIN obs ON grid.source = obs.source AND grid.lang = obs.lang
+      |  JOIN rows_m ON grid.source = rows_m.source
+      |  JOIN cols_m ON grid.lang = cols_m.lang
       |  CROSS JOIN tot)
       |SELECT max(n) AS n,
       |  round(sum(pow(CAST(o AS DOUBLE) - e, 2) / e), 4) AS chi2,

@@ -39,8 +39,7 @@ object TpchQueries extends QueryModule {
   private def ts(d: String) = lit(d).cast("timestamp")
 
   /** Integer-micros revenue term: exact under any aggregation order. */
-  private val revMicros =
-    expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+  private def revMicros = SharedExprs.revMicros
 
   // --------------------------------------------------------------------
   // Q2 — min-cost supplier: for each PROMO part, the ASIA supplier(s)
