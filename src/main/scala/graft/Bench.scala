@@ -30,18 +30,23 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     // pre-stage the streaming fixtures (sentinel files + kinesis shard
     // logs) — one-time JVM-wide staging, not part of any query's timing
+    // — and the two memoized per-fixture tables (graph edge list, CC
+    // dedup labels) for the same reason: they model PERSISTED
+    // corpus-snapshot tables (built once per corpus, read by every
+    // consumer), so their one-time build is staging, not any single
+    // query's time — previously whichever consumer ran first in the
+    // sweep absorbed the build, and the >5 s outlier re-time could then
+    // record the memo-hit cost for one run but not another (the
+    // dedup_clusters 0.32 vs 4.8 s artifact noise this removes). The
+    // staging cost is NOT silently absorbed: it is timed here and
+    // reported as `staging_sec` in the artifact, so cross-round
+    // comparisons of the consumer queries see where the build went.
+    val stagingT0 = System.nanoTime()
     streaming.RecordStream.eventsStreamWithSentinels(spark, sfDir)
     streaming.RecordStream.kinesisFixture(spark, sfDir)
-    // pre-stage the two memoized per-fixture tables (graph edge list, CC
-    // dedup labels) for the same reason as the streaming fixtures: they
-    // model PERSISTED corpus-snapshot tables (built once per corpus, read
-    // by every consumer), so their one-time build is staging, not any
-    // single query's time — previously whichever consumer ran first in
-    // the sweep absorbed the build, and the >5 s outlier re-time could
-    // then record the memo-hit cost for one run but not another (the
-    // dedup_clusters 0.32 vs 4.8 s artifact noise this removes)
     operators.GraphQueries.edges(spark, sfDir).count()
     operators.DedupQueries.clusterLabels(spark, sfDir).count()
+    val stagingSec = (System.nanoTime() - stagingT0) / 1e9
 
     // Streaming throughput vs the reference's 2 rec/s producer ceiling
     // (BASELINE.md): events/s through the full [REF] decode pipeline.
@@ -168,13 +173,29 @@ object Bench {
     val regressionsJson = regressions.map { case (n, prev, now, r) =>
       f"""{"query":"$n","prev":$prev%.3f,"now":$now%.3f,"ratio":$r%.2f}"""
     }.mkString("[", ",", "]")
+    // Regression-flag adjudication, mechanized: a flag raised from inside
+    // the 120+-query sweep can be window noise (a host throttle burst, GC
+    // from a neighbor query) rather than a plan regression. Re-measure
+    // every flagged query ONCE, solo, at the end of the run — the JVM is
+    // warm and the sweep's heap pressure has been swept between queries —
+    // and record both figures. A flag whose solo re-run lands back near
+    // the reference self-resolves in the artifact; one that reproduces
+    // solo is a real regression to chase. (r7 shipped 11 driver-window
+    // flags adjudicated only in prose; this closes that gap.)
+    val rechecked = regressions.map { case (n, prev, sweepSec, _) =>
+      val d = benched.find(_.name == n).get
+      (n, prev, sweepSec, timeOne(d))
+    }
+    val recheckedJson = rechecked.map { case (n, prev, sweep, solo) =>
+      f"""{"query":"$n","prev":$prev%.3f,"sweep_sec":$sweep%.3f,"solo_sec":$solo%.3f,"solo_ratio":${if (prev > 0 && solo > 0) solo / prev else -1.0}%.2f}"""
+    }.mkString("[", ",", "]")
 
     // Full per-query detail — too big for the driver's log tail (the
     // harness keeps only the last ~2000 chars of stdout, and 148 queries
     // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
     // (committed with the round) and target/bench.json (back-compat).
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","stream_events_per_sec":$streamRate%.0f,"canary_best_ref":$CanaryBestEventsPerSec%.0f,"throttled":$throttled,"bench_ref":"$refPath","regressions":$regressionsJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_best_ref":$CanaryBestEventsPerSec%.0f,"throttled":$throttled,"bench_ref":"$refPath","regressions":$regressionsJson,"regressions_rechecked":$recheckedJson}"""
     for (p <- Seq("target/bench.json", "BENCH_FULL.json")) {
       try {
         val path = java.nio.file.Paths.get(p)
@@ -204,7 +225,7 @@ object Bench {
     val byName = results.toMap
     def compactLine(n: Int): String = {
       val hl = headline.filter(byName.contains).take(n).map(k => k -> byName(k))
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"worst_query":"$worstName","worst_sec":$worstSec%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"n_regressions":${regressions.size},"queries_full":"BENCH_FULL.json","queries":${jsonMap(hl, 2)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"worst_query":"$worstName","worst_sec":$worstSec%.2f,"staging_sec":$stagingSec%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"n_regressions":${regressions.size},"queries_full":"BENCH_FULL.json","queries":${jsonMap(hl, 2)}}"""
     }
     val line = (headline.size to 0 by -1).map(compactLine).find(_.length <= 1800)
       .getOrElse(compactLine(0))

@@ -237,11 +237,24 @@ object BenchScale {
     // quadratic (or whose per-probe cost is linear in per-key dim size)
     // fails the gate here even when the uniform corpus hides it.
     val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "target/scale10skew")
+    // Per-key-density-sensitive families: the as-of probes + event
+    // sequences (per-(user, hour) pair residual), the user-keyed batch
+    // window ops (sessionize / funnel / Markov — one sort partition per
+    // user), and one user-keyed streaming state op (mapGroupsWithState:
+    // all of a hot user's events land in one grouped-state call per
+    // micro-batch). A hot user owning ~10% of the log is exactly the
+    // production shape that breaks any of these whose per-key work is
+    // super-linear.
     val SkewQueries = Seq("join_asof_last_order", "join_asof_nearest",
-      "join_asof_tolerance", "join_event_sequences")
+      "join_asof_tolerance", "join_event_sequences",
+      "win_sessionize_gaps", "win_funnel_stages", "win_markov_transitions",
+      "stream_stateful_user_stats")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(skewDir, "lineitem.parquet")))
       ScaleGen.generateSkewed(spark, base, skewDir, reps)
     Tables.all.foreach(t => Tables.load(spark, skewDir, t).count())
+    // the streaming entry reads through the staged stream fixture — build
+    // it for the skew corpus outside any timing, like the other corpora
+    streaming.RecordStream.eventsStreamWithSentinels(spark, skewDir)
     val baseByName = rows.map(r => r._1 -> r._2).toMap
     val skewRows = SkewQueries.flatMap { n =>
       defs.find(_.name == n).map { d =>

@@ -399,10 +399,17 @@ object AnalyticsQueries extends QueryModule {
   // pattern for sampling ops that need stronger uniformity, e.g.
   // curation_importance_sample).
   private val poissonByteCuts = Seq(94, 188, 235, 251, 255)
+  // o_orderkey is reduced mod 2³¹ BEFORE the multiply so the product stays
+  // within BIGINT at any scale factor: 2³¹·2654435761 ≈ 5.7e18 < 2⁶³−1,
+  // whereas the raw key overflows (ANSI error on both engines) once
+  // orderkeys pass ~3.5e9 (SF ≳ 500). Note mod 2³², not 2³¹, would NOT be
+  // enough (2³²·2654435761 ≈ 1.1e19 overflows). Keys below 2³¹ — every
+  // fixture — mix to byte-identical values, so this is a pure widening of
+  // the valid key domain, not a resample change.
   private val mixU8 =
-    "((o_orderkey * 2654435761 + b * 2246822519) % 4294967296) div 16777216"
+    "(((o_orderkey % 2147483648) * 2654435761 + b * 2246822519) % 4294967296) div 16777216"
   private val mixU8Duck =
-    "((o_orderkey * 2654435761 + b * 2246822519) % 4294967296) // 16777216"
+    "(((o_orderkey % 2147483648) * 2654435761 + b * 2246822519) % 4294967296) // 16777216"
 
   def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
     val caseW = poissonByteCuts.zipWithIndex

@@ -203,12 +203,22 @@ object SqlSyntaxQueries extends QueryModule {
     * of the "both windows ride one partitioning" plan discipline. The
     * running sum is on integer cents so the frame-by-frame accumulation is
     * exact in both engines.
+    *
+    * Output types are pinned on BOTH sides (r7's only red gate lived here):
+    * `rk` is INT — Spark's rank() is IntegerType, so the oracle casts down
+    * to match — and `run_spend` is DOUBLE — Spark's BIGINT / 100.0 (a
+    * decimal literal) otherwise yields DECIMAL(24,2), which hash-diverges
+    * from the oracle's DOUBLE even though every value prints identically.
+    * The r7 driver fail was the decimal, not the rank width: the driver
+    * passed int64-vs-int32 on src_json_roundtrip the same round. The local
+    * gate (tools/check.py) is now dtype-strict on both, a superset of the
+    * driver's sensitivity.
     */
   private def windowClause(s: SparkSession, dir: String): DataFrame =
     sql(s, dir,
       """SELECT o_custkey, o_orderkey, rank() OVER w AS rk,
-        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w2
-        |    / 100.0, 2) AS run_spend
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w2
+        |    AS DOUBLE) / 100.0, 2) AS run_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -216,7 +226,7 @@ object SqlSyntaxQueries extends QueryModule {
         |ORDER BY o_custkey, o_orderkey LIMIT 500""".stripMargin)
 
   private val windowClauseSql =
-    """SELECT o_custkey, o_orderkey, CAST(rank() OVER w AS BIGINT) AS rk,
+    """SELECT o_custkey, o_orderkey, CAST(rank() OVER w AS INT) AS rk,
       |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w2
       |    AS DOUBLE) / 100.0, 2) AS run_spend
       |FROM orders

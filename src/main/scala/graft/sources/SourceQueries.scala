@@ -46,10 +46,14 @@ object SourceQueries extends QueryModule {
       .orderBy("s_nationkey")
   }
 
+  // s_nationkey is CAST up to BIGINT: JSON schema inference has no integer
+  // widths (every JSON integer infers as BIGINT), so the round-trip's honest
+  // output type is int64 even though the parquet source column is int32.
   private val jsonRoundtripSql =
-    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+    """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n,
       |  round(sum(s_acctbal), 2) AS total_bal
-      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+      |FROM supplier GROUP BY s_nationkey ORDER BY 1""".stripMargin
 
   /** ORC round-trip (the columnar alternative to parquet; exercises the
     * second native columnar reader incl. TIMESTAMP round-trip fidelity).

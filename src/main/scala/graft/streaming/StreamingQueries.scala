@@ -182,17 +182,21 @@ object StreamingQueries extends QueryModule {
     * open/close resolved by `min_by`/`max_by` on the event timestamp —
     * unlike the batch twin (`win_ohlc_bars`, edge row_numbers over a
     * sort), a streaming aggregation cannot sort its window, so the bar
-    * edges must come from combinable aggregates. (event_type, ts) is
-    * unique in the fixture, so the arg-extrema are well-defined; complete
-    * mode, no watermark.
+    * edges must come from combinable aggregates. The arg-extrema key is
+    * (ts, event_id) — event_id is unique, so open/close are well-defined
+    * even if a future fixture has two same-type events on one timestamp
+    * (keying on ts alone would make both engines nondeterministic there).
+    * Spark orders the struct directly; the DuckDB twin encodes the same
+    * total order as a zero-padded string since its arg_min takes only
+    * scalar keys. Complete mode, no watermark.
     */
   def ohlcBars(s: SparkSession, dir: String): DataFrame = {
     val agg = RecordStream.eventsStream(s, dir)
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        min_by(col("value"), col("ts")).as("open"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
         max("value").as("high"), min("value").as("low"),
-        max_by(col("value"), col("ts")).as("close"))
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
     RecordStream.runToMemory(s, agg, "stream_ohlc_sink", "complete")
       .select(date_format(col("w.start"), TsFmt).as("bar_start"),
         col("event_type"), col("n_events"),
@@ -204,8 +208,9 @@ object StreamingQueries extends QueryModule {
     s"""SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)), '$DTsFmt')
        |    AS bar_start,
        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
-       |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-       |  arg_max(value, ts) AS close
+       |  arg_min(value, printf('%020d%020d', epoch_us(ts), event_id)) AS open,
+       |  max(value) AS high, min(value) AS low,
+       |  arg_max(value, printf('%020d%020d', epoch_us(ts), event_id)) AS close
        |FROM events GROUP BY 1, 2 ORDER BY bar_start, event_type""".stripMargin
 
   /** Top event types per 6-hour window, by count then total value: the

@@ -7,11 +7,46 @@ Reads each <verifyOutDir>/<name> parquet directory written by graft.Verify,
 runs the matching SQL from oracle_sql.json in DuckDB over the fixture tables,
 canonicalizes both sides (columns sorted by name, rows sorted, values
 stringified with doubles repr'd), and reports PASS/FAIL per query.
+
+The compare is DTYPE-STRICT: each column's Arrow type (int width, float vs
+int, decimal precision/scale, list element type) must match between the
+Spark parquet output and the DuckDB oracle result. The driver's hash is
+type-sensitive — an INT32 Spark column vs a BIGINT oracle column fails the
+driver even when every value prints identically — so the local gate must
+fail on exactly the same divergence (that is how sql_window_clause shipped
+green locally and red at the driver in r7). Timestamp timezone is the one
+deliberate collapse: Spark writes UTC-instant timestamps, DuckDB naive ones,
+and both render identically under the UTC session zone.
 """
 import json, os, sys, math
 import duckdb
+import pyarrow as pa
 
-def canon(df):
+def canon_type(t):
+    """Canonical string for an Arrow type: strict on int width and
+    float-vs-int, recursive through lists/structs, collapsing only
+    large_* storage variants and timestamp tz."""
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{t.field(i).name}:{canon_type(t.field(i).type)}"
+                         for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
+def canon(tbl):
+    """(sorted column names, {col: canonical dtype}, sorted stringified rows)
+    from a pyarrow Table."""
+    types = {f.name: canon_type(f.type) for f in tbl.schema}
+    df = tbl.to_pandas()
     cols = sorted(df.columns)
     df = df[cols]
     def s(v):
@@ -26,7 +61,7 @@ def canon(df):
             return repr(v)
         return str(v)
     rows = sorted(tuple(s(v) for v in row) for row in df.itertuples(index=False, name=None))
-    return cols, rows
+    return cols, types, rows
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -51,16 +86,20 @@ def main():
             continue
         try:
             got = con.execute(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
-            want = con.execute(sql).df()
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").arrow()
+            want = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             nfail += 1
             continue
-        gc, gr = canon(got)
-        wc, wr = canon(want)
+        gc, gt, gr = canon(got)
+        wc, wt, wr = canon(want)
         if gc != wc:
             print(f"FAIL {name}: columns differ spark={gc} oracle={wc}")
+            nfail += 1
+        elif gt != wt:
+            diff = {c: (gt.get(c), wt.get(c)) for c in gc if gt.get(c) != wt.get(c)}
+            print(f"FAIL {name}: dtypes differ (spark, oracle) per column: {diff}")
             nfail += 1
         elif gr != wr:
             print(f"FAIL {name}: {len(gr)} vs {len(wr)} rows")
