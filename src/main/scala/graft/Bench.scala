@@ -68,13 +68,31 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
         nEvents / ((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => -1.0 }
-    // best of two: take the run the machine actually allowed at full speed
-    val streamRate = math.max(canaryOnce(), canaryOnce())
+    // median of three: one throttle burst landing on a single canary run
+    // can no longer misgrade the whole window (max-of-2 graded the window
+    // by its LUCKIEST instant; the r8 window measured 0.74× on best-of-2
+    // yet fired 24 sweep flags — the typical rate, not the peak, is what
+    // the sweep actually experienced). All raw runs stay in the artifact.
+    val canaryRuns = Seq(canaryOnce(), canaryOnce(), canaryOnce())
+    val streamRate = {
+      val ok = canaryRuns.filter(_ > 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
     // committed clean-window canary rate at sf0.1 (BENCH_FULL history:
-    // 95-110 k events/s); below half of it the window is throttled
+    // 95-110 k events/s). Two window-quality grades, both self-described
+    // in the artifact: `throttled` (< 0.5×) triggers the full-sweep re-run
+    // policy; `degraded` (< 0.85×) marks a window whose per-query figures
+    // should be read against `regressions_rechecked`, not at face value —
+    // r8's 0.74× window fired 24 noise flags while throttled stayed false,
+    // so the artifact needs the finer grade even when the coarse one
+    // doesn't trip.
     val CanaryBestEventsPerSec = 95000.0
-    val throttled = streamRate > 0 &&
-      sfDir.endsWith("sf0.1") && streamRate < 0.5 * CanaryBestEventsPerSec
+    val canaryRatio =
+      if (streamRate > 0 && sfDir.endsWith("sf0.1"))
+        streamRate / CanaryBestEventsPerSec
+      else -1.0
+    val throttled = canaryRatio > 0 && canaryRatio < 0.5
+    val degraded = canaryRatio > 0 && canaryRatio < 0.85
 
     // Optional args: bench only the named queries (local iteration aid; the
     // driver invokes with no args and benches everything).
@@ -148,7 +166,7 @@ object Bench {
     // regression). The list is reported in the artifact, never fails the
     // run — the judge reads it.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
-    val regressions: Seq[(String, Double, Double, Double)] = try {
+    val (candidates, norm): (Seq[(String, Double, Double, Double)], Double) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(refPath)), "UTF-8")
       val qObj = """"queries":\{([^}]*)\}""".r
@@ -157,37 +175,49 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       val refRate = """"stream_events_per_sec":(-?[0-9.]+)""".r
         .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
-      val norm =
+      val n =
         if (refRate > 0 && streamRate > 0) math.min(1.0, streamRate / refRate)
         else 1.0
-      results.flatMap { case (name, now) =>
+      (results.flatMap { case (name, now) =>
         refQ.get(name) match {
           case Some(prev) if prev > 0 && now > 0 =>
-            val ratio = (now / prev) * norm
+            val ratio = (now / prev) * n
             if (ratio > 1.5 && now - prev > 0.3) Some((name, prev, now, ratio))
             else None
           case _ => None
         }
-      }.sortBy(-_._4)
-    } catch { case _: Throwable => Seq.empty }
-    val regressionsJson = regressions.map { case (n, prev, now, r) =>
-      f"""{"query":"$n","prev":$prev%.3f,"now":$now%.3f,"ratio":$r%.2f}"""
-    }.mkString("[", ",", "]")
-    // Regression-flag adjudication, mechanized: a flag raised from inside
-    // the 120+-query sweep can be window noise (a host throttle burst, GC
-    // from a neighbor query) rather than a plan regression. Re-measure
-    // every flagged query ONCE, solo, at the end of the run — the JVM is
-    // warm and the sweep's heap pressure has been swept between queries —
-    // and record both figures. A flag whose solo re-run lands back near
-    // the reference self-resolves in the artifact; one that reproduces
-    // solo is a real regression to chase. (r7 shipped 11 driver-window
-    // flags adjudicated only in prose; this closes that gap.)
-    val rechecked = regressions.map { case (n, prev, sweepSec, _) =>
+      }.sortBy(-_._4), n)
+    } catch { case _: Throwable => (Seq.empty, 1.0) }
+    // Regression-flag adjudication, mechanized AND used in the gate: a flag
+    // raised from inside the 120+-query sweep can be window noise (a host
+    // throttle burst, GC from a neighbor query) rather than a plan
+    // regression, so every candidate is re-measured ONCE, solo, at the end
+    // of the run — the JVM is warm and the sweep's heap pressure has been
+    // swept between queries — and the flag DECISION is min(sweep, solo) vs
+    // the reference: the query's best demonstrated time this session is
+    // what reflects the plan; the worse figure reflects the window. (r8
+    // flagged 24 from a contended sweep and every one solo-resolved under
+    // the gate — the sweep-only decision made `n_regressions` a window-
+    // quality metric, not a plan metric. Now the noise stays visible in
+    // `regressions_rechecked` while `regressions` carries only flags that
+    // REPRODUCE solo.) Both raw figures stay in the artifact.
+    val rechecked = candidates.map { case (n, prev, sweepSec, _) =>
       val d = benched.find(_.name == n).get
       (n, prev, sweepSec, timeOne(d))
     }
     val recheckedJson = rechecked.map { case (n, prev, sweep, solo) =>
       f"""{"query":"$n","prev":$prev%.3f,"sweep_sec":$sweep%.3f,"solo_sec":$solo%.3f,"solo_ratio":${if (prev > 0 && solo > 0) solo / prev else -1.0}%.2f}"""
+    }.mkString("[", ",", "]")
+    val regressions = rechecked.flatMap { case (n, prev, sweep, solo) =>
+      // same canary-normalized gate as the candidate pass (clamped at 1.0:
+      // a faster-than-ref window never masks a real regression)
+      val best = if (solo > 0) math.min(sweep, solo) else sweep
+      if (prev > 0 && (best / prev) * norm > 1.5 && best - prev > 0.3)
+        Some((n, prev, best, (best / prev) * norm))
+      else None
+    }.sortBy(-_._4)
+    val regressionsJson = regressions.map { case (n, prev, now, r) =>
+      f"""{"query":"$n","prev":$prev%.3f,"best_sec":$now%.3f,"ratio":$r%.2f}"""
     }.mkString("[", ",", "]")
 
     // Full per-query detail — too big for the driver's log tail (the
@@ -195,7 +225,7 @@ object Bench {
     // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
     // (committed with the round) and target/bench.json (back-compat).
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_best_ref":$CanaryBestEventsPerSec%.0f,"throttled":$throttled,"bench_ref":"$refPath","regressions":$regressionsJson,"regressions_rechecked":$recheckedJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"bench_ref":"$refPath","regressions":$regressionsJson,"regressions_rechecked":$recheckedJson}"""
     for (p <- Seq("target/bench.json", "BENCH_FULL.json")) {
       try {
         val path = java.nio.file.Paths.get(p)
@@ -225,7 +255,7 @@ object Bench {
     val byName = results.toMap
     def compactLine(n: Int): String = {
       val hl = headline.filter(byName.contains).take(n).map(k => k -> byName(k))
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"worst_query":"$worstName","worst_sec":$worstSec%.2f,"staging_sec":$stagingSec%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"n_regressions":${regressions.size},"queries_full":"BENCH_FULL.json","queries":${jsonMap(hl, 2)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"worst_query":"$worstName","worst_sec":$worstSec%.2f,"staging_sec":$stagingSec%.2f,"stream_events_per_sec":$streamRate%.0f,"canary_ratio":$canaryRatio%.2f,"throttled":$throttled,"degraded":$degraded,"n_regressions":${regressions.size},"n_flags_rechecked":${rechecked.size},"queries_full":"BENCH_FULL.json","queries":${jsonMap(hl, 2)}}"""
     }
     val line = (headline.size to 0 by -1).map(compactLine).find(_.length <= 1800)
       .getOrElse(compactLine(0))

@@ -169,7 +169,12 @@ object BenchScale {
           .write.mode("overwrite").format("noop").save()
         nEvents / ((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => -1.0 }
-    val streamRate = math.max(canaryOnce(), canaryOnce())
+    // median of three, matching Bench: grade the window by its typical
+    // rate, not its luckiest instant
+    val streamRate = {
+      val ok = Seq(canaryOnce(), canaryOnce(), canaryOnce()).filter(_ > 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
     val throttled = streamRate > 0 && streamRate < 0.5 * 95000.0
 
     val defs = SparkEntry.allDefs
@@ -252,9 +257,10 @@ object BenchScale {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(skewDir, "lineitem.parquet")))
       ScaleGen.generateSkewed(spark, base, skewDir, reps)
     Tables.all.foreach(t => Tables.load(spark, skewDir, t).count())
-    // the streaming entry reads through the staged stream fixture — build
-    // it for the skew corpus outside any timing, like the other corpora
-    streaming.RecordStream.eventsStreamWithSentinels(spark, skewDir)
+    // no stream-fixture staging needed for the skew corpus: the only
+    // streaming skew query (stream_stateful_user_stats) reads the
+    // events.parquet dir directly via RecordStream.eventsStream — the
+    // sentinel-staged copy is only consumed by queries outside SkewQueries
     val baseByName = rows.map(r => r._1 -> r._2).toMap
     val skewRows = SkewQueries.flatMap { n =>
       defs.find(_.name == n).map { d =>

@@ -188,7 +188,12 @@ object StreamingQueries extends QueryModule {
     * (keying on ts alone would make both engines nondeterministic there).
     * Spark orders the struct directly; the DuckDB twin encodes the same
     * total order as a zero-padded string since its arg_min takes only
-    * scalar keys. Complete mode, no watermark.
+    * scalar keys — with both fields biased by +2⁶² before padding, because
+    * '%020d' of a NEGATIVE value (pre-1970 ts, negative id) pads as
+    * "-000…" and sorts above all positives; the bias keeps every key in
+    * [0, 2⁶³) (19 digits, inside the 20-char pad) so the lexicographic
+    * order stays total for any epoch_us/id in ±2⁶² — i.e. any timestamp
+    * within ±146k years. Complete mode, no watermark.
     */
   def ohlcBars(s: SparkSession, dir: String): DataFrame = {
     val agg = RecordStream.eventsStream(s, dir)
@@ -208,9 +213,11 @@ object StreamingQueries extends QueryModule {
     s"""SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)), '$DTsFmt')
        |    AS bar_start,
        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
-       |  arg_min(value, printf('%020d%020d', epoch_us(ts), event_id)) AS open,
+       |  arg_min(value, printf('%020d%020d',
+       |    epoch_us(ts) + 4611686018427387904, event_id + 4611686018427387904)) AS open,
        |  max(value) AS high, min(value) AS low,
-       |  arg_max(value, printf('%020d%020d', epoch_us(ts), event_id)) AS close
+       |  arg_max(value, printf('%020d%020d',
+       |    epoch_us(ts) + 4611686018427387904, event_id + 4611686018427387904)) AS close
        |FROM events GROUP BY 1, 2 ORDER BY bar_start, event_type""".stripMargin
 
   /** Top event types per 6-hour window, by count then total value: the
