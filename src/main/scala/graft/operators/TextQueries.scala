@@ -688,10 +688,15 @@ object TextQueries extends QueryModule {
     * corpus's own bigram counts with add-½ smoothing over the observed
     * follower vocabulary (P = (c(w₁w₂)+½) / (c(w₁·)+½·V)). Smoothing keeps
     * the model proper (every logprob < 0) and the query total. Scale
-    * shape: the bigram explode is per-row; counts are one bigram-keyed and
-    * one unigram-keyed shuffle; the join back is 1:1 per bigram instance
-    * (skewed keys fan out rows, never pairs — AQE's skew split applies);
-    * V is a broadcast scalar.
+    * shape: the bigram explode runs ONCE, straight into a per-(doc, w₁,
+    * w₂) multiplicity aggregate — map-side combine shrinks the only
+    * instance-sized shuffle, and everything downstream (the corpus
+    * counts, rolled up FROM the multiplicities, and the probability join
+    * back) rides on distinct triples, not per-instance rows; the mean is
+    * the multiplicity-weighted Σm·ln p / Σm, identical arithmetic to the
+    * per-instance avg since every instance of a triple has the same
+    * logprob. Skewed keys fan out rows, never pairs — AQE's skew split
+    * applies; V is a broadcast scalar.
     */
   def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(s, dir)
@@ -702,19 +707,22 @@ object TextQueries extends QueryModule {
           |  i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))""".stripMargin))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c12"))
-    // roll the unigram counts and follower vocab up FROM the bigram counts
-    // (c(w1·) = Σ_w2 c(w1,w2); counts are integer-valued doubles < 2^53 so
-    // the sum is exact) — the corpus explode now has two consumers, not four
+    // per-doc bigram multiplicity FIRST: the explode's single consumer
+    val docBg = bg.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).cast("double").as("m"))
+    // corpus counts roll up from the multiplicities (c(w1,w2) = Σ_doc m,
+    // c(w1·) = Σ_w2 c(w1,w2); counts are integer-valued doubles < 2^53 so
+    // the sums are exact)
+    val bgCounts = docBg.groupBy("w1", "w2").agg(sum("m").as("c12"))
     val ugCounts = bgCounts.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = bgCounts.agg(countDistinct("w2").cast("double").as("v"))
-    bg.join(bgCounts, Seq("w1", "w2"))
+    docBg.join(bgCounts, Seq("w1", "w2"))
       .join(ugCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))), 4)
-          .as("mean_logprob"))
+      .agg(sum("m").cast("long").as("n_bigrams"),
+        round((sum(col("m") * log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * col("v"))))
+          / sum("m")), 4).as("mean_logprob"))
       .orderBy("doc_id")
   }
 
@@ -725,15 +733,18 @@ object TextQueries extends QueryModule {
        |  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
        |        FROM tk WHERE len(tk) >= 2)
+       |), dbg AS (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS m
+       |  FROM bg GROUP BY 1, 2, 3
        |), bgc AS (
-       |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2
+       |  SELECT w1, w2, sum(m) AS c12 FROM dbg GROUP BY 1, 2
        |), ugc AS (
-       |  SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1
+       |  SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY 1
        |), vocab AS (
-       |  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS mean_logprob
-       |FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1) CROSS JOIN vocab
+       |  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bgc)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |  round(sum(m * ln((c12 + 0.5) / (c1 + 0.5 * v))) / sum(m), 4) AS mean_logprob
+       |FROM dbg JOIN bgc USING (w1, w2) JOIN ugc USING (w1) CROSS JOIN vocab
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The "dataset card" report: one corpus-statistics row per language
