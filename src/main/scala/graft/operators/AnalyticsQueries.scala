@@ -722,6 +722,376 @@ object AnalyticsQueries extends QueryModule {
       |ORDER BY lag""".stripMargin
 
   // ------------------------------------------------------------------
+  // Theil–Sen robust trend of daily revenue per year: the median of all
+  // pairwise slopes over the aggregate-first daily frame — the estimator
+  // of choice when a revenue series has outlier days (a single 10× spike
+  // day moves OLS but not the pairwise-slope median; breakdown point
+  // ~29%). The pair expansion is calendar-bounded (≤366²/2 pairs per
+  // year partition at ANY corpus size — the frame scales with the time
+  // span, not the data volume); slopes are double divisions of exact
+  // integer cent/day deltas, and the median is engine-exact: an explicit
+  // two-middle-rank average under a total (slope, da, db) order instead
+  // of each engine's own quantile interpolation convention.
+  // ------------------------------------------------------------------
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    // the daily frame feeds both pair sides and the day census; ~|days|
+    // rows materialized once
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .select(year(col("day")).as("yr"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col("x"))
+      .localCheckpoint()
+    val nDays = daily.groupBy("yr").agg(count(lit(1)).as("n_days"))
+    val a = daily.select(col("yr"), col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("yr"), col("d").as("db"), col("x").as("xb"))
+    val pairs = a.join(b, Seq("yr")).filter(col("da") < col("db"))
+      .withColumn("slope",
+        (col("xb") - col("xa")).cast("double") / (col("db") - col("da")).cast("double"))
+    val w = Window.partitionBy("yr").orderBy(col("slope"), col("da"), col("db"))
+    val nw = Window.partitionBy("yr")
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(nw))
+      .filter(col("rn") === expr("(np + 1) DIV 2") || col("rn") === expr("(np + 2) DIV 2"))
+      .groupBy("yr")
+      .agg(max("np").as("n_pairs"), avg("slope").as("med"))
+      .join(nDays, Seq("yr"))
+      .select(col("yr"), col("n_days"), col("n_pairs"),
+        round(col("med") / 100.0, 4).as("ts_slope"))
+      .orderBy("yr")
+  }
+
+  private val theilSenTrendSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(year(day) AS INT) AS yr,
+      |    CAST(day - DATE '1970-01-01' AS BIGINT) AS d, x
+      |  FROM daily),
+      |nd AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_days FROM f GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.yr, a.d AS da, b.d AS db,
+      |    CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      |  FROM f a JOIN f b ON a.yr = b.yr AND a.d < b.d),
+      |r AS (
+      |  SELECT yr, slope, da, db,
+      |    row_number() OVER (PARTITION BY yr ORDER BY slope, da, db) AS rn,
+      |    count(*) OVER (PARTITION BY yr) AS np
+      |  FROM pairs)
+      |SELECT yr, n_days, CAST(max(np) AS BIGINT) AS n_pairs,
+      |  round(avg(slope) / 100.0, 4) AS ts_slope
+      |FROM r JOIN nd USING (yr)
+      |WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+      |GROUP BY yr, n_days ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Mann–Kendall trend test per year — the nonparametric companion to
+  // [[theilSenTrend]]: MK decides WHETHER daily revenue trends
+  // (S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance, continuity-
+  // corrected z), Theil–Sen estimates the slope. S and the 18·Var(S)
+  // numerator are EXACT integers (signs of bigint cent deltas; the tie
+  // census is a per-(year, value) count), so the only doubles are the
+  // final z division — both engines agree bit-for-bit. Same calendar-
+  // bounded pair frame as Theil–Sen: ≤366²/2 pairs per year partition at
+  // any corpus size.
+  // ------------------------------------------------------------------
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .select(year(col("day")).as("yr"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col("x"))
+      .localCheckpoint()
+    val a = daily.select(col("yr"), col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("yr"), col("d").as("db"), col("x").as("xb"))
+    val sStat = a.join(b, Seq("yr")).filter(col("da") < col("db"))
+      .groupBy("yr")
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_stat"))
+    // tie census: Σ_g t(t−1)(2t+5) over per-value group sizes t
+    val ties = daily.groupBy("yr", "x").agg(count(lit(1)).as("t"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_values"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    val n = daily.groupBy("yr").agg(count(lit(1)).as("n_days"))
+    n.join(sStat, Seq("yr")).join(ties, Seq("yr"))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn("z", round(
+        when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+          .otherwise(0.0)
+          / sqrt(col("var18").cast("double") / 18.0), 4))
+      .select(col("yr"), col("n_days"), col("s_stat"), col("var18"), col("z"),
+        (abs(col("z")) > 1.96).as("has_trend"))
+      .orderBy("yr")
+  }
+
+  private val mannKendallSql =
+    """WITH daily AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |sS AS (
+      |  SELECT a.yr,
+      |    CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b ON a.yr = b.yr AND a.d < b.d
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT yr, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT yr, x, count(*) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |nd AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+      |j AS (
+      |  SELECT yr, n_days, s_stat,
+      |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+      |      AS var18
+      |  FROM nd JOIN sS USING (yr) JOIN ties USING (yr)),
+      |z AS (
+      |  SELECT yr, n_days, s_stat, var18,
+      |    round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |                WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |                ELSE 0.0 END)
+      |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) AS z
+      |  FROM j)
+      |SELECT yr, n_days, s_stat, var18, z, (abs(z) > 1.96) AS has_trend
+      |FROM z ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Hodges–Lehmann pseudo-median of daily revenue per year — the robust
+  // location estimator that completes the nonparametric suite (MK: is
+  // there a trend; Theil–Sen: its slope; HL: the level): the median of
+  // all Walsh averages (x_i + x_j)/2, i ≤ j. The ENTIRE ranking runs on
+  // exact integers — a Walsh sum of two bigint cent values — under a
+  // total (sum, da, db) order, with the same explicit two-middle-rank
+  // median as Theil–Sen; doubles appear only in the final /200 display
+  // division. Calendar-bounded: ≤366·367/2 Walsh pairs per year.
+  // ------------------------------------------------------------------
+  def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .select(year(col("day")).as("yr"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col("x"))
+      .localCheckpoint()
+    val a = daily.select(col("yr"), col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("yr"), col("d").as("db"), col("x").as("xb"))
+    val walsh = a.join(b, Seq("yr")).filter(col("da") <= col("db"))
+      .select(col("yr"), (col("xa") + col("xb")).as("w"), col("da"), col("db"))
+    val rw = Window.partitionBy("yr").orderBy(col("w"), col("da"), col("db"))
+    val nw = Window.partitionBy("yr")
+    walsh.withColumn("rn", row_number().over(rw))
+      .withColumn("np", count(lit(1)).over(nw))
+      .filter(col("rn") === expr("(np + 1) DIV 2") || col("rn") === expr("(np + 2) DIV 2"))
+      .groupBy("yr")
+      .agg(max("np").as("n_walsh"),
+        round(avg(col("w").cast("double")) / 200.0, 4).as("hl_median"))
+      .orderBy("yr")
+  }
+
+  private val hodgesLehmannSql =
+    """WITH daily AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |walsh AS (
+      |  SELECT a.yr, a.x + b.x AS w, a.d AS da, b.d AS db
+      |  FROM daily a JOIN daily b ON a.yr = b.yr AND a.d <= b.d),
+      |r AS (
+      |  SELECT yr, w,
+      |    row_number() OVER (PARTITION BY yr ORDER BY w, da, db) AS rn,
+      |    count(*) OVER (PARTITION BY yr) AS np
+      |  FROM walsh)
+      |SELECT yr, CAST(max(np) AS BIGINT) AS n_walsh,
+      |  round(avg(CAST(w AS DOUBLE)) / 200.0, 4) AS hl_median
+      |FROM r
+      |WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+      |GROUP BY yr ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Single-changepoint detection in daily revenue per year (binary
+  // segmentation, first split): the day that maximizes the between-mean
+  // gap |meanL − meanR| over all prefix/suffix splits. The gap is
+  // computed as |n·S_t − t·S_n| / (t·(n−t)) — numerator an EXACT bigint
+  // (prefix sums of integer cents), so both engines derive the identical
+  // double and the argmax (ties → earliest day) is deterministic. One
+  // year-keyed ordered window builds every prefix sum; each row IS a
+  // candidate split — no pair expansion at all, O(days) per year.
+  // ------------------------------------------------------------------
+  def changepointMean(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .select(year(col("day")).as("yr"), col("day"), col("x"))
+    val p = Window.partitionBy("yr")
+    val w = p.orderBy("day")
+    val splits = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("st", sum("x").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(p))
+      .withColumn("sn", sum("x").over(p))
+      .filter(col("t") < col("n")) // a split needs a non-empty right side
+      .withColumn("gap",
+        abs(col("n") * col("st") - col("t") * col("sn")).cast("double")
+          / (col("t") * (col("n") - col("t"))).cast("double"))
+    val best = Window.partitionBy("yr").orderBy(col("gap").desc, col("day"))
+    splits.withColumn("rb", row_number().over(best))
+      .filter(col("rb") === 1)
+      // means floor to the cent via INTEGER division — a 2-dp double round
+      // lands on .x05 boundaries where engines' rounding conventions split
+      .select(col("yr"), date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        col("n").as("n_days"),
+        (expr("st DIV t").cast("double") / 100.0).as("mean_left"),
+        (expr("(sn - st) DIV (n - t)").cast("double") / 100.0).as("mean_right"),
+        round(col("gap") / 100.0, 4).as("gap"))
+      .orderBy("yr")
+  }
+
+  private val changepointMeanSql =
+    """WITH daily AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+      |    CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT yr, day,
+      |    CAST(row_number() OVER (PARTITION BY yr ORDER BY day) AS BIGINT) AS t,
+      |    sum(x) OVER (PARTITION BY yr ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+      |    count(*) OVER (PARTITION BY yr) AS n,
+      |    sum(x) OVER (PARTITION BY yr) AS sn
+      |  FROM daily),
+      |g AS (
+      |  SELECT yr, day, t, st, n, sn,
+      |    CAST(abs(n * st - t * sn) AS DOUBLE) / (t * (n - t)) AS gap
+      |  FROM pre WHERE t < n),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY yr ORDER BY gap DESC, day) AS rb
+      |  FROM g)
+      |SELECT yr, strftime(day, '%Y-%m-%d') AS cp_day, CAST(n AS BIGINT) AS n_days,
+      |  CAST(st // t AS DOUBLE) / 100.0 AS mean_left,
+      |  CAST((sn - st) // (n - t) AS DOUBLE) / 100.0 AS mean_right,
+      |  round(gap / 100.0, 4) AS gap
+      |FROM best WHERE rb = 1 ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Winsorized / trimmed statistics of order value per priority — the
+  // robust-mean pair every metrics pipeline reaches for when a handful of
+  // whale orders dominate the arithmetic mean: the 5%-trimmed mean drops
+  // the tails, the 5%-winsorized mean clamps them to the cut values.
+  // Both are ENGINE-EXACT, not quantile-interpolated: the cut positions
+  // are explicit row_number ranks under a total (cents, o_orderkey)
+  // order, so Spark and the oracle agree bit-for-bit on which rows are
+  // trimmed/clamped. Scale shape: everything runs in ONE priority-keyed
+  // exchange — row_number, the partition count, and the two cut-value
+  // windows all share the same partitioning (Catalyst plans one
+  // Exchange), then a map-side-combined final aggregate; 5 output rows.
+  // ------------------------------------------------------------------
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pri"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"),
+        col("o_orderkey"))
+    val p = Window.partitionBy("pri")
+    val w = p.orderBy(col("x"), col("o_orderkey"))
+    x.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(p))
+      // 5% = 1/20: integer division keeps the cut position engine-exact
+      // (floor(n * 0.05) in binary doubles can land one off near integers)
+      .withColumn("k", expr("n DIV 20"))
+      .withColumn("lo", max(when(col("rn") === col("k") + 1, col("x"))).over(p))
+      .withColumn("hi", max(when(col("rn") === col("n") - col("k"), col("x"))).over(p))
+      .groupBy(col("pri").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), max("k").as("k_cut"),
+        round(avg(col("x").cast("double")) / 100.0, 4).as("mean"),
+        round(avg(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+          col("x").cast("double"))) / 100.0, 4).as("trimmed_mean"),
+        round(avg(greatest(col("lo"), least(col("hi"), col("x"))).cast("double"))
+          / 100.0, 4).as("winsor_mean"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val winsorizedStatsSql =
+    """WITH v AS (
+      |  SELECT o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x, o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT pri, x,
+      |    row_number() OVER (PARTITION BY pri ORDER BY x, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY pri) AS n
+      |  FROM v),
+      |c AS (
+      |  SELECT pri, x, rn, n, n // 20 AS k,
+      |    max(CASE WHEN rn = n // 20 + 1 THEN x END)
+      |      OVER (PARTITION BY pri) AS lo,
+      |    max(CASE WHEN rn = n - n // 20 THEN x END)
+      |      OVER (PARTITION BY pri) AS hi
+      |  FROM r)
+      |SELECT pri AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(k) AS BIGINT) AS k_cut,
+      |  round(avg(CAST(x AS DOUBLE)) / 100.0, 4) AS mean,
+      |  round(avg(CASE WHEN rn > k AND rn <= n - k THEN CAST(x AS DOUBLE) END)
+      |    / 100.0, 4) AS trimmed_mean,
+      |  round(avg(CAST(greatest(lo, least(hi, x)) AS DOUBLE)) / 100.0, 4)
+      |    AS winsor_mean
+      |FROM c GROUP BY pri ORDER BY pri""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Exact weighted median of line price, weighted by quantity, per
+  // return flag — the order-statistic a pricing dashboard wants when a
+  // 50-unit line should count 50× a 1-unit line. Definition is the lower
+  // weighted median: the first value (under a total (cents, orderkey,
+  // linenumber) order) whose running weight reaches ceil(W/2) — all
+  // integer arithmetic, so both engines select the identical row; no
+  // quantile interpolation anywhere. Scale shape: one flag-keyed
+  // exchange carries the running-sum window; the selector predicate
+  // (cw − w < ceil(W/2) ≤ cw) keeps exactly one row per flag with a
+  // plain filter — no second pass, no self-join.
+  // ------------------------------------------------------------------
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val p = Window.partitionBy("flag")
+    val w = p.orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+    v.withColumn("cw", sum("w").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum("w").over(p))
+      .withColumn("half", expr("(tw + 1) DIV 2"))
+      .filter(col("cw") >= col("half") && col("cw") - col("w") < col("half"))
+      .select(col("flag").as("l_returnflag"), col("tw").as("total_weight"),
+        round(col("x").cast("double") / 100.0, 2).as("weighted_median"))
+      .orderBy("l_returnflag")
+  }
+
+  private val weightedMedianSql =
+    """WITH v AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+      |    CAST(round(l_quantity) AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, x, w,
+      |    sum(w) OVER (PARTITION BY flag ORDER BY x, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(w) OVER (PARTITION BY flag) AS tw
+      |  FROM v)
+      |SELECT flag AS l_returnflag, CAST(tw AS BIGINT) AS total_weight,
+      |  round(CAST(x AS DOUBLE) / 100.0, 2) AS weighted_median
+      |FROM r
+      |WHERE cw >= (tw + 1) // 2 AND cw - w < (tw + 1) // 2
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
   // Market-basket association rules over co-purchased part pairs:
   // support / confidence / lift with a min-co-count gate, top-20 by lift.
   // The pair expansion is the same per-order DISTINCT-pair shape as the
@@ -1237,6 +1607,12 @@ object AnalyticsQueries extends QueryModule {
       Some(rollingActiveUsersSql)),
     QueryDef("agg_cramers_v", cramersV, Some(cramersVSql)),
     QueryDef("agg_autocorr_lag", autocorrLag, Some(autocorrLagSql)),
+    QueryDef("agg_theil_sen_trend", theilSenTrend, Some(theilSenTrendSql)),
+    QueryDef("agg_winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
+    QueryDef("agg_mann_kendall", mannKendall, Some(mannKendallSql)),
+    QueryDef("agg_hodges_lehmann", hodgesLehmann, Some(hodgesLehmannSql)),
+    QueryDef("win_changepoint_mean", changepointMean, Some(changepointMeanSql)),
+    QueryDef("agg_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("misc_market_basket", marketBasket, Some(marketBasketSql)),
     QueryDef("sim_reciprocal_nn", reciprocalNn, Some(reciprocalNnSql)),
     QueryDef("text_hashing_features", hashingFeatures, Some(hashingFeaturesSql)),

@@ -53,6 +53,57 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Diversified top-k retrieval: global top-8 under a per-facet cap of 2
+    * (at most two results per label) — the category-capped re-ranking a
+    * retrieval service applies so one dense cluster can't fill the whole
+    * result page. Both stages run through the NATIVE two-phase
+    * [[graft.plans.GroupTopK]] operator: stage 1 caps each (query, label)
+    * list at 2 with partial per-partition heaps (the shuffle carries at
+    * most 2·|labels| rows per query, not the scored corpus), stage 2
+    * takes the global 8 from that already-tiny frame — no Window over the
+    * full candidate set anywhere in the plan. Ranking is on round-6
+    * cosine with a c_id tie-break, the established cross-engine rank
+    * determinism discipline.
+    */
+  def diverseTopK(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.select(col("vec_id").as("c_id"), col("label"),
+      col("embedding").as("c_emb"))
+    val scored = cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, c_emb)"), 6))
+      .select("q_id", "c_id", "label", "cos_r")
+    val perLabel = graft.plans.GroupTopK(scored, 2, Seq("q_id", "label"),
+      Seq(desc("cos_r"), asc("c_id"))).drop("gtk_rank")
+    graft.plans.GroupTopK(perLabel, 8, Seq("q_id"),
+        Seq(desc("cos_r"), asc("c_id")))
+      .withColumnRenamed("gtk_rank", "rn")
+      .select(col("q_id"), col("rn"), col("c_id"), col("label"),
+        round(col("cos_r"), 4).as("cosine"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val diverseTopKSql = {
+    val cos = cosineSqlDuck.replace("QA", "q.embedding").replace("QB", "c.embedding")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label,
+       |    round($cos, 6) AS cos_r
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |), lr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id, label
+       |    ORDER BY cos_r DESC, c_id) AS rl
+       |  FROM scored
+       |), gr AS (
+       |  SELECT q_id, c_id, label, cos_r,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS rn
+       |  FROM lr WHERE rl <= 2)
+       |SELECT q_id, CAST(rn AS INT) AS rn, c_id, label, round(cos_r, 4) AS cosine
+       |FROM gr WHERE rn <= 8 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Maximum-inner-product search (MIPS — the retrieval objective when
     * embeddings are NOT normalized, e.g. recommendation scores): exact
     * top-5 by raw dot product with the classic norm-bound prune. Phase 1
@@ -949,6 +1000,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("sim_lsh_topk", lshTopK, Some(lshTopKSql)),
     QueryDef("sim_recall_eval", recallEval, Some(recallEvalSql)),
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
+    QueryDef("sim_diverse_topk", diverseTopK, Some(diverseTopKSql)),
     QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     QueryDef("sim_pq_adc_topk", pqAdcTopK, Some(pqAdcTopKSql)),
     QueryDef("sim_label_centroids", centroids, Some(centroidsSql)),

@@ -747,6 +747,191 @@ object TextQueries extends QueryModule {
        |FROM dbg JOIN bgc USING (w1, w2) JOIN ugc USING (w1) CROSS JOIN vocab
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Moore–Lewis cross-entropy-difference selection (the published
+    * intelligent-selection rule for domain data: score each document by
+    * how much better an IN-DOMAIN language model likes it than a
+    * GENERAL-corpus model, and keep the top of the ranking). In-domain
+    * here is the labeled `lang = 'en'` slice; both models are add-½
+    * unigram LMs over the SHARED corpus vocabulary, so out-of-domain
+    * terms get genuine smoothed mass rather than zero. Per doc the score
+    * is the token-mean of ln P_in(t) − ln P_gen(t) — positive means the
+    * doc looks more like the in-domain slice than like the corpus at
+    * large. Scale shape: the explode's single consumer is a per-doc term
+    * multiplicity pre-aggregate (map-side combined — the bigram-LM
+    * lesson), both models' counts come from ONE term-count pass with a
+    * conditional sum, and the two normalizers + vocab size ride in as a
+    * broadcast single-row aggregate; everything else is linear in the
+    * token count with no cross-document state.
+    */
+  def mooreLewis(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(expr(toks)).as("term"))
+    // per-doc multiplicity first: one map-side-combined pass over tokens
+    val docTerms = terms.groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).cast("double").as("m"))
+    // both LMs' counts in one rollup from the multiplicities (integer-
+    // valued doubles < 2^53, sums exact)
+    val tc = docTerms.groupBy("term")
+      .agg(sum(when(col("lang") === "en", col("m")).otherwise(0.0)).as("c_in"),
+        sum("m").as("c_all"))
+    val scal = tc.agg(sum("c_in").as("t_in"), sum("c_all").as("t_all"),
+      count(lit(1)).cast("double").as("v"))
+    docTerms.join(tc, Seq("term"))
+      .crossJoin(broadcast(scal))
+      .groupBy("doc_id", "lang")
+      .agg(sum("m").cast("long").as("n_tokens"),
+        // + 0.0 collapses IEEE −0.0 (a just-below-zero mean rounded to 4
+        // decimals) to +0.0 — engines disagree on the sign of that zero
+        (round((sum(col("m") *
+          (log((col("c_in") + lit(0.5)) / (col("t_in") + lit(0.5) * col("v"))) -
+           log((col("c_all") + lit(0.5)) / (col("t_all") + lit(0.5) * col("v")))))
+          / sum("m")), 4) + lit(0.0)).as("ml_score"))
+      .withColumn("selected", col("ml_score") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  private val mooreLewisSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, unnest($dToks) AS term FROM documents
+       |), dt AS (
+       |  SELECT doc_id, lang, term, CAST(count(*) AS DOUBLE) AS m
+       |  FROM t GROUP BY 1, 2, 3
+       |), tc AS (
+       |  SELECT term,
+       |    sum(CASE WHEN lang = 'en' THEN m ELSE 0.0 END) AS c_in,
+       |    sum(m) AS c_all
+       |  FROM dt GROUP BY 1
+       |), scal AS (
+       |  SELECT sum(c_in) AS t_in, sum(c_all) AS t_all,
+       |    CAST(count(*) AS DOUBLE) AS v
+       |  FROM tc)
+       |SELECT doc_id, lang, CAST(sum(m) AS BIGINT) AS n_tokens,
+       |  round(sum(m * (ln((c_in + 0.5) / (t_in + 0.5 * v))
+       |               - ln((c_all + 0.5) / (t_all + 0.5 * v)))) / sum(m), 4) + 0.0
+       |    AS ml_score,
+       |  round(sum(m * (ln((c_in + 0.5) / (t_in + 0.5 * v))
+       |               - ln((c_all + 0.5) / (t_all + 0.5 * v)))) / sum(m), 4) > 0.0
+       |    AS selected
+       |FROM dt JOIN tc USING (term) CROSS JOIN scal
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style intra-document repetition signals (the published
+    * repetition-rule family for training-data filtering): the fraction of
+    * a document's n-gram mass held by its single most frequent 2-gram and
+    * 3-gram, and the fraction of token positions covered by 5-grams that
+    * occur more than once within the doc. This corpus's documents are
+    * single-line token streams, so the token-level rules are the live
+    * ones (the line/paragraph-duplicate variants of the rule set are
+    * degenerate here — every doc is one line). A document is flagged
+    * repetitive at the published thresholds (top-2-gram > 0.20,
+    * top-3-gram > 0.18, dup-5-gram coverage > 0.15). Scale shape: three
+    * per-doc explodes (≤1 row per token position each), every aggregate
+    * map-side combinable, one distinct-position count per doc for the
+    * coverage term — no cross-document state anywhere.
+    */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"))
+    def topNgramFrac(n: Int, out: String): DataFrame =
+      base.filter(col("n_tokens") >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', slice(tk, i, $n)))"))
+          .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max("c").cast("double") / sum("c").cast("double")).as(out))
+    val top2 = topNgramFrac(2, "f2")
+    val top3 = topNgramFrac(3, "f3")
+    // coverage: positions i..i+n-1 of every instance of a within-doc
+    // duplicated n-gram, counted distinct — computed at n=2 (live on this
+    // corpus: ~70% of docs have a repeated bigram, so the machinery is
+    // value-checked against the oracle on real data) and at n=5 (the
+    // published flag threshold)
+    def dupCoverage(n: Int, out: String): DataFrame = {
+      val g = base.filter(col("n_tokens") >= n)
+        .select(col("doc_id"), expr(
+          s"""explode(transform(sequence(1, size(tk) - ${n - 1}),
+             |  i -> struct(i AS i, concat_ws(' ', slice(tk, i, $n)) AS g)))""".stripMargin).as("s"))
+        .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+      val dup = g.groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2).drop("m")
+      g.join(dup, Seq("doc_id", "g"))
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${n - 1})")).as("off"), col("i"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("i") + col("off")).as(out))
+    }
+    val cov2 = dupCoverage(2, "covered2")
+    val cov5 = dupCoverage(5, "covered5")
+    base.select("doc_id", "n_tokens")
+      .join(top2, Seq("doc_id"), "left")
+      .join(top3, Seq("doc_id"), "left")
+      .join(cov2, Seq("doc_id"), "left")
+      .join(cov5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(coalesce(col("f2"), lit(0.0)), 4).as("top2_frac"),
+        round(coalesce(col("f3"), lit(0.0)), 4).as("top3_frac"),
+        round(coalesce(col("covered2").cast("double"), lit(0.0))
+          / col("n_tokens").cast("double"), 4).as("dup2_frac"),
+        round(coalesce(col("covered5").cast("double"), lit(0.0))
+          / col("n_tokens").cast("double"), 4).as("dup5_frac"))
+      .withColumn("is_repetitive",
+        col("top2_frac") > 0.20 || col("top3_frac") > 0.18 || col("dup5_frac") > 0.15)
+      .orderBy("doc_id")
+  }
+
+  private val gopherRepetitionSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, $dToks AS tk FROM documents
+       |), g2 AS (
+       |  SELECT doc_id, array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 1], ' ') AS g
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |        FROM base WHERE len(tk) >= 2)
+       |), t2 AS (
+       |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f2
+       |  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+       |), g3 AS (
+       |  SELECT doc_id, array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+       |        FROM base WHERE len(tk) >= 3)
+       |), t3 AS (
+       |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f3
+       |  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+       |), g5 AS (
+       |  SELECT doc_id, i, array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS g
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+       |        FROM base WHERE len(tk) >= 5)
+       |), dup5 AS (
+       |  SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2
+       |), cov5 AS (
+       |  SELECT a.doc_id, count(DISTINCT a.i + off.off) AS covered5
+       |  FROM g5 a JOIN dup5 USING (doc_id, g)
+       |  CROSS JOIN (SELECT unnest(range(0, 5)) AS off) off
+       |  GROUP BY 1
+       |), g2i AS (
+       |  SELECT doc_id, i, array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 1], ' ') AS g
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |        FROM base WHERE len(tk) >= 2)
+       |), dup2 AS (
+       |  SELECT doc_id, g FROM g2i GROUP BY doc_id, g HAVING count(*) >= 2
+       |), cov2 AS (
+       |  SELECT a.doc_id, count(DISTINCT a.i + off.off) AS covered2
+       |  FROM g2i a JOIN dup2 USING (doc_id, g)
+       |  CROSS JOIN (SELECT unnest(range(0, 2)) AS off) off
+       |  GROUP BY 1
+       |), j AS (
+       |  SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+       |    round(coalesce(f2, 0.0), 4) AS top2_frac,
+       |    round(coalesce(f3, 0.0), 4) AS top3_frac,
+       |    round(coalesce(CAST(covered2 AS DOUBLE), 0.0) / len(b.tk), 4) AS dup2_frac,
+       |    round(coalesce(CAST(covered5 AS DOUBLE), 0.0) / len(b.tk), 4) AS dup5_frac
+       |  FROM base b
+       |  LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       |  LEFT JOIN cov2 USING (doc_id) LEFT JOIN cov5 USING (doc_id))
+       |SELECT doc_id, n_tokens, top2_frac, top3_frac, dup2_frac, dup5_frac,
+       |  (top2_frac > 0.20 OR top3_frac > 0.18 OR dup5_frac > 0.15) AS is_repetitive
+       |FROM j ORDER BY doc_id""".stripMargin
+
   /** The "dataset card" report: one corpus-statistics row per language
     * plus a ROLLUP total — doc counts, token totals and percentiles,
     * short-doc share, exact-dup rate, distinct sources — the summary table
@@ -857,6 +1042,8 @@ object TextQueries extends QueryModule {
     QueryDef("text_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("pipeline_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("text_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
+    QueryDef("text_gopher_repetition", gopherRepetition, Some(gopherRepetitionSql)),
+    QueryDef("text_moore_lewis", mooreLewis, Some(mooreLewisSql)),
     QueryDef("text_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     QueryDef("text_char_entropy", charEntropy, Some(charEntropySql)),
     QueryDef("text_ngram_profile", ngramProfile, Some(ngramProfileSql)),

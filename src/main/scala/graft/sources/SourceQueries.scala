@@ -128,6 +128,84 @@ object SourceQueries extends QueryModule {
       |  CAST(max(length(text)) AS INT) AS max_len
       |FROM documents""".stripMargin
 
+  /** XML round-trip through the built-in Spark 4 XML source (one `<part>`
+    * element per row): a part-table slice is written as XML, re-read with
+    * an explicit schema, and aggregated per brand; the oracle aggregates
+    * the original parquet, so any serialization or parse drift (numeric
+    * text round-trip, element ordering, escaping in p_type's spaces)
+    * fails the hash-compare. Doubles survive exactly: the writer emits
+    * the shortest round-trippable decimal and the parser restores the
+    * identical IEEE value. Scale shape: identical to the CSV/ORC rows —
+    * a parallel write then a parallel scan straight into one
+    * map-side-combined aggregation.
+    */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_xml_") + "/part"
+    Tables.part(s, dir)
+      .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").option("rowTag", "part").format("xml").save(tmp)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_brand", StringType),
+      StructField("p_type", StringType), StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType)))
+    s.read.option("rowTag", "part").schema(schema).format("xml").load(tmp)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("p_size").cast("long").as("total_size"),
+        round(sum("p_retailprice"), 2).as("total_price"),
+        countDistinct("p_type").as("n_types"))
+      .orderBy("p_brand")
+  }
+
+  private val xmlRoundtripSql =
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p_size) AS BIGINT) AS total_size,
+      |  round(sum(p_retailprice), 2) AS total_price,
+      |  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Binary-file ingest (`binaryFile` source) — the raw-shard shape every
+    * multimodal pipeline starts from: opaque blobs on disk, read as
+    * (path, content) rows with the decode downstream. Four deterministic
+    * text shards (documents concatenated by doc_id within doc_id % 4,
+    * newline-joined) are staged, read back through the binaryFile source,
+    * and verified BYTE-EXACTLY: the oracle rebuilds each shard's payload
+    * from the documents table with the same ordered string_agg and
+    * md5-compares, so a single flipped byte anywhere in stage-write →
+    * binary scan → UTF-8 decode fails the hash. Staging collects 4 rows
+    * (one per shard) to write real files — the same justified-eager
+    * pattern as the kinesis fixture; the binaryFile READ is a normal
+    * distributed scan, one task per shard at any shard count.
+    */
+  def binaryFiles(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_bin_") + "/shards"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    val shards = Tables.documents(s, dir)
+      .groupBy((col("doc_id") % 4).as("shard"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("doc_id"),
+        col("text")))), x => x("text")), "\n").as("payload"))
+      .collect()
+    shards.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, f"shard_${r.getLong(0)}%d.txt"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    s.read.format("binaryFile").load(tmp)
+      .select(regexp_extract(col("path"), "shard_(\\d+)\\.txt", 1)
+          .cast("long").as("shard"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("payload_md5"),
+        (size(split(col("content").cast("string"), "\n", -1))).cast("long")
+          .as("n_docs"))
+      .orderBy("shard")
+  }
+
+  private val binaryFilesSql =
+    """SELECT doc_id % 4 AS shard,
+      |  CAST(sum(octet_length(encode(text))) + count(*) - 1 AS BIGINT) AS n_bytes,
+      |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Partitioned parquet write → partition-pruned read: only two partition
     * directories may be scanned (the scale-out layout pattern: partition by
     * low-cardinality routing key, prune at read).
@@ -286,6 +364,8 @@ object SourceQueries extends QueryModule {
     QueryDef("src_text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
     QueryDef("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     QueryDef("src_partitioned_pruned", partitionedWrite, Some(partitionedWriteSql)),
-    QueryDef("src_schema_merge", schemaMerge, Some(schemaMergeSql))
+    QueryDef("src_schema_merge", schemaMerge, Some(schemaMergeSql)),
+    QueryDef("src_xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripSql)),
+    QueryDef("src_binary_files", binaryFiles, Some(binaryFilesSql))
   )
 }

@@ -454,6 +454,68 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
   }
 
+  test("diverse top-k: both stages plan as two-phase native top-k, no Window") {
+    val p = plan("sim_diverse_topk")
+    // a row_number form would full-sort the scored candidate set per
+    // (query, label); the two chained GroupTopK stages keep partial
+    // per-partition heaps so the shuffle carries at most k rows per group
+    assert("TopKPerGroupPartial".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("theil-sen: pair-rank windows are year-partitioned, never global") {
+    val p = plan("agg_theil_sen_trend")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+  }
+
+  test("winsorized stats: rank, count, cut windows AND the final agg share ONE exchange") {
+    // all four window functions and the final priority-keyed aggregate sit
+    // on the same key — Catalyst must plan exactly one hashpartitioning
+    // exchange for the whole query (the windows' output partitioning
+    // satisfies the aggregate's requirement)
+    val p = plan("agg_winsorized_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+  }
+
+  test("weighted median: one flag-keyed exchange, selector is a filter not a join") {
+    val p = plan("agg_weighted_median")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+  }
+
+  test("changepoint: no pair expansion — prefix-sum window only, year-keyed") {
+    val p = plan("win_changepoint_mean")
+    // binary segmentation must NOT materialize split pairs: every prefix
+    // row IS a candidate, so the plan is windows over one exchange with
+    // no join anywhere
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+  }
+
+  test("mann-kendall / hodges-lehmann: pair joins are year-keyed, never cartesian") {
+    Seq("agg_mann_kendall", "agg_hodges_lehmann").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("moore-lewis: the multiplicity pre-agg shuffle is computed once and reused") {
+    // the docTerms subtree feeds three consumers (probe side, term counts,
+    // normalizer scalars) — at runtime AQE's exchange reuse must collapse
+    // the duplicates so the explode+pre-agg runs ONCE; the scalars ride a
+    // broadcast
+    val df = SparkEntry.queries("text_moore_lewis")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q02: correlated min is one fact scan through a partkey rank window") {
     // the aggregate-then-rejoin form scans lineitem + the dim chain twice
     // (no exchange reuse) — the window form must keep exactly one scan of

@@ -863,4 +863,148 @@ class PropertySpec extends SparkSuite {
     assert(lo >= mm.getDouble(0) && hi <= mm.getDouble(1),
       s"ci [$lo, $hi] outside order-value range")
   }
+
+  test("gopher repetition fractions are valid and the flag is their function") {
+    SparkEntry.queries("text_gopher_repetition")(spark, Sf).collect().foreach { r =>
+      val (t2, t3, d2, d5) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      Seq(t2, t3, d2, d5).foreach(f => assert(f >= 0.0 && f <= 1.0, s"frac $f"))
+      // any position covered by a duplicated 5-gram is covered by a
+      // duplicated 2-gram (each of the five positions sits inside one of
+      // the four repeated 2-grams the repeated 5-gram contains), so the
+      // 2-gram coverage dominates
+      assert(d2 >= d5, s"dup2 $d2 < dup5 $d5")
+      assert(r.getBoolean(6) == (t2 > 0.20 || t3 > 0.18 || d5 > 0.15),
+        s"flag inconsistent with fractions ($t2, $t3, $d5)")
+    }
+  }
+
+  test("diverse top-k honors the per-label cap and dense global ranks") {
+    val rows = SparkEntry.queries("sim_diverse_topk")(spark, Sf).collect()
+    rows.groupBy(r => (r.getLong(0), r.getInt(3))).foreach { case (k, g) =>
+      assert(g.length <= 2, s"facet cap violated at $k: ${g.length}")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val rns = g.map(_.getInt(1)).sorted
+      assert(rns.sameElements(1 to g.length), s"ranks not dense for q=$q")
+      assert(g.length <= 8, s"more than 8 results for q=$q")
+      // scores must be non-increasing in rank
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(4))
+      byRank.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) >= w(1), s"score order broken for q=$q")
+      }
+    }
+  }
+
+  test("winsorized stats: trimmed and winsorized means bracket correctly") {
+    SparkEntry.queries("agg_winsorized_stats")(spark, Sf).collect().foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      assert(k == n / 20, s"k $k for n $n")
+      val (mean, trimmed, winsor) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      Seq(mean, trimmed, winsor).foreach(v => assert(!v.isNaN && !v.isInfinite))
+      // every averaged value (raw, trimmed-in, clamped) lies inside the
+      // group's [min, max], so all three means must too — recomputed from
+      // the base table, not from the query under test
+      val pri = r.getString(0)
+      val mm = Tables.orders(spark, Sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === pri)
+        .selectExpr("min(o_totalprice) AS lo", "max(o_totalprice) AS hi")
+        .head()
+      Seq(mean, trimmed, winsor).foreach { v =>
+        assert(v >= mm.getDouble(0) - 0.01 && v <= mm.getDouble(1) + 0.01,
+          s"$pri: $v outside [${mm.getDouble(0)}, ${mm.getDouble(1)}]")
+      }
+      // trimming drops 2k values, winsorizing keeps them clamped: both
+      // must differ from the raw mean by less than the full range
+      assert(math.abs(trimmed - mean) < mm.getDouble(1) - mm.getDouble(0))
+      assert(math.abs(winsor - mean) < mm.getDouble(1) - mm.getDouble(0))
+    }
+  }
+
+  test("weighted median halves the total weight on each side") {
+    val rows = SparkEntry.queries("agg_weighted_median")(spark, Sf).collect()
+    assert(rows.length == 3) // A, N, R
+    rows.foreach { r =>
+      val (flag, tw, med) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      // recompute both halves from the base table: weight at or below the
+      // median must reach ceil(W/2), weight strictly below must not
+      val cents = math.round(med * 100)
+      val half = (tw + 1) / 2
+      val agg = Tables.lineitem(spark, Sf)
+        .filter(org.apache.spark.sql.functions.col("l_returnflag") === flag)
+        .selectExpr(
+          s"sum(CASE WHEN CAST(round(l_extendedprice*100) AS BIGINT) <= $cents THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS at_or_below",
+          s"sum(CASE WHEN CAST(round(l_extendedprice*100) AS BIGINT) < $cents THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS below")
+        .head()
+      assert(agg.getLong(0) >= half, s"$flag: at_or_below ${agg.getLong(0)} < $half")
+      assert(agg.getLong(1) < half, s"$flag: below ${agg.getLong(1)} >= $half")
+    }
+  }
+
+  test("moore-lewis: in-domain docs score above the general corpus on average") {
+    val rows = SparkEntry.queries("text_moore_lewis")(spark, Sf).collect()
+    assert(rows.length == 500)
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    def meanScore(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(3)).sum / rs.length
+    // the selection objective: the in-domain slice must rank above the
+    // out-of-domain slice under its own LM-difference score
+    assert(meanScore(en) > meanScore(rest),
+      s"en ${meanScore(en)} <= rest ${meanScore(rest)}")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getDouble(3) > 0.0), "selected flag drift")
+    }
+  }
+
+  test("mann-kendall: S bounded by C(n,2), z sign follows S, flag is |z|>1.96") {
+    SparkEntry.queries("agg_mann_kendall")(spark, Sf).collect().foreach { r =>
+      val (n, sStat, var18, z) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val maxS = n * (n - 1) / 2
+      assert(math.abs(sStat) <= maxS, s"|S| $sStat > C($n,2) $maxS")
+      assert(var18 > 0 && var18 <= n * (n - 1) * (2 * n + 5), s"var18 $var18")
+      assert(math.signum(z) == math.signum(sStat.toDouble) || sStat == 0)
+      assert(r.getBoolean(5) == (math.abs(z) > 1.96))
+    }
+  }
+
+  test("hodges-lehmann: walsh count is n(n+1)/2 and the level is in range") {
+    val dailyN = Tables.orders(spark, Sf)
+      .selectExpr("year(to_date(o_orderdate)) AS yr", "to_date(o_orderdate) AS day",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS c")
+      .groupBy("yr", "day").agg(org.apache.spark.sql.functions.expr("sum(c)").as("x"))
+      .groupBy("yr")
+      .agg(org.apache.spark.sql.functions.expr("count(*) AS n"),
+        org.apache.spark.sql.functions.expr("min(x) AS lo"),
+        org.apache.spark.sql.functions.expr("max(x) AS hi"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    SparkEntry.queries("agg_hodges_lehmann")(spark, Sf).collect().foreach { r =>
+      val (n, lo, hi) = dailyN(r.getInt(0))
+      assert(r.getLong(1) == n * (n + 1) / 2,
+        s"year ${r.getInt(0)}: walsh ${r.getLong(1)} != C+diag for $n days")
+      // a median of pairwise means lies within [min, max] of the series
+      val hl = r.getDouble(2)
+      assert(hl >= lo / 100.0 - 0.01 && hl <= hi / 100.0 + 0.01,
+        s"hl $hl outside [${lo / 100.0}, ${hi / 100.0}]")
+    }
+  }
+
+  test("changepoint: the reported gap IS the between-mean distance") {
+    SparkEntry.queries("win_changepoint_mean")(spark, Sf).collect().foreach { r =>
+      val (ml, mr, gap) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // gap = |meanL − meanR| by construction; means floor to the cent
+      assert(math.abs(math.abs(ml - mr) - gap) < 0.03,
+        s"gap $gap vs |${ml} - ${mr}|")
+      assert(gap >= 0.0)
+    }
+  }
+
+  test("theil-sen pairs count matches C(n_days, 2) and slopes are finite") {
+    SparkEntry.queries("agg_theil_sen_trend")(spark, Sf).collect().foreach { r =>
+      val (nDays, nPairs) = (r.getLong(1), r.getLong(2))
+      assert(nPairs == nDays * (nDays - 1) / 2,
+        s"year ${r.getInt(0)}: $nPairs pairs for $nDays days")
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+  }
 }
