@@ -981,6 +981,198 @@ object AnalyticsQueries extends QueryModule {
       |FROM best WHERE rb = 1 ORDER BY yr""".stripMargin
 
   // ------------------------------------------------------------------
+  // Pettitt rank-based changepoint test per year — the nonparametric
+  // twin of [[changepointMean]] (robust to outlier days the way MK is
+  // robust vs OLS): U_t = Σ_{i≤t<j} sgn(x_i − x_j), the split maximizing
+  // |U_t|, with the published significance approximation
+  // p ≈ 2·exp(−6K²/(n³+n²)). The whole statistic is EXACT integers:
+  // each calendar-bounded pair contributes sgn(x_i − x_j) to day i and
+  // the negation to day j, so U_t is just the running sum of a per-day
+  // aggregate A_t — one (year, day) shuffle after the pair frame, no
+  // range updates, no second pair pass. Doubles appear only in the final
+  // exp(), computed from the same integers on both engines.
+  // ------------------------------------------------------------------
+  def pettittChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .select(year(col("day")).as("yr"), col("day"), col("x"))
+      .localCheckpoint()
+    val a = daily.select(col("yr"), col("day").as("da"), col("x").as("xa"))
+    val b = daily.select(col("yr"), col("day").as("db"), col("x").as("xb"))
+    val pairs = a.join(b, Seq("yr")).filter(col("da") < col("db"))
+      .withColumn("sgn", signum(col("xa") - col("xb")).cast("long"))
+    val contribs = pairs.select(col("yr"), col("da").as("day"), col("sgn"))
+      .unionAll(pairs.select(col("yr"), col("db").as("day"), (-col("sgn")).as("sgn")))
+    val at = contribs.groupBy("yr", "day").agg(sum("sgn").as("a_t"))
+    val p = Window.partitionBy("yr")
+    val w = p.orderBy("day")
+    val u = at
+      .withColumn("u_t", sum("a_t").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(p))
+      .filter(col("t") < col("n"))
+    val best = Window.partitionBy("yr").orderBy(abs(col("u_t")).desc, col("day"))
+    u.withColumn("rb", row_number().over(best))
+      .filter(col("rb") === 1)
+      .select(col("yr"), date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        col("n").as("n_days"), abs(col("u_t")).as("k_stat"),
+        round(lit(2.0) * exp(lit(-6.0) * (col("u_t") * col("u_t")).cast("double")
+          / (col("n") * col("n") * col("n") + col("n") * col("n")).cast("double")), 6)
+          .as("p_approx"))
+      .withColumn("significant", col("p_approx") < 0.05)
+      .orderBy("yr")
+  }
+
+  private val pettittChangepointSql =
+    """WITH daily AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+      |    CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.yr, a.day AS da, b.day AS db,
+      |    CAST(sign(a.x - b.x) AS BIGINT) AS sgn
+      |  FROM daily a JOIN daily b ON a.yr = b.yr AND a.day < b.day),
+      |contribs AS (
+      |  SELECT yr, da AS day, sgn FROM pairs
+      |  UNION ALL
+      |  SELECT yr, db AS day, -sgn FROM pairs),
+      |at AS (
+      |  SELECT yr, day, CAST(sum(sgn) AS BIGINT) AS a_t
+      |  FROM contribs GROUP BY 1, 2),
+      |u AS (
+      |  SELECT yr, day, a_t,
+      |    sum(a_t) OVER (PARTITION BY yr ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u_t,
+      |    CAST(row_number() OVER (PARTITION BY yr ORDER BY day) AS BIGINT) AS t,
+      |    count(*) OVER (PARTITION BY yr) AS n
+      |  FROM at),
+      |best AS (
+      |  SELECT yr, day, u_t, n,
+      |    row_number() OVER (PARTITION BY yr ORDER BY abs(u_t) DESC, day) AS rb
+      |  FROM u WHERE t < n)
+      |SELECT yr, strftime(day, '%Y-%m-%d') AS cp_day, CAST(n AS BIGINT) AS n_days,
+      |  CAST(abs(u_t) AS BIGINT) AS k_stat,
+      |  round(2.0 * exp(-6.0 * CAST(u_t * u_t AS DOUBLE)
+      |    / CAST(n * n * n + n * n AS DOUBLE)), 6) AS p_approx,
+      |  round(2.0 * exp(-6.0 * CAST(u_t * u_t AS DOUBLE)
+      |    / CAST(n * n * n + n * n AS DOUBLE)), 6) < 0.05 AS significant
+      |FROM best WHERE rb = 1 ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Benjamini–Hochberg step-up FDR across per-nation trend tests — the
+  // multiple-testing correction a metrics platform needs the moment it
+  // runs the same test over every segment: 25 per-nation Mann–Kendall
+  // z-statistics (1995 daily revenue) become two-sided p-values via a
+  // SHARED Abramowitz–Stegun 7.1.26 erfc polynomial (identical literal
+  // arithmetic on both engines: p = poly(t)·exp(−y²), y = |z|/√2), then
+  // the step-up adjustment p̂(r) = min_{r'≥r} p(r')·m/r' as a suffix-min
+  // window over the p-ranking. Scale shape: the pair frame is calendar-
+  // bounded per nation (≤365²/2 pairs each); the BH pass itself runs on
+  // m = 25 rows — one tiny window after broadcast-joined margins.
+  // ------------------------------------------------------------------
+  def bhFdr(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val daily = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .select(col("n_name"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col("x"))
+      .localCheckpoint()
+    val a = daily.select(col("n_name"), col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("n_name"), col("d").as("db"), col("x").as("xb"))
+    val sStat = a.join(b, Seq("n_name")).filter(col("da") < col("db"))
+      .groupBy("n_name")
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("n_name", "x").agg(count(lit(1)).as("t"))
+      .groupBy("n_name")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    val n = daily.groupBy("n_name").agg(count(lit(1)).as("n_days"))
+    val z = n.join(sStat, Seq("n_name")).join(ties, Seq("n_name"))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn("z",
+        when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+          .otherwise(0.0)
+          / sqrt(col("var18").cast("double") / 18.0))
+      // two-sided p = erfc(|z|/√2) via A&S 7.1.26 — the same literals the
+      // oracle evaluates, so both engines emit the identical double
+      .withColumn("y", abs(col("z")) / lit(1.4142135623730951))
+      .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("y")))
+      .withColumn("p_raw",
+        expr("""tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+              + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-y * y)"""))
+    val m = Window.partitionBy(lit(1))
+    val byP = m.orderBy(col("p_raw"), col("n_name"))
+    z.withColumn("r", row_number().over(byP).cast("double"))
+      .withColumn("m", count(lit(1)).over(m).cast("double"))
+      .withColumn("stepup", col("p_raw") * col("m") / col("r"))
+      .withColumn("p_bh", least(lit(1.0),
+        min(col("stepup")).over(byP.rowsBetween(Window.currentRow, Window.unboundedFollowing))))
+      .select(col("n_name"), col("n_days"), col("s_stat"),
+        round(col("z"), 4).as("z"), round(col("p_raw"), 6).as("p_value"),
+        round(col("p_bh"), 6).as("p_bh"),
+        (col("p_bh") < 0.1).as("significant_10fdr"))
+      .orderBy("n_name")
+  }
+
+  private val bhFdrSql =
+    """WITH daily AS (
+      |  SELECT n_name,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+      |  GROUP BY 1, 2),
+      |sS AS (
+      |  SELECT a.n_name,
+      |    CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b ON a.n_name = b.n_name AND a.d < b.d
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT n_name, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT n_name, x, count(*) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |nd AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+      |zt AS (
+      |  SELECT n_name, n_days, s_stat,
+      |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |          ELSE 0.0 END)
+      |      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+      |             AS DOUBLE) / 18.0) AS z
+      |  FROM nd JOIN sS USING (n_name) JOIN ties USING (n_name)),
+      |pv AS (
+      |  SELECT n_name, n_days, s_stat, z, tt, y,
+      |    tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+      |      + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-y * y) AS p_raw
+      |  FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * y) AS tt
+      |        FROM (SELECT *, abs(z) / 1.4142135623730951 AS y FROM zt))),
+      |bh AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY p_raw, n_name) AS DOUBLE) AS r,
+      |    CAST(count(*) OVER () AS DOUBLE) AS m
+      |  FROM pv),
+      |adj AS (
+      |  SELECT n_name, n_days, s_stat, z, p_raw,
+      |    least(1.0, min(p_raw * m / r) OVER (ORDER BY p_raw, n_name
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_bh
+      |  FROM bh)
+      |SELECT n_name, n_days, s_stat, round(z, 4) AS z,
+      |  round(p_raw, 6) AS p_value, round(p_bh, 6) AS p_bh,
+      |  (p_bh < 0.1) AS significant_10fdr
+      |FROM adj ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------------
   // Winsorized / trimmed statistics of order value per priority — the
   // robust-mean pair every metrics pipeline reaches for when a handful of
   // whale orders dominate the arithmetic mean: the 5%-trimmed mean drops
@@ -1612,6 +1804,8 @@ object AnalyticsQueries extends QueryModule {
     QueryDef("agg_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("agg_hodges_lehmann", hodgesLehmann, Some(hodgesLehmannSql)),
     QueryDef("win_changepoint_mean", changepointMean, Some(changepointMeanSql)),
+    QueryDef("win_pettitt_changepoint", pettittChangepoint, Some(pettittChangepointSql)),
+    QueryDef("agg_bh_fdr", bhFdr, Some(bhFdrSql)),
     QueryDef("agg_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("misc_market_basket", marketBasket, Some(marketBasketSql)),
     QueryDef("sim_reciprocal_nn", reciprocalNn, Some(reciprocalNnSql)),

@@ -841,19 +841,21 @@ object TextQueries extends QueryModule {
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg((max("c").cast("double") / sum("c").cast("double")).as(out))
-    val top2 = topNgramFrac(2, "f2")
     val top3 = topNgramFrac(3, "f3")
     // coverage: positions i..i+n-1 of every instance of a within-doc
     // duplicated n-gram, counted distinct — computed at n=2 (live on this
     // corpus: ~70% of docs have a repeated bigram, so the machinery is
     // value-checked against the oracle on real data) and at n=5 (the
-    // published flag threshold)
-    def dupCoverage(n: Int, out: String): DataFrame = {
-      val g = base.filter(col("n_tokens") >= n)
+    // published flag threshold). The position-indexed n-gram frame serves
+    // BOTH the count side and the probe side, so the corpus is exploded
+    // once per n (AQE reuses the pre-agg exchange for the dup filter).
+    def posGrams(n: Int): DataFrame =
+      base.filter(col("n_tokens") >= n)
         .select(col("doc_id"), expr(
           s"""explode(transform(sequence(1, size(tk) - ${n - 1}),
              |  i -> struct(i AS i, concat_ws(' ', slice(tk, i, $n)) AS g)))""".stripMargin).as("s"))
         .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+    def dupCoverage(g: DataFrame, n: Int, out: String): DataFrame = {
       val dup = g.groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
         .filter(col("m") >= 2).drop("m")
       g.join(dup, Seq("doc_id", "g"))
@@ -861,8 +863,14 @@ object TextQueries extends QueryModule {
         .groupBy("doc_id")
         .agg(countDistinct(col("i") + col("off")).as(out))
     }
-    val cov2 = dupCoverage(2, "covered2")
-    val cov5 = dupCoverage(5, "covered5")
+    val g2 = posGrams(2)
+    // the 2-gram top-fraction rolls up from the same positional frame the
+    // coverage probe uses — one 2-gram explode, not two
+    val top2 = g2.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast("double") / sum("c").cast("double")).as("f2"))
+    val cov2 = dupCoverage(g2, 2, "covered2")
+    val cov5 = dupCoverage(posGrams(5), 5, "covered5")
     base.select("doc_id", "n_tokens")
       .join(top2, Seq("doc_id"), "left")
       .join(top3, Seq("doc_id"), "left")

@@ -496,8 +496,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
   }
 
-  test("mann-kendall / hodges-lehmann: pair joins are year-keyed, never cartesian") {
-    Seq("agg_mann_kendall", "agg_hodges_lehmann").foreach { q =>
+  test("nonparametric pair frames are partition-keyed equi-joins, never cartesian") {
+    // MK / HL / Pettitt / BH all expand calendar-bounded pairs via an
+    // equi-join on the partition key (year or nation) — a cartesian or
+    // BNLJ here would be corpus-sized, not calendar-sized
+    Seq("agg_mann_kendall", "agg_hodges_lehmann", "win_pettitt_changepoint",
+      "agg_bh_fdr").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")

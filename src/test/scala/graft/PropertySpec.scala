@@ -999,6 +999,32 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("pettitt: K bounded by pair count, p in (0,2], flag consistent") {
+    SparkEntry.queries("win_pettitt_changepoint")(spark, Sf).collect().foreach { r =>
+      val (n, k, p) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      // |U_t| counts a subset of signed pairs: ≤ t(n−t) ≤ n²/4 ≤ C(n,2)
+      assert(k >= 0 && k <= n * (n - 1) / 2, s"K $k vs n $n")
+      assert(p > 0.0 && p <= 2.0, s"p $p") // the approximation can exceed 1 for tiny K
+      assert(r.getBoolean(5) == (p < 0.05))
+    }
+  }
+
+  test("bh fdr: adjusted p dominates raw p, is monotone in the p-ranking, capped at 1") {
+    val rows = SparkEntry.queries("agg_bh_fdr")(spark, Sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val (p, pBh) = (r.getDouble(4), r.getDouble(5))
+      assert(pBh >= p - 1e-9, s"${r.getString(0)}: p_bh $pBh < p $p")
+      assert(pBh <= 1.0 + 1e-9)
+      assert(r.getBoolean(6) == (pBh < 0.1))
+    }
+    // step-up property: ordered by raw p, the adjusted values never decrease
+    val byP = rows.sortBy(r => (r.getDouble(4), r.getString(0))).map(_.getDouble(5))
+    byP.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1) + 1e-9, "BH monotonicity broken")
+    }
+  }
+
   test("theil-sen pairs count matches C(n_days, 2) and slopes are finite") {
     SparkEntry.queries("agg_theil_sen_trend")(spark, Sf).collect().foreach { r =>
       val (nDays, nPairs) = (r.getLong(1), r.getLong(2))
