@@ -104,6 +104,69 @@ object SimilarityQueries extends QueryModule {
        |FROM gr WHERE rn <= 8 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Int8 scalar quantization fidelity report (SQ8 — the 4× memory
+    * compression every large ANN deployment applies before anything
+    * fancier): each dimension is linearly mapped to a 0..255 code against
+    * per-dimension corpus min/max, dequantized, and the reconstruction
+    * error reported per label. Determinism discipline: codes use
+    * `floor`, not `round` (no half-way convention to disagree on); the
+    * per-vector error is an ORDERED in-array fold (the cosine idiom —
+    * never a row-exploded double sum); per-label aggregation is
+    * avg/max of those per-vector doubles with ppm scaling so the 3-dp
+    * round has ~50× headroom over accumulated summation error. Scale
+    * shape: the bounds frame is |dims| rows collapsed to ONE broadcast
+    * row; vectors stream through a codegen'd fold — no shuffle beyond
+    * the per-label aggregate.
+    */
+  def scalarQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bounds = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
+      .agg(expr("array_sort(collect_list(struct(pos, lo, hi)))").as("b"))
+      .select(expr("transform(b, x -> x.lo)").as("lo"),
+        expr("transform(b, x -> x.hi)").as("hi"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("err2", expr(
+        """aggregate(arrays_zip(embedding, lo, hi), 0D, (a, p) -> a +
+          |  (CASE WHEN p.hi = p.lo THEN 0D ELSE
+          |   pow(CAST(p.embedding AS DOUBLE) - (p.lo
+          |     + floor((CAST(p.embedding AS DOUBLE) - p.lo) * 255.0 / (p.hi - p.lo))
+          |       * (p.hi - p.lo) / 255.0), 2) END))""".stripMargin))
+      .withColumn("vec_mse", col("err2") / size(col("embedding")).cast("double"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("vec_mse") * 1e6, 3).as("mse_ppm"),
+        round(max("vec_mse") * 1e6, 4).as("max_mse_ppm"))
+      .orderBy("label")
+  }
+
+  private val scalarQuantizeSql =
+    """WITH dims AS (
+      |  SELECT pos, CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+      |  FROM (SELECT unnest(embedding) AS v,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)
+      |  GROUP BY pos),
+      |bounds AS (
+      |  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+      |  FROM dims),
+      |per AS (
+      |  SELECT label,
+      |    list_sum(list_transform(list_zip(embedding, lo, hi), p ->
+      |      CASE WHEN CAST(p[3] AS DOUBLE) = CAST(p[2] AS DOUBLE) THEN 0.0 ELSE
+      |        pow(CAST(p[1] AS DOUBLE) - (CAST(p[2] AS DOUBLE)
+      |          + floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 255.0
+      |              / (CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE)))
+      |            * (CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE)) / 255.0), 2)
+      |      END)) / len(embedding) AS vec_mse
+      |  FROM embeddings CROSS JOIN bounds)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(avg(vec_mse) * 1e6, 3) AS mse_ppm,
+      |  round(max(vec_mse) * 1e6, 4) AS max_mse_ppm
+      |FROM per GROUP BY label ORDER BY label""".stripMargin
+
   /** Maximum-inner-product search (MIPS — the retrieval objective when
     * embeddings are NOT normalized, e.g. recommendation scores): exact
     * top-5 by raw dot product with the classic norm-bound prune. Phase 1
@@ -1001,6 +1064,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("sim_recall_eval", recallEval, Some(recallEvalSql)),
     QueryDef("sim_brute_topk", bruteTopK, Some(bruteTopKSql)),
     QueryDef("sim_diverse_topk", diverseTopK, Some(diverseTopKSql)),
+    QueryDef("sim_scalar_quantize", scalarQuantize, Some(scalarQuantizeSql)),
     QueryDef("sim_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     QueryDef("sim_pq_adc_topk", pqAdcTopK, Some(pqAdcTopKSql)),
     QueryDef("sim_label_centroids", centroids, Some(centroidsSql)),

@@ -1025,6 +1025,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("scalar quantize: error bounded by one quantization step per dimension") {
+    val rows = SparkEntry.queries("sim_scalar_quantize")(spark, Sf).collect()
+    // the worst per-dimension reconstruction error of a floor code is one
+    // full step (hi−lo)/255, so every vector MSE is ≤ (max step)² —
+    // recomputed from the base table, not the query under test
+    val maxRange = Tables.embeddings(spark, Sf)
+      .selectExpr("explode(embedding) AS v")
+      .selectExpr("CAST(max(v) AS DOUBLE) - CAST(min(v) AS DOUBLE) AS r")
+      .head().getDouble(0)
+    val bound = math.pow(maxRange / 255.0, 2) * 1e6
+    var total = 0L
+    rows.foreach { r =>
+      val (n, mse, maxMse) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      total += n
+      assert(mse >= 0.0 && mse <= maxMse + 1e-9, s"mse $mse vs max $maxMse")
+      assert(maxMse <= bound + 1e-6, s"max mse $maxMse exceeds step bound $bound")
+    }
+    assert(total == Tables.embeddings(spark, Sf).count(), s"vec total $total")
+  }
+
   test("theil-sen pairs count matches C(n_days, 2) and slopes are finite") {
     SparkEntry.queries("agg_theil_sen_trend")(spark, Sf).collect().foreach { r =>
       val (nDays, nPairs) = (r.getLong(1), r.getLong(2))
