@@ -788,6 +788,166 @@ object AnalyticsQueries extends QueryModule {
       |GROUP BY yr, n_days ORDER BY yr""".stripMargin
 
   // ------------------------------------------------------------------
+  // CUPED variance-reduced A/B readout (the industry-standard adjusted
+  // metric: y_adj = y − θ(x − x̄) with a pre-experiment covariate): 1995
+  // customer spend as the experiment metric, 1994 spend as the
+  // covariate, a deterministic custkey-parity variant split. θ and the
+  // realized variance-reduction ρ² both derive from EXACT integer sums
+  // (floor-to-dollar amounts; n, Σx, Σy, Σxy, Σx², Σy² all BIGINT,
+  // magnitudes safe to ~300× this fixture — a production run would
+  // widen the moment sums to DECIMAL(38)) cast to double only at the
+  // final ratio, so both engines emit identical values. Scale shape:
+  // two custkey-keyed aggregates, one broadcast single-row moment
+  // frame, a 2-row output.
+  // ------------------------------------------------------------------
+  def cupedAdjust(s: SparkSession, dir: String): DataFrame = {
+    def spend(yr: Int) = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100")).as(s"s$yr"))
+    val exp = spend(1996)
+      .join(spend(1995), Seq("o_custkey"), "left")
+      .select(col("o_custkey").mod(2).as("variant"),
+        col("s1996").as("y"), coalesce(col("s1995"), lit(0L)).as("x"))
+      .localCheckpoint()
+    val mom = exp.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    exp.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("y").as("vy"), sum("x").as("vx"))
+      .crossJoin(broadcast(mom))
+      .withColumn("theta",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("rho2",
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .select(col("variant"), col("n_users"),
+        round(col("vy").cast("double") / col("n_users").cast("double"), 4).as("mean_y"),
+        round(col("vy").cast("double") / col("n_users").cast("double")
+          - col("theta") * (col("vx").cast("double") / col("n_users").cast("double")
+            - col("sx").cast("double") / col("n").cast("double")), 4).as("mean_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2") * 100.0, 4).as("var_reduction_pct"))
+      .orderBy("variant")
+  }
+
+  private val cupedAdjustSql =
+    """WITH s95 AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT) AS y
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1),
+      |s94 AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT) AS x
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+      |e AS (
+      |  SELECT s95.o_custkey % 2 AS variant, y, coalesce(x, 0) AS x
+      |  FROM s95 LEFT JOIN s94 USING (o_custkey)),
+      |mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM e),
+      |v AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(y) AS BIGINT) AS vy, CAST(sum(x) AS BIGINT) AS vx
+      |  FROM e GROUP BY 1),
+      |j AS (
+      |  SELECT v.*, mom.*,
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+      |    (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+      |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+      |  FROM v CROSS JOIN mom)
+      |SELECT CAST(variant AS BIGINT) AS variant, n_users,
+      |  round(CAST(vy AS DOUBLE) / n_users, 4) AS mean_y,
+      |  round(CAST(vy AS DOUBLE) / n_users
+      |    - theta * (CAST(vx AS DOUBLE) / n_users
+      |      - CAST(sx AS DOUBLE) / n), 4) AS mean_adj,
+      |  round(theta, 6) AS theta,
+      |  round(rho2 * 100.0, 4) AS var_reduction_pct
+      |FROM j ORDER BY variant""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Randomization test for the urgent-vs-rest order-value gap (the
+  // permutation-test family, random-relabeling variant): B = 64
+  // deterministic pseudo-relabelings via the same Knuth multiplicative
+  // hash coin the bootstrap uses (bit-identical across engines and
+  // runs), p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / (B + 1). Every Δ is a
+  // difference of exact-integer-cent means, so the ≥ comparisons are on
+  // identical doubles — no arithmetic ambiguity anywhere. Scale shape:
+  // one 64-way fan-out with conditional sums (map-side combined to
+  // 64 rows), observed stats a broadcast single row.
+  // ------------------------------------------------------------------
+  def permutationTest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+    val obs = base.agg(
+      (sum(when(col("g") === 1, col("x"))).cast("double")
+        / sum(when(col("g") === 1, lit(1L))).cast("double")
+        - sum(when(col("g") === 0, col("x"))).cast("double")
+          / sum(when(col("g") === 0, lit(1L))).cast("double")).as("d_obs"))
+    val deltas = base
+      .withColumn("b", explode(expr("sequence(1, 64)")))
+      .withColumn("gb", expr(s"($mixU8) DIV 128"))
+      .groupBy("b")
+      .agg((sum(when(col("gb") === 1, col("x"))).cast("double")
+        / sum(when(col("gb") === 1, lit(1L))).cast("double")
+        - sum(when(col("gb") === 0, col("x"))).cast("double")
+          / sum(when(col("gb") === 0, lit(1L))).cast("double")).as("d_b"))
+    deltas.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(abs(col("d_b")) >= abs(col("d_obs")), 1L).otherwise(0L)).as("n_extreme"),
+        round(max(col("d_obs")) / 100.0, 4).as("delta_obs"))
+      .withColumn("p_value",
+        round((col("n_extreme") + 1).cast("double") / (col("n_perms") + 1).cast("double"), 6))
+      .withColumn("significant", col("p_value") < 0.05)
+      .select("delta_obs", "n_perms", "n_extreme", "p_value", "significant")
+  }
+
+  private val permutationTestSql = {
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+       |  FROM orders),
+       |obs AS (
+       |  SELECT CAST(sum(CASE WHEN g = 1 THEN x END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN g = 1 THEN 1 END) AS DOUBLE)
+       |    - CAST(sum(CASE WHEN g = 0 THEN x END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN g = 0 THEN 1 END) AS DOUBLE) AS d_obs
+       |  FROM base),
+       |fan AS (
+       |  SELECT b, x, ($mixU8Duck) // 128 AS gb
+       |  FROM base CROSS JOIN (SELECT unnest(range(1, 65)) AS b) bs),
+       |deltas AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN gb = 1 THEN x END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN gb = 1 THEN 1 END) AS DOUBLE)
+       |    - CAST(sum(CASE WHEN gb = 0 THEN x END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN gb = 0 THEN 1 END) AS DOUBLE) AS d_b
+       |  FROM fan GROUP BY b),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_perms,
+       |    CAST(sum(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_extreme,
+       |    round(max(d_obs) / 100.0, 4) AS delta_obs
+       |  FROM deltas CROSS JOIN obs)
+       |SELECT delta_obs, n_perms, n_extreme,
+       |  round(CAST(n_extreme + 1 AS DOUBLE) / CAST(n_perms + 1 AS DOUBLE), 6)
+       |    AS p_value,
+       |  round(CAST(n_extreme + 1 AS DOUBLE) / CAST(n_perms + 1 AS DOUBLE), 6) < 0.05
+       |    AS significant
+       |FROM agg""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Mann–Kendall trend test per year — the nonparametric companion to
   // [[theilSenTrend]]: MK decides WHETHER daily revenue trends
   // (S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance, continuity-
@@ -1186,25 +1346,48 @@ object AnalyticsQueries extends QueryModule {
   // Exchange), then a map-side-combined final aggregate; 5 output rows.
   // ------------------------------------------------------------------
   def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
-    val x = Tables.orders(s, dir)
+    // VALUE-COLLAPSED form (the 100 TB shape): the per-priority window
+    // runs over DISTINCT cent values (price-domain-bounded), not rows —
+    // the corpus-sized work is the map-side-combined (pri, value) count;
+    // the narrow window stages see only the collapsed frame. A row-level
+    // rank window here would funnel every order through 5 reducers.
+    // repartition(pri) first so the collapse, the windows, and the final
+    // aggregate all share ONE exchange (hash on pri satisfies the
+    // (pri, x) clustering requirement).
+    val vals = Tables.orders(s, dir)
       .select(col("o_orderpriority").as("pri"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"),
-        col("o_orderkey"))
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+      .repartition(col("pri"))
+      .groupBy("pri", "x").agg(count(lit(1)).as("c"))
     val p = Window.partitionBy("pri")
-    val w = p.orderBy(col("x"), col("o_orderkey"))
-    x.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(p))
+    val w = p.orderBy(col("x"))
+    vals
+      .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(p))
       // 5% = 1/20: integer division keeps the cut position engine-exact
       // (floor(n * 0.05) in binary doubles can land one off near integers)
       .withColumn("k", expr("n DIV 20"))
-      .withColumn("lo", max(when(col("rn") === col("k") + 1, col("x"))).over(p))
-      .withColumn("hi", max(when(col("rn") === col("n") - col("k"), col("x"))).over(p))
+      // the value block containing order-statistic position k+1 / n−k
+      .withColumn("lo", max(when(
+        col("cum") - col("c") < col("k") + 1 && col("cum") >= col("k") + 1,
+        col("x"))).over(p))
+      .withColumn("hi", max(when(
+        col("cum") - col("c") < col("n") - col("k") && col("cum") >= col("n") - col("k"),
+        col("x"))).over(p))
+      // how many of this value's positions (cum−c, cum] fall inside the
+      // trimmed range (k, n−k]
+      .withColumn("t_cnt", greatest(lit(0L),
+        least(col("cum"), col("n") - col("k"))
+          - greatest(col("cum") - col("c"), col("k"))))
       .groupBy(col("pri").as("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), max("k").as("k_cut"),
-        round(avg(col("x").cast("double")) / 100.0, 4).as("mean"),
-        round(avg(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
-          col("x").cast("double"))) / 100.0, 4).as("trimmed_mean"),
-        round(avg(greatest(col("lo"), least(col("hi"), col("x"))).cast("double"))
+      .agg(max("n").as("n"), max("k").as("k_cut"),
+        round(sum(col("x") * col("c")).cast("double") / max("n").cast("double")
+          / 100.0, 4).as("mean"),
+        round(sum(col("x") * col("t_cnt")).cast("double")
+          / (max("n") - lit(2) * max("k")).cast("double") / 100.0, 4).as("trimmed_mean"),
+        // classical winsorized sum: trimmed mass + k copies of each cut value
+        round((sum(col("x") * col("t_cnt")) + max("k") * max("lo")
+          + max("k") * max("hi")).cast("double") / max("n").cast("double")
           / 100.0, 4).as("winsor_mean"))
       .orderBy("o_orderpriority")
   }
@@ -1248,14 +1431,23 @@ object AnalyticsQueries extends QueryModule {
   // plain filter — no second pass, no self-join.
   // ------------------------------------------------------------------
   def weightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val v = Tables.lineitem(s, dir)
+    // VALUE-COLLAPSED form (the 100 TB shape): per-(flag, value) weight
+    // sums are map-side combined across the whole cluster; the running-
+    // weight window then walks DISTINCT values only (price-domain-
+    // bounded), so the 3 flag reducers never see row-level data. The
+    // selected value is identical to the row-level lower weighted
+    // median — equal values merge into one block and the first block
+    // whose running weight reaches ceil(W/2) is the same x.
+    // repartition(flag) keeps collapse + window + filter in ONE exchange.
+    val vals = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x"),
-        expr("CAST(round(l_quantity) AS BIGINT)").as("w"),
-        col("l_orderkey"), col("l_linenumber"))
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      .repartition(col("flag"))
+      .groupBy("flag", "x").agg(sum("w").as("w"))
     val p = Window.partitionBy("flag")
-    val w = p.orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
-    v.withColumn("cw", sum("w").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ww = p.orderBy(col("x"))
+    vals.withColumn("cw", sum("w").over(ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("tw", sum("w").over(p))
       .withColumn("half", expr("(tw + 1) DIV 2"))
       .filter(col("cw") >= col("half") && col("cw") - col("w") < col("half"))
@@ -1802,6 +1994,8 @@ object AnalyticsQueries extends QueryModule {
     QueryDef("agg_theil_sen_trend", theilSenTrend, Some(theilSenTrendSql)),
     QueryDef("agg_winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("agg_mann_kendall", mannKendall, Some(mannKendallSql)),
+    QueryDef("misc_ab_test_cuped", cupedAdjust, Some(cupedAdjustSql)),
+    QueryDef("agg_permutation_test", permutationTest, Some(permutationTestSql)),
     QueryDef("agg_hodges_lehmann", hodgesLehmann, Some(hodgesLehmannSql)),
     QueryDef("win_changepoint_mean", changepointMean, Some(changepointMeanSql)),
     QueryDef("win_pettitt_changepoint", pettittChangepoint, Some(pettittChangepointSql)),

@@ -87,6 +87,82 @@ object GraphQueries extends QueryModule {
       |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
       |  GROUP BY n)""".stripMargin
 
+  /** Conductance of the brand partition: for each part brand c, the cut
+    * ratio φ(c) = cut(c) / min(vol(c), 2|E| − vol(c)) — the standard
+    * community-quality score (low conductance = a well-separated
+    * community; here it quantifies how brand-assortative co-purchasing
+    * is). All counts are exact integers from two brand-label equi-joins
+    * on the materialized edge table: intra edges (both endpoints in c),
+    * cut edges (exactly one endpoint in c, counted toward both sides),
+    * vol(c) = 2·intra + cut. Scale shape: edge list ⋈ partkey→brand
+    * twice (dim-table joins), then a |brands|-row aggregate — no pair
+    * expansion beyond the persisted edge list itself.
+    */
+  def conductance(s: SparkSession, dir: String): DataFrame = {
+    val brand = Tables.part(s, dir)
+      .select(col("p_partkey").as("n"), col("p_brand"))
+    val eb = edges(s, dir)
+      .join(brand.select(col("n"), col("p_brand").as("bu")), col("u") === col("n"))
+      .drop("n")
+      .join(brand.select(col("n"), col("p_brand").as("bv")), col("v") === col("n"))
+      .drop("n")
+      .localCheckpoint()
+    val totalE = eb.count() // scalar: 2|E| is a constant in φ's denominator
+    val intra = eb.filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("brand")).agg(count(lit(1)).as("intra_edges"))
+    val cut = eb.filter(col("bu") =!= col("bv"))
+      .select(col("bu").as("brand"))
+      .unionAll(eb.filter(col("bu") =!= col("bv")).select(col("bv").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).as("cut_edges"))
+    val nodes = brand.join(
+        edges(s, dir).select(col("u").as("n"))
+          .unionAll(edges(s, dir).select(col("v").as("n"))).distinct(),
+        Seq("n"))
+      .groupBy(col("p_brand").as("brand")).agg(count(lit(1)).as("n_nodes"))
+    nodes.join(intra, Seq("brand"), "left").join(cut, Seq("brand"), "left")
+      .select(col("brand"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+      .withColumn("volume", lit(2) * col("intra_edges") + col("cut_edges"))
+      .withColumn("conductance", round(col("cut_edges").cast("double")
+        / least(col("volume"), lit(2L * totalE) - col("volume")).cast("double"), 6))
+      .orderBy("brand")
+  }
+
+  private val conductanceSql =
+    s"""WITH $edgesCte,
+       |eb AS (
+       |  SELECT p1.p_brand AS bu, p2.p_brand AS bv
+       |  FROM pairs JOIN part p1 ON u = p1.p_partkey
+       |             JOIN part p2 ON v = p2.p_partkey),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS te FROM eb),
+       |intra AS (
+       |  SELECT bu AS brand, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM eb WHERE bu = bv GROUP BY 1),
+       |cut AS (
+       |  SELECT brand, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+       |    SELECT bu AS brand FROM eb WHERE bu <> bv
+       |    UNION ALL SELECT bv FROM eb WHERE bu <> bv)
+       |  GROUP BY 1),
+       |nodes AS (
+       |  SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM part JOIN (SELECT DISTINCT n FROM
+       |    (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)) nn
+       |    ON p_partkey = nn.n
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT brand, n_nodes,
+       |    coalesce(intra_edges, 0) AS intra_edges,
+       |    coalesce(cut_edges, 0) AS cut_edges
+       |  FROM nodes LEFT JOIN intra USING (brand) LEFT JOIN cut USING (brand))
+       |SELECT brand, n_nodes, intra_edges, cut_edges,
+       |  CAST(2 * intra_edges + cut_edges AS BIGINT) AS volume,
+       |  round(CAST(cut_edges AS DOUBLE)
+       |    / CAST(least(2 * intra_edges + cut_edges,
+       |        2 * te - (2 * intra_edges + cut_edges)) AS DOUBLE), 6)
+       |    AS conductance
+       |FROM j CROSS JOIN tot ORDER BY brand""".stripMargin
+
   /** Conservative JVM-side size model for the broadcast gate, in terms of
     * the edge count alone (nodes ≤ 2·edges, so |E| bounds both tables): a
     * degree row is 2 longs + row overhead; an adjacency row is a long + a
@@ -724,6 +800,7 @@ object GraphQueries extends QueryModule {
        |JOIN deg dv ON pairs.v = dv.n""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_conductance", conductance, Some(conductanceSql)),
     QueryDef("graph_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql)),
     QueryDef("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),

@@ -1045,6 +1045,45 @@ class PropertySpec extends SparkSuite {
     assert(total == Tables.embeddings(spark, Sf).count(), s"vec total $total")
   }
 
+  test("conductance: cut mass balances and phi is a valid ratio") {
+    val rows = SparkEntry.queries("graph_conductance")(spark, Sf).collect()
+    // every cut edge is counted toward exactly two brands, every intra
+    // edge toward one: Σ vol = Σ(2·intra + cut) = 2|E|
+    val sumVol = rows.map(_.getLong(4)).sum
+    val sumIntra = rows.map(_.getLong(2)).sum
+    val sumCut = rows.map(_.getLong(3)).sum
+    assert(sumCut % 2 == 0, s"cut mass $sumCut not even")
+    assert(sumVol == 2 * sumIntra + sumCut, "volume identity broken")
+    rows.foreach { r =>
+      val phi = r.getDouble(5)
+      assert(phi >= 0.0 && phi <= 1.0, s"${r.getString(0)}: phi $phi")
+      assert(r.getLong(4) == 2 * r.getLong(2) + r.getLong(3))
+    }
+  }
+
+  test("cuped: adjustment preserves the pooled mean and reduces variance") {
+    val rows = SparkEntry.queries("misc_ab_test_cuped")(spark, Sf).collect()
+    assert(rows.length == 2)
+    val thetas = rows.map(_.getDouble(4)).distinct
+    val rhos = rows.map(_.getDouble(5)).distinct
+    assert(thetas.length == 1 && rhos.length == 1, "pooled θ/ρ² must match across variants")
+    assert(rhos.head >= 0.0 && rhos.head <= 100.0, s"ρ² ${rhos.head}")
+    // CUPED is mean-preserving in the pool: Σ n_v·mean_adj_v = Σ n_v·mean_y_v
+    val rawW = rows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    val adjW = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(rawW - adjW) / math.abs(rawW) < 1e-6,
+      s"adjustment moved the pooled mean: $rawW vs $adjW")
+  }
+
+  test("permutation test: add-one p consistent with the extreme count") {
+    val r = SparkEntry.queries("agg_permutation_test")(spark, Sf).head()
+    val (nPerms, nExtreme, p) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nPerms == 64)
+    assert(nExtreme >= 0 && nExtreme <= nPerms)
+    assert(math.abs(p - (nExtreme + 1).toDouble / (nPerms + 1)) < 1e-6)
+    assert(r.getBoolean(4) == (p < 0.05))
+  }
+
   test("theil-sen pairs count matches C(n_days, 2) and slopes are finite") {
     SparkEntry.queries("agg_theil_sen_trend")(spark, Sf).collect().foreach { r =>
       val (nDays, nPairs) = (r.getLong(1), r.getLong(2))
