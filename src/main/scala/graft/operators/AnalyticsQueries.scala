@@ -793,10 +793,11 @@ object AnalyticsQueries extends QueryModule {
   // customer spend as the experiment metric, 1994 spend as the
   // covariate, a deterministic custkey-parity variant split. θ and the
   // realized variance-reduction ρ² both derive from EXACT integer sums
-  // (floor-to-dollar amounts; n, Σx, Σy, Σxy, Σx², Σy² all BIGINT,
-  // magnitudes safe to ~300× this fixture — a production run would
-  // widen the moment sums to DECIMAL(38)) cast to double only at the
-  // final ratio, so both engines emit identical values. Scale shape:
+  // (floor-to-dollar amounts; n, Σx, Σy, Σxy, Σx², Σy² all BIGINT —
+  // linear in corpus size, ~1e15 at sf0.1, so exact far past 100× — a
+  // production run would widen them to DECIMAL(38)); the n·Σ co-moment
+  // PRODUCTS would overflow long, so every factor is cast to double
+  // before multiplying, identically on both engines. Scale shape:
   // two custkey-keyed aggregates, one broadcast single-row moment
   // frame, a 2-row output.
   // ------------------------------------------------------------------
@@ -816,14 +817,18 @@ object AnalyticsQueries extends QueryModule {
     exp.groupBy("variant")
       .agg(count(lit(1)).as("n_users"), sum("y").as("vy"), sum("x").as("vx"))
       .crossJoin(broadcast(mom))
-      .withColumn("theta",
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-      .withColumn("rho2",
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
-          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+      // each SUM is an exact BIGINT (≤ ~1e15 at sf0.1, linear in corpus
+      // size); the n·Σ co-moment PRODUCTS overflow long past ~1e4
+      // customers, so every factor is cast to double BEFORE multiplying —
+      // identical literal arithmetic on both engines
+      .withColumn("cxy", col("n").cast("double") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("cxx", col("n").cast("double") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("cyy", col("n").cast("double") * col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double"))
+      .withColumn("theta", col("cxy") / col("cxx"))
+      .withColumn("rho2", col("cxy") * col("cxy") / (col("cxx") * col("cyy")))
       .select(col("variant"), col("n_users"),
         round(col("vy").cast("double") / col("n_users").cast("double"), 4).as("mean_y"),
         round(col("vy").cast("double") / col("n_users").cast("double")
@@ -857,11 +862,18 @@ object AnalyticsQueries extends QueryModule {
       |  FROM e GROUP BY 1),
       |j AS (
       |  SELECT v.*, mom.*,
-      |    CAST(n * sxy - sx * sy AS DOUBLE)
-      |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
-      |    (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
-      |      / (CAST(n * sxx - sx * sx AS DOUBLE)
-      |        * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+      |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho2
       |  FROM v CROSS JOIN mom)
       |SELECT CAST(variant AS BIGINT) AS variant, n_users,
       |  round(CAST(vy AS DOUBLE) / n_users, 4) AS mean_y,
@@ -1139,6 +1151,61 @@ object AnalyticsQueries extends QueryModule {
       |  CAST((sn - st) // (n - t) AS DOUBLE) / 100.0 AS mean_right,
       |  round(gap / 100.0, 4) AS gap
       |FROM best WHERE rb = 1 ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Moving-average crossover detection on daily revenue (the classic
+  // golden-cross/death-cross signal): trailing 7-observation vs trailing
+  // 28-observation means, a crossover wherever the sign of their gap
+  // flips between consecutive days. The crossing test is EXACT integer
+  // arithmetic — sign(mean7 − mean28) = sign(sum7·n28 − sum28·n7) on
+  // bigint cent sums, so no double comparison decides an event and both
+  // engines emit the identical crossing set. One global ordered window
+  // over the daily frame (≤ a few thousand rows at ANY corpus size —
+  // aggregate-first discipline), means floored to the cent for display.
+  // ------------------------------------------------------------------
+  def smaCrossover(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val w = Window.orderBy("day")
+    def trail(n: Int, c: String, cnt: String) = Seq(
+      sum("x").over(w.rowsBetween(-(n - 1), Window.currentRow)).as(c),
+      count(lit(1)).over(w.rowsBetween(-(n - 1), Window.currentRow)).as(cnt))
+    val sgns = daily
+      .select(col("day") +: (trail(7, "s7", "c7") ++ trail(28, "s28", "c28")): _*)
+      .withColumn("sgn", signum(col("s7") * col("c28") - col("s28") * col("c7")).cast("long"))
+      .withColumn("prev", lag("sgn", 1).over(w))
+    sgns.filter(col("prev").isNotNull && col("sgn") * col("prev") < 0)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        when(col("sgn") > 0, "golden").otherwise("death").as("direction"),
+        (expr("s7 DIV c7").cast("double") / 100.0).as("sma7"),
+        (expr("s28 DIV c28").cast("double") / 100.0).as("sma28"))
+      .orderBy("day")
+  }
+
+  private val smaCrossoverSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day,
+      |    sum(x) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+      |    count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c7,
+      |    sum(x) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28,
+      |    count(*) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS c28
+      |  FROM daily),
+      |g AS (
+      |  SELECT day, s7, c7, s28, c28,
+      |    CAST(sign(s7 * c28 - s28 * c7) AS BIGINT) AS sgn,
+      |    lag(CAST(sign(s7 * c28 - s28 * c7) AS BIGINT)) OVER (ORDER BY day) AS prev
+      |  FROM t)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CASE WHEN sgn > 0 THEN 'golden' ELSE 'death' END AS direction,
+      |  CAST(s7 // c7 AS DOUBLE) / 100.0 AS sma7,
+      |  CAST(s28 // c28 AS DOUBLE) / 100.0 AS sma28
+      |FROM g WHERE prev IS NOT NULL AND sgn * prev < 0
+      |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
   // Pettitt rank-based changepoint test per year — the nonparametric
@@ -1999,6 +2066,7 @@ object AnalyticsQueries extends QueryModule {
     QueryDef("agg_hodges_lehmann", hodgesLehmann, Some(hodgesLehmannSql)),
     QueryDef("win_changepoint_mean", changepointMean, Some(changepointMeanSql)),
     QueryDef("win_pettitt_changepoint", pettittChangepoint, Some(pettittChangepointSql)),
+    QueryDef("win_sma_crossover", smaCrossover, Some(smaCrossoverSql)),
     QueryDef("agg_bh_fdr", bhFdr, Some(bhFdrSql)),
     QueryDef("agg_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("misc_market_basket", marketBasket, Some(marketBasketSql)),

@@ -1045,6 +1045,37 @@ class PropertySpec extends SparkSuite {
     assert(total == Tables.embeddings(spark, Sf).count(), s"vec total $total")
   }
 
+  test("sma crossover: alternating directions, gap sign matches the label") {
+    val rows = SparkEntry.queries("win_sma_crossover")(spark, Sf).collect()
+    assert(rows.nonEmpty, "no crossings on a multi-year series is implausible")
+    rows.foreach { r =>
+      val (dir, s7, s28) = (r.getString(1), r.getDouble(2), r.getDouble(3))
+      // floor-to-cent display can tie the two means, but the direction is
+      // decided by the exact integer sign test — allow equality only
+      if (dir == "golden") assert(s7 >= s28 - 0.01, s"golden but $s7 < $s28")
+      else assert(s7 <= s28 + 0.01, s"death but $s7 > $s28")
+    }
+    // consecutive strict flips alternate unless the exact-integer gap ever
+    // hits zero between events (a zero is not a strict flip, so a +→0→−
+    // transition registers no event); the fixture series has no zero gaps,
+    // so assert alternation only when that precondition holds
+    val zeros = Tables.orders(spark, Sf)
+      .groupBy(org.apache.spark.sql.functions.expr("to_date(o_orderdate)").as("day"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("x"))
+      .selectExpr("day", "x",
+        "sum(x) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7",
+        "count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c7",
+        "sum(x) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28",
+        "count(*) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS c28")
+      .filter("s7 * c28 = s28 * c7").count()
+    if (zeros == 0) {
+      rows.map(_.getString(1)).sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) != w(1), s"non-alternating: $w")
+      }
+    }
+  }
+
   test("conductance: cut mass balances and phi is a valid ratio") {
     val rows = SparkEntry.queries("graph_conductance")(spark, Sf).collect()
     // every cut edge is counted toward exactly two brands, every intra
