@@ -1208,6 +1208,60 @@ object AnalyticsQueries extends QueryModule {
       |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
+  // Hampel outlier filter on daily revenue (streaming variant: trailing
+  // median + trailing MAD of the deviations, flag |x − med| > 3·1.4826·
+  // MAD — the robust alternative to z-scores that a single spike day
+  // can't poison). Everything stays exact: the medians run over integer
+  // cents so even-frame midpoints are dyadic halves, the deviations are
+  // dyadics, their median is a dyadic quarter — both engines derive the
+  // identical doubles and the flag comparison never sits on an
+  // engine-dependent value. Aggregate-first: the window input is the
+  // daily frame (≤ a few thousand rows at ANY corpus size), trailing
+  // 7-row frames so per-row state is O(7).
+  // ------------------------------------------------------------------
+  def hampelOutliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val t7 = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("med7", expr("percentile(x, 0.5)").over(t7))
+      .withColumn("dev", abs(col("x").cast("double") - col("med7")))
+      .withColumn("mad7", expr("percentile(dev, 0.5)").over(t7))
+      .withColumn("is_outlier", col("dev") > lit(3.0) * lit(1.4826) * col("mad7"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("x").cast("double") / 100.0, 2).as("revenue"),
+        round(col("med7") / 100.0, 2).as("med7"),
+        round(col("mad7") / 100.0, 2).as("mad7"),
+        col("is_outlier"))
+      .orderBy("day")
+  }
+
+  private val hampelOutliersSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT day, x,
+      |    quantile_cont(x, 0.5) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |  FROM daily),
+      |d AS (
+      |  SELECT day, x, med7, abs(CAST(x AS DOUBLE) - med7) AS dev FROM m),
+      |md AS (
+      |  SELECT day, x, med7, dev,
+      |    quantile_cont(dev, 0.5) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mad7
+      |  FROM d)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  round(CAST(x AS DOUBLE) / 100.0, 2) AS revenue,
+      |  round(med7 / 100.0, 2) AS med7,
+      |  round(mad7 / 100.0, 2) AS mad7,
+      |  dev > 3.0 * 1.4826 * mad7 AS is_outlier
+      |FROM md ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------
   // Pettitt rank-based changepoint test per year — the nonparametric
   // twin of [[changepointMean]] (robust to outlier days the way MK is
   // robust vs OLS): U_t = Σ_{i≤t<j} sgn(x_i − x_j), the split maximizing
@@ -2067,6 +2121,7 @@ object AnalyticsQueries extends QueryModule {
     QueryDef("win_changepoint_mean", changepointMean, Some(changepointMeanSql)),
     QueryDef("win_pettitt_changepoint", pettittChangepoint, Some(pettittChangepointSql)),
     QueryDef("win_sma_crossover", smaCrossover, Some(smaCrossoverSql)),
+    QueryDef("win_hampel_outliers", hampelOutliers, Some(hampelOutliersSql)),
     QueryDef("agg_bh_fdr", bhFdr, Some(bhFdrSql)),
     QueryDef("agg_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("misc_market_basket", marketBasket, Some(marketBasketSql)),

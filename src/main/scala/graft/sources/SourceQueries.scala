@@ -206,6 +206,58 @@ object SourceQueries extends QueryModule {
       |  CAST(count(*) AS BIGINT) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PERMISSIVE CSV parse with a corrupt-record column — the batch
+    * dead-letter pattern (the batch twin of the streaming poison-pill
+    * path [REF A9]): a staged CSV carries the 25 nation rows plus 5
+    * deterministically malformed lines (non-numeric key for every
+    * nationkey % 5 == 0); the read must park each bad line's RAW TEXT in
+    * `_corrupt_record` without failing the scan or corrupting a good
+    * row. The oracle rebuilds both populations from the nation table by
+    * the same injection rule and md5-pins the ordered corrupt payload —
+    * a parser that drops, truncates, or mis-attributes even one line
+    * fails the hash. Staging collects 25+5 lines to write one real file
+    * (same justified-eager pattern as the binary shards); the read is a
+    * normal distributed CSV scan.
+    */
+  def csvPermissive(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_csvp_")
+    val rows = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .collect().sortBy(_.getLong(0))
+    val lines = rows.flatMap { r =>
+      val k = r.getLong(0)
+      val good = s"$k,${r.getString(1)},${r.getLong(2)}"
+      if (k % 5 == 0) Seq(good, s"xx$k,BAD,notanum") else Seq(good)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "nation.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(tmp)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_nationkey"))).as("good_key_sum"),
+        md5(expr(
+          "CAST(array_join(array_sort(collect_list(_corrupt_record)), '\n') AS BINARY)"))
+          .as("corrupt_md5"))
+  }
+
+  private val csvPermissiveSql =
+    """WITH bad AS (
+      |  SELECT 'xx' || CAST(n_nationkey AS VARCHAR) || ',BAD,notanum' AS line
+      |  FROM nation WHERE n_nationkey % 5 = 0)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_good,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_corrupt,
+      |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS good_key_sum,
+      |  (SELECT md5(string_agg(line, chr(10) ORDER BY line)) FROM bad)
+      |    AS corrupt_md5""".stripMargin
+
   /** Partitioned parquet write → partition-pruned read: only two partition
     * directories may be scanned (the scale-out layout pattern: partition by
     * low-cardinality routing key, prune at read).
@@ -366,6 +418,7 @@ object SourceQueries extends QueryModule {
     QueryDef("src_partitioned_pruned", partitionedWrite, Some(partitionedWriteSql)),
     QueryDef("src_schema_merge", schemaMerge, Some(schemaMergeSql)),
     QueryDef("src_xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripSql)),
-    QueryDef("src_binary_files", binaryFiles, Some(binaryFilesSql))
+    QueryDef("src_binary_files", binaryFiles, Some(binaryFilesSql)),
+    QueryDef("src_csv_permissive", csvPermissive, Some(csvPermissiveSql))
   )
 }

@@ -15,6 +15,9 @@ case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
 case class UserTypeStats(user_id: Long, event_type: String,
     n_events: Long, total_value: Double)
 case class TypeAgg(n: Long, total: Double)
+case class QuotaState(arrived: Long, admitted: Long, idsum: Long)
+case class QuotaOut(user_id: Long, day: String, n_arrived: Long,
+    n_admitted: Long, admitted_ids_sum: Long)
 
 /** State-v2 (`transformWithState`) processor: per-user MapState keyed by
   * event type — the composite-state shape the v1 `GroupState` API forces
@@ -522,6 +525,55 @@ object StreamingQueries extends QueryModule {
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
       |  round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Streaming per-key admission quota (rate limiting — the ingestion
+    * guard every shared pipeline puts in front of expensive downstream
+    * work): at most 3 events admitted per (user, day), the rest dropped,
+    * enforced through `mapGroupsWithState` so the admitted count SURVIVES
+    * across micro-batches (a stateless per-batch limit would re-admit 3
+    * on every trigger). Determinism: rows reach a key in arbitrary
+    * partition order, so each batch's buffer is sorted by (ts, event_id)
+    * before admission — the admitted SET is pinned by the oracle via the
+    * sum of admitted event ids, not just the count. The day key is
+    * derived in UTC explicitly (java.time, not the JVM default zone), so
+    * the oracle's naive strftime agrees. State is three longs per
+    * (user, day) — bounded, and TTL-able by watermark in a production
+    * deployment.
+    */
+  def quotaEnforce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = RecordStream.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[Ev]
+    val out = ds.groupByKey(e => (e.user_id,
+        java.time.Instant.ofEpochMilli(e.ts.getTime)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), it: Iterator[Ev], state: GroupState[QuotaState]) =>
+          val prev = state.getOption.getOrElse(QuotaState(0L, 0L, 0L))
+          val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val room = math.max(0L, 3L - prev.admitted).toInt
+          val adm = evs.take(room)
+          val next = QuotaState(prev.arrived + evs.length,
+            prev.admitted + adm.length, prev.idsum + adm.map(_.event_id).sum)
+          state.update(next)
+          QuotaOut(key._1, key._2, next.arrived, next.admitted, next.idsum)
+      }
+    RecordStream.runToMemory(s, out.toDF(), "stream_quota_sink", "update")
+      .orderBy("user_id", "day")
+  }
+
+  private val quotaEnforceSql =
+    """WITH ranked AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+      |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_arrived,
+      |  CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |  CAST(sum(CASE WHEN rn <= 3 THEN event_id ELSE 0 END) AS BIGINT)
+      |    AS admitted_ids_sum
+      |FROM ranked GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
 
   /** Custom per-key state with mapGroupsWithState [REF A7/A10]: running
     * per-user counters, the rebuilt form of the reference's per-shard
@@ -1069,6 +1121,7 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_dedup", dedup, Some(dedupSql)),
     QueryDef("stream_dedup_within_watermark", dedupWithinWatermark,
       Some(dedupWithinWatermarkSql)),
+    QueryDef("stream_quota_enforce", quotaEnforce, Some(quotaEnforceSql)),
     QueryDef("stream_state_store_read", stateStoreRead, Some(stateStoreReadSql)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("stream_static_anti_join", streamStaticAntiJoin, Some(streamStaticAntiJoinSql)),

@@ -1045,6 +1045,41 @@ class PropertySpec extends SparkSuite {
     assert(total == Tables.embeddings(spark, Sf).count(), s"vec total $total")
   }
 
+  test("permissive csv: populations reconcile against the injection rule") {
+    val r = SparkEntry.queries("src_csv_permissive")(spark, Sf).head()
+    assert(r.getLong(0) == 25 && r.getLong(1) == 5, s"${r.getLong(0)}/${r.getLong(1)}")
+    assert(r.getLong(2) == (0L until 25L).sum)
+    assert(r.getString(3).length == 32)
+  }
+
+  test("quota: admitted = min(arrived, 3) per key and totals reconcile") {
+    val rows = SparkEntry.queries("stream_quota_enforce")(spark, Sf).collect()
+    var arrived = 0L
+    rows.foreach { r =>
+      val (na, nAdm) = (r.getLong(2), r.getLong(3))
+      arrived += na
+      assert(nAdm == math.min(na, 3L), s"admitted $nAdm for arrived $na")
+      // an id-sum of admitted events is positive whenever anything admitted
+      assert((nAdm == 0) == (r.getLong(4) == 0 && na == 0))
+    }
+    val total = Tables.events(spark, Sf).count()
+    assert(arrived == total, s"arrived $arrived != events $total")
+  }
+
+  test("hampel: one row per day, MAD nonnegative, outliers deviate") {
+    val rows = SparkEntry.queries("win_hampel_outliers")(spark, Sf).collect()
+    val nDays = Tables.orders(spark, Sf)
+      .selectExpr("count(DISTINCT to_date(o_orderdate))").head().getLong(0)
+    assert(rows.length == nDays, s"${rows.length} rows vs $nDays days")
+    rows.foreach { r =>
+      val (rev, med, mad) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(mad >= 0.0 && med > 0.0 && rev > 0.0)
+      if (r.getBoolean(4))
+        assert(math.abs(rev - med) > 3.0 * 1.4826 * mad - 0.05,
+          s"flagged but |${rev} - $med| within ${3.0 * 1.4826 * mad}")
+    }
+  }
+
   test("sma crossover: alternating directions, gap sign matches the label") {
     val rows = SparkEntry.queries("win_sma_crossover")(spark, Sf).collect()
     assert(rows.nonEmpty, "no crossings on a multi-year series is implausible")
