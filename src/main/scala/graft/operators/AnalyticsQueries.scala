@@ -1208,6 +1208,61 @@ object AnalyticsQueries extends QueryModule {
       |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
+  // Additive seasonal decomposition of daily revenue (classical
+  // decomposition, the pre-STL workhorse): trend = centered 7-day moving
+  // average, seasonal = per-ISO-weekday mean of the detrended series,
+  // residual = what's left — the report a forecasting pipeline reads to
+  // see how much of the variation is weekly rhythm vs noise. DoW is
+  // normalized to ISO (1 = Monday) explicitly because the engines'
+  // native dayofweek conventions differ (Spark 1 = Sunday, DuckDB
+  // isodow 1 = Monday). Aggregate-first: one global ordered window on
+  // the daily frame, then two 7-row aggregates; doubles only in means
+  // of integer-cent-derived values, rounded at dollar precision.
+  // ------------------------------------------------------------------
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val c7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("trend", sum("x").over(c7).cast("double") / count(lit(1)).over(c7).cast("double"))
+      .withColumn("dow", expr("((dayofweek(day) + 5) % 7) + 1"))
+      .withColumn("d", col("x").cast("double") - col("trend"))
+      .localCheckpoint()
+    val seasonal = det.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), avg("d").as("seas"))
+    det.join(seasonal, Seq("dow"))
+      .withColumn("r", col("d") - col("seas"))
+      .groupBy("dow")
+      .agg(max("n_days").as("n_days"),
+        round(max("seas") / 100.0, 2).as("seasonal"),
+        round(avg(abs(col("r"))) / 100.0, 2).as("mean_abs_residual"),
+        round(avg(col("x").cast("double")) / 100.0, 2).as("mean_revenue"))
+      .orderBy("dow")
+  }
+
+  private val seasonalDecomposeSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |det AS (
+      |  SELECT day, x, CAST(isodow(day) AS INT) AS dow,
+      |    CAST(x AS DOUBLE)
+      |      - CAST(sum(x) OVER w AS DOUBLE) / count(*) OVER w AS d
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |seasonal AS (
+      |  SELECT dow, CAST(count(*) AS BIGINT) AS n_days, avg(d) AS seas
+      |  FROM det GROUP BY 1)
+      |SELECT dow, n_days,
+      |  round(seas / 100.0, 2) AS seasonal,
+      |  round(avg(abs(d - seas)) / 100.0, 2) AS mean_abs_residual,
+      |  round(avg(CAST(x AS DOUBLE)) / 100.0, 2) AS mean_revenue
+      |FROM det JOIN seasonal USING (dow)
+      |GROUP BY dow, n_days, seas ORDER BY dow""".stripMargin
+
+  // ------------------------------------------------------------------
   // Hampel outlier filter on daily revenue (streaming variant: trailing
   // median + trailing MAD of the deviations, flag |x − med| > 3·1.4826·
   // MAD — the robust alternative to z-scores that a single spike day
@@ -2122,6 +2177,7 @@ object AnalyticsQueries extends QueryModule {
     QueryDef("win_pettitt_changepoint", pettittChangepoint, Some(pettittChangepointSql)),
     QueryDef("win_sma_crossover", smaCrossover, Some(smaCrossoverSql)),
     QueryDef("win_hampel_outliers", hampelOutliers, Some(hampelOutliersSql)),
+    QueryDef("win_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),
     QueryDef("agg_bh_fdr", bhFdr, Some(bhFdrSql)),
     QueryDef("agg_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("misc_market_basket", marketBasket, Some(marketBasketSql)),

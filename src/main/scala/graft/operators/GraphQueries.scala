@@ -87,6 +87,72 @@ object GraphQueries extends QueryModule {
       |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
       |  GROUP BY n)""".stripMargin
 
+  /** Newman modularity of the brand partition: Q = Σ_c [intra_c/|E| −
+    * (vol_c/2|E|)²] — THE community-quality objective every graph
+    * clustering optimizes; computed here for the brand labeling so the
+    * engine can score any candidate partition. Per-community
+    * contribution rows plus exact integer intra/vol (same two dim-joins
+    * as [[conductance]]); only the final ratios are doubles, derived
+    * from identical integers on both engines. Scale shape: edge list ⋈
+    * partkey→brand twice, a |brands|-row aggregate, one broadcast
+    * total.
+    */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val brand = Tables.part(s, dir)
+      .select(col("p_partkey").as("n"), col("p_brand"))
+    val eb = edges(s, dir)
+      .join(brand.select(col("n"), col("p_brand").as("bu")), col("u") === col("n"))
+      .drop("n")
+      .join(brand.select(col("n"), col("p_brand").as("bv")), col("v") === col("n"))
+      .drop("n")
+      .localCheckpoint()
+    val totalE = eb.count()
+    val intra = eb.filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("brand")).agg(count(lit(1)).as("intra_edges"))
+    val cut = eb.filter(col("bu") =!= col("bv"))
+      .select(col("bu").as("brand"))
+      .unionAll(eb.filter(col("bu") =!= col("bv")).select(col("bv").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).as("cut_edges"))
+    intra.join(cut, Seq("brand"), "full_outer")
+      .select(col("brand"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+      .withColumn("volume", lit(2) * col("intra_edges") + col("cut_edges"))
+      .withColumn("q_contrib", round(
+        col("intra_edges").cast("double") / lit(totalE.toDouble)
+          - (col("volume").cast("double") / lit(2.0 * totalE))
+            * (col("volume").cast("double") / lit(2.0 * totalE)), 6))
+      .select(col("brand"), col("intra_edges"), col("volume"), col("q_contrib"))
+      .orderBy("brand")
+  }
+
+  private val modularitySql =
+    s"""WITH $edgesCte,
+       |eb AS (
+       |  SELECT p1.p_brand AS bu, p2.p_brand AS bv
+       |  FROM pairs JOIN part p1 ON u = p1.p_partkey
+       |             JOIN part p2 ON v = p2.p_partkey),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS te FROM eb),
+       |intra AS (
+       |  SELECT bu AS brand, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM eb WHERE bu = bv GROUP BY 1),
+       |cut AS (
+       |  SELECT brand, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+       |    SELECT bu AS brand FROM eb WHERE bu <> bv
+       |    UNION ALL SELECT bv FROM eb WHERE bu <> bv)
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT coalesce(intra.brand, cut.brand) AS brand,
+       |    coalesce(intra_edges, 0) AS intra_edges,
+       |    CAST(2 * coalesce(intra_edges, 0) + coalesce(cut_edges, 0) AS BIGINT)
+       |      AS volume
+       |  FROM intra FULL OUTER JOIN cut ON intra.brand = cut.brand)
+       |SELECT brand, intra_edges, volume,
+       |  round(CAST(intra_edges AS DOUBLE) / te
+       |    - (CAST(volume AS DOUBLE) / (2.0 * te))
+       |      * (CAST(volume AS DOUBLE) / (2.0 * te)), 6) AS q_contrib
+       |FROM j CROSS JOIN tot ORDER BY brand""".stripMargin
+
   /** Conductance of the brand partition: for each part brand c, the cut
     * ratio φ(c) = cut(c) / min(vol(c), 2|E| − vol(c)) — the standard
     * community-quality score (low conductance = a well-separated
@@ -801,6 +867,7 @@ object GraphQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("graph_conductance", conductance, Some(conductanceSql)),
+    QueryDef("graph_modularity", modularity, Some(modularitySql)),
     QueryDef("graph_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("graph_degree_hist", degreeHistogram, Some(degreeHistogramSql)),
     QueryDef("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),

@@ -1111,6 +1111,40 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("modularity: volumes cover 2|E| and Q is within the known bounds") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, Sf).collect()
+    val sumIntra = rows.map(_.getLong(1)).sum
+    val sumVol = rows.map(_.getLong(2)).sum
+    // Σ cut = Σ vol − 2·Σ intra counts each cross edge twice → even
+    assert((sumVol - 2 * sumIntra) % 2 == 0, "cut mass not even")
+    val q = rows.map(_.getDouble(3)).sum
+    assert(q > -0.5 && q < 1.0, s"modularity $q outside (-1/2, 1)")
+    // per-community intra/volume must agree with the conductance query's
+    // independent run over the same partition
+    val cond = SparkEntry.queries("graph_conductance")(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    rows.foreach { r =>
+      val (ci, cv) = cond(r.getString(0))
+      assert(r.getLong(1) == ci && r.getLong(2) == cv,
+        s"${r.getString(0)}: intra/vol drift vs conductance")
+    }
+  }
+
+  test("seasonal decompose: seven ISO weekdays covering every day") {
+    val rows = SparkEntry.queries("win_seasonal_decompose")(spark, Sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.sameElements(1 to 7))
+    val nDays = Tables.orders(spark, Sf)
+      .selectExpr("count(DISTINCT to_date(o_orderdate))").head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == nDays)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0) // mean |residual|
+      assert(r.getDouble(4) > 0.0)  // mean revenue
+      // the weekly seasonal component is a deviation AROUND the trend, so
+      // its magnitude must be far below the revenue level itself
+      assert(math.abs(r.getDouble(2)) < r.getDouble(4), "seasonal >= level")
+    }
+  }
+
   test("conductance: cut mass balances and phi is a valid ratio") {
     val rows = SparkEntry.queries("graph_conductance")(spark, Sf).collect()
     // every cut edge is counted toward exactly two brands, every intra
