@@ -487,6 +487,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
   }
 
+  test("daily-frame signal queries scan orders once with no joins") {
+    // crossover and hampel are window pipelines over the aggregate-first
+    // daily frame: one parquet scan, no join anywhere — a second scan or
+    // a self-join would make the signal pass corpus-sized
+    Seq("win_sma_crossover", "win_hampel_outliers").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: $p")
+    }
+  }
+
   test("changepoint: no pair expansion — prefix-sum window only, year-keyed") {
     val p = plan("win_changepoint_mean")
     // binary segmentation must NOT materialize split pairs: every prefix
