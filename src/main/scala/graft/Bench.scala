@@ -201,9 +201,22 @@ object Bench {
     // quality metric, not a plan metric. Now the noise stays visible in
     // `regressions_rechecked` while `regressions` carries only flags that
     // REPRODUCE solo.) Both raw figures stay in the artifact.
+    // The solo confirmation is best-of-2 WHEN the first solo run would
+    // itself confirm the flag: a single solo landing inside a throttle
+    // burst could otherwise mint a false regression, and — the converse
+    // ADVICE r9 called out — a single LUCKY solo could self-resolve a real
+    // intermittent one. One extra run only on still-flagged candidates
+    // keeps the cost at zero for the common all-noise case while making
+    // the confirmed figure a best-of-2.
     val rechecked = candidates.map { case (n, prev, sweepSec, _) =>
       val d = benched.find(_.name == n).get
-      (n, prev, sweepSec, timeOne(d))
+      val solo1 = timeOne(d)
+      val solo =
+        if (prev > 0 && solo1 > 0 && (solo1 / prev) * norm > 1.5) {
+          val solo2 = timeOne(d)
+          if (solo2 > 0) math.min(solo1, solo2) else solo1
+        } else solo1
+      (n, prev, sweepSec, solo)
     }
     val recheckedJson = rechecked.map { case (n, prev, sweep, solo) =>
       f"""{"query":"$n","prev":$prev%.3f,"sweep_sec":$sweep%.3f,"solo_sec":$solo%.3f,"solo_ratio":${if (prev > 0 && solo > 0) solo / prev else -1.0}%.2f}"""
@@ -220,13 +233,34 @@ object Bench {
       f"""{"query":"$n","prev":$prev%.3f,"best_sec":$now%.3f,"ratio":$r%.2f}"""
     }.mkString("[", ",", "]")
 
+    // bench_ref refresh policy, codified (VERDICT r9 #3): the reference is
+    // only rewritten from a FULL sweep measured in a clean-enough window
+    // (canary_ratio >= 0.95) with ZERO regression flags surviving solo
+    // recheck — refreshing from a degraded window would bake the window's
+    // slowness into every future ratio, and refreshing over a live
+    // regression would grandfather it. Opt-in via SPARK_GRAFT_REFRESH_REF=1
+    // so an iteration run never clobbers the frozen reference by accident;
+    // a refused refresh is recorded in the artifact, not just on stderr.
+    val refreshPolicy = "full sweep && canary_ratio>=0.95 && n_regressions==0"
+    val refreshRequested = sys.env.get("SPARK_GRAFT_REFRESH_REF").contains("1")
+    val refreshEligible =
+      only.isEmpty && canaryRatio >= 0.95 && regressions.isEmpty
+    val refreshed = refreshRequested && refreshEligible
+    if (refreshRequested && !refreshEligible)
+      System.err.println(
+        f"[bench] bench_ref refresh REFUSED (policy: $refreshPolicy; " +
+          f"canary_ratio=$canaryRatio%.3f, n_regressions=${regressions.size}, " +
+          s"filtered=${only.nonEmpty})")
+
     // Full per-query detail — too big for the driver's log tail (the
     // harness keeps only the last ~2000 chars of stdout, and 148 queries
     // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
     // (committed with the round) and target/bench.json (back-compat).
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"bench_ref":"$refPath","regressions":$regressionsJson,"regressions_rechecked":$recheckedJson}"""
-    for (p <- Seq("target/bench.json", "BENCH_FULL.json")) {
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"regressions":$regressionsJson,"regressions_rechecked":$recheckedJson}"""
+    val outFiles = Seq("target/bench.json", "BENCH_FULL.json") ++
+      (if (refreshed) Seq(refPath) else Seq.empty)
+    for (p <- outFiles) {
       try {
         val path = java.nio.file.Paths.get(p)
         if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)

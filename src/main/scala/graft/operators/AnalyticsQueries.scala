@@ -789,8 +789,8 @@ object AnalyticsQueries extends QueryModule {
 
   // ------------------------------------------------------------------
   // CUPED variance-reduced A/B readout (the industry-standard adjusted
-  // metric: y_adj = y − θ(x − x̄) with a pre-experiment covariate): 1995
-  // customer spend as the experiment metric, 1994 spend as the
+  // metric: y_adj = y − θ(x − x̄) with a pre-experiment covariate): 1996
+  // customer spend as the experiment metric, 1995 spend as the
   // covariate, a deterministic custkey-parity variant split. θ and the
   // realized variance-reduction ρ² both derive from EXACT integer sums
   // (floor-to-dollar amounts; n, Σx, Σy, Σxy, Σx², Σy² all BIGINT —
@@ -840,17 +840,17 @@ object AnalyticsQueries extends QueryModule {
   }
 
   private val cupedAdjustSql =
-    """WITH s95 AS (
+    """WITH s96 AS (
       |  SELECT o_custkey,
       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT) AS y
       |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1),
-      |s94 AS (
+      |s95 AS (
       |  SELECT o_custkey,
       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT) AS x
       |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
       |e AS (
-      |  SELECT s95.o_custkey % 2 AS variant, y, coalesce(x, 0) AS x
-      |  FROM s95 LEFT JOIN s94 USING (o_custkey)),
+      |  SELECT s96.o_custkey % 2 AS variant, y, coalesce(x, 0) AS x
+      |  FROM s96 LEFT JOIN s95 USING (o_custkey)),
       |mom AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
@@ -889,11 +889,19 @@ object AnalyticsQueries extends QueryModule {
   // permutation-test family, random-relabeling variant): B = 64
   // deterministic pseudo-relabelings via the same Knuth multiplicative
   // hash coin the bootstrap uses (bit-identical across engines and
-  // runs), p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / (B + 1). Every Δ is a
-  // difference of exact-integer-cent means, so the ≥ comparisons are on
-  // identical doubles — no arithmetic ambiguity anywhere. Scale shape:
-  // one 64-way fan-out with conditional sums (map-side combined to
-  // 64 rows), observed stats a broadcast single row.
+  // runs), p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / (B + 1). The relabeling coin
+  // is PROPORTION-MATCHED to the observed split — 1-URGENT is one of
+  // five uniform priorities (~20% of orders), so gb = (u8 < 51) puts
+  // 51/256 ≈ 19.9% in the pseudo-treatment arm; a 50/50 coin would give
+  // the null Δ_b variance ~4σ²/n instead of the true ~6.25σ²/n and bias
+  // p anti-conservative. (Still a binomial relabeling, not an exact
+  // permutation — group sizes vary binomially around n/5 rather than
+  // being fixed — which for n in the thousands is the standard
+  // negligible-variance approximation.) Every Δ is a difference of
+  // exact-integer-cent means, so the ≥ comparisons are on identical
+  // doubles — no arithmetic ambiguity anywhere. Scale shape: one 64-way
+  // fan-out with conditional sums (map-side combined to 64 rows),
+  // observed stats a broadcast single row.
   // ------------------------------------------------------------------
   def permutationTest(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(s, dir)
@@ -907,7 +915,7 @@ object AnalyticsQueries extends QueryModule {
           / sum(when(col("g") === 0, lit(1L))).cast("double")).as("d_obs"))
     val deltas = base
       .withColumn("b", explode(expr("sequence(1, 64)")))
-      .withColumn("gb", expr(s"($mixU8) DIV 128"))
+      .withColumn("gb", expr(s"CASE WHEN ($mixU8) < 51 THEN 1 ELSE 0 END"))
       .groupBy("b")
       .agg((sum(when(col("gb") === 1, col("x"))).cast("double")
         / sum(when(col("gb") === 1, lit(1L))).cast("double")
@@ -936,7 +944,7 @@ object AnalyticsQueries extends QueryModule {
        |      / CAST(sum(CASE WHEN g = 0 THEN 1 END) AS DOUBLE) AS d_obs
        |  FROM base),
        |fan AS (
-       |  SELECT b, x, ($mixU8Duck) // 128 AS gb
+       |  SELECT b, x, CASE WHEN ($mixU8Duck) < 51 THEN 1 ELSE 0 END AS gb
        |  FROM base CROSS JOIN (SELECT unnest(range(1, 65)) AS b) bs),
        |deltas AS (
        |  SELECT b,

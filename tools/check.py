@@ -91,6 +91,11 @@ def main():
     # surfaced as SKIP so the artifact proves the set stays at exactly 2
     skipped = sorted(d for d in os.listdir(outdir)
                      if os.path.isdir(os.path.join(outdir, d)) and d not in oracles)
+    # The exemption set is a CLOSED list, enforced here as well as in
+    # OperatorSmokeSpec: an accidentally dropped oracle entry would
+    # otherwise silently convert a FAIL into a SKIP and the gate would
+    # stay green (ADVICE r9). Full runs fail hard on any drift.
+    ALLOWED_NO_ORACLE = ["agg_approx_distinct", "hash_engine_specific"]
     status = {}
     npass = nfail = 0
     for name in sorted(oracles):
@@ -153,6 +158,10 @@ def main():
         with open(out, "w") as f:
             json.dump(summary, f, indent=1, sort_keys=True)
         print(f"wrote {out}")
+        if skipped != ALLOWED_NO_ORACLE:
+            print(f"FAIL exemption-set drift: skipped={skipped} "
+                  f"allowed={ALLOWED_NO_ORACLE}")
+            nfail += 1
     sys.exit(1 if nfail else 0)
 
 if __name__ == "__main__":
