@@ -531,36 +531,75 @@ object StreamingQueries extends QueryModule {
     * work): at most 3 events admitted per (user, day), the rest dropped,
     * enforced through `mapGroupsWithState` so the admitted count SURVIVES
     * across micro-batches (a stateless per-batch limit would re-admit 3
-    * on every trigger). Determinism: rows reach a key in arbitrary
-    * partition order, so each batch's buffer is sorted by (ts, event_id)
-    * before admission — the admitted SET is pinned by the oracle via the
-    * sum of admitted event ids, not just the count. The day key is
+    * on every trigger). State hygiene is EVENT-TIME driven: each (user,
+    * day) key arms `setTimeoutTimestamp` at its day's end, and when the
+    * watermark passes it the timeout callback REMOVES the state — a day
+    * key lives exactly as long as its day is open, so the store holds
+    * O(active users), not O(users × history), at any corpus size. The
+    * fixture run exercises the full lifecycle: the far-future sentinel
+    * batches advance the watermark past every real day and evict every
+    * real key (QuotaEvictionSpec reads the checkpoint back with the batch
+    * `statestore` source and asserts they are physically gone). Under
+    * EventTimeTimeout Spark also drops input rows older than the
+    * watermark, so a late event for an already-evicted day is DROPPED,
+    * never re-admitted — eviction does not re-open budgets.
+    *
+    * Determinism: rows reach a key in arbitrary partition order, so each
+    * batch's buffer is sorted by (ts, event_id) before admission — the
+    * admitted SET is pinned by the oracle via the sum of admitted event
+    * ids, not just the count. Oracle equivalence of the SET additionally
+    * requires every real event of a key to arrive in ONE batch (per-batch
+    * sort = global rank); the sentinel staging delivers the fixture as a
+    * single file = single batch, and StreamingSpec pins that delivery
+    * contract. Update mode emits one row per touched key per batch, so
+    * the sink read collapses to the LAST update per key — all three
+    * counters are monotonic, so max() is that last update. Timed-out
+    * groups emit a negative tombstone (mGWS must return a value), dropped
+    * by the same filter that drops the sentinel keys. The day key is
     * derived in UTC explicitly (java.time, not the JVM default zone), so
-    * the oracle's naive strftime agrees. State is three longs per
-    * (user, day) — bounded, and TTL-able by watermark in a production
-    * deployment.
+    * the oracle's naive strftime agrees.
     */
   def quotaEnforce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ds = RecordStream.eventsStream(s, dir)
+    val ds = RecordStream.eventsStreamWithSentinels(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       .as[Ev]
+      .withWatermark("ts", "0 seconds")
     val out = ds.groupByKey(e => (e.user_id,
         java.time.Instant.ofEpochMilli(e.ts.getTime)
           .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (key: (Long, String), it: Iterator[Ev], state: GroupState[QuotaState]) =>
-          val prev = state.getOption.getOrElse(QuotaState(0L, 0L, 0L))
-          val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-          val room = math.max(0L, 3L - prev.admitted).toInt
-          val adm = evs.take(room)
-          val next = QuotaState(prev.arrived + evs.length,
-            prev.admitted + adm.length, prev.idsum + adm.map(_.event_id).sum)
-          state.update(next)
-          QuotaOut(key._1, key._2, next.arrived, next.admitted, next.idsum)
-      }
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(quotaFold)
     RecordStream.runToMemory(s, out.toDF(), "stream_quota_sink", "update")
+      .filter(col("user_id") >= 0 && col("n_arrived") >= 0)
+      .groupBy("user_id", "day")
+      .agg(max("n_arrived").as("n_arrived"), max("n_admitted").as("n_admitted"),
+        max("admitted_ids_sum").as("admitted_ids_sum"))
       .orderBy("user_id", "day")
+  }
+
+  /** The quota fold, shared with QuotaEvictionSpec's checkpointed run. */
+  private[graft] val quotaFold:
+      ((Long, String), Iterator[Ev], GroupState[QuotaState]) => QuotaOut = {
+    (key: (Long, String), it: Iterator[Ev], state: GroupState[QuotaState]) =>
+      if (state.hasTimedOut) {
+        // the watermark has passed this day's end: no more admissible
+        // events can arrive (later ones are late and dropped), so the
+        // budget record is dead — purge it from the store
+        state.remove()
+        QuotaOut(key._1, key._2, -1L, -1L, -1L)
+      } else {
+        val prev = state.getOption.getOrElse(QuotaState(0L, 0L, 0L))
+        val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        val room = math.max(0L, 3L - prev.admitted).toInt
+        val adm = evs.take(room)
+        val next = QuotaState(prev.arrived + evs.length,
+          prev.admitted + adm.length, prev.idsum + adm.map(_.event_id).sum)
+        state.update(next)
+        // evict once the day closes (watermark ≥ next midnight UTC)
+        state.setTimeoutTimestamp(java.time.LocalDate.parse(key._2).plusDays(1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+        QuotaOut(key._1, key._2, next.arrived, next.admitted, next.idsum)
+      }
   }
 
   private val quotaEnforceSql =
@@ -578,6 +617,14 @@ object StreamingQueries extends QueryModule {
   /** Custom per-key state with mapGroupsWithState [REF A7/A10]: running
     * per-user counters, the rebuilt form of the reference's per-shard
     * processor state.
+    *
+    * State-size argument (why NoTimeout is correct here, unlike
+    * [[quotaEnforce]]): the key is the USER, not (user, day) — lifetime
+    * stats are the one state class that must never expire while the user
+    * is alive, and the store holds exactly 5 longs per distinct user
+    * (O(users), not O(users × time); ~80 MB per 10⁹ users on RocksDB —
+    * [[TtlCountProcessor]] is the pattern to bolt on when a deployment
+    * wants inactive users aged out anyway).
     */
   def statefulUserStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
