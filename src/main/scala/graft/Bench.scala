@@ -46,6 +46,9 @@ object Bench {
     streaming.RecordStream.kinesisFixture(spark, sfDir)
     operators.GraphQueries.edges(spark, sfDir).count()
     operators.DedupQueries.clusterLabels(spark, sfDir).count()
+    // the persisted sketch-partial tables: same maintained-pre-agg policy
+    operators.AggQueries.hllPartials(spark, sfDir).count()
+    operators.AggQueries.tdPartials(spark, sfDir).count()
     val stagingSec = (System.nanoTime() - stagingT0) / 1e9
 
     // Streaming throughput vs the reference's 2 rec/s producer ceiling

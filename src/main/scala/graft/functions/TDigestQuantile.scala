@@ -127,3 +127,41 @@ object TDigestQuantile {
   /** Rows buffered uncompressed in `reduce` before a compression pass. */
   val MaxPending = 256
 }
+
+/** Partial-building half of the persisted two-level rollup: identical fold
+  * to [[TDigestQuantile]], but `finish` returns the compressed STATE
+  * itself (pending buffer folded in, so the persisted struct is canonical)
+  * instead of quantiles — the digest becomes a first-class column value
+  * that can be written to a partials table and merged later by
+  * [[TDigestMergeQuantile]], the same pre-agg/merge architecture as
+  * `hll_sketch_agg`/`hll_union_agg` but for quantiles.
+  */
+class TDigestBuild(compression: Double = 100.0)
+    extends Aggregator[Double, TDigestState, TDigestState] {
+  private val td = new TDigestQuantile(Nil, compression)
+  override def zero: TDigestState = td.zero
+  override def reduce(b: TDigestState, x: Double): TDigestState = td.reduce(b, x)
+  override def merge(a: TDigestState, b: TDigestState): TDigestState = td.merge(a, b)
+  // merge-with-zero = one compression pass that absorbs the pending buffer
+  override def finish(b: TDigestState): TDigestState = td.merge(b, td.zero)
+  override def bufferEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
+  override def outputEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
+}
+
+/** Merging half of the persisted rollup: folds already-built digest states
+  * (read back from the partials table) and finishes to quantile estimates.
+  * Merging compressed digests is the t-digest's designed composition — the
+  * result is equivalent (up to compression reordering) to a digest built
+  * over the union, which is what makes the partials INCREMENTAL: a new
+  * day's partial merges in without touching historical rows.
+  */
+class TDigestMergeQuantile(qs: Seq[Double], compression: Double = 100.0)
+    extends Aggregator[TDigestState, TDigestState, Seq[Double]] {
+  private val td = new TDigestQuantile(qs, compression)
+  override def zero: TDigestState = td.zero
+  override def reduce(b: TDigestState, x: TDigestState): TDigestState = td.merge(b, x)
+  override def merge(a: TDigestState, b: TDigestState): TDigestState = td.merge(a, b)
+  override def finish(b: TDigestState): Seq[Double] = td.finish(b)
+  override def bufferEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}

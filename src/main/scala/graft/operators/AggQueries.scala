@@ -730,6 +730,140 @@ object AggQueries extends QueryModule {
       |  true AS within_5pct
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Sketch-partial rollup across a PERSISTED boundary — the incremental
+  // architecture a 100 TB distinct-count/quantile deployment actually
+  // runs: per-(nation, year) sketch partials are WRITTEN to a pre-agg
+  // table once (in production: once per ingest slice), and the
+  // query-time merge reads ONLY that table — `hll_union_agg` over
+  // ~25×7 sketches, a t-digest merge over ~3×7 digests — never the
+  // base scan. [[hllSketch]]/[[tdigestQuantiles]] demonstrate the merge
+  // algebra inside one plan; these two exercise it across the storage
+  // boundary, which is what makes maintenance incremental (a new slice
+  // appends one partial row; history is never rescanned). PlanSpec pins
+  // that the estimate subtree scans the partials table only. The
+  // oracle-checkable columns are exact (distinct counts / interpolated
+  // percentiles from the base, which the output also needs for the
+  // accuracy contract); the booleans assert the merged estimates land
+  // inside the same tolerance contracts as the single-plan queries.
+  // ------------------------------------------------------------------
+  private val hllPartialsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val tdPartialsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ordersFixtureKey(dir: String): String = {
+    val fp = try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(dir, "orders.parquet"),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.lastModifiedTime.toMillis}:${a.size}"
+    } catch { case _: Throwable => "absent" }
+    s"$dir@$fp"
+  }
+
+  /** The persisted HLL partials table: one lgK=12 sketch per (nation,
+    * order year). Built once per fixture and memoized — it models a
+    * MAINTAINED pre-agg table (built by ingest, read by every consumer),
+    * so the build is corpus staging, not any single query's work (same
+    * policy as the graph edge list and dedup labels; Bench pre-stages
+    * it for the same reason).
+    */
+  private[graft] def hllPartials(s: SparkSession, dir: String): DataFrame = {
+    val path = hllPartialsMemo.computeIfAbsent(ordersFixtureKey(dir), _ => {
+      val out = graft.Scratch.dir("graft-hll-partials")
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(expr("hll_sketch_agg(o_custkey)").as("custkey_hll"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** The merge side alone — per-nation estimate from partials only.
+    * Separate method so PlanSpec can pin its scan set: exactly one file
+    * scan, and it is the partials table, not orders.
+    */
+  private[graft] def hllMergedEstimate(s: SparkSession, dir: String): DataFrame =
+    hllPartials(s, dir)
+      .groupBy("nationkey")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(custkey_hll))").as("est"))
+
+  def hllPartialMerge(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(countDistinct("o_custkey").as("exact_d"))
+    exact.join(hllMergedEstimate(s, dir), col("c_nationkey") === col("nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("exact_d"),
+        (abs(col("est").cast("double") - col("exact_d").cast("double"))
+          / col("exact_d").cast("double") < 0.05).as("within_5pct"))
+      .orderBy("n_name")
+  }
+
+  private val hllPartialMergeSql =
+    """SELECT n_name, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_d,
+      |  true AS within_5pct
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The persisted t-digest partials table: one compression-100 digest
+    * per (order status, year), the quantile twin of [[hllPartials]].
+    */
+  private[graft] def tdPartials(s: SparkSession, dir: String): DataFrame = {
+    val path = tdPartialsMemo.computeIfAbsent(ordersFixtureKey(dir), _ => {
+      val out = graft.Scratch.dir("graft-td-partials")
+      val build = udaf(new graft.functions.TDigestBuild(100.0),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+        .agg(build(col("o_totalprice")).as("price_td"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** The digest-merge side alone (PlanSpec scan-set pin). */
+  private[graft] def tdMergedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val mq = udaf(new graft.functions.TDigestMergeQuantile(Seq(0.5, 0.9), 100.0),
+      org.apache.spark.sql.Encoders.product[graft.functions.TDigestState])
+    // case-class input encoders flatten to one argument per field
+    tdPartials(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(mq(col("price_td.means"), col("price_td.weights"),
+        col("price_td.pending"), col("price_td.nPending")).as("td"))
+  }
+
+  def tdigestPartialMerge(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("x"))
+    exact.join(tdMergedQuantiles(s, dir), Seq("o_orderstatus"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("x"), 1), 2).as("exact_p50"),
+        round(element_at(col("x"), 2), 2).as("exact_p90"),
+        (abs(element_at(col("td"), 1) - element_at(col("x"), 1))
+          / element_at(col("x"), 1) < 0.02).as("p50_within_2pct"),
+        (abs(element_at(col("td"), 2) - element_at(col("x"), 2))
+          / element_at(col("x"), 2) < 0.02).as("p90_within_2pct"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val tdigestPartialMergeSql =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+      |  true AS p50_within_2pct, true AS p90_within_2pct
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Kaplan–Meier survival estimator over user lifetimes — the standard
     * right-censored "how long do users stay active" curve (lifetime =
     * whole hours between a user's first and last event; users still
@@ -1171,6 +1305,8 @@ object AggQueries extends QueryModule {
     QueryDef("agg_survival_km", survivalKm, Some(survivalKmSql)),
     QueryDef("agg_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     QueryDef("agg_hll_sketch", hllSketch, Some(hllSketchSql)),
+    QueryDef("agg_hll_partial_merge", hllPartialMerge, Some(hllPartialMergeSql)),
+    QueryDef("agg_tdigest_partial_merge", tdigestPartialMerge, Some(tdigestPartialMergeSql)),
     QueryDef("agg_bool_aggs", boolAggs, Some(boolAggsSql)),
     QueryDef("agg_listagg_roster", listaggSuppliers, Some(listaggSuppliersSql)),
     QueryDef("agg_regression", regression, Some(regressionSql)),

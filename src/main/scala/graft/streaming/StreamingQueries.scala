@@ -614,6 +614,49 @@ object StreamingQueries extends QueryModule {
       |    AS admitted_ids_sum
       |FROM ranked GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
 
+  /** Streaming t-digest quantiles: bounded-memory percentile monitoring
+    * over the event stream through the SAME [[graft.functions
+    * .TDigestQuantile]] Aggregator the batch side uses — per-group state
+    * is O(compression) centroids regardless of stream length, the
+    * streaming answer to "track p50/p90 live" that exact percentile state
+    * (O(n) per group) cannot give at 100 TB. Complete-mode aggregation:
+    * each trigger folds the new rows into the persisted digest state and
+    * re-emits the estimates. Accuracy contract (same discipline as
+    * [[graft.operators.AggQueries.tdigestQuantiles]], but RANK-error like
+    * approx_percentile, since event values can sit near zero where
+    * relative error is meaningless): the oracle-checkable columns are the
+    * exact interpolated percentiles; one boolean per quantile asserts the
+    * streamed estimate lies between the exact (q−0.02) and (q+0.02)
+    * quantiles — ≥4× margin over the compression-100 digest's worst
+    * mid-distribution rank error (k₀ bound: W·q(1−q)·4/δ ⇒ ≤0.5% at
+    * q=0.5, tighter at 0.9).
+    */
+  def tdigestStream(s: SparkSession, dir: String): DataFrame = {
+    val td = udaf(new graft.functions.TDigestQuantile(Seq(0.5, 0.9), 100.0),
+      Encoders.scalaDouble)
+    val stream = RecordStream.eventsStream(s, dir)
+      .groupBy("event_type").agg(td(col("value")).as("td"))
+    val streamed = RecordStream.runToMemory(s, stream, "stream_tdigest_sink", "complete")
+    val probes = Tables.events(s, dir).groupBy("event_type")
+      .agg(expr("percentile(value, array(0.48, 0.5, 0.52, 0.88, 0.9, 0.92))").as("x"))
+    streamed.join(probes, Seq("event_type"))
+      .select(col("event_type"),
+        round(element_at(col("x"), 2), 4).as("exact_p50"),
+        round(element_at(col("x"), 5), 4).as("exact_p90"),
+        (element_at(col("td"), 1) >= element_at(col("x"), 1) &&
+          element_at(col("td"), 1) <= element_at(col("x"), 3)).as("p50_rank_2pct"),
+        (element_at(col("td"), 2) >= element_at(col("x"), 4) &&
+          element_at(col("td"), 2) <= element_at(col("x"), 6)).as("p90_rank_2pct"))
+      .orderBy("event_type")
+  }
+
+  private val tdigestStreamSql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+      |  round(quantile_cont(value, 0.9), 4) AS exact_p90,
+      |  true AS p50_rank_2pct, true AS p90_rank_2pct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Custom per-key state with mapGroupsWithState [REF A7/A10]: running
     * per-user counters, the rebuilt form of the reference's per-shard
     * processor state.
@@ -1169,6 +1212,7 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_dedup_within_watermark", dedupWithinWatermark,
       Some(dedupWithinWatermarkSql)),
     QueryDef("stream_quota_enforce", quotaEnforce, Some(quotaEnforceSql)),
+    QueryDef("stream_tdigest_quantiles", tdigestStream, Some(tdigestStreamSql)),
     QueryDef("stream_state_store_read", stateStoreRead, Some(stateStoreReadSql)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("stream_static_anti_join", streamStaticAntiJoin, Some(streamStaticAntiJoinSql)),

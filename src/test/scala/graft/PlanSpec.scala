@@ -546,4 +546,24 @@ class PlanSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sketch rollup: the merge side scans ONLY the persisted partials, never the base") {
+    // the incremental-maintenance contract: query-time distinct counts /
+    // quantiles come from the pre-agg table (25×7 sketch rows), so a
+    // regression that re-derives partials from orders inside the merge
+    // subtree — re-scanning all of history per query — fails here
+    val hll = operators.AggQueries.hllMergedEstimate(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(hll.contains("graft-hll-partials"), hll)
+    assert(!hll.contains("orders.parquet") && !hll.contains("customer.parquet"), hll)
+    val td = operators.AggQueries.tdMergedQuantiles(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(td.contains("graft-td-partials"), td)
+    assert(!td.contains("orders.parquet"), td)
+    // and the full oracle-facing queries keep exactly one base-table scan
+    // each (the exact side), not two
+    val full = operators.AggQueries.hllPartialMerge(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("orders\\.parquet".r.findAllIn(full).size == 1, full)
+  }
 }

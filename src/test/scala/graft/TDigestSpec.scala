@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{TDigestQuantile, TDigestState}
+import graft.functions.{TDigestBuild, TDigestMergeQuantile, TDigestQuantile, TDigestState}
 
 /** Error-bound and shape tests for the t-digest Aggregator. Pure unit
   * tests against the Aggregator's own reduce/merge/finish (deterministic
@@ -59,6 +59,28 @@ class TDigestSpec extends SparkSuite {
     rows.foreach { r =>
       assert(r.getAs[Boolean]("p50_within_2pct"), r.toString)
       assert(r.getAs[Boolean]("p90_within_2pct"), r.toString)
+    }
+  }
+
+  test("build -> persist -> merge keeps the rank-error contract (rollup pair)") {
+    // the two-level pipeline: TDigestBuild finishes slice digests (pending
+    // folded in), TDigestMergeQuantile folds the persisted states back to
+    // quantiles — the merged estimate must keep the same 2% rank bound as
+    // a digest built over the whole set in one pass
+    val rnd = new scala.util.Random(29)
+    val xs = Seq.fill(20000)(rnd.nextGaussian() * 50 + 700)
+    val build = new TDigestBuild(100.0)
+    val slices = xs.grouped(2500).map { slice =>
+      build.finish(slice.foldLeft(build.zero)(build.reduce))
+    }.toSeq
+    // every persisted slice is canonical: pending buffer empty
+    slices.foreach(st => assert(st.nPending == 0, st.nPending.toString))
+    val mq = new TDigestMergeQuantile(Seq(0.1, 0.5, 0.9), 100.0)
+    val est = mq.finish(slices.foldLeft(mq.zero)(mq.reduce))
+    val sorted = xs.sorted
+    Seq(0.1, 0.5, 0.9).zip(est).foreach { case (q, e) =>
+      val rank = sorted.count(_ <= e).toDouble / sorted.size
+      assert(math.abs(rank - q) < 0.02, s"q=$q est=$e rank=$rank")
     }
   }
 }
