@@ -2160,7 +2160,406 @@ object AnalyticsQueries extends QueryModule {
       |FROM t
       |ORDER BY abs(rev98_m - rev97_m) DESC, l_partkey LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Grouped (delete-one-nation) jackknife standard error of the mean
+  // order value — the resampling-free variance estimate a metrics
+  // platform attaches to cluster-sampled means (nations = the sampling
+  // clusters): θ̂₍ᵢ₎ = (S−sᵢ)/(N−nᵢ) from EXACT per-nation integer-cent
+  // sums, SE² = (g−1)/g · Σ(θ̂₍ᵢ₎ − θ̄)². The two double reductions over
+  // the g = 25 leave-one-out means run as ORDERED in-array folds
+  // (sort_array + aggregate here, list(… ORDER BY) + list_reduce in the
+  // oracle), so every add happens in nation-key order on both engines —
+  // the unordered-double-sum trap this repo's determinism catalog exists
+  // for. Scale shape: one custkey-keyed agg collapses the corpus to 25
+  // rows; everything after is driver-trivial arithmetic on one row.
+  // ------------------------------------------------------------------
+  def jackknifeSe(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+    val tot = per.agg(sum("s").as("st"), sum("n").as("nt"), count(lit(1)).as("g"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("v", (col("st") - col("s")).cast("double")
+        / (col("nt") - col("n")).cast("double"))
+      .agg(sort_array(collect_list(struct(col("c_nationkey").as("k"),
+          col("v").as("v")))).as("arr"),
+        max("st").as("st"), max("nt").as("nt"), max("g").as("g"))
+      .withColumn("td",
+        expr("aggregate(arr, 0D, (a, e) -> a + e.v)") / col("g").cast("double"))
+      .withColumn("ss",
+        expr("aggregate(transform(arr, e -> (e.v - td) * (e.v - td)), 0D, (a, q) -> a + q)"))
+      .select(col("g").as("n_groups"),
+        round(col("st").cast("double") / col("nt").cast("double") / 100.0, 4)
+          .as("mean_value"),
+        round(sqrt((col("g") - 1).cast("double") / col("g").cast("double")
+          * col("ss")) / 100.0, 4).as("jk_se"))
+  }
+
+  private val jackknifeSeSql =
+    """WITH per AS (
+      |  SELECT c_nationkey AS k,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt,
+      |    CAST(count(*) AS BIGINT) AS g
+      |  FROM per),
+      |th AS (
+      |  SELECT k, CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE) AS v
+      |  FROM per CROSS JOIN tot),
+      |folds AS (
+      |  SELECT list(v ORDER BY k) AS arr FROM th),
+      |td AS (
+      |  SELECT list_reduce(list_concat([CAST(0 AS DOUBLE)], arr),
+      |      (a, x) -> a + x) / CAST(g AS DOUBLE) AS td, st, nt, g
+      |  FROM folds CROSS JOIN tot),
+      |ss AS (
+      |  SELECT st, nt, g, list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list_transform(arr, x -> (x - td) * (x - td))), (a, q) -> a + q) AS ss
+      |  FROM folds CROSS JOIN td)
+      |SELECT g AS n_groups,
+      |  round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0, 4) AS mean_value,
+      |  round(sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE) * ss) / 100.0, 4)
+      |    AS jk_se
+      |FROM ss""".stripMargin
+
+  // ------------------------------------------------------------------
+  // McNemar's test on paired year-over-year purchase behavior — the
+  // paired-proportions test for "did the SAME population change?"
+  // (independent-sample χ² is wrong when each customer appears in both
+  // years): per customer, active-in-1995 vs active-in-1996 flags; the
+  // statistic uses only the DISCORDANT cells, χ² = (|b−c|−1)²/(b+c)
+  // with continuity correction. Everything up to the single division is
+  // exact integer; the significance decision is made on integers
+  // (1000·(|b−c|−1)² vs 3841·(b+c)), so no double compare decides it.
+  // Scale shape: two distinct-key semi-aggregations and one customer-
+  // keyed join, output one row.
+  // ------------------------------------------------------------------
+  def mcnemarTest(s: SparkSession, dir: String): DataFrame = {
+    def active(yr: Int) = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey").as(s"k$yr")).distinct()
+      .withColumn(s"f$yr", lit(1L))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(active(1995), col("c_custkey") === col("k1995"), "left")
+      .join(active(1996), col("c_custkey") === col("k1996"), "left")
+      .agg(sum(when(col("f1995") === 1 && col("f1996").isNull, 1L).otherwise(0L)).as("b"),
+        sum(when(col("f1995").isNull && col("f1996") === 1, 1L).otherwise(0L)).as("c"))
+      .select(col("b").as("n_lost"), col("c").as("n_gained"),
+        round((abs(col("b") - col("c")) - 1).cast("double")
+          * (abs(col("b") - col("c")) - 1).cast("double")
+          / (col("b") + col("c")).cast("double"), 6).as("chi2"),
+        (lit(1000) * (abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1)
+          > lit(3841) * (col("b") + col("c"))).as("significant_05"))
+  }
+
+  private val mcnemarTestSql =
+    """WITH a95 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+      |a96 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1996),
+      |cells AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (WHERE a95.o_custkey IS NOT NULL
+      |      AND a96.o_custkey IS NULL) AS BIGINT) AS b,
+      |    CAST(count(*) FILTER (WHERE a95.o_custkey IS NULL
+      |      AND a96.o_custkey IS NOT NULL) AS BIGINT) AS c
+      |  FROM customer
+      |  LEFT JOIN a95 ON c_custkey = a95.o_custkey
+      |  LEFT JOIN a96 ON c_custkey = a96.o_custkey)
+      |SELECT b AS n_lost, c AS n_gained,
+      |  round(CAST((abs(b - c) - 1) AS DOUBLE) * CAST((abs(b - c) - 1) AS DOUBLE)
+      |    / CAST(b + c AS DOUBLE), 6) AS chi2,
+      |  1000 * (abs(b - c) - 1) * (abs(b - c) - 1) > 3841 * (b + c)
+      |    AS significant_05
+      |FROM cells""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Capture–recapture population estimation (Lincoln–Petersen + the
+  // bias-corrected Chapman variant) — the estimator for "how many total
+  // users does this system have?" when each observation window sees only
+  // a sample: 1995 active customers = the marked cohort, 1996 = the
+  // recapture, overlap m = recaptured marks. Chapman's estimate is
+  // computed with INTEGER division ((n1+1)(n2+1) DIV (m+1) − 1), so it
+  // is exact and deterministic; Lincoln–Petersen is one double division.
+  // The union count (ground truth the fixture can see) rides along for
+  // free as n1 + n2 − m. Scale shape: one distinct-key aggregation per
+  // window, a single-row output.
+  // ------------------------------------------------------------------
+  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy("o_custkey")
+      .agg(max(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("in95"),
+        max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("in96"))
+    flags.agg(sum("in95").as("n1"), sum("in96").as("n2"),
+        sum(col("in95") * col("in96")).as("m"))
+      .select(col("n1"), col("n2"), col("m").as("m_recaptured"),
+        round(col("n1").cast("double") * col("n2").cast("double")
+          / col("m").cast("double"), 2).as("lincoln_petersen"),
+        expr("(n1 + 1) * (n2 + 1) DIV (m + 1) - 1").as("chapman"),
+        (col("n1") + col("n2") - col("m")).as("n_observed_union"))
+  }
+
+  private val captureRecaptureSql =
+    """WITH flags AS (
+      |  SELECT o_custkey,
+      |    CAST(max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS in95,
+      |    CAST(max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS in96
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      |  GROUP BY 1),
+      |agg AS (
+      |  SELECT CAST(sum(in95) AS BIGINT) AS n1, CAST(sum(in96) AS BIGINT) AS n2,
+      |    CAST(sum(in95 * in96) AS BIGINT) AS m
+      |  FROM flags)
+      |SELECT n1, n2, m AS m_recaptured,
+      |  round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE), 2)
+      |    AS lincoln_petersen,
+      |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman,
+      |  n1 + n2 - m AS n_observed_union
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Kendall's τ-b per year between daily revenue and daily order count —
+  // the rank-correlation companion to the Spearman query (τ handles ties
+  // through its own correction rather than midranks, and its pairwise
+  // form composes with the repo's calendar-bounded pair frame):
+  // C − D = Σ_{i<j} sign(Δx)·sign(Δy), τ-b = (C−D)/√((n₀−tx)(n₀−ty)).
+  // Concordant/discordant/tie censuses are EXACT integers; the two
+  // variance factors are cast to double BEFORE multiplying (their bigint
+  // product overflows at n₀ ≈ 6.7e4 — the CUPED co-moment lesson,
+  // applied at authoring time). Pair frame is ≤366²/2 per year at any
+  // corpus size.
+  // ------------------------------------------------------------------
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"),
+        count(lit(1)).as("y"))
+      .localCheckpoint()
+    val a = daily.select(col("yr"), col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("yr"), col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+    val cd = a.join(b, Seq("yr")).filter(col("da") < col("db"))
+      .groupBy("yr")
+      .agg(sum(when(signum(col("xb") - col("xa")) * signum(col("yb") - col("ya")) > 0, 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when(signum(col("xb") - col("xa")) * signum(col("yb") - col("ya")) < 0, 1L)
+          .otherwise(0L)).as("discordant"))
+    val n = daily.groupBy("yr").agg(count(lit(1)).as("n"))
+    def tieCensus(c: String, out: String) = daily.groupBy(col("yr"), col(c))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("yr").agg(sum(expr("t * (t - 1) DIV 2")).as(out))
+    cd.join(n, Seq("yr")).join(tieCensus("x", "tx"), Seq("yr"))
+      .join(tieCensus("y", "ty"), Seq("yr"))
+      .withColumn("n0", expr("n * (n - 1) DIV 2"))
+      .select(col("yr").cast("long").as("yr"), col("n").as("n_days"),
+        col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt((col("n0") - col("tx")).cast("double")
+            * (col("n0") - col("ty")).cast("double")), 4).as("tau_b"))
+      .orderBy("yr")
+  }
+
+  private val kendallTauSql =
+    """WITH daily AS (
+      |  SELECT year(CAST(o_orderdate AS DATE)) AS yr, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT a.yr,
+      |    CAST(count(*) FILTER (WHERE sign(b.x - a.x) * sign(b.y - a.y) > 0)
+      |      AS BIGINT) AS concordant,
+      |    CAST(count(*) FILTER (WHERE sign(b.x - a.x) * sign(b.y - a.y) < 0)
+      |      AS BIGINT) AS discordant
+      |  FROM daily a JOIN daily b ON a.yr = b.yr AND a.day < b.day
+      |  GROUP BY 1),
+      |nn AS (SELECT yr, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+      |tx AS (
+      |  SELECT yr, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tx FROM (
+      |    SELECT yr, x, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |ty AS (
+      |  SELECT yr, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ty FROM (
+      |    SELECT yr, y, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT cd.yr, n AS n_days, concordant, discordant,
+      |  round(CAST(concordant - discordant AS DOUBLE)
+      |    / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
+      |      * CAST(n * (n - 1) // 2 - ty AS DOUBLE)), 4) AS tau_b
+      |FROM cd JOIN nn USING (yr) JOIN tx USING (yr) JOIN ty USING (yr)
+      |ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sample-ratio-mismatch check on the experiment split (the guardrail
+  // every A/B platform runs BEFORE reading any metric — a biased
+  // assignment invalidates the readout): observed variant counts from
+  // the same custkey-parity split as [[cupedAdjust]], χ² against the
+  // designed 50/50 with the exact integer form (n₀−n₁)²/(n₀+n₁). The
+  // SRM alarm fires at p < 0.001 (χ²₁ > 10.828), decided entirely on
+  // integers (1000·(n₀−n₁)² vs 10828·(n₀+n₁)) so no double compare
+  // flips it. Scale: one distinct-key agg, single-row output.
+  // ------------------------------------------------------------------
+  def srmCheck(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_custkey")).distinct()
+      .agg(sum(when(col("o_custkey") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("o_custkey") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("n0").as("n_variant0"), col("n1").as("n_variant1"),
+        round((col("n0") - col("n1")).cast("double")
+          * (col("n0") - col("n1")).cast("double")
+          / (col("n0") + col("n1")).cast("double"), 6).as("chi2"),
+        (lit(1000) * (col("n0") - col("n1")) * (col("n0") - col("n1"))
+          > lit(10828) * (col("n0") + col("n1"))).as("srm_detected"))
+  }
+
+  private val srmCheckSql =
+    """WITH u AS (SELECT DISTINCT o_custkey FROM orders),
+      |agg AS (
+      |  SELECT CAST(count(*) FILTER (WHERE o_custkey % 2 = 0) AS BIGINT) AS n0,
+      |    CAST(count(*) FILTER (WHERE o_custkey % 2 = 1) AS BIGINT) AS n1
+      |  FROM u)
+      |SELECT n0 AS n_variant0, n1 AS n_variant1,
+      |  round(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+      |    / CAST(n0 + n1 AS DOUBLE), 6) AS chi2,
+      |  1000 * (n0 - n1) * (n0 - n1) > 10828 * (n0 + n1) AS srm_detected
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bollinger bands on daily revenue (trailing 20-day mean ± 2σ) with
+  // breakout detection — the volatility-envelope sibling of the SMA
+  // crossover and Hampel queries. Trailing sums s = Σx and ssq = Σx²
+  // are EXACT BIGINT over floor-to-dollar daily revenue (exact to
+  // ~30× sf0.1's daily volume; a production run widens them to
+  // DECIMAL(38) — the CUPED stance); mean/σ/band comparisons are then
+  // IDENTICAL literal double expressions on both engines, so the
+  // breakout decisions agree bit-for-bit. Only full 20-day windows
+  // count. Per-year report: breakout-day counts plus the extreme band
+  // widths (max/min — order-independent double reductions, never an
+  // unordered sum).
+  // ------------------------------------------------------------------
+  def bollingerBands(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    val w = Window.orderBy("day").rowsBetween(-19, Window.currentRow)
+    daily
+      .withColumn("s", sum("x").over(w))
+      .withColumn("ssq", sum(col("x") * col("x")).over(w))
+      .withColumn("c", count(lit(1)).over(w))
+      .filter(col("c") === 20)
+      .withColumn("mean", col("s").cast("double") / col("c").cast("double"))
+      .withColumn("sd", sqrt((col("c").cast("double") * col("ssq").cast("double")
+        - col("s").cast("double") * col("s").cast("double"))
+        / (col("c").cast("double") * col("c").cast("double"))))
+      .withColumn("hi", col("mean") + lit(2.0) * col("sd"))
+      .withColumn("lo", col("mean") - lit(2.0) * col("sd"))
+      .groupBy(year(col("day")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("x").cast("double") > col("hi"), 1L).otherwise(0L)).as("n_breakout_hi"),
+        sum(when(col("x").cast("double") < col("lo"), 1L).otherwise(0L)).as("n_breakout_lo"),
+        round(max(col("hi") - col("lo")), 2).as("max_bandwidth"),
+        round(min(col("hi") - col("lo")), 2).as("min_bandwidth"))
+      .orderBy("yr")
+  }
+
+  private val bollingerBandsSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, x,
+      |    sum(x) OVER w AS s, sum(x * x) OVER w AS ssq, count(*) OVER w AS c
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |bands AS (
+      |  SELECT day, x,
+      |    CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS mean,
+      |    sqrt((CAST(c AS DOUBLE) * CAST(ssq AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |      / (CAST(c AS DOUBLE) * CAST(c AS DOUBLE))) AS sd
+      |  FROM t WHERE c = 20)
+      |SELECT year(day) AS yr, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(count(*) FILTER (WHERE CAST(x AS DOUBLE) > mean + 2.0 * sd)
+      |    AS BIGINT) AS n_breakout_hi,
+      |  CAST(count(*) FILTER (WHERE CAST(x AS DOUBLE) < mean - 2.0 * sd)
+      |    AS BIGINT) AS n_breakout_lo,
+      |  round(max(4.0 * sd), 2) AS max_bandwidth,
+      |  round(min(4.0 * sd), 2) AS min_bandwidth
+      |FROM bands GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // RSI (relative strength index, simple-average variant) over daily
+  // revenue: gains/losses from consecutive-day deltas, trailing 14-day
+  // gain/loss sums, RSI = 100·G/(G+L). EVERY decision is integer —
+  // overbought (RSI > 70 ⟺ 3G > 7L) and oversold (RSI < 30 ⟺ 7G < 3L)
+  // fire on exact bigint cross-products, and the per-year aggregate RSI
+  // is one division of exact yearly gain/loss sums — so the output is
+  // bit-stable with no double comparison anywhere. Windows run over the
+  // global daily frame (year-boundary deltas included, like the SMA
+  // family); only full 14-delta windows count.
+  // ------------------------------------------------------------------
+  def rsiSignal(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val w1 = Window.orderBy("day")
+    val w14 = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("d", col("x") - lag("x", 1).over(w1))
+      .filter(col("d").isNotNull)
+      .withColumn("gain", greatest(col("d"), lit(0L)))
+      .withColumn("loss", greatest(-col("d"), lit(0L)))
+      .withColumn("g", sum("gain").over(w14))
+      .withColumn("l", sum("loss").over(w14))
+      .withColumn("c", count(lit(1)).over(w14))
+      .filter(col("c") === 14)
+      .groupBy(year(col("day")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(lit(3) * col("g") > lit(7) * col("l"), 1L).otherwise(0L)).as("n_overbought"),
+        sum(when(lit(7) * col("g") < lit(3) * col("l"), 1L).otherwise(0L)).as("n_oversold"),
+        round(lit(100.0) * sum("gain").cast("double")
+          / (sum("gain") + sum("loss")).cast("double"), 4).as("yearly_rsi"))
+      .orderBy("yr")
+  }
+
+  private val rsiSignalSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT day, x - lag(x) OVER (ORDER BY day) AS d FROM daily),
+      |gl AS (
+      |  SELECT day, greatest(d, 0) AS gain, greatest(-d, 0) AS loss
+      |  FROM d WHERE d IS NOT NULL),
+      |t AS (
+      |  SELECT day, gain, loss,
+      |    sum(gain) OVER w AS g, sum(loss) OVER w AS l, count(*) OVER w AS c
+      |  FROM gl
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT year(day) AS yr, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(count(*) FILTER (WHERE 3 * g > 7 * l) AS BIGINT) AS n_overbought,
+      |  CAST(count(*) FILTER (WHERE 7 * g < 3 * l) AS BIGINT) AS n_oversold,
+      |  round(100.0 * CAST(sum(gain) AS DOUBLE)
+      |    / CAST(sum(gain) + sum(loss) AS DOUBLE), 4) AS yearly_rsi
+      |FROM t WHERE c = 14 GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_jackknife_se", jackknifeSe, Some(jackknifeSeSql)),
+    QueryDef("agg_mcnemar_test", mcnemarTest, Some(mcnemarTestSql)),
+    QueryDef("agg_capture_recapture", captureRecapture, Some(captureRecaptureSql)),
+    QueryDef("agg_kendall_tau", kendallTau, Some(kendallTauSql)),
+    QueryDef("misc_srm_check", srmCheck, Some(srmCheckSql)),
+    QueryDef("win_bollinger_bands", bollingerBands, Some(bollingerBandsSql)),
+    QueryDef("win_rsi_signal", rsiSignal, Some(rsiSignalSql)),
     QueryDef("win_peak_detection", peakDetection, Some(peakDetectionSql)),
     QueryDef("misc_heavy_change", heavyChange, Some(heavyChangeSql)),
     QueryDef("curation_weighted_reservoir", weightedReservoir,
