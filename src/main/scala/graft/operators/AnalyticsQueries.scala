@@ -2552,7 +2552,271 @@ object AnalyticsQueries extends QueryModule {
       |    / CAST(sum(gain) + sum(loss) AS DOUBLE), 4) AS yearly_rsi
       |FROM t WHERE c = 14 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Power analysis / minimum detectable effect for the A/B design — the
+  // question every experiment review asks BEFORE launch ("can this test
+  // even see a 1% lift at these ns?"): MDE = (z_{α/2} + z_β)·σ·
+  // √(1/n₀ + 1/n₁) at α = 0.05 two-sided, 80% power, with σ² from the
+  // same exact integer moment sums as CUPED (n·Σx² − S² with every
+  // product factor cast to double first — the overflow discipline). The
+  // z constants are shared literals, so both engines evaluate the
+  // identical double chain. Scale shape: one custkey-keyed agg to
+  // per-customer spend, two single-row aggregates, one output row.
+  // ------------------------------------------------------------------
+  def powerMde(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy("o_custkey")
+      // floor-to-dollar like CUPED: Σx² in CENTS overflows long at sf0.1's
+      // per-customer spend (the sf0.1 gate caught exactly this); dollars
+      // keep it exact past 100×
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100")).as("x"))
+      .withColumn("variant", col("o_custkey") % 2)
+      .localCheckpoint()
+    per.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+      .withColumn("var", (col("n").cast("double") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+        / (col("n").cast("double") * (col("n") - 1).cast("double")))
+      .withColumn("mde", lit(1.959963984540054 + 0.8416212335729143)
+        * sqrt(col("var") * (lit(1.0) / col("n0").cast("double")
+          + lit(1.0) / col("n1").cast("double"))))
+      .select(col("n0").as("n_variant0"), col("n1").as("n_variant1"),
+        round(col("sx").cast("double") / col("n").cast("double"), 4)
+          .as("mean_value"),
+        round(sqrt(col("var")), 4).as("sd_value"),
+        round(col("mde"), 4).as("mde_abs"),
+        round(col("mde") / (col("sx").cast("double") / col("n").cast("double"))
+          * 100.0, 4).as("mde_rel_pct"))
+  }
+
+  private val powerMdeSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT) AS x,
+      |    o_custkey % 2 AS variant
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n0,
+      |    CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n1
+      |  FROM per),
+      |v AS (
+      |  SELECT *, (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var
+      |  FROM m),
+      |d AS (
+      |  SELECT *, (1.959963984540054 + 0.8416212335729143)
+      |    * sqrt(var * (1.0 / CAST(n0 AS DOUBLE)
+      |    + 1.0 / CAST(n1 AS DOUBLE))) AS mde
+      |  FROM v)
+      |SELECT n0 AS n_variant0, n1 AS n_variant1,
+      |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_value,
+      |  round(sqrt(var), 4) AS sd_value,
+      |  round(mde, 4) AS mde_abs,
+      |  round(mde / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * 100.0, 4)
+      |    AS mde_rel_pct
+      |FROM d""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cohen's κ between two deterministic labelers — the inter-annotator
+  // agreement statistic a training-data pipeline runs on every
+  // double-labeled slice (raw accuracy overstates agreement when one
+  // class dominates; κ subtracts chance): rater 1 = urgent/high
+  // priority, rater 2 = high-value order (compared in exact integer
+  // cents, never a double threshold). κ = (n·(a+d) − Σ marginal
+  // products)/(n² − Σ marginal products) — numerator and denominator
+  // are EXACT BIGINT (n² in-range past sf100), one final division, and
+  // the Landis–Koch strength label is decided by integer
+  // cross-products (5·num vs k·den), so no double compare picks it.
+  // ------------------------------------------------------------------
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").as("r1"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)") > 15000000L)
+          .cast("long").as("r2"))
+      .agg(sum(expr("r1 * r2")).as("a"),
+        sum(expr("r1 * (1 - r2)")).as("b"),
+        sum(expr("(1 - r1) * r2")).as("c"),
+        sum(expr("(1 - r1) * (1 - r2)")).as("d"))
+      .withColumn("n", expr("a + b + c + d"))
+      .withColumn("num", expr("n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))"))
+      .withColumn("den", expr("n * n - ((a + b) * (a + c) + (c + d) * (b + d))"))
+      .select(col("a").as("n_both"), col("b").as("n_r1_only"),
+        col("c").as("n_r2_only"), col("d").as("n_neither"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("kappa"),
+        expr("""CASE WHEN 5 * num <= den THEN 'slight'
+               |     WHEN 5 * num <= 2 * den THEN 'fair'
+               |     WHEN 5 * num <= 3 * den THEN 'moderate'
+               |     WHEN 5 * num <= 4 * den THEN 'substantial'
+               |     ELSE 'almost_perfect' END""".stripMargin).as("strength"))
+  }
+
+  private val cohensKappaSql =
+    """WITH r AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS r1,
+      |    CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 15000000
+      |      THEN 1 ELSE 0 END AS r2
+      |  FROM orders),
+      |cells AS (
+      |  SELECT CAST(sum(r1 * r2) AS BIGINT) AS a,
+      |    CAST(sum(r1 * (1 - r2)) AS BIGINT) AS b,
+      |    CAST(sum((1 - r1) * r2) AS BIGINT) AS c,
+      |    CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS d
+      |  FROM r),
+      |k AS (
+      |  SELECT *, a + b + c + d AS n,
+      |    (a + b + c + d) * (a + d)
+      |      - ((a + b) * (a + c) + (c + d) * (b + d)) AS num,
+      |    (a + b + c + d) * (a + b + c + d)
+      |      - ((a + b) * (a + c) + (c + d) * (b + d)) AS den
+      |  FROM cells)
+      |SELECT a AS n_both, b AS n_r1_only, c AS n_r2_only, d AS n_neither,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS kappa,
+      |  CASE WHEN 5 * num <= den THEN 'slight'
+      |       WHEN 5 * num <= 2 * den THEN 'fair'
+      |       WHEN 5 * num <= 3 * den THEN 'moderate'
+      |       WHEN 5 * num <= 4 * den THEN 'substantial'
+      |       ELSE 'almost_perfect' END AS strength
+      |FROM k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Growth accounting: decompose YoY revenue growth (1995 → 1996) into
+  // the three levers every business review separates — customer count ×
+  // orders-per-customer × average order value. Each factor's growth is
+  // a ratio of EXACT integer cross-products where the products fit
+  // bigint (freq: orders×customers), and casts factors to double first
+  // where they don't (AOV: cents×orders overflows past ~sf50 — the
+  // CUPED discipline); the factor growths multiply back to the revenue
+  // growth by construction. One 2-row aggregate → single-row report.
+  // ------------------------------------------------------------------
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(countDistinct("o_custkey").as("c"), count(lit(1)).as("o"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
+    per.agg(
+        max(when(col("yr") === 1995, col("c"))).as("c95"),
+        max(when(col("yr") === 1996, col("c"))).as("c96"),
+        max(when(col("yr") === 1995, col("o"))).as("o95"),
+        max(when(col("yr") === 1996, col("o"))).as("o96"),
+        max(when(col("yr") === 1995, col("r"))).as("r95"),
+        max(when(col("yr") === 1996, col("r"))).as("r96"))
+      .select(
+        round(col("r95").cast("double") / 100.0, 2).as("rev_1995"),
+        round(col("r96").cast("double") / 100.0, 2).as("rev_1996"),
+        round((col("r96").cast("double") / col("r95").cast("double") - 1.0)
+          * 100.0, 4).as("rev_growth_pct"),
+        round((col("c96").cast("double") / col("c95").cast("double") - 1.0)
+          * 100.0, 4).as("cust_growth_pct"),
+        round(((col("o96") * col("c95")).cast("double")
+          / (col("o95") * col("c96")).cast("double") - 1.0) * 100.0, 4)
+          .as("freq_growth_pct"),
+        round((col("r96").cast("double") * col("o95").cast("double")
+          / (col("r95").cast("double") * col("o96").cast("double")) - 1.0)
+          * 100.0, 4).as("aov_growth_pct"))
+  }
+
+  private val growthAccountingSql =
+    """WITH per AS (
+      |  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS c,
+      |    CAST(count(*) AS BIGINT) AS o,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT max(CASE WHEN yr = 1995 THEN c END) AS c95,
+      |    max(CASE WHEN yr = 1996 THEN c END) AS c96,
+      |    max(CASE WHEN yr = 1995 THEN o END) AS o95,
+      |    max(CASE WHEN yr = 1996 THEN o END) AS o96,
+      |    max(CASE WHEN yr = 1995 THEN r END) AS r95,
+      |    max(CASE WHEN yr = 1996 THEN r END) AS r96
+      |  FROM per)
+      |SELECT round(CAST(r95 AS DOUBLE) / 100.0, 2) AS rev_1995,
+      |  round(CAST(r96 AS DOUBLE) / 100.0, 2) AS rev_1996,
+      |  round((CAST(r96 AS DOUBLE) / CAST(r95 AS DOUBLE) - 1.0) * 100.0, 4)
+      |    AS rev_growth_pct,
+      |  round((CAST(c96 AS DOUBLE) / CAST(c95 AS DOUBLE) - 1.0) * 100.0, 4)
+      |    AS cust_growth_pct,
+      |  round((CAST(o96 * c95 AS DOUBLE) / CAST(o95 * c96 AS DOUBLE) - 1.0)
+      |    * 100.0, 4) AS freq_growth_pct,
+      |  round((CAST(r96 AS DOUBLE) * CAST(o95 AS DOUBLE)
+      |    / (CAST(r95 AS DOUBLE) * CAST(o96 AS DOUBLE)) - 1.0) * 100.0, 4)
+      |    AS aov_growth_pct
+      |FROM w""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Stochastic oscillator (%K, 14-day) on daily revenue — the
+  // min/max-envelope signal completing the trailing-window family
+  // (Bollinger = mean/σ envelope, this = range envelope): %K = 100·
+  // (x − min₁₄)/(max₁₄ − min₁₄). Overbought (>80) and oversold (<20)
+  // decisions are EXACT integer cross-products (5(x−mn) vs 4(mx−mn) /
+  // (mx−mn)); the only doubles are the per-year max/min %K extremes
+  // (order-independent reductions), with flat windows (mx = mn)
+  // excluded from the ratio. Full 14-day windows only; one global
+  // ordered window over the aggregate-first daily frame.
+  // ------------------------------------------------------------------
+  def stochasticOsc(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val w14 = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("mn", min("x").over(w14))
+      .withColumn("mx", max("x").over(w14))
+      .withColumn("c", count(lit(1)).over(w14))
+      .filter(col("c") === 14)
+      .groupBy(year(col("day")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(lit(5) * (col("x") - col("mn")) > lit(4) * (col("mx") - col("mn")), 1L)
+          .otherwise(0L)).as("n_overbought"),
+        sum(when(lit(5) * (col("x") - col("mn")) < (col("mx") - col("mn")), 1L)
+          .otherwise(0L)).as("n_oversold"),
+        round(max(when(col("mx") > col("mn"),
+          (col("x") - col("mn")).cast("double") * 100.0
+            / (col("mx") - col("mn")).cast("double"))), 4).as("max_pct_k"),
+        round(min(when(col("mx") > col("mn"),
+          (col("x") - col("mn")).cast("double") * 100.0
+            / (col("mx") - col("mn")).cast("double"))), 4).as("min_pct_k"))
+      .orderBy("yr")
+  }
+
+  private val stochasticOscSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, x, min(x) OVER w AS mn, max(x) OVER w AS mx,
+      |    count(*) OVER w AS c
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT year(day) AS yr, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(count(*) FILTER (WHERE 5 * (x - mn) > 4 * (mx - mn)) AS BIGINT)
+      |    AS n_overbought,
+      |  CAST(count(*) FILTER (WHERE 5 * (x - mn) < (mx - mn)) AS BIGINT)
+      |    AS n_oversold,
+      |  round(max(CASE WHEN mx > mn
+      |    THEN CAST(x - mn AS DOUBLE) * 100.0 / CAST(mx - mn AS DOUBLE) END), 4)
+      |    AS max_pct_k,
+      |  round(min(CASE WHEN mx > mn
+      |    THEN CAST(x - mn AS DOUBLE) * 100.0 / CAST(mx - mn AS DOUBLE) END), 4)
+      |    AS min_pct_k
+      |FROM t WHERE c = 14 GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_power_mde", powerMde, Some(powerMdeSql)),
+    QueryDef("agg_cohens_kappa", cohensKappa, Some(cohensKappaSql)),
+    QueryDef("misc_growth_accounting", growthAccounting, Some(growthAccountingSql)),
+    QueryDef("win_stochastic_osc", stochasticOsc, Some(stochasticOscSql)),
     QueryDef("agg_jackknife_se", jackknifeSe, Some(jackknifeSeSql)),
     QueryDef("agg_mcnemar_test", mcnemarTest, Some(mcnemarTestSql)),
     QueryDef("agg_capture_recapture", captureRecapture, Some(captureRecaptureSql)),

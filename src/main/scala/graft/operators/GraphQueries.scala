@@ -865,7 +865,52 @@ object GraphQueries extends QueryModule {
        |JOIN deg du ON pairs.u = du.n
        |JOIN deg dv ON pairs.v = dv.n""".stripMargin
 
+  /** Katz centrality, truncated at walk length 3 with attenuation β = 0.1
+    * — the walk-counting centrality that credits a node for its extended
+    * neighborhood, not just degree (PageRank's non-normalized cousin;
+    * the truncation is standard practice since β^k walk mass vanishes
+    * geometrically). The β choice makes the score EXACT: katz·1000 =
+    * 100·w₁ + 10·w₂ + w₃ where wₖ = (Aᵏ1)ᵤ are exact integer walk
+    * counts computed by two edge-keyed join-aggregate rounds — no double
+    * enters until the final display division, so ranking ties break
+    * deterministically on integers. Scale shape: each round is one
+    * shuffle keyed by node over the materialized edge table (the
+    * message-passing pattern label propagation already uses); top-20
+    * via ordered limit.
+    */
+  def katzCentrality(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val p1 = sym.groupBy("u").agg(count(lit(1)).as("w1"))
+    val p2 = sym.join(p1.select(col("u").as("nb"), col("w1")), col("v") === col("nb"))
+      .groupBy("u").agg(sum("w1").as("w2"))
+    val p3 = sym.join(p2.select(col("u").as("nb"), col("w2")), col("v") === col("nb"))
+      .groupBy("u").agg(sum("w2").as("w3"))
+    p1.join(p2, Seq("u")).join(p3, Seq("u"))
+      .withColumn("km", lit(100L) * col("w1") + lit(10L) * col("w2") + col("w3"))
+      .orderBy(col("km").desc, col("u"))
+      .limit(20)
+      .select(col("u").as("node"), col("w1").as("walks1"), col("w2").as("walks2"),
+        col("w3").as("walks3"),
+        round(col("km").cast("double") / 1000.0, 3).as("katz"))
+      .orderBy(col("katz").desc, col("node"))
+  }
+
+  private val katzCentralitySql =
+    s"""WITH $edgesCte,
+       |sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+       |p1 AS (SELECT u, CAST(count(*) AS BIGINT) AS w1 FROM sym GROUP BY 1),
+       |p2 AS (SELECT s.u, CAST(sum(p1.w1) AS BIGINT) AS w2
+       |  FROM sym s JOIN p1 ON s.v = p1.u GROUP BY 1),
+       |p3 AS (SELECT s.u, CAST(sum(p2.w2) AS BIGINT) AS w3
+       |  FROM sym s JOIN p2 ON s.v = p2.u GROUP BY 1)
+       |SELECT u AS node, w1 AS walks1, w2 AS walks2, w3 AS walks3,
+       |  round(CAST(100 * w1 + 10 * w2 + w3 AS DOUBLE) / 1000.0, 3) AS katz
+       |FROM p1 JOIN p2 USING (u) JOIN p3 USING (u)
+       |ORDER BY 100 * w1 + 10 * w2 + w3 DESC, node LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_katz_centrality", katzCentrality, Some(katzCentralitySql)),
     QueryDef("graph_conductance", conductance, Some(conductanceSql)),
     QueryDef("graph_modularity", modularity, Some(modularitySql)),
     QueryDef("graph_assortativity", assortativity, Some(assortativitySql)),
