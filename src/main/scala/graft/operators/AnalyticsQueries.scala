@@ -2812,7 +2812,128 @@ object AnalyticsQueries extends QueryModule {
       |    AS min_pct_k
       |FROM t WHERE c = 14 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Holt's linear (double-exponential) smoothing forecast of daily
+  // revenue — the trend-aware upgrade of the EWMA the engine already
+  // has (EWMA linearizes because its recursion is a single geometric
+  // sum; Holt's COUPLED level/trend recursion does not, so it runs as
+  // an ORDERED IN-ARRAY FOLD): lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+  // bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, α = 0.3, β = 0.1, seeded l₁ = x₁,
+  // b₁ = 0. Both engines execute the IDENTICAL sequence of double ops
+  // (Spark `aggregate` with a struct accumulator; DuckDB `list_reduce`
+  // over [x, 0] pairs since its accumulator must share the element
+  // type), so the smoothed state is bit-identical. Scale shape: the
+  // fold runs on the calendar-bounded daily frame (one array row, ≤ a
+  // few thousand elements at any corpus size) after one aggregate-first
+  // shuffle.
+  // ------------------------------------------------------------------
+  def holtLinear(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, x))), e -> CAST(e.x AS DOUBLE))")
+        .as("xs"))
+      .withColumn("st", expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+          |  named_struct('l', xs[0], 'b', 0D),
+          |  (a, x) -> named_struct(
+          |    'l', 0.3 * x + 0.7 * (a.l + a.b),
+          |    'b', 0.1 * ((0.3 * x + 0.7 * (a.l + a.b)) - a.l) + 0.9 * a.b))"""
+          .stripMargin))
+      .select(size(col("xs")).cast("long").as("n_days"),
+        round(col("st.l") / 100.0, 4).as("level"),
+        round(col("st.b") / 100.0, 4).as("trend"),
+        round((col("st.l") + lit(7.0) * col("st.b")) / 100.0, 4).as("forecast_7d"))
+  }
+
+  private val holtLinearSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |arr AS (
+      |  SELECT list(CAST(x AS DOUBLE) ORDER BY day) AS xs FROM daily),
+      |folded AS (
+      |  SELECT len(xs) AS n, list_reduce(
+      |    list_concat([[xs[1], CAST(0 AS DOUBLE)]],
+      |      list_transform(xs[2:], v -> [v, CAST(0 AS DOUBLE)])),
+      |    (a, e) -> [0.3 * e[1] + 0.7 * (a[1] + a[2]),
+      |      0.1 * ((0.3 * e[1] + 0.7 * (a[1] + a[2])) - a[1]) + 0.9 * a[2]]) AS st
+      |  FROM arr)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  round(st[1] / 100.0, 4) AS level,
+      |  round(st[2] / 100.0, 4) AS trend,
+      |  round((st[1] + 7.0 * st[2]) / 100.0, 4) AS forecast_7d
+      |FROM folded""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cochran–Armitage trend test: does the high-value-order rate trend
+  // monotonically across the FIVE ORDERED priority levels? (The χ²
+  // independence test ignores the ordering; CA is the standard
+  // dose-response test for proportions.) Scores wᵢ = 1..5; the
+  // numerator N·Σwr − R·Σwn is an EXACT BIGINT whose SIGN gives the
+  // trend direction with no double involved; z then divides the
+  // numerator by √(R(N−R)(N·Σw²n − (Σwn)²)/N) with every product
+  // factor cast to double first (numerator² and the variance products
+  // overflow long at sf0.1 — the CUPED discipline, applied at authoring
+  // time). One conditional-sum aggregation pass, single-row output.
+  // ------------------------------------------------------------------
+  def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)") > 15000000L)
+          .cast("long").as("hv"))
+      .agg(count(lit(1)).as("n"), sum("hv").as("r"),
+        sum(col("w") * col("hv")).as("swr"), sum("w").as("swn"),
+        sum(col("w") * col("w")).as("sw2n"))
+      .withColumn("num", (col("n").cast("double") * col("swr").cast("double"))
+        - (col("r").cast("double") * col("swn").cast("double")))
+      .withColumn("numi_sign",
+        signum((col("n") * col("swr") - col("r") * col("swn")).cast("double")).cast("long"))
+      .withColumn("varn", col("r").cast("double")
+        * (col("n") - col("r")).cast("double")
+        * (col("n").cast("double") * col("sw2n").cast("double")
+          - col("swn").cast("double") * col("swn").cast("double"))
+        / col("n").cast("double"))
+      .select(col("n").as("n_orders"), col("r").as("n_high_value"),
+        round(col("num") / sqrt(col("varn")), 4).as("z_trend"),
+        when(col("numi_sign") > 0, "increasing")
+          .when(col("numi_sign") < 0, "decreasing")
+          .otherwise("flat").as("direction"))
+  }
+
+  private val cochranArmitageSql =
+    """WITH r AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+      |    CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 15000000
+      |      THEN 1 ELSE 0 END AS hv
+      |  FROM orders),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(hv) AS BIGINT) AS rr,
+      |    CAST(sum(w * hv) AS BIGINT) AS swr, CAST(sum(w) AS BIGINT) AS swn,
+      |    CAST(sum(w * w) AS BIGINT) AS sw2n
+      |  FROM r),
+      |t AS (
+      |  SELECT *,
+      |    CAST(n AS DOUBLE) * CAST(swr AS DOUBLE)
+      |      - CAST(rr AS DOUBLE) * CAST(swn AS DOUBLE) AS num,
+      |    CAST(sign(n * swr - rr * swn) AS BIGINT) AS numi_sign,
+      |    CAST(rr AS DOUBLE) * CAST(n - rr AS DOUBLE)
+      |      * (CAST(n AS DOUBLE) * CAST(sw2n AS DOUBLE)
+      |        - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE))
+      |      / CAST(n AS DOUBLE) AS varn
+      |  FROM m)
+      |SELECT n AS n_orders, rr AS n_high_value,
+      |  round(num / sqrt(varn), 4) AS z_trend,
+      |  CASE WHEN numi_sign > 0 THEN 'increasing'
+      |       WHEN numi_sign < 0 THEN 'decreasing'
+      |       ELSE 'flat' END AS direction
+      |FROM t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_holt_linear", holtLinear, Some(holtLinearSql)),
+    QueryDef("agg_cochran_armitage", cochranArmitage, Some(cochranArmitageSql)),
     QueryDef("agg_power_mde", powerMde, Some(powerMdeSql)),
     QueryDef("agg_cohens_kappa", cohensKappa, Some(cohensKappaSql)),
     QueryDef("misc_growth_accounting", growthAccounting, Some(growthAccountingSql)),
