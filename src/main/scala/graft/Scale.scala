@@ -159,6 +159,8 @@ object BenchScale {
       // pre-stage the memoized per-fixture tables (see Bench warmup)
       operators.GraphQueries.edges(spark, dir).count()
       operators.DedupQueries.clusterLabels(spark, dir).count()
+      operators.AggQueries.hllPartials(spark, dir).count()
+      operators.AggQueries.tdPartials(spark, dir).count()
     }
     // host-noise canary (same contract as Bench)
     val nEvents = Tables.events(spark, base).count()
