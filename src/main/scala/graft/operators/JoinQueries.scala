@@ -753,16 +753,29 @@ object JoinQueries extends QueryModule {
         expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
           - expr("CAST(round(p_retailprice * 0.8 * l_quantity * 1e6) AS BIGINT)"))
       .groupBy(col("n_name").as("nation"), col("o_year"))
-      .agg(round(sum("profit_micros") / 1e6, 2).as("profit"))
+      // truncate-to-cent in INTEGER space (abs first so Spark's DIV-trunc
+      // and DuckDB's //-floor agree on the non-negative operand, sign
+      // restored after): round(sum/1e6, 2) split the engines whenever the
+      // exact micros sum sat on a …5000 cent boundary — Spark HALF_UPs the
+      // shortest decimal repr, DuckDB rounds the binary double
+      // (CHECK_LOCAL_SF01's sf0.1 catch)
+      .agg(expr("""CAST(CASE WHEN sum(profit_micros) < 0
+          |  THEN -((-sum(profit_micros)) DIV 10000)
+          |  ELSE sum(profit_micros) DIV 10000 END AS DOUBLE) / 100.0"""
+          .stripMargin).as("profit"))
       .orderBy(col("nation"), desc("o_year"))
   }
 
   private val q09ProductProfitSql =
     """SELECT n_name AS nation,
       |  CAST(year(o_orderdate) AS INT) AS o_year,
-      |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
-      |    - CAST(round(p_retailprice * 0.8 * l_quantity * 1e6) AS BIGINT)) / 1e6, 2)
-      |    AS profit
+      |  CAST(CASE WHEN sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+      |      - CAST(round(p_retailprice * 0.8 * l_quantity * 1e6) AS BIGINT)) < 0
+      |    THEN -((-sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+      |      - CAST(round(p_retailprice * 0.8 * l_quantity * 1e6) AS BIGINT))) // 10000)
+      |    ELSE sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+      |      - CAST(round(p_retailprice * 0.8 * l_quantity * 1e6) AS BIGINT)) // 10000
+      |    END AS DOUBLE) / 100.0 AS profit
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |JOIN supplier ON l_suppkey = s_suppkey

@@ -505,34 +505,43 @@ object TextQueries extends QueryModule {
     * Pure per-row HOF arithmetic — window count × window size is bounded
     * by document length, no corpus state, embarrassingly parallel.
     */
+  // MATTR stays in INTEGER space until one final division: the mean of
+  // window TTRs equals (Σ window distinct counts)/(50·n_windows), an
+  // exact rational from exact integer sums, floored at 4 dp via integer
+  // division — round(double, 4) sat on …5 boundaries at sf0.1 where
+  // Spark (shortest-repr HALF_UP) and DuckDB (binary) split; same
+  // treatment for TTR (CHECK_LOCAL_SF01's catch).
   def mattr(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
-      .withColumn("n", size(col("tk")))
-      .withColumn("mattrs", expr(
-        """CASE WHEN n <= 50 THEN array(size(array_distinct(tk)) / CAST(n AS DOUBLE))
-          |ELSE transform(sequence(1, n - 49),
-          |  i -> size(array_distinct(slice(tk, i, 50))) / 50.0) END""".stripMargin))
-      .select(col("doc_id"), col("n").as("n_tokens"),
-        expr("round(aggregate(mattrs, 0D, (a, x) -> a + x) / size(mattrs), 4)")
-          .as("mattr"),
-        expr("round(size(array_distinct(tk)) / CAST(n AS DOUBLE), 4)").as("ttr"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("tsum", expr(
+        """CASE WHEN n <= 50 THEN CAST(size(array_distinct(tk)) AS BIGINT)
+          |ELSE aggregate(transform(sequence(1, CAST(n AS INT) - 49),
+          |  i -> CAST(size(array_distinct(slice(tk, i, 50))) AS BIGINT)),
+          |  0L, (a, x) -> a + x) END""".stripMargin))
+      .withColumn("den", expr("CASE WHEN n <= 50 THEN n ELSE 50 * (n - 49) END"))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        expr("CAST((tsum * 10000) DIV den AS DOUBLE) / 10000.0").as("mattr"),
+        expr("CAST((CAST(size(array_distinct(tk)) AS BIGINT) * 10000) DIV n AS DOUBLE) / 10000.0")
+          .as("ttr"))
       .filter(col("n_tokens") >= 1)
       .orderBy("doc_id")
 
   private val mattrSql =
     s"""WITH d AS (
-       |  SELECT doc_id, $dToks AS tk, len($dToks) AS n FROM documents
+       |  SELECT doc_id, $dToks AS tk, CAST(len($dToks) AS BIGINT) AS n FROM documents
        |), m AS (
-       |  SELECT doc_id, n,
-       |    CASE WHEN n <= 50 THEN [len(list_distinct(tk)) / CAST(n AS DOUBLE)]
-       |    ELSE list_transform(range(1, n - 48),
-       |      i -> len(list_distinct(tk[i:i+49])) / 50.0) END AS mattrs,
-       |    len(list_distinct(tk)) / CAST(n AS DOUBLE) AS ttr
+       |  SELECT doc_id, n, tk,
+       |    CASE WHEN n <= 50 THEN CAST(len(list_distinct(tk)) AS BIGINT)
+       |    ELSE CAST(list_sum(list_transform(range(1, CAST(n AS INT) - 48),
+       |      i -> CAST(len(list_distinct(tk[i:i+49])) AS BIGINT))) AS BIGINT) END AS tsum,
+       |    CASE WHEN n <= 50 THEN n ELSE 50 * (n - 49) END AS den
        |  FROM d WHERE n >= 1)
        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
-       |  round(list_sum(mattrs) / len(mattrs), 4) AS mattr,
-       |  round(ttr, 4) AS ttr
+       |  CAST((tsum * 10000) // den AS DOUBLE) / 10000.0 AS mattr,
+       |  CAST((CAST(len(list_distinct(tk)) AS BIGINT) * 10000) // n AS DOUBLE)
+       |    / 10000.0 AS ttr
        |FROM m ORDER BY doc_id""".stripMargin
 
   /** Token-length histogram per language: fixed 16-token-wide buckets via
@@ -1005,13 +1014,23 @@ object TextQueries extends QueryModule {
       .withColumn("n_sentences",
         greatest(lit(1L), length(regexp_replace(col("text"), "[^.!?]", "")).cast("long")))
       .withColumn("n_syllables", expr(sylSum))
-      .withColumn("flesch", round(
-        lit(206.835)
-          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
-          - lit(84.6) * (col("n_syllables").cast("double") / greatest(lit(1L), col("n_words")).cast("double")), 2))
+      // Flesch as an EXACT integer rational over the common denominator
+      // D = 1000·sentences·max(1, words): numer = 206835·s·W − 1015·w·W −
+      // 84600·sy·s. The 2-dp display truncates toward zero in integer
+      // space (abs-then-DIV so Spark trunc and DuckDB floor agree), and
+      // the band thresholds compare numer against 60·D / 30·D directly —
+      // round(double, 2) split the engines on …5 boundaries at sf0.1
+      // (CHECK_LOCAL_SF01's catch).
+      .withColumn("ww", greatest(lit(1L), col("n_words")))
+      .withColumn("numer", expr(
+        "206835 * n_sentences * ww - 1015 * n_words * ww - 84600 * n_syllables * n_sentences"))
+      .withColumn("dd", expr("1000 * n_sentences * ww"))
+      .withColumn("flesch", expr(
+        """CAST(CASE WHEN numer < 0 THEN -((-numer * 100) DIV dd)
+          |ELSE (numer * 100) DIV dd END AS DOUBLE) / 100.0""".stripMargin))
       .withColumn("band",
-        when(col("flesch") >= 60, "easy")
-          .when(col("flesch") >= 30, "standard").otherwise("difficult"))
+        when(col("numer") >= lit(60) * col("dd"), "easy")
+          .when(col("numer") >= lit(30) * col("dd"), "standard").otherwise("difficult"))
       .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "band")
       .orderBy("doc_id")
   }
@@ -1032,14 +1051,17 @@ object TextQueries extends QueryModule {
       |  FROM t
       |), f AS (
       |  SELECT doc_id, n_words, n_sentences, n_syllables,
-      |    round(206.835
-      |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-      |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(greatest(1, n_words) AS DOUBLE)), 2)
-      |      AS flesch
+      |    greatest(1, n_words) AS ww,
+      |    206835 * n_sentences * greatest(1, n_words)
+      |      - 1015 * n_words * greatest(1, n_words)
+      |      - 84600 * n_syllables * n_sentences AS numer,
+      |    1000 * n_sentences * greatest(1, n_words) AS dd
       |  FROM m)
-      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
-      |  CASE WHEN flesch >= 60 THEN 'easy'
-      |       WHEN flesch >= 30 THEN 'standard' ELSE 'difficult' END AS band
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CAST(CASE WHEN numer < 0 THEN -((-numer * 100) // dd)
+      |    ELSE (numer * 100) // dd END AS DOUBLE) / 100.0 AS flesch,
+      |  CASE WHEN numer >= 60 * dd THEN 'easy'
+      |       WHEN numer >= 30 * dd THEN 'standard' ELSE 'difficult' END AS band
       |FROM f ORDER BY doc_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -69,7 +69,11 @@ object TpchQueries extends QueryModule {
       .filter(col("rk") === 1)
       .groupBy(col("p_partkey"), col("s_suppkey"),
         col("s_name"), col("n_name"))
-      .agg(round(min("pm") / 1e6, 2).as("unit_price"))
+      // floor-to-cent via INTEGER division, never round(double): a pm of
+      // …795000 micros has no exact double, and Spark rounds its SHORTEST
+      // DECIMAL REPR (HALF_UP on "161.795") where DuckDB rounds the binary
+      // value — the 2-dp boundary split CHECK_LOCAL_SF01 caught at sf0.1
+      .agg(expr("CAST(min(pm) DIV 10000 AS DOUBLE) / 100.0").as("unit_price"))
       .orderBy("p_partkey", "s_suppkey")
   }
 
@@ -85,7 +89,7 @@ object TpchQueries extends QueryModule {
       |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'),
       |mins AS (SELECT p_partkey, min(pm) AS min_pm FROM px GROUP BY 1)
       |SELECT px.p_partkey, s_suppkey, s_name, n_name,
-      |  round(min(min_pm) / 1e6, 2) AS unit_price
+      |  CAST(min(min_pm) // 10000 AS DOUBLE) / 100.0 AS unit_price
       |FROM px JOIN mins ON px.p_partkey = mins.p_partkey AND pm = min_pm
       |GROUP BY 1, 2, 3, 4
       |ORDER BY 1, 2""".stripMargin
