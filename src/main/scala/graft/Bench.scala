@@ -224,7 +224,17 @@ object Bench {
     val recheckedJson = rechecked.map { case (n, prev, sweep, solo) =>
       f"""{"query":"$n","prev":$prev%.3f,"sweep_sec":$sweep%.3f,"solo_sec":$solo%.3f,"solo_ratio":${if (prev > 0 && solo > 0) solo / prev else -1.0}%.2f}"""
     }.mkString("[", ",", "]")
-    val regressions = rechecked.flatMap { case (n, prev, sweep, solo) =>
+    // Adjudicated-regression channel: a deliberate semantic change (e.g.
+    // r10's quota eviction lifecycle — 2 extra micro-batch commits + a
+    // timeout pass over the whole store, priced in by design) SHOULD slow
+    // its query and SHOULD refresh the reference, but only by being named
+    // explicitly — the flag still appears in the artifact (as `expected`)
+    // so nothing is silently absorbed, and every unlisted flag still
+    // blocks the refresh.
+    val expectedRegressions = sys.env.get("SPARK_GRAFT_EXPECTED_REGRESSIONS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val confirmed = rechecked.flatMap { case (n, prev, sweep, solo) =>
       // same canary-normalized gate as the candidate pass (clamped at 1.0:
       // a faster-than-ref window never masks a real regression)
       val best = if (solo > 0) math.min(sweep, solo) else sweep
@@ -232,9 +242,14 @@ object Bench {
         Some((n, prev, best, (best / prev) * norm))
       else None
     }.sortBy(-_._4)
-    val regressionsJson = regressions.map { case (n, prev, now, r) =>
-      f"""{"query":"$n","prev":$prev%.3f,"best_sec":$now%.3f,"ratio":$r%.2f}"""
-    }.mkString("[", ",", "]")
+    val (regressionsExpected, regressions) =
+      confirmed.partition { case (n, _, _, _) => expectedRegressions(n) }
+    def regJson(rs: Seq[(String, Double, Double, Double)]): String =
+      rs.map { case (n, prev, now, r) =>
+        f"""{"query":"$n","prev":$prev%.3f,"best_sec":$now%.3f,"ratio":$r%.2f}"""
+      }.mkString("[", ",", "]")
+    val regressionsJson = regJson(regressions)
+    val regressionsExpectedJson = regJson(regressionsExpected)
 
     // bench_ref refresh policy, codified (VERDICT r9 #3): the reference is
     // only rewritten from a FULL sweep measured in a clean-enough window
@@ -260,7 +275,7 @@ object Bench {
     // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
     // (committed with the round) and target/bench.json (back-compat).
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"regressions":$regressionsJson,"regressions_rechecked":$recheckedJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"regressions_rechecked":$recheckedJson}"""
     val outFiles = Seq("target/bench.json", "BENCH_FULL.json") ++
       (if (refreshed) Seq(refPath) else Seq.empty)
     for (p <- outFiles) {

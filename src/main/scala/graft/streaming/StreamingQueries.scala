@@ -561,7 +561,12 @@ object StreamingQueries extends QueryModule {
     */
   def quotaEnforce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ds = RecordStream.eventsStreamWithSentinels(s, dir)
+    // filesPerTrigger=2 halves the micro-batch count (each batch is a
+    // state-store commit): batch 0 = fixture + sentinel 1 (watermark still
+    // 0 DURING the batch, so admission is unaffected and every real row
+    // stays in batch 0 — QuotaEvictionSpec pins it), batch 1 = sentinels
+    // 2+3, whose processing fires the eviction timeouts armed in batch 0
+    val ds = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 2)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       .as[Ev]
       .withWatermark("ts", "0 seconds")

@@ -129,7 +129,8 @@ class QuotaEvictionSpec extends SparkSuite {
     // guarantees it by construction (one fixture file, sentinels in their
     // own later files) — this pin fails if the staging ever splits it
     val perBatch = scala.collection.mutable.Map[Long, Long]()
-    val q = streaming.RecordStream.eventsStreamWithSentinels(spark, Sf)
+    // filesPerTrigger=2: the same delivery quotaEnforce uses
+    val q = streaming.RecordStream.eventsStreamWithSentinels(spark, Sf, filesPerTrigger = 2)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         perBatch.synchronized {
