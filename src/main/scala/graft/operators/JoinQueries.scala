@@ -560,15 +560,46 @@ object JoinQueries extends QueryModule {
     * order-ambiguous.
     */
   def eventSequences(s: SparkSession, dir: String): DataFrame = {
+    // Hot-bucket sub-salting (the r9→r10 carried skew watch, acted on at
+    // 8.42×). Adjudication first: the skew corpus's 8.4× wall growth is
+    // NOT task serialization — its hottest (user, hour) bucket holds 180
+    // rows while its genuine pair OUTPUT is 1463× the base corpus's
+    // (13.5M vs 9.2k pairs; measured r10), so the factor is quadratic
+    // output volume spread across ~700 buckets, which parallelizes fine.
+    // The guard below covers the case that WOULD serialize: one bucket
+    // dense enough that its single join-key group — which AQE cannot
+    // split — dominates a task. Buckets above SaltCap get their build
+    // rows sub-bucketed by event id (salt = id % Salts) while the probe
+    // side replicates only for those buckets — the quadratic work
+    // parallelizes ×Salts and cold buckets pay nothing beyond one
+    // broadcast-left probe of the (tiny) hot-bucket list. Output is
+    // unchanged: each genuine pair matches on exactly one salt.
+    val SaltCap = 1000
+    val Salts = 8
     val e = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val hot = e.groupBy(col("user_id").as("hu"),
+        expr("floor(unix_micros(ts) / 3600000000)").as("hh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > SaltCap)
+      .select("hu", "hh")
     val a = e.withColumn("hr", explode(array(
-      expr("floor(unix_micros(ts) / 3600000000)"),
-      expr("floor(unix_micros(ts) / 3600000000) + 1"))))
-    val b = e.select(col("user_id").as("user_b"),
+        expr("floor(unix_micros(ts) / 3600000000)"),
+        expr("floor(unix_micros(ts) / 3600000000) + 1"))))
+      .join(broadcast(hot),
+        col("user_id") === col("hu") && col("hr") === col("hh"), "left")
+      .withColumn("salt", explode(when(col("hu").isNotNull,
+        expr(s"sequence(0, ${Salts - 1})")).otherwise(array(lit(0)))))
+      .drop("hu", "hh")
+    val b = e.select(col("event_id").as("id_b"), col("user_id").as("user_b"),
         col("event_type").as("type_b"), col("ts").as("ts_b"))
       .withColumn("hr_b", expr("floor(unix_micros(ts_b) / 3600000000)"))
+      .join(broadcast(hot),
+        col("user_b") === col("hu") && col("hr_b") === col("hh"), "left")
+      .withColumn("salt_b", when(col("hu").isNotNull,
+        pmod(col("id_b"), lit(Salts)).cast("int")).otherwise(lit(0)))
+      .drop("hu", "hh")
     a.join(b, col("user_id") === col("user_b") && col("hr") === col("hr_b")
+        && col("salt") === col("salt_b")
         && col("ts_b") > col("ts")
         && col("ts_b") <= col("ts") + expr("INTERVAL 1 HOUR"))
       .groupBy(col("event_type").as("type_a"), col("type_b"))

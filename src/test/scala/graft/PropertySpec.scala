@@ -1192,4 +1192,33 @@ class PropertySpec extends SparkSuite {
       assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
     }
   }
+
+  test("holt fold in Spark SQL is BIT-IDENTICAL to the Scala recursion") {
+    // win_holt_linear's determinism claim is that both engines execute
+    // the same IEEE op sequence; this pins the Spark half against a plain
+    // Scala loop with the same ops — any re-association inside the
+    // aggregate() lambda (a codegen change, a constant-fold) breaks ==
+    // on raw doubles, not an epsilon
+    import spark.implicits._
+    forAll(Gen.listOfN(40, Gen.chooseNum(1L, 1000000L)), n = 6) { xsL =>
+      val xs = xsL.map(_.toDouble)
+      val got = Seq(xs).toDF("xs")
+        .withColumn("st", expr(
+          """aggregate(slice(xs, 2, size(xs) - 1),
+            |  named_struct('l', xs[0], 'b', 0D),
+            |  (a, x) -> named_struct(
+            |    'l', 0.3 * x + 0.7 * (a.l + a.b),
+            |    'b', 0.1 * ((0.3 * x + 0.7 * (a.l + a.b)) - a.l) + 0.9 * a.b))"""
+            .stripMargin))
+        .select("st.l", "st.b").head()
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val lp = 0.3 * x + 0.7 * (l + b)
+        b = 0.1 * ((0.3 * x + 0.7 * (l + b)) - l) + 0.9 * b
+        l = lp
+      }
+      assert(got.getDouble(0) == l && got.getDouble(1) == b,
+        s"spark=(${got.getDouble(0)}, ${got.getDouble(1)}) scala=($l, $b)")
+    }
+  }
 }
