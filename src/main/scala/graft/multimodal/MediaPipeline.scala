@@ -41,6 +41,19 @@ case class MediaFeatures(
     sample2: Int,
     sample3: Int)
 
+/** Per-document windowed audio energy (audioEnergy output row): frame
+  * energies are exact integers (Σ of centered-sample squares), peak RMS
+  * is one IEEE sqrt of an exact integer — correctly rounded per IEEE-754,
+  * so both engines emit the identical double.
+  */
+case class AudioEnergy(
+    doc_id: Long,
+    n_frames: Int,
+    peak_frame: Int,
+    peak_energy: Long,
+    total_energy: Long,
+    peak_rms: Double)
+
 /** Multimodal-column plumbing (SURVEY.md §2 LLM extensions).
   *
   * Real pipelines decode image/audio/video with codec libraries inside a
@@ -325,6 +338,56 @@ object MediaPipeline extends QueryModule {
     * the scan entirely (the whole point of typed metadata next to an
     * opaque payload: answer it without touching a byte of media).
     */
+  /** Windowed audio energy over the WAV payloads — the frame-level audio
+    * feature (VAD/loudness-style) that [[extractFeatures]]' per-doc
+    * aggregates can't express: real WAV decode (javax.sound, the same
+    * path as extractFeatures), samples centered at the 8-bit midpoint and
+    * framed into 4×64-sample windows, energy per frame as an EXACT
+    * integer Σ(s−128)², peak frame by integer argmax (first index on
+    * ties), peak RMS as one IEEE-correctly-rounded sqrt. The oracle
+    * replays the lossless codec's staging formula
+    * (sample k = (doc_id·17 + 5k) % 256) in SQL. Scale shape: per-row
+    * mapPartitions decode (embarrassingly parallel), no shuffle except
+    * the declared output sort.
+    */
+  def audioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val FrameLen = 64
+    mediaTable(s, dir)
+      .filter(col("media_type") === "audio")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val xs = decodedSamples(rec.payload)
+          val energies = xs.grouped(FrameLen).map { fr =>
+            fr.foldLeft(0L) { (a, v) => val c = v - 128L; a + c * c }
+          }.toArray
+          val peak = energies.indices.maxBy(i => (energies(i), -i))
+          AudioEnergy(rec.doc_id, energies.length, peak, energies(peak),
+            energies.sum, math.sqrt(energies(peak).toDouble / FrameLen))
+        }
+      }
+      .toDF()
+      .withColumn("peak_rms", round(col("peak_rms"), 4))
+      .orderBy("doc_id")
+  }
+
+  private val audioEnergySql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 4), f -> CAST(list_sum(list_transform(
+      |      range(0, 64),
+      |      j -> ((doc_id * 17 + (f * 64 + j) * 5) % 256 - 128)
+      |         * ((doc_id * 17 + (f * 64 + j) * 5) % 256 - 128))) AS BIGINT))
+      |      AS energies
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT doc_id, CAST(4 AS INT) AS n_frames,
+      |  CAST(list_position(energies, list_max(energies)) - 1 AS INT) AS peak_frame,
+      |  list_max(energies) AS peak_energy,
+      |  CAST(list_sum(energies) AS BIGINT) AS total_energy,
+      |  round(sqrt(CAST(list_max(energies) AS DOUBLE) / 64), 4) AS peak_rms
+      |FROM a ORDER BY doc_id""".stripMargin
+
   def mediaStats(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir)
       .groupBy("media_type", "source")
@@ -538,6 +601,7 @@ object MediaPipeline extends QueryModule {
       |FROM pref GROUP BY 1 ORDER BY 1""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("multimodal_audio_energy", audioEnergy, Some(audioEnergySql)),
     QueryDef("multimodal_shard_plan", shardPlan, Some(shardPlanSql)),
     QueryDef("multimodal_features", extractFeatures, Some(extractFeaturesSql)),
     QueryDef("multimodal_media_stats", mediaStats, Some(mediaStatsSql)),
