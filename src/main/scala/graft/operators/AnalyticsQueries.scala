@@ -2931,7 +2931,94 @@ object AnalyticsQueries extends QueryModule {
       |       ELSE 'flat' END AS direction
       |FROM t""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TOST equivalence test on the A/B arms — the inverse question of the
+  // significance machinery (CUPED/SRM/MDE family): can we conclude the
+  // variants are EQUIVALENT within ±2%? Two one-sided z-tests against
+  // the margin δ = 2% of the pooled mean: z_lower = (Δ+δ)/se,
+  // z_upper = (δ−Δ)/se, equivalent iff min > z_0.95. Arms and moments
+  // come from the same floor-to-dollar exact integer sums as the MDE
+  // query (overflow-checked at sf0.1); the z chain is identical literal
+  // double arithmetic on both engines. One custkey agg, one-row output.
+  // ------------------------------------------------------------------
+  def tostEquivalence(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100")).as("x"))
+      .withColumn("v", col("o_custkey") % 2)
+    per.groupBy()
+      .agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 0, col("x")).otherwise(0L)).as("s0"),
+        sum(when(col("v") === 1, col("x")).otherwise(0L)).as("s1"),
+        sum(when(col("v") === 0, col("x") * col("x")).otherwise(0L)).as("ss0"),
+        sum(when(col("v") === 1, col("x") * col("x")).otherwise(0L)).as("ss1"))
+      .withColumn("m0", col("s0").cast("double") / col("n0").cast("double"))
+      .withColumn("m1", col("s1").cast("double") / col("n1").cast("double"))
+      .withColumn("var0", (col("n0").cast("double") * col("ss0").cast("double")
+        - col("s0").cast("double") * col("s0").cast("double"))
+        / (col("n0").cast("double") * (col("n0") - 1).cast("double")))
+      .withColumn("var1", (col("n1").cast("double") * col("ss1").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double"))
+        / (col("n1").cast("double") * (col("n1") - 1).cast("double")))
+      .withColumn("se", sqrt(col("var0") / col("n0").cast("double")
+        + col("var1") / col("n1").cast("double")))
+      .withColumn("delta", col("m1") - col("m0"))
+      .withColumn("margin", lit(0.02) * (col("s0") + col("s1")).cast("double")
+        / (col("n0") + col("n1")).cast("double"))
+      .select(col("n0").as("n_variant0"), col("n1").as("n_variant1"),
+        round(col("m0"), 4).as("mean0"), round(col("m1"), 4).as("mean1"),
+        round(col("delta"), 4).as("diff"),
+        round((col("delta") + col("margin")) / col("se"), 4).as("z_lower"),
+        round((col("margin") - col("delta")) / col("se"), 4).as("z_upper"),
+        ((col("delta") + col("margin")) / col("se") > lit(1.6448536269514722) &&
+          (col("margin") - col("delta")) / col("se") > lit(1.6448536269514722))
+          .as("equivalent_2pct"))
+  }
+
+  private val tostEquivalenceSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT) AS x,
+      |    o_custkey % 2 AS v
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1),
+      |m AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n0,
+      |    CAST(count(*) FILTER (WHERE v = 1) AS BIGINT) AS n1,
+      |    CAST(sum(x) FILTER (WHERE v = 0) AS BIGINT) AS s0,
+      |    CAST(sum(x) FILTER (WHERE v = 1) AS BIGINT) AS s1,
+      |    CAST(sum(x * x) FILTER (WHERE v = 0) AS BIGINT) AS ss0,
+      |    CAST(sum(x * x) FILTER (WHERE v = 1) AS BIGINT) AS ss1
+      |  FROM per),
+      |t AS (
+      |  SELECT n0, n1,
+      |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |    sqrt(((CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+      |        - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+      |        / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))) / CAST(n0 AS DOUBLE)
+      |      + ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |        / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))) / CAST(n1 AS DOUBLE))
+      |      AS se,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS delta,
+      |    0.02 * (CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) AS margin
+      |  FROM m)
+      |SELECT n0 AS n_variant0, n1 AS n_variant1,
+      |  round(m0, 4) AS mean0, round(m1, 4) AS mean1,
+      |  round(delta, 4) AS diff,
+      |  round((delta + margin) / se, 4) AS z_lower,
+      |  round((margin - delta) / se, 4) AS z_upper,
+      |  (delta + margin) / se > 1.6448536269514722
+      |    AND (margin - delta) / se > 1.6448536269514722 AS equivalent_2pct
+      |FROM t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_tost_equivalence", tostEquivalence, Some(tostEquivalenceSql)),
     QueryDef("win_holt_linear", holtLinear, Some(holtLinearSql)),
     QueryDef("agg_cochran_armitage", cochranArmitage, Some(cochranArmitageSql)),
     QueryDef("agg_power_mde", powerMde, Some(powerMdeSql)),

@@ -1159,7 +1159,100 @@ object DedupQueries extends QueryModule {
        |  CAST(sum(CASE WHEN exact_dup = 0 AND near_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM flagged GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Content-defined chunking (gear/rolling-hash CDC — the dedup
+  // technique rsync/LBFS/restic-class systems and byte-level corpus
+  // dedup use): chunk boundaries fall where the rolling hash of the
+  // trailing 8 characters hits 0 mod 64, so an insertion early in a
+  // document only reshapes the chunks AROUND the edit — fixed-width
+  // blocks would shift every subsequent block and defeat dedup. The
+  // hash is the repo's established polynomial (Σ c·31^k mod 1000003,
+  // exact integer on both engines), chunk identity is md5 of the chunk
+  // text, and cross-document sharing is one chunk-hash-keyed
+  // aggregation. Per-position cost is O(8); everything else is
+  // embarrassingly parallel per document + one keyed shuffle.
+  // ------------------------------------------------------------------
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 8)
+      .withColumn("n", length(col("text")))
+      // boundary positions: i in [8, n) where hash(text[i-7..i]) % 64 == 0
+      // (the final position n never opens an empty tail chunk). Spark's
+      // sequence(8, n-1) DESCENDS when n = 8, so the empty case is gated
+      // explicitly (DuckDB's range is ascending-only and empty there).
+      .withColumn("bounds", expr(
+        """filter(transform(
+          |  if(n > 8, sequence(8, n - 1), array_remove(array(0), 0)),
+          |  i -> named_struct('i', i, 'h',
+          |    aggregate(sequence(i - 7, i), 0L,
+          |      (a, j) -> (a * 31 + ascii(substr(text, j, 1))) % 1000003))),
+          |  e -> e.h % 64 = 0)""".stripMargin))
+      .withColumn("starts", expr(
+        "concat(array(1), transform(bounds, e -> e.i + 1))"))
+      .withColumn("ends", expr(
+        "concat(transform(bounds, e -> e.i), array(n))"))
+      .withColumn("chunks", expr(
+        """transform(arrays_zip(starts, ends),
+          |  p -> named_struct('len', CAST(p.ends - p.starts + 1 AS BIGINT),
+          |    'h', md5(substr(text, p.starts, p.ends - p.starts + 1))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("chunks"))
+      .localCheckpoint()
+    val exploded = docs.select(col("doc_id"),
+      explode(col("chunks")).as("c")).select(col("doc_id"), col("c.len"), col("c.h"))
+    val docFreq = exploded.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    exploded.join(docFreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct_chunks"),
+        countDistinct(when(col("df") > 1, col("h"))).as("n_shared_chunks"),
+        max("len").as("max_chunk_len"))
+      .orderBy("doc_id")
+  }
+
+  private val cdcChunksSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE length(text) >= 8),
+      |b AS (
+      |  SELECT doc_id, text, n,
+      |    list_filter(list_transform(range(8, n),
+      |      i -> {'i': i, 'h': list_reduce(
+      |        list_concat([CAST(0 AS BIGINT)],
+      |          list_transform(range(i - 7, i + 1),
+      |            j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+      |        (a, c) -> (a * 31 + c) % 1000003)}),
+      |      e -> e.h % 64 = 0) AS bounds
+      |  FROM d),
+      |ch AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(bounds) + 2),
+      |    k -> {'len': CAST(
+      |        (CASE WHEN k <= len(bounds) THEN bounds[CAST(k AS INT)]['i'] ELSE n END)
+      |        - (CASE WHEN k = 1 THEN 1 ELSE bounds[CAST(k - 1 AS INT)]['i'] + 1 END)
+      |        + 1 AS BIGINT),
+      |      'h': md5(substr(text,
+      |        CAST(CASE WHEN k = 1 THEN 1
+      |          ELSE bounds[CAST(k - 1 AS INT)]['i'] + 1 END AS INT),
+      |        CAST((CASE WHEN k <= len(bounds) THEN bounds[CAST(k AS INT)]['i'] ELSE n END)
+      |          - (CASE WHEN k = 1 THEN 1
+      |             ELSE bounds[CAST(k - 1 AS INT)]['i'] + 1 END) + 1 AS INT)))}))
+      |    AS c
+      |  FROM b),
+      |e AS (SELECT doc_id, c['len'] AS len, c['h'] AS h FROM ch),
+      |df AS (
+      |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM (
+      |    SELECT DISTINCT h, doc_id FROM e) GROUP BY 1)
+      |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(DISTINCT e.h) AS BIGINT) AS n_distinct_chunks,
+      |  CAST(count(DISTINCT CASE WHEN df > 1 THEN e.h END) AS BIGINT)
+      |    AS n_shared_chunks,
+      |  CAST(max(len) AS BIGINT) AS max_chunk_len
+      |FROM e JOIN df ON e.h = df.h
+      |GROUP BY 1 ORDER BY e.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),
     QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),

@@ -909,7 +909,79 @@ object GraphQueries extends QueryModule {
        |FROM p1 JOIN p2 USING (u) JOIN p3 USING (u)
        |ORDER BY 100 * w1 + 10 * w2 + w3 DESC, node LIMIT 20""".stripMargin
 
+  /** Harmonic centrality (3-hop truncation) for the top-10 hub nodes:
+    * H(u) = Σ_v 1/d(u,v) = n₁ + n₂/2 + n₃/3 over the BFS hop censuses —
+    * the centrality that, unlike closeness, stays well-defined on
+    * disconnected graphs. The hop counts are DISTINCT-node sets per seed
+    * (walk counts ≠ reachability — this is the set-semantics complement
+    * of [[katzCentrality]]), and 6·H = 6n₁ + 3n₂ + 2n₃ is an EXACT
+    * integer, so the ranking never touches a double. Scale shape: three
+    * rounds of (seed, node)-keyed semi/anti joins over the edge table,
+    * with the seed set fixed at 10 — each round's frame is bounded by
+    * 10 × reachable-set, never all-pairs.
+    */
+  def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("u").asc).limit(10)
+      .select(col("u").as("seed"))
+    val f1 = und.join(broadcast(seeds), col("u") === col("seed"))
+      .select(col("seed"), col("v").as("node")).distinct()
+      .filter(col("node") =!= col("seed"))
+    val v1 = f1.union(seeds.select(col("seed"), col("seed").as("node")))
+    def nextHop(frontier: DataFrame, visited: DataFrame): DataFrame =
+      und.join(frontier.select(col("seed"), col("node").as("u")), Seq("u"))
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+    val f2 = nextHop(f1, v1).localCheckpoint()
+    val f3 = nextHop(f2, v1.union(f2)).localCheckpoint()
+    def census(f: DataFrame, c: String) =
+      f.groupBy("seed").agg(count(lit(1)).as(c))
+    census(f1, "n_hop1")
+      .join(census(f2, "n_hop2"), Seq("seed"), "left")
+      .join(census(f3, "n_hop3"), Seq("seed"), "left")
+      .na.fill(0L, Seq("n_hop2", "n_hop3"))
+      .withColumn("h6", lit(6L) * col("n_hop1") + lit(3L) * col("n_hop2")
+        + lit(2L) * col("n_hop3"))
+      .select(col("seed"), col("n_hop1"), col("n_hop2"), col("n_hop3"),
+        round(col("h6").cast("double") / 6.0, 4).as("harmonic"))
+      .orderBy(col("h6").desc, col("seed"))
+  }
+
+  private val harmonicCentralitySql =
+    s"""WITH $edgesCte,
+       |sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+       |seeds AS (
+       |  SELECT n AS seed FROM deg ORDER BY d DESC, n ASC LIMIT 10),
+       |f1 AS (
+       |  SELECT DISTINCT s.seed, e.v AS node
+       |  FROM seeds s JOIN sym e ON e.u = s.seed
+       |  WHERE e.v <> s.seed),
+       |v1 AS (SELECT seed, node FROM f1 UNION SELECT seed, seed AS node FROM seeds),
+       |f2 AS (
+       |  SELECT DISTINCT f.seed, e.v AS node
+       |  FROM f1 f JOIN sym e ON e.u = f.node
+       |  WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.seed = f.seed AND v1.node = e.v)),
+       |v2 AS (SELECT seed, node FROM v1 UNION SELECT seed, node FROM f2),
+       |f3 AS (
+       |  SELECT DISTINCT f.seed, e.v AS node
+       |  FROM f2 f JOIN sym e ON e.u = f.node
+       |  WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.seed = f.seed AND v2.node = e.v)),
+       |census AS (
+       |  SELECT s.seed,
+       |    CAST((SELECT count(*) FROM f1 WHERE f1.seed = s.seed) AS BIGINT) AS n_hop1,
+       |    CAST((SELECT count(*) FROM f2 WHERE f2.seed = s.seed) AS BIGINT) AS n_hop2,
+       |    CAST((SELECT count(*) FROM f3 WHERE f3.seed = s.seed) AS BIGINT) AS n_hop3
+       |  FROM seeds s)
+       |SELECT seed, n_hop1, n_hop2, n_hop3,
+       |  round(CAST(6 * n_hop1 + 3 * n_hop2 + 2 * n_hop3 AS DOUBLE) / 6.0, 4)
+       |    AS harmonic
+       |FROM census
+       |ORDER BY 6 * n_hop1 + 3 * n_hop2 + 2 * n_hop3 DESC, seed""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_harmonic_centrality", harmonicCentrality, Some(harmonicCentralitySql)),
     QueryDef("graph_katz_centrality", katzCentrality, Some(katzCentralitySql)),
     QueryDef("graph_conductance", conductance, Some(conductanceSql)),
     QueryDef("graph_modularity", modularity, Some(modularitySql)),
