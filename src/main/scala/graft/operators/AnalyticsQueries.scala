@@ -3017,7 +3017,153 @@ object AnalyticsQueries extends QueryModule {
       |    AND (margin - delta) / se > 1.6448536269514722 AS equivalent_2pct
       |FROM t""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Wald SPRT over accumulating daily evidence — the SEQUENTIAL member
+  // of the experimentation family (fixed-horizon tests peek-cheat; SPRT
+  // is the always-valid decision rule): is the urgent-order rate ≥ 21%
+  // (H₁) or ≤ 19% (H₀)? The log-likelihood ratio is LLR_t = c₁·X_t +
+  // c₀·(N_t − X_t) with c₁ = ln(p₁/p₀), c₀ = ln((1−p₁)/(1−p₀)) as
+  // SHARED double literals and X/N exact cumulative integers, so both
+  // engines build the identical double per day; decision = first day
+  // LLR crosses ±ln(19) (α = β = 0.05). Per-year restart. Scale shape:
+  // one daily aggregate, two running-sum windows, a per-year argmin.
+  // ------------------------------------------------------------------
+  def abSprt(s: SparkSession, dir: String): DataFrame = {
+    val C1 = "0.10008345855698243"  // ln(0.21/0.19), shared literal
+    val C0 = "-0.02500130220541727" // ln(0.79/0.81), shared literal
+    val LnA = "2.9444389791664403"  // ln(19)
+    val daily = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_orderpriority") === "1-URGENT").cast("long")).as("x"))
+    val w = Window.partitionBy("yr").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr = daily
+      .withColumn("xc", sum("x").over(w))
+      .withColumn("nc", sum("n").over(w))
+      .withColumn("llr", expr(
+        s"$C1 * CAST(xc AS DOUBLE) + ($C0) * CAST(nc - xc AS DOUBLE)"))
+    llr.groupBy("yr")
+      .agg(count(lit(1)).as("n_days"),
+        min(when(expr(s"llr >= $LnA"), col("day"))).as("d1"),
+        min(when(expr(s"llr <= -($LnA)"), col("day"))).as("d0"),
+        round(max_by(col("llr"), col("day")), 4).as("final_llr"))
+      .select(col("yr"), col("n_days"),
+        when(col("d1").isNotNull && (col("d0").isNull || col("d1") < col("d0")),
+          "accept_h1")
+          .when(col("d0").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"),
+        date_format(least(col("d1"), col("d0")), "yyyy-MM-dd").as("decision_day"),
+        col("final_llr"))
+      .orderBy("yr")
+  }
+
+  private val abSprtSql =
+    """WITH daily AS (
+      |  SELECT year(CAST(o_orderdate AS DATE)) AS yr, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |c AS (
+      |  SELECT yr, day,
+      |    sum(x) OVER w AS xc, sum(n) OVER w AS nc
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY yr ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |l AS (
+      |  SELECT yr, day,
+      |    0.10008345855698243 * CAST(xc AS DOUBLE)
+      |      + (-0.02500130220541727) * CAST(nc - xc AS DOUBLE) AS llr
+      |  FROM c),
+      |agg AS (
+      |  SELECT yr, CAST(count(*) AS BIGINT) AS n_days,
+      |    min(CASE WHEN llr >= 2.9444389791664403 THEN day END) AS d1,
+      |    min(CASE WHEN llr <= -(2.9444389791664403) THEN day END) AS d0,
+      |    round(arg_max(llr, day), 4) AS final_llr
+      |  FROM l GROUP BY 1)
+      |SELECT CAST(yr AS BIGINT) AS yr, n_days,
+      |  CASE WHEN d1 IS NOT NULL AND (d0 IS NULL OR d1 < d0) THEN 'accept_h1'
+      |       WHEN d0 IS NOT NULL THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision,
+      |  strftime(least(d1, d0), '%Y-%m-%d') AS decision_day,
+      |  final_llr
+      |FROM agg ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Brown–Forsythe (median-centered Levene) test for variance
+  // homogeneity of line quantities across return flags — the
+  // PRECONDITION check the ANOVA/t-test family silently assumes. The
+  // absolute deviations are EXACT integers: quantities are integers and
+  // each group median is dyadic (k or k.5), so z = |2q − 2·med| is an
+  // exact small int and every SS is an exact bigint at ANY corpus size
+  // (z ≤ 100); F = (SSB/(k−1))/(SSW/(N−k)) is the only double. One
+  // agg for medians (broadcast back), one conditional-sum pass, a
+  // k-row frame for the final F.
+  // ------------------------------------------------------------------
+  def leveneTest(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+    val med = li.groupBy("g")
+      .agg(expr("CAST(round(percentile(q, 0.5) * 2) AS BIGINT)").as("med2"))
+    val z = li.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(lit(2L) * col("q") - col("med2")).as("z"))
+    val per = z.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("z").as("sz"), sum(col("z") * col("z")).as("szz"))
+    per.agg(count(lit(1)).as("k"), sum("n").as("nt"), sum("sz").as("szt"),
+        sum("szz").as("szzt"),
+        // Σ n_g·(z̄_g − z̄)² · nt·Πn? — keep it in the standard double
+        // form from exact sums: SSB = Σ s_g²/n_g − S²/N (each term one
+        // division of exact ints, summed over k=3 ordered by group via
+        // in-array fold)
+        expr("aggregate(sort_array(collect_list(named_struct('g', g, " +
+          "'v', CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)))), " +
+          "0D, (a, e) -> a + e.v)").as("sumsq_over_n"))
+      .withColumn("ssb", col("sumsq_over_n")
+        - col("szt").cast("double") * col("szt").cast("double")
+          / col("nt").cast("double"))
+      .withColumn("ssw", col("szzt").cast("double") - col("sumsq_over_n"))
+      .withColumn("f_stat", (col("ssb") / (col("k") - 1).cast("double"))
+        / (col("ssw") / (col("nt") - col("k")).cast("double")))
+      .select(col("k").as("n_groups"), col("nt").as("n_rows"),
+        round(col("f_stat"), 4).as("f_stat"),
+        (col("f_stat") > lit(3.0)).as("heteroscedastic_f3"))
+  }
+
+  private val leveneTestSql =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+      |med AS (
+      |  SELECT g, CAST(round(quantile_cont(q, 0.5) * 2) AS BIGINT) AS med2
+      |  FROM li GROUP BY 1),
+      |z AS (
+      |  SELECT li.g, abs(2 * q - med2) AS z FROM li JOIN med ON li.g = med.g),
+      |per AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS sz,
+      |    CAST(sum(z * z) AS BIGINT) AS szz
+      |  FROM z GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+      |    CAST(sum(sz) AS BIGINT) AS szt, CAST(sum(szz) AS BIGINT) AS szzt,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)
+      |        ORDER BY g)), (a, v) -> a + v) AS sumsq_over_n
+      |  FROM per),
+      |f AS (
+      |  SELECT k, nt,
+      |    (sumsq_over_n - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE)
+      |      / CAST(nt AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+      |    / ((CAST(szzt AS DOUBLE) - sumsq_over_n) / CAST(nt - k AS DOUBLE))
+      |      AS f_stat
+      |  FROM tot)
+      |SELECT k AS n_groups, nt AS n_rows, round(f_stat, 4) AS f_stat,
+      |  f_stat > 3.0 AS heteroscedastic_f3
+      |FROM f""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_ab_sprt", abSprt, Some(abSprtSql)),
+    QueryDef("agg_levene_test", leveneTest, Some(leveneTestSql)),
     QueryDef("agg_tost_equivalence", tostEquivalence, Some(tostEquivalenceSql)),
     QueryDef("win_holt_linear", holtLinear, Some(holtLinearSql)),
     QueryDef("agg_cochran_armitage", cochranArmitage, Some(cochranArmitageSql)),
