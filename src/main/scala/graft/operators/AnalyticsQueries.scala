@@ -3161,7 +3161,492 @@ object AnalyticsQueries extends QueryModule {
       |  f_stat > 3.0 AS heteroscedastic_f3
       |FROM f""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Kruskal–Wallis H test: do line quantities differ in LOCATION across
+  // the twelve ship months? (The rank-based one-way ANOVA — the
+  // distribution-free complement of agg_anova_f, robust to the heavy
+  // tails revenue-like columns carry.) Ranks are VALUE-COLLAPSED: the
+  // only corpus-sized work is one (month, quantity) count aggregation;
+  // the rank arithmetic walks the ≤ 50·12 collapsed frame, so the global
+  // "ranking" costs O(|quantity domain|) at ANY corpus size — the
+  // weighted-median discipline applied to rank statistics. Doubled
+  // average ranks (2·cum_below + t_v + 1) keep tie handling exact
+  // integer; rank sums and the tie census run in DECIMAL(38,0) (t³
+  // overflows BIGINT once one value holds ~2M rows); the Σ R_g²/4n_g
+  // reduction is an ORDERED in-array fold over the 12 groups on both
+  // engines, so no unordered double sum decides H.
+  // ------------------------------------------------------------------
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val gv = Tables.lineitem(s, dir)
+      .groupBy(month(col("l_shipdate")).cast("long").as("g"),
+        expr("CAST(l_quantity AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val perv = gv.groupBy("v").agg(sum("c").as("tv"))
+      .withColumn("below", coalesce(sum("tv").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dr", lit(2L) * col("below") + col("tv") + lit(1L))
+    val rsum = gv.join(perv.select("v", "dr"), Seq("v"))
+      .groupBy("g")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(dr AS DECIMAL(38,0))")).as("r2"),
+        sum("c").as("n"))
+    val ties = perv.agg(sum(expr(
+      "CAST(tv AS DECIMAL(38,0)) * CAST(tv AS DECIMAL(38,0)) * CAST(tv AS DECIMAL(38,0))" +
+        " - CAST(tv AS DECIMAL(38,0))")).as("tcorr"))
+    rsum.agg(count(lit(1)).as("k"), sum("n").as("nt"),
+        expr("aggregate(sort_array(collect_list(named_struct('g', g, 'v', " +
+          "CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE))))), " +
+          "0D, (a, e) -> a + e.v)").as("srr"))
+      .crossJoin(broadcast(ties))
+      .withColumn("hu", lit(12.0)
+        / (col("nt").cast("double") * (col("nt") + lit(1L)).cast("double"))
+        * col("srr") - lit(3.0) * (col("nt") + lit(1L)).cast("double"))
+      .withColumn("cc", lit(1.0) - col("tcorr").cast("double")
+        / (col("nt").cast("double") * col("nt").cast("double")
+          * col("nt").cast("double") - col("nt").cast("double")))
+      .select(col("k").as("n_groups"), col("nt").as("n_rows"),
+        round(col("hu") / col("cc"), 4).as("h_stat"),
+        (col("hu") / col("cc") > lit(12.592)).as("location_shift_p05"))
+  }
+
+  private val kruskalWallisSql =
+    """WITH gv AS (
+      |  SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS g,
+      |    CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |perv AS (SELECT v, CAST(sum(c) AS BIGINT) AS tv FROM gv GROUP BY 1),
+      |ranked AS (
+      |  SELECT v, tv, 2 * COALESCE(sum(tv) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tv + 1 AS dr
+      |  FROM perv),
+      |rsum AS (
+      |  SELECT g, sum(CAST(c AS HUGEINT) * CAST(dr AS HUGEINT)) AS r2,
+      |    CAST(sum(c) AS BIGINT) AS n
+      |  FROM gv JOIN ranked USING (v) GROUP BY 1),
+      |ties AS (
+      |  SELECT sum(CAST(tv AS HUGEINT) * CAST(tv AS HUGEINT) * CAST(tv AS HUGEINT)
+      |    - CAST(tv AS HUGEINT)) AS tcorr FROM perv),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE))
+      |        ORDER BY g)), (a, x) -> a + x) AS srr
+      |  FROM rsum),
+      |h AS (
+      |  SELECT k, nt,
+      |    12.0 / (CAST(nt AS DOUBLE) * CAST(nt + 1 AS DOUBLE)) * srr
+      |      - 3.0 * CAST(nt + 1 AS DOUBLE) AS hu,
+      |    1.0 - CAST(tcorr AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+      |      * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)) AS cc
+      |  FROM tot, ties)
+      |SELECT k AS n_groups, nt AS n_rows, round(hu / cc, 4) AS h_stat,
+      |  hu / cc > 12.592 AS location_shift_p05
+      |FROM h""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cliff's delta: the ORDINAL effect size between returned ('R') and
+  // accepted ('A') line quantities — δ = (#(r>a) − #(r<a)) / (n_r·n_a),
+  // the robust companion number a rank test should always ship with
+  // (agg_kruskal_wallis says WHETHER groups differ; δ says HOW MUCH,
+  // on a -1..1 scale insensitive to any monotone transform). The pair
+  // counts are EXACT without any pair expansion: value-collapse both
+  // groups over the ≤50-value quantity domain, then #(r>a) =
+  // Σ_v cnt_r(v)·cum_a(<v) from one cumulative window over the
+  // collapsed frame. Sums and the magnitude thresholds (0.147 / 0.33 /
+  // 0.474, Romano's conventions) run in DECIMAL(38,0) cross-products —
+  // 1000·|gt−lt| vs thresh·n_r·n_a — so the label never touches a
+  // double.
+  // ------------------------------------------------------------------
+  def cliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val gv = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .groupBy(col("l_returnflag").as("g"), expr("CAST(l_quantity AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val frame = gv.groupBy("v")
+      .agg(sum(when(col("g") === "R", col("c")).otherwise(0L)).as("cr"),
+        sum(when(col("g") === "A", col("c")).otherwise(0L)).as("ca"))
+    val w = Window.orderBy("v")
+    val cum = frame
+      .withColumn("ca_below", coalesce(sum("ca").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ca_tot", sum("ca").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("ca_above", col("ca_tot") - col("ca_below") - col("ca"))
+    cum.agg(sum("cr").as("n_r"), max("ca_tot").as("n_a"),
+        sum(expr("CAST(cr AS DECIMAL(38,0)) * CAST(ca_below AS DECIMAL(38,0))")).as("gt"),
+        sum(expr("CAST(cr AS DECIMAL(38,0)) * CAST(ca_above AS DECIMAL(38,0))")).as("lt"))
+      .withColumn("nn", expr("CAST(n_r AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))"))
+      .withColumn("ad", expr("abs(CAST(gt - lt AS DECIMAL(38,0)))"))
+      .select(col("n_r"), col("n_a"),
+        col("gt").cast("long").as("pairs_gt"), col("lt").cast("long").as("pairs_lt"),
+        round((col("gt") - col("lt")).cast("double") / col("nn").cast("double"), 4)
+          .as("cliffs_delta"),
+        when(expr("1000 * ad < 147 * nn"), "negligible")
+          .when(expr("1000 * ad < 330 * nn"), "small")
+          .when(expr("1000 * ad < 474 * nn"), "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  private val cliffsDeltaSql =
+    """WITH gv AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1, 2),
+      |frame AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN g = 'R' THEN c ELSE 0 END) AS BIGINT) AS cr,
+      |    CAST(sum(CASE WHEN g = 'A' THEN c ELSE 0 END) AS BIGINT) AS ca
+      |  FROM gv GROUP BY 1),
+      |cum AS (
+      |  SELECT v, cr, ca,
+      |    COALESCE(sum(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ca_below,
+      |    sum(ca) OVER () AS ca_tot
+      |  FROM frame),
+      |agg AS (
+      |  SELECT CAST(sum(cr) AS BIGINT) AS n_r, CAST(max(ca_tot) AS BIGINT) AS n_a,
+      |    sum(CAST(cr AS HUGEINT) * CAST(ca_below AS HUGEINT)) AS gt,
+      |    sum(CAST(cr AS HUGEINT) * CAST(ca_tot - ca_below - ca AS HUGEINT)) AS lt
+      |  FROM cum)
+      |SELECT n_r, n_a, CAST(gt AS BIGINT) AS pairs_gt, CAST(lt AS BIGINT) AS pairs_lt,
+      |  round(CAST(gt - lt AS DOUBLE)
+      |    / CAST(CAST(n_r AS HUGEINT) * CAST(n_a AS HUGEINT) AS DOUBLE), 4)
+      |    AS cliffs_delta,
+      |  CASE
+      |    WHEN 1000 * abs(gt - lt) < 147 * CAST(n_r AS HUGEINT) * CAST(n_a AS HUGEINT)
+      |      THEN 'negligible'
+      |    WHEN 1000 * abs(gt - lt) < 330 * CAST(n_r AS HUGEINT) * CAST(n_a AS HUGEINT)
+      |      THEN 'small'
+      |    WHEN 1000 * abs(gt - lt) < 474 * CAST(n_r AS HUGEINT) * CAST(n_a AS HUGEINT)
+      |      THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Ljung–Box portmanteau test on daily revenue: is the series white
+  // noise, or does autocorrelation persist across lags 1..7? — the
+  // residual-diagnostics gate every forecasting deployment (Holt, SMA,
+  // seasonal decompose above) should run before trusting its model. The
+  // autocovariances are EXACT: cₖ = Σ_{t>k} (n·xₜ − S)(n·xₜ₋ₖ − S) in
+  // DECIMAL(38,0) over the aggregate-first daily frame (n·x products
+  // overflow BIGINT at sf0.1 — authored in the CUPED discipline), with
+  // n and S as unbounded-window columns so the whole query is ONE scan
+  // with no join. Q = n(n+2)·Σ rₖ²/(n−k) is a LITERAL 7-term expression
+  // chain — fixed left-to-right association on both engines, no
+  // unordered double sum.
+  // ------------------------------------------------------------------
+  def ljungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    val w = Window.orderBy("day")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lagged = daily
+      .select(col("day") +: col("x") +: (1 to 7).map(k => lag("x", k).over(w).as(s"x$k")): _*)
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("sx", sum("x").over(full))
+    def dev(c: String) = s"(CAST(n AS DECIMAL(38,0)) * CAST($c AS DECIMAL(38,0))" +
+      s" - CAST(sx AS DECIMAL(38,0)))"
+    val sumCols = max("n").as("n") +: max("sx").as("sx") +:
+      sum(expr(s"${dev("x")} * ${dev("x")}")).as("c0") +:
+      (1 to 7).map(k => sum(expr(s"${dev("x")} * ${dev(s"x$k")}")).as(s"c$k"))
+    val sums = lagged.agg(sumCols.head, sumCols.tail: _*)
+    val rsq = (1 to 7).map(k =>
+      s"(CAST(c$k AS DOUBLE) / CAST(c0 AS DOUBLE)) * (CAST(c$k AS DOUBLE)" +
+        s" / CAST(c0 AS DOUBLE)) / CAST(n - $k AS DOUBLE)").mkString(" + ")
+    sums
+      .withColumn("q", expr(s"CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ($rsq)"))
+      .select(col("n").as("n_days"),
+        round(expr("CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)"), 4).as("r1"),
+        round(col("q"), 4).as("q_stat"),
+        (col("q") > lit(14.067)).as("autocorr_p05"))
+  }
+
+  private val ljungBoxSql = {
+    def dev(c: String) =
+      s"(CAST(n AS HUGEINT) * CAST($c AS HUGEINT) - CAST(sx AS HUGEINT))"
+    val lags = (1 to 7).map(k =>
+      s"lag(x, $k) OVER (ORDER BY day) AS x$k").mkString(", ")
+    val csums = (1 to 7).map(k =>
+      s"sum(${dev("x")} * ${dev(s"x$k")}) AS c$k").mkString(", ")
+    val rsq = (1 to 7).map(k =>
+      s"(CAST(c$k AS DOUBLE) / CAST(c0 AS DOUBLE)) * (CAST(c$k AS DOUBLE)" +
+        s" / CAST(c0 AS DOUBLE)) / CAST(n - $k AS DOUBLE)").mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |lagged AS (
+       |  SELECT x, $lags,
+       |    count(*) OVER () AS n, sum(x) OVER () AS sx
+       |  FROM daily),
+       |sums AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(sx) AS BIGINT) AS sx,
+       |    sum(${dev("x")} * ${dev("x")}) AS c0, $csums
+       |  FROM lagged),
+       |q AS (
+       |  SELECT n, c0, c1,
+       |    CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ($rsq) AS q
+       |  FROM sums)
+       |SELECT n AS n_days, round(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE), 4) AS r1,
+       |  round(q, 4) AS q_stat, q > 14.067 AS autocorr_p05
+       |FROM q""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Kendall's W (coefficient of concordance): do the seven order-years
+  // agree on how the 25 nations rank by revenue? — the multi-judge
+  // generalization of rank correlation (W = 1 perfect agreement, 0
+  // none), the right tool for "is this leaderboard stable over time".
+  // Everything is EXACT integer until the final division: doubled ranks
+  // within each year (2·rank + ties − 1, the Spearman discipline),
+  // per-nation rank sums R2ᵢ ≤ 2mn, the spread S4 = Σ(n·R2ᵢ − T)² on
+  // tiny domain-bounded ints, and the per-judge tie census. The
+  // strong-concordance call (W > 0.7) is an integer cross-product —
+  // 30·S4 vs 7·n²·D. Scale shape: one (year, nation) aggregate is the
+  // only corpus-sized pass; ranking walks the ≤ m·n collapsed frame.
+  // ------------------------------------------------------------------
+  def kendallsW(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("n_name"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      .localCheckpoint()
+    val m = rev.select(countDistinct("yr").as("m"))
+    val dr = rev.withColumn("dr",
+      rank().over(Window.partitionBy("yr").orderBy("rev")) * 2
+        + count(lit(1)).over(Window.partitionBy("yr", "rev")) - 1)
+    val rsum = dr.groupBy("n_name")
+      .agg(sum("dr").as("r2"), count(lit(1)).as("seen"))
+      .crossJoin(broadcast(m)).filter(col("seen") === col("m"))
+    val ties = dr.groupBy("yr", "rev").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    val tot = rsum.agg(count(lit(1)).as("n"), max("m").as("m"),
+      sum("r2").as("tt"), sum(col("r2") * col("r2")).as("sr2"))
+    tot.crossJoin(broadcast(ties))
+      // Σ(n·R2ᵢ − T)² = n²·ΣR2² − n·T² when T = ΣR2ᵢ — compute from the
+      // two exact sums so no per-row second pass is needed
+      .withColumn("s4", col("n") * col("n") * col("sr2") - col("n") * col("tt") * col("tt"))
+      // D = m²(n³−n) − m·Σ(t³−t), in the ORIGINAL (undoubled) rank
+      // scale; S = S4/(4n²) undoes the doubling, so W = 3·S4/(n²·D)
+      .withColumn("dd", col("m") * col("m")
+        * (col("n") * col("n") * col("n") - col("n")) - col("m") * col("tsum"))
+      .select(col("n").as("n_nations"), col("m").as("m_years"),
+        round(lit(3.0) * col("s4").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")
+            * col("dd").cast("double")), 4).as("w"),
+        round(col("m").cast("double") * (col("n") - 1).cast("double")
+          * (lit(3.0) * col("s4").cast("double")
+            / (col("n").cast("double") * col("n").cast("double")
+              * col("dd").cast("double"))), 4).as("chi2"),
+        (lit(30L) * col("s4") > lit(7L) * col("n") * col("n") * col("dd"))
+          .as("strong_concordance"))
+  }
+
+  private val kendallsWSql =
+    """WITH rev AS (
+      |  SELECT year(CAST(o_orderdate AS DATE)) AS yr, n_name,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT CAST(count(DISTINCT yr) AS BIGINT) AS m FROM rev),
+      |dr AS (
+      |  SELECT yr, n_name, rev,
+      |    rank() OVER (PARTITION BY yr ORDER BY rev) * 2
+      |      + count(*) OVER (PARTITION BY yr, rev) - 1 AS dr
+      |  FROM rev),
+      |rsum AS (
+      |  SELECT n_name, CAST(sum(dr) AS BIGINT) AS r2,
+      |    CAST(count(*) AS BIGINT) AS seen
+      |  FROM dr GROUP BY 1),
+      |kept AS (SELECT r2 FROM rsum, m WHERE seen = m),
+      |ties AS (
+      |  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM (
+      |    SELECT CAST(count(*) AS BIGINT) AS t FROM dr GROUP BY yr, rev)),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r2) AS BIGINT) AS tt,
+      |    CAST(sum(r2 * r2) AS BIGINT) AS sr2
+      |  FROM kept),
+      |f AS (
+      |  SELECT n, m, n * n * sr2 - n * tt * tt AS s4,
+      |    m * m * (n * n * n - n) - m * tsum AS dd
+      |  FROM tot, m, ties)
+      |SELECT n AS n_nations, m AS m_years,
+      |  round(3.0 * CAST(s4 AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(dd AS DOUBLE)), 4) AS w,
+      |  round(CAST(m AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+      |    * (3.0 * CAST(s4 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(dd AS DOUBLE))), 4) AS chi2,
+      |  30 * s4 > 7 * n * n * dd AS strong_concordance
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cronbach's alpha: internal-consistency reliability of a customer's
+  // four 1995 quarterly spends treated as a 4-item scale — DO the four
+  // quarters measure one stable "spend propensity" trait, or four
+  // unrelated things? (The metric-design gate before anyone aggregates
+  // per-customer quarterly features into a single score.) α =
+  // k/(k−1)·(1 − Σσᵢ²/σ_total²) from exact moment sums: spends floored
+  // to whole dollars, Σx and Σx² in DECIMAL(38,0) (the CUPED overflow
+  // discipline — squares of customer-quarter dollars overflow BIGINT
+  // near 100× scale), every variance a product of double-cast exact
+  // factors, and the 4-term Σσᵢ² a literal fixed-order chain. One
+  // customer-keyed conditional-sum aggregate, then a single-row reduce.
+  // ------------------------------------------------------------------
+  def cronbachAlpha(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (1 to 4).map(i =>
+      sum(when(quarter(col("o_orderdate")) === i,
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100")).otherwise(0L)).as(s"q$i"))
+    val items = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy("o_custkey")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("t", col("q1") + col("q2") + col("q3") + col("q4"))
+    def mom(c: String) = Seq(
+      sum(col(c)).as(s"s_$c"),
+      sum(expr(s"CAST($c AS DECIMAL(38,0)) * CAST($c AS DECIMAL(38,0))")).as(s"ss_$c"))
+    val sums = items.agg(count(lit(1)).as("n"),
+      (mom("q1") ++ mom("q2") ++ mom("q3") ++ mom("q4") ++ mom("t")): _*)
+    def v(c: String) = s"(CAST(n AS DOUBLE) * CAST(ss_$c AS DOUBLE)" +
+      s" - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))"
+    sums
+      .withColumn("alpha", expr(
+        s"4.0 / 3.0 * (1.0 - (${v("q1")} + ${v("q2")} + ${v("q3")} + ${v("q4")}) / ${v("t")})"))
+      .select(col("n").as("n_customers"), round(col("alpha"), 4).as("alpha"),
+        when(col("alpha") >= 0.8, "good").when(col("alpha") >= 0.7, "acceptable")
+          .when(col("alpha") >= 0.5, "poor").otherwise("unacceptable").as("reliability"))
+  }
+
+  private val cronbachAlphaSql = {
+    def v(c: String) = s"(CAST(n AS DOUBLE) * CAST(ss_$c AS DOUBLE)" +
+      s" - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))"
+    val qcols = (1 to 4).map(i =>
+      s"CAST(sum(CASE WHEN quarter(CAST(o_orderdate AS DATE)) = $i THEN " +
+        s"CAST(round(o_totalprice * 100) AS BIGINT) // 100 ELSE 0 END) AS BIGINT) AS q$i")
+      .mkString(", ")
+    val moms = (Seq("q1", "q2", "q3", "q4", "t").map(c =>
+      s"CAST(sum($c) AS BIGINT) AS s_$c, " +
+        s"sum(CAST($c AS HUGEINT) * CAST($c AS HUGEINT)) AS ss_$c")).mkString(", ")
+    s"""WITH items0 AS (
+       |  SELECT o_custkey, $qcols
+       |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+       |items AS (SELECT *, q1 + q2 + q3 + q4 AS t FROM items0),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, $moms FROM items),
+       |f AS (
+       |  SELECT n, 4.0 / 3.0 * (1.0
+       |    - (${v("q1")} + ${v("q2")} + ${v("q3")} + ${v("q4")}) / ${v("t")}) AS alpha
+       |  FROM sums)
+       |SELECT n AS n_customers, round(alpha, 4) AS alpha,
+       |  CASE WHEN alpha >= 0.8 THEN 'good' WHEN alpha >= 0.7 THEN 'acceptable'
+       |    WHEN alpha >= 0.5 THEN 'poor' ELSE 'unacceptable' END AS reliability
+       |FROM f""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Page–Hinkley drift detector on daily revenue — the SEQUENTIAL
+  // change monitor (CUSUM's running-mean cousin: mₜ accumulates
+  // deviations from the mean-SO-FAR, so no training window has to be
+  // chosen). The recursion mₜ = mₜ₋₁ + (xₜ − x̄ₜ − δ) depends on the
+  // running mean and cannot be linearized into window primitives, so it
+  // runs as an ORDERED in-array fold over the aggregate-first daily
+  // frame (≤ a few thousand elements at ANY corpus size — the Holt
+  // discipline), with the identical double op sequence on both engines.
+  // δ and λ are derived from the exact global mean (0.5% and 5× the
+  // mean daily revenue) so the detector is scale-invariant across SFs.
+  // One scan, no joins: the global n and Σx ride unbounded windows.
+  // ------------------------------------------------------------------
+  def pageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("rows"),
+        count(lit(1)).as("n"), sum("x").as("sx"))
+      .withColumn("delta", expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 0.005"))
+      .withColumn("lam", expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 5.0"))
+      .withColumn("st", expr(
+        """aggregate(rows,
+          |  named_struct('i', 0D, 's', 0D, 'm', 0D, 'mn', 0D, 'ph', 0D, 'ai', 0D),
+          |  (a, e) -> named_struct(
+          |    'i', a.i + 1.0,
+          |    's', a.s + CAST(e.x AS DOUBLE),
+          |    'm', a.m + (CAST(e.x AS DOUBLE) - (a.s + CAST(e.x AS DOUBLE)) / (a.i + 1.0) - delta),
+          |    'mn', least(a.mn, a.m + (CAST(e.x AS DOUBLE) - (a.s + CAST(e.x AS DOUBLE)) / (a.i + 1.0) - delta)),
+          |    'ph', greatest(a.ph,
+          |      a.m + (CAST(e.x AS DOUBLE) - (a.s + CAST(e.x AS DOUBLE)) / (a.i + 1.0) - delta)
+          |        - least(a.mn, a.m + (CAST(e.x AS DOUBLE) - (a.s + CAST(e.x AS DOUBLE)) / (a.i + 1.0) - delta))),
+          |    'ai', CASE WHEN a.ai > 0D THEN a.ai
+          |      WHEN a.m + (CAST(e.x AS DOUBLE) - (a.s + CAST(e.x AS DOUBLE)) / (a.i + 1.0) - delta)
+          |          - least(a.mn, a.m + (CAST(e.x AS DOUBLE) - (a.s + CAST(e.x AS DOUBLE)) / (a.i + 1.0) - delta))
+          |          > lam THEN a.i + 1.0
+          |      ELSE 0D END))""".stripMargin))
+      .select(col("n").as("n_days"),
+        round(col("st.ph"), 4).as("ph_stat"),
+        round(col("lam"), 4).as("lambda"),
+        when(col("st.ai") > 0D,
+          date_format(expr("element_at(rows, CAST(st.ai AS INT)).day"), "yyyy-MM-dd"))
+          .otherwise("none").as("alarm_day"))
+  }
+
+  // DuckDB's list_reduce accumulator is a LIST, not a struct: struct
+  // accumulators whose fields reference sibling fields evaluate
+  // IMPURELY in DuckDB 1.x (probed: {'p': a.p+e.p, 'q': a.q+a.p} over
+  // [[1,0],[10,0],[100,0]] yields q=112, neither the pure 12 nor any
+  // consistent update order) — list accumulators fold purely, so the
+  // oracle mirrors the Holt pattern: a[1]=i, a[2]=s, a[3]=m, a[4]=mn,
+  // a[5]=ph, a[6]=alarm_i.
+  private val pageHinkleySql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |arr AS (
+      |  SELECT list(day ORDER BY day) AS days,
+      |    list(CAST(x AS DOUBLE) ORDER BY day) AS xs,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+      |  FROM daily),
+      |params AS (
+      |  SELECT days, xs, n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 0.005 AS delta,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 5.0 AS lam
+      |  FROM arr),
+      |folded AS (
+      |  SELECT days, n, lam, list_reduce(
+      |    list_concat(
+      |      [[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |        CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]],
+      |      list_transform(xs, v -> [v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |        CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+      |    (a, e) -> [
+      |      a[1] + 1.0,
+      |      a[2] + e[1],
+      |      a[3] + (e[1] - (a[2] + e[1]) / (a[1] + 1.0) - delta),
+      |      least(a[4], a[3] + (e[1] - (a[2] + e[1]) / (a[1] + 1.0) - delta)),
+      |      greatest(a[5],
+      |        a[3] + (e[1] - (a[2] + e[1]) / (a[1] + 1.0) - delta)
+      |          - least(a[4], a[3] + (e[1] - (a[2] + e[1]) / (a[1] + 1.0) - delta))),
+      |      CASE WHEN a[6] > 0 THEN a[6]
+      |        WHEN a[3] + (e[1] - (a[2] + e[1]) / (a[1] + 1.0) - delta)
+      |            - least(a[4], a[3] + (e[1] - (a[2] + e[1]) / (a[1] + 1.0) - delta))
+      |            > lam THEN a[1] + 1.0
+      |        ELSE CAST(0 AS DOUBLE) END]) AS st
+      |  FROM params)
+      |SELECT n AS n_days, round(st[5], 4) AS ph_stat, round(lam, 4) AS lambda,
+      |  CASE WHEN st[6] > 0
+      |    THEN strftime(days[CAST(st[6] AS INT)], '%Y-%m-%d')
+      |    ELSE 'none' END AS alarm_day
+      |FROM folded""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
+    QueryDef("agg_cliffs_delta", cliffsDelta, Some(cliffsDeltaSql)),
+    QueryDef("agg_ljung_box", ljungBox, Some(ljungBoxSql)),
+    QueryDef("agg_kendalls_w", kendallsW, Some(kendallsWSql)),
+    QueryDef("agg_cronbach_alpha", cronbachAlpha, Some(cronbachAlphaSql)),
+    QueryDef("win_page_hinkley", pageHinkley, Some(pageHinkleySql)),
     QueryDef("misc_ab_sprt", abSprt, Some(abSprtSql)),
     QueryDef("agg_levene_test", leveneTest, Some(leveneTestSql)),
     QueryDef("agg_tost_equivalence", tostEquivalence, Some(tostEquivalenceSql)),
