@@ -3640,7 +3640,185 @@ object AnalyticsQueries extends QueryModule {
       |    ELSE 'none' END AS alarm_day
       |FROM folded""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Holt–Winters additive seasonal smoothing (triple exponential,
+  // period 7) of daily revenue — the forecasting workhorse one step up
+  // from win_holt_linear: a weekly seasonal state ARRAY rides along the
+  // level/trend recursion, so the model tracks "Mondays run hot" while
+  // smoothing. The recursion cannot be linearized into window
+  // primitives; it runs as an ORDERED fold over the aggregate-first
+  // daily frame with a FLAT 10-slot double-array accumulator
+  // [level, trend, i, s₀..s₆] — flat because DuckDB's list_reduce
+  // evaluates struct accumulators impurely (see pageHinkleySql) and
+  // nested lists can't mix with scalars; both engines execute the
+  // generated per-slot update chain in the identical order, so the
+  // state is bit-identical. Init: l₀ = mean of week 1, s = week-1
+  // deviations; α=0.3, β=0.1, γ=0.2.
+  // ------------------------------------------------------------------
+  //
+  // The update chain is generated once and rendered into each engine's
+  // indexing syntax, so the double op sequence cannot drift between
+  // the twins. `ix(k)` renders 1-based slot access; `x` is the current
+  // element's value expression.
+  private def hwStep(ix: Int => String, dynSlot: String, x: String): String = {
+    // slot = i mod 7 (0-based cycle position of the incoming element);
+    // sCur = seasonal value for that slot (dynamic 1-based index 4+slot)
+    val l = ix(1); val b = ix(2); val i = ix(3)
+    val sCur = dynSlot
+    val lNew = s"(0.3 * ($x - $sCur) + 0.7 * ($l + $b))"
+    val bNew = s"(0.1 * ($lNew - $l) + 0.9 * $b)"
+    val sNew = s"(0.2 * ($x - $lNew) + 0.8 * $sCur)"
+    val slots = (0 to 6).map { j =>
+      s"CASE WHEN CAST($i AS INT) % 7 = $j THEN $sNew ELSE ${ix(4 + j)} END"
+    }
+    (Seq(lNew, bNew, s"$i + 1.0") ++ slots).mkString(", ")
+  }
+
+  def holtWinters(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val step = hwStep(
+      k => s"element_at(a, $k)",
+      "element_at(a, 4 + (CAST(element_at(a, 3) AS INT) % 7))",
+      "e")
+    val initSlots = (1 to 7).map(j => s"xs[${j - 1}] - l0").mkString(", ")
+    Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, x))), e -> CAST(e.x AS DOUBLE))")
+        .as("xs"))
+      .withColumn("l0", expr("(xs[0] + xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6]) / 7.0"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(xs, 8, size(xs) - 7),
+           |  array(l0, 0D, 7D, $initSlots),
+           |  (a, e) -> array($step))""".stripMargin))
+      .select(size(col("xs")).cast("long").as("n_days"),
+        round(expr("element_at(st, 1)") / 100.0, 4).as("level"),
+        round(expr("element_at(st, 2)") / 100.0, 4).as("trend"),
+        round((expr("element_at(st, 1)") + expr("element_at(st, 2)")
+          + expr("element_at(st, 4 + (CAST(element_at(st, 3) AS INT) % 7))")) / 100.0, 4)
+          .as("forecast_1d"),
+        round((expr("element_at(st, 1)") + lit(7.0) * expr("element_at(st, 2)")
+          + expr("element_at(st, 4 + (CAST(element_at(st, 3) + 6 AS INT) % 7))")) / 100.0, 4)
+          .as("forecast_7d"))
+  }
+
+  private val holtWintersSql = {
+    val step = hwStep(
+      k => s"a[$k]",
+      "a[4 + (CAST(a[3] AS INT) % 7)]",
+      "e[1]")
+    val initSlots = (1 to 7).map(j => s"xs[$j] - l0").mkString(", ")
+    val pad = (1 to 9).map(_ => "CAST(0 AS DOUBLE)").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |arr AS (SELECT list(CAST(x AS DOUBLE) ORDER BY day) AS xs FROM daily),
+       |ini AS (
+       |  SELECT xs, (xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6] + xs[7]) / 7.0 AS l0
+       |  FROM arr),
+       |folded AS (
+       |  SELECT len(xs) AS n, list_reduce(
+       |    list_concat([[l0, CAST(0 AS DOUBLE), CAST(7 AS DOUBLE), $initSlots]],
+       |      list_transform(xs[8:], v -> [v, $pad])),
+       |    (a, e) -> [$step]) AS st
+       |  FROM ini)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  round(st[1] / 100.0, 4) AS level,
+       |  round(st[2] / 100.0, 4) AS trend,
+       |  round((st[1] + st[2] + st[4 + (CAST(st[3] AS INT) % 7)]) / 100.0, 4)
+       |    AS forecast_1d,
+       |  round((st[1] + 7.0 * st[2] + st[4 + (CAST(st[3] + 6 AS INT) % 7)]) / 100.0, 4)
+       |    AS forecast_7d
+       |FROM folded""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Durbin–Watson statistic on the residuals of the daily-revenue
+  // linear trend — the classic "did my regression leave serial
+  // correlation on the table" diagnostic (DW ≈ 2 means clean, → 0
+  // positive, → 4 negative autocorrelation). Slope and intercept come
+  // from EXACT integer sums (dollars × day-index products stay in
+  // BIGINT range at any realistic SF; factors cast to double before
+  // multiplying, the CUPED discipline); each residual is then the
+  // identical 3-op double expression per row, and both quadratic-form
+  // reductions (Σ(eₜ−eₜ₋₁)², Σeₜ²) run as ONE ordered in-array fold —
+  // never an unordered double sum. One scan, no joins (PlanSpec pin).
+  // ------------------------------------------------------------------
+  def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("y"))
+      .withColumn("t", row_number().over(Window.orderBy("day")).cast("long"))
+    val sums = daily.agg(count(lit(1)).as("n"), sum("y").as("sy"), sum("t").as("st"),
+      sum(col("t") * col("t")).as("st2"), sum(col("t") * col("y")).as("sty"),
+      expr("transform(sort_array(collect_list(struct(t, y))), " +
+        "r -> array(CAST(r.t AS DOUBLE), CAST(r.y AS DOUBLE)))").as("pairs"))
+    sums
+      .withColumn("b", expr("(CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)" +
+        " - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))" +
+        " / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)" +
+        " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"))
+      .withColumn("a0", expr("(CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))" +
+        " / CAST(n AS DOUBLE)"))
+      .withColumn("es", expr("transform(pairs, p -> p[1] - a0 - b * p[0])"))
+      .withColumn("f", expr(
+        """aggregate(slice(es, 2, size(es) - 1),
+          |  array(es[0], 0D, es[0] * es[0]),
+          |  (acc, e) -> array(e,
+          |    element_at(acc, 2) + (e - element_at(acc, 1)) * (e - element_at(acc, 1)),
+          |    element_at(acc, 3) + e * e))""".stripMargin))
+      .select(col("n").as("n_days"), round(col("b"), 4).as("slope_per_day"),
+        round(expr("element_at(f, 2) / element_at(f, 3)"), 4).as("dw"),
+        when(expr("element_at(f, 2) / element_at(f, 3)") < 1.5, "positive")
+          .when(expr("element_at(f, 2) / element_at(f, 3)") > 2.5, "negative")
+          .otherwise("none").as("residual_autocorr"))
+  }
+
+  private val durbinWatsonSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM daily),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS st2,
+      |    CAST(sum(t * y) AS BIGINT) AS sty,
+      |    list([CAST(t AS DOUBLE), CAST(y AS DOUBLE)] ORDER BY t) AS pairs
+      |  FROM idx),
+      |coefs AS (
+      |  SELECT *, (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+      |  FROM sums),
+      |resid AS (
+      |  SELECT n, b, (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+      |      / CAST(n AS DOUBLE) AS a0,
+      |    list_transform(pairs, p -> p[2]
+      |      - (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+      |      - b * p[1]) AS es
+      |  FROM coefs),
+      |folded AS (
+      |  SELECT n, b, list_reduce(
+      |    list_concat([[es[1], CAST(0 AS DOUBLE), es[1] * es[1]]],
+      |      list_transform(es[2:], v -> [v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+      |    (acc, e) -> [e[1],
+      |      acc[2] + (e[1] - acc[1]) * (e[1] - acc[1]),
+      |      acc[3] + e[1] * e[1]]) AS f
+      |  FROM resid)
+      |SELECT n AS n_days, round(b, 4) AS slope_per_day,
+      |  round(f[2] / f[3], 4) AS dw,
+      |  CASE WHEN f[2] / f[3] < 1.5 THEN 'positive'
+      |    WHEN f[2] / f[3] > 2.5 THEN 'negative'
+      |    ELSE 'none' END AS residual_autocorr
+      |FROM folded""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_holt_winters", holtWinters, Some(holtWintersSql)),
+    QueryDef("agg_durbin_watson", durbinWatson, Some(durbinWatsonSql)),
     QueryDef("agg_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
     QueryDef("agg_cliffs_delta", cliffsDelta, Some(cliffsDeltaSql)),
     QueryDef("agg_ljung_box", ljungBox, Some(ljungBoxSql)),

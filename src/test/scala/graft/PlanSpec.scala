@@ -493,7 +493,8 @@ class PlanSpec extends SparkSuite {
     // a self-join would make the signal pass corpus-sized
     Seq("win_sma_crossover", "win_hampel_outliers", "win_bollinger_bands",
       "win_rsi_signal", "win_stochastic_osc", "win_holt_linear",
-      "agg_ljung_box", "win_page_hinkley").foreach { q =>
+      "agg_ljung_box", "win_page_hinkley", "win_holt_winters",
+      "agg_durbin_watson").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), s"$q: $p")
       assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: $p")
