@@ -980,7 +980,58 @@ object GraphQueries extends QueryModule {
        |FROM census
        |ORDER BY 6 * n_hop1 + 3 * n_hop2 + 2 * n_hop3 DESC, seed""".stripMargin
 
+  /** HITS hubs-and-authorities on the DIRECTED customer→supplier
+    * purchase graph (who-buys-from-whom via lineitem ⋈ orders) — the
+    * link-analysis pair PageRank doesn't give: a supplier is a good
+    * AUTHORITY when good hub customers buy from it, a customer a good
+    * HUB when it buys from good authorities. Two unnormalized power
+    * iterations keep every score an EXACT integer walk count (the
+    * [[katzCentrality]] trick on a bipartite graph): a₁ = in-degree,
+    * h₁ = Σ_out a₁, a₂ = Σ_in h₁ — so the top-10 authority ranking and
+    * its hub-side context never touch a double, and ties break on the
+    * supplier key deterministically. Scale shape: one distinct over
+    * the join (edge derivation), then two edge-keyed join-aggregate
+    * message rounds; the supplier-keyed frames are dimension-bounded
+    * and ride broadcasts.
+    */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    val a1 = e.groupBy("sp").agg(count(lit(1)).as("a1"))
+    val h1 = e.join(broadcast(a1), Seq("sp"))
+      .groupBy("c").agg(sum("a1").as("h1"))
+    val a2 = e.join(h1, Seq("c"))
+      .groupBy("sp").agg(sum("h1").as("a2"))
+    a2.join(broadcast(a1), Seq("sp"))
+      .orderBy(col("a2").desc, col("sp"))
+      .limit(10)
+      .select(col("sp").as("supplier"), col("a1").as("in_degree"),
+        col("a2").as("authority2"),
+        round(col("a2").cast("double") / col("a1").cast("double"), 2)
+          .as("avg_hub_score"))
+      .orderBy(col("authority2").desc, col("supplier"))
+  }
+
+  private val hitsSql =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT sp, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY 1),
+      |h1 AS (
+      |  SELECT c, CAST(sum(a1) AS BIGINT) AS h1
+      |  FROM e JOIN a1 USING (sp) GROUP BY 1),
+      |a2 AS (
+      |  SELECT sp, CAST(sum(h1) AS BIGINT) AS a2
+      |  FROM e JOIN h1 USING (c) GROUP BY 1)
+      |SELECT sp AS supplier, a1 AS in_degree, a2 AS authority2,
+      |  round(CAST(a2 AS DOUBLE) / CAST(a1 AS DOUBLE), 2) AS avg_hub_score
+      |FROM a2 JOIN a1 USING (sp)
+      |ORDER BY a2 DESC, sp LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_hits", hits, Some(hitsSql)),
     QueryDef("graph_harmonic_centrality", harmonicCentrality, Some(harmonicCentralitySql)),
     QueryDef("graph_katz_centrality", katzCentrality, Some(katzCentralitySql)),
     QueryDef("graph_conductance", conductance, Some(conductanceSql)),

@@ -1233,7 +1233,77 @@ object StreamingQueries extends QueryModule {
        |  CAST(count(*) AS BIGINT) AS n
        |FROM events GROUP BY 1, 2 ORDER BY window_start, shardId""".stripMargin
 
+  /** Streaming count-min heavy hitters: which users dominate the event
+    * stream, answered with BOUNDED state — the sketch-family streaming
+    * completion next to [[tdigestStream]] (quantiles) and
+    * [[windowDistinct]] (distincts). The CMS is held RELATIONALLY as
+    * its 4×1024 cell grid (the [[graft.operators.AggQueries
+    * .countMinHeavyHitters]] representation): a streaming complete-mode
+    * aggregation over (row, md5-bucket) whose per-cell counts are
+    * ADDITIVE integers, so the sketch is deterministic however the
+    * micro-batches slice the data, and state is O(d·w) forever — the
+    * exact per-user count state this replaces is O(users). The probe
+    * side then reads the top-10 true heavy users from the batch twin
+    * and takes min over their 4 cells. Every output column is exact
+    * integer arithmetic on deterministic hashes, so the oracle is a
+    * FULL hash-match (the batch CMS in DuckDB), not a weaker contract
+    * boolean: min-cell ≥ true count is the classic CMS one-sided bound,
+    * pinned per row in `bound_holds`.
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    def bucket(rCol: String, keyCol: String) =
+      s"CAST(conv(substring(md5(CAST(concat('cms', CAST($rCol AS STRING), ':', " +
+        s"$keyCol) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 1024"
+    val cellsStream = RecordStream.eventsStream(s, dir)
+      .select(col("user_id").cast("string").as("u"),
+        explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(bucket("r", "u")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+    val cells = RecordStream.runToMemory(s, cellsStream, "stream_cms_sink", "complete")
+    val top = Tables.events(s, dir)
+      .groupBy(col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(desc("true_count"), asc("u")).limit(10)
+    top.select(col("u"), col("true_count"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(bucket("r", "u")))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("u", "true_count")
+      .agg(min("cell").as("cms_estimate"))
+      .select(col("u").as("user_id"), col("true_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("true_count")).as("overestimate"),
+        (col("cms_estimate") >= col("true_count")).as("bound_holds"))
+      .orderBy(desc("true_count"), asc("user_id"))
+  }
+
+  private val cmsHeavyHittersSql =
+    """WITH ev AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+      |hashed AS (
+      |  SELECT u, r,
+      |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || u), 1, 8))
+      |      AS BIGINT) % 1024 AS bucket
+      |  FROM ev, unnest(range(0, 4)) AS t(r)),
+      |cells AS (
+      |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cell
+      |  FROM hashed GROUP BY 1, 2),
+      |top AS (
+      |  SELECT u, CAST(count(*) AS BIGINT) AS true_count
+      |  FROM ev GROUP BY 1 ORDER BY true_count DESC, u LIMIT 10),
+      |probe AS (
+      |  SELECT top.u, top.true_count, r,
+      |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || top.u), 1, 8))
+      |      AS BIGINT) % 1024 AS bucket
+      |  FROM top, unnest(range(0, 4)) AS t(r))
+      |SELECT probe.u AS user_id, probe.true_count,
+      |  CAST(min(cell) AS BIGINT) AS cms_estimate,
+      |  CAST(min(cell) - probe.true_count AS BIGINT) AS overestimate,
+      |  min(cell) >= probe.true_count AS bound_holds
+      |FROM probe JOIN cells USING (r, bucket)
+      |GROUP BY 1, 2
+      |ORDER BY true_count DESC, user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_cms_heavy_hitters", cmsHeavyHitters, Some(cmsHeavyHittersSql)),
     QueryDef("stream_native_windowed", nativeWindowedCounts, Some(nativeWindowedCountsSql)),
     QueryDef("stream_available_now", availableNowBackfill, Some(availableNowBackfillSql)),
     QueryDef("stream_reshard_backfill", reshardBackfill, Some(reshardBackfillSql)),
