@@ -1251,7 +1251,102 @@ object DedupQueries extends QueryModule {
       |FROM e JOIN df ON e.h = df.h
       |GROUP BY 1 ORDER BY e.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // LSH band tuning: before re-sharding a 100 TB dedup run, which
+  // (bands, rows) split of the 16-component signature should it use?
+  // The S-curve P(s) = 1 − (1−sʳ)ᵇ is evaluated at the OBSERVED exact
+  // Jaccard of the current candidate pairs for every alternative split
+  // (16×1, 8×2, 4×4, 2×8), giving the expected catch mass among
+  // high-sim (s ≥ 0.5) and low-sim pairs per config — the measured
+  // version of the textbook threshold table. Determinism: sʳ and
+  // (1−sʳ)ᵇ are GENERATED power-of-two multiplication chains (never
+  // runtime pow — fractional pow differs across engines); each pair's
+  // P lands in exact micro-units via floor(P·10⁶) so the per-config
+  // sums are plain BIGINT aggregation — distribution-safe at any
+  // scale, no ordered fold needed. The s₅₀ midpoints are shared
+  // precomputed literals (the ln-literal discipline). Scale shape:
+  // same broadcast-verify join as minhashLsh, then one 4-way unpivot
+  // of a single aggregate row.
+  // ------------------------------------------------------------------
+  //
+  // (1 − sʳ)ᵇ with r, b powers of two, rendered as nested squarings on
+  // a column reference — identical arithmetic in Spark and DuckDB.
+  private def pCatch(b: Int, r: Int): String = {
+    def pow2(e: String, k: Int): String =
+      if (k == 1) e else { val h = pow2(e, k / 2); s"($h * $h)" }
+    val sr = pow2("s", r)
+    s"(1.0 - ${pow2(s"(1.0 - $sr)", b)})"
+  }
+  private val bandConfigs = Seq((16, 1, "0.042397"), (8, 2, "0.28809"),
+    (4, 4, "0.631568"), (2, 8, "0.857706"))
+
+  def lshBandTuning(s: SparkSession, dir: String): DataFrame = {
+    val docs = lshDocs(s, dir)
+    val cand = lshCandidates(docs)
+    val withA = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      .join(broadcast(cand), "doc_a")
+    val pairs = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      .join(broadcast(withA), "doc_b")
+      .select(
+        expr("size(array_intersect(sh_a, sh_b))").cast("long").as("inter"),
+        expr("size(array_union(sh_a, sh_b))").cast("long").as("uni"))
+      .withColumn("s", expr("CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)"))
+      .withColumn("hi", expr("2 * inter >= uni")) // s ≥ 0.5, integer-decided
+    val sumCols = sum(when(col("hi"), 1L).otherwise(0L)).as("n_high") +:
+      sum(when(!col("hi"), 1L).otherwise(0L)).as("n_low") +:
+      bandConfigs.flatMap { case (b, r, _) =>
+        val p = pCatch(b, r)
+        Seq(
+          sum(expr(s"CASE WHEN hi THEN CAST(floor($p * 1000000.0) AS BIGINT) ELSE 0L END"))
+            .as(s"hi_${b}x$r"),
+          sum(expr(s"CASE WHEN NOT hi THEN CAST(floor($p * 1000000.0) AS BIGINT) ELSE 0L END"))
+            .as(s"lo_${b}x$r"))
+      }
+    val sums = pairs.agg(sumCols.head, sumCols.tail: _*)
+    val stack = bandConfigs.map { case (b, r, s50) =>
+      s"'${b}x$r', ${b}L, ${r}L, CAST($s50 AS DOUBLE), hi_${b}x$r, lo_${b}x$r"
+    }.mkString(", ")
+    sums.selectExpr("n_high", "n_low",
+      s"stack(4, $stack) AS (config, bands, rows_per_band, s50, hi_micro, lo_micro)")
+      .select(col("config"), col("bands"), col("rows_per_band"), col("s50"),
+        col("n_high"), col("n_low"),
+        round(col("hi_micro").cast("double") / 1e6, 4).as("exp_catch_high"),
+        round(col("lo_micro").cast("double") / 1e6, 4).as("exp_catch_low"))
+      .orderBy(col("bands").desc)
+  }
+
+  private val lshBandTuningSql = {
+    val catches = bandConfigs.flatMap { case (b, r, _) =>
+      val p = pCatch(b, r)
+      Seq(
+        s"CAST(sum(CASE WHEN hi THEN CAST(floor($p * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi_${b}x$r",
+        s"CAST(sum(CASE WHEN NOT hi THEN CAST(floor($p * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo_${b}x$r")
+    }.mkString(", ")
+    val rows = bandConfigs.map { case (b, r, s50) =>
+      s"SELECT '${b}x$r' AS config, CAST($b AS BIGINT) AS bands, " +
+        s"CAST($r AS BIGINT) AS rows_per_band, CAST($s50 AS DOUBLE) AS s50, " +
+        s"n_high, n_low, round(CAST(hi_${b}x$r AS DOUBLE) / 1e6, 4) AS exp_catch_high, " +
+        s"round(CAST(lo_${b}x$r AS DOUBLE) / 1e6, 4) AS exp_catch_low FROM sums"
+    }.mkString(" UNION ALL ")
+    s"""WITH $lshCandCtes,
+       |pairs AS (
+       |  SELECT CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+       |    CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS BIGINT) AS uni
+       |  FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id),
+       |scored AS (
+       |  SELECT CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS s,
+       |    2 * inter >= uni AS hi
+       |  FROM pairs),
+       |sums AS (
+       |  SELECT CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |    CAST(sum(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |    $catches
+       |  FROM scored)
+       |SELECT * FROM ($rows) ORDER BY bands DESC""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_lsh_band_tuning", lshBandTuning, Some(lshBandTuningSql)),
     QueryDef("dedup_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pivot/unpivot, UDF surface, try_-functions, bit manipulation, and
@@ -666,7 +667,89 @@ object MiscQueries extends QueryModule {
       |  CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS "5-LOW"
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Decision-tree split finder: the best quantity threshold for
+  // predicting the return flag — THE inner-loop primitive of
+  // distributed tree training (every boosted-tree library spends its
+  // time exactly here), expressed as one value-collapsed pass. The
+  // corpus-sized work is a single (quantity, class) count aggregate;
+  // every candidate split is then a row of the ≤50-value frame with
+  // per-class cumulative counts from 3 windows, and the weighted Gini
+  // impurity n·G = (n_L² − Σc_L²)/n_L + (n_R² − Σc_R²)/n_R derives
+  // from exact DECIMAL(38,0) squares (n² overflows BIGINT past ~3G
+  // rows), cast to double with the identical op order on both engines,
+  // so the argmin flag compares identical doubles (split value breaks
+  // ties). Emits the full split table — the shape a tree trainer's
+  // histogram exchange actually ships.
+  // ------------------------------------------------------------------
+  def giniSplit(s: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.lineitem(s, dir)
+      .groupBy(expr("CAST(l_quantity AS BIGINT)").as("v"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"))
+    val w = Window.orderBy("v")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = vc
+      .withColumn("la", sum("ca").over(w)).withColumn("na", sum("ca").over(full))
+      .withColumn("ln", sum("cn").over(w)).withColumn("nn", sum("cn").over(full))
+      .withColumn("lr", sum("cr").over(w)).withColumn("nr", sum("cr").over(full))
+      .withColumn("nl", col("la") + col("ln") + col("lr"))
+      .withColumn("n", col("na") + col("nn") + col("nr"))
+      .filter(col("nl") < col("n")) // a split must leave both sides non-empty
+    def d38(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    def side(n: String, a: String, b: String, c: String) =
+      s"(CAST(${d38(n)} * ${d38(n)} - (${d38(a)} * ${d38(a)} + ${d38(b)} * ${d38(b)}" +
+        s" + ${d38(c)} * ${d38(c)}) AS DOUBLE) / CAST($n AS DOUBLE))"
+    val scored = cum.withColumn("gw", expr(
+      "(" + side("nl", "la", "ln", "lr") + " + " +
+        side("(n - nl)", "(na - la)", "(nn - ln)", "(nr - lr)") + ") / CAST(n AS DOUBLE)"))
+    scored
+      .withColumn("best", min("gw").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("v").as("split_at"), col("nl").as("n_left"),
+        (col("n") - col("nl")).as("n_right"),
+        round(col("gw"), 4).as("weighted_gini"),
+        (col("gw") === col("best")).as("is_best"))
+      .orderBy("split_at")
+  }
+
+  private val giniSplitSql = {
+    def d38(e: String) = s"CAST($e AS HUGEINT)"
+    def side(n: String, a: String, b: String, c: String) =
+      s"(CAST(${d38(n)} * ${d38(n)} - (${d38(a)} * ${d38(a)} + ${d38(b)} * ${d38(b)}" +
+        s" + ${d38(c)} * ${d38(c)}) AS DOUBLE) / CAST($n AS DOUBLE))"
+    s"""WITH vc AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS v,
+       |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+       |  FROM lineitem GROUP BY 1),
+       |cum AS (
+       |  SELECT v,
+       |    sum(ca) OVER (ORDER BY v) AS la, sum(ca) OVER () AS na,
+       |    sum(cn) OVER (ORDER BY v) AS ln, sum(cn) OVER () AS nn,
+       |    sum(cr) OVER (ORDER BY v) AS lr, sum(cr) OVER () AS nr
+       |  FROM vc),
+       |sides AS (
+       |  SELECT v, la + ln + lr AS nl, na + nn + nr AS n,
+       |    la, ln, lr, na, nn, nr
+       |  FROM cum WHERE la + ln + lr < na + nn + nr),
+       |scored AS (
+       |  SELECT v, nl, n,
+       |    (${side("nl", "la", "ln", "lr")} + ${side("(n - nl)", "(na - la)", "(nn - ln)", "(nr - lr)")})
+       |      / CAST(n AS DOUBLE) AS gw
+       |  FROM sides)
+       |SELECT v AS split_at, CAST(nl AS BIGINT) AS n_left,
+       |  CAST(n - nl AS BIGINT) AS n_right,
+       |  round(gw, 4) AS weighted_gini,
+       |  gw = min(gw) OVER () AS is_best
+       |FROM scored ORDER BY split_at""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_gini_split", giniSplit, Some(giniSplitSql)),
     QueryDef("misc_crosstab", crosstabStatus, Some(crosstabStatusSql)),
     QueryDef("misc_observe_metrics", observeMetrics, Some(observeMetricsSql)),
     QueryDef("misc_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
