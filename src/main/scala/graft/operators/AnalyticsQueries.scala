@@ -3816,7 +3816,93 @@ object AnalyticsQueries extends QueryModule {
       |    ELSE 'none' END AS residual_autocorr
       |FROM folded""".stripMargin
 
+  // ------------------------------------------------------------------
+  // 1-D Kalman filter (local-level model) over daily revenue — the
+  // optimal-gain cousin of the fixed-α EWMA: the gain K adapts from
+  // the error covariance recursion, so the filter trusts data more
+  // when its uncertainty is high and settles to the steady-state gain.
+  // The covariance recursion (P' = (1−K)(P+Q), K = (P+Q)/(P+Q+R))
+  // cannot be expressed in window primitives; it runs as the ordered
+  // in-array fold over the aggregate-first daily frame with a 4-slot
+  // list accumulator [level, P, K, Σinnovation²]. The noise scales are
+  // DERIVED (R = corpus variance from exact DECIMAL(38,0) moment sums,
+  // Q = R/100), so the filter is SF-invariant and both engines compute
+  // the identical double chain; innovation RMS ends in one IEEE sqrt.
+  // One scan, no joins (PlanSpec pin).
+  // ------------------------------------------------------------------
+  def kalmanLevel(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    // accumulator slots: a[0]=level, a[1]=P, a[2]=K, a[3]=Σ(x−level)²
+    // (Spark arrays are 0-based in bracket syntax; element_at is 1-based)
+    val innov = "(e - element_at(a, 1))"
+    val ppred = "(element_at(a, 2) + qq)"
+    val gain = s"($ppred / ($ppred + rr))"
+    daily
+      .agg(expr("transform(sort_array(collect_list(struct(day, x))), e -> CAST(e.x AS DOUBLE))")
+        .as("xs"),
+        count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"))
+      .withColumn("rr", expr("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"))
+      .withColumn("qq", expr("rr / 100.0"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(xs, 2, size(xs) - 1),
+           |  array(xs[0], rr, 0D, 0D),
+           |  (a, e) -> array(
+           |    element_at(a, 1) + $gain * $innov,
+           |    (1.0 - $gain) * $ppred,
+           |    $gain,
+           |    element_at(a, 4) + $innov * $innov))""".stripMargin))
+      .select(col("n").as("n_days"),
+        round(expr("element_at(st, 1)"), 4).as("level"),
+        round(expr("element_at(st, 3)"), 6).as("steady_gain"),
+        round(sqrt(expr("element_at(st, 4)") / (col("n") - 1).cast("double")), 4)
+          .as("innovation_rms"))
+  }
+
+  private val kalmanLevelSql = {
+    val innov = "(e[1] - a[1])"
+    val ppred = "(a[2] + qq)"
+    val gain = s"($ppred / ($ppred + rr))"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |arr AS (
+       |  SELECT list(CAST(x AS DOUBLE) ORDER BY day) AS xs,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+       |  FROM daily),
+       |params AS (
+       |  SELECT xs, n,
+       |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS rr
+       |  FROM arr),
+       |p2 AS (SELECT xs, n, rr, rr / 100.0 AS qq FROM params),
+       |folded AS (
+       |  SELECT n, list_reduce(
+       |    list_concat([[xs[1], rr, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]],
+       |      list_transform(xs[2:], v -> [v, CAST(0 AS DOUBLE),
+       |        CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+       |    (a, e) -> [
+       |      a[1] + $gain * $innov,
+       |      (1.0 - $gain) * $ppred,
+       |      $gain,
+       |      a[4] + $innov * $innov]) AS st
+       |  FROM p2)
+       |SELECT n AS n_days,
+       |  round(st[1], 4) AS level,
+       |  round(st[3], 6) AS steady_gain,
+       |  round(sqrt(st[4] / CAST(n - 1 AS DOUBLE)), 4) AS innovation_rms
+       |FROM folded""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_kalman_level", kalmanLevel, Some(kalmanLevelSql)),
     QueryDef("win_holt_winters", holtWinters, Some(holtWintersSql)),
     QueryDef("agg_durbin_watson", durbinWatson, Some(durbinWatsonSql)),
     QueryDef("agg_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),

@@ -1064,7 +1064,96 @@ object TextQueries extends QueryModule {
       |       WHEN numer >= 30 * dd THEN 'standard' ELSE 'difficult' END AS band
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // RAKE keyword extraction (Rapid Automatic Keyword Extraction): the
+  // classic unsupervised keyphrase scorer — split each document into
+  // candidate phrases at stopword boundaries, score each word by
+  // degree/frequency (words that travel in long phrases beat words
+  // that appear alone), and rank phrases by the sum of their member
+  // scores. The stopword set is ONE shared literal; phrase membership
+  // is a cumulative stop-count window (position-keyed, per doc); word
+  // degree = Σ phrase_len over occurrences and frequency are exact
+  // integers from one term-keyed aggregate; each phrase instance's
+  // score folds its member deg/freq ratios IN POSITION ORDER so the
+  // double sum is identical on both engines, and the top-20 ranking
+  // follows the float-ordering rule (rounded score, phrase tie-break).
+  // Scale shape: posexplode + two term/phrase-keyed shuffles — linear,
+  // no self-join.
+  // ------------------------------------------------------------------
+  private val rakeStops = Seq("the", "a", "an", "of", "and", "or", "to",
+    "in", "is", "it", "that", "for", "on", "as", "with", "was", "at",
+    "by", "be", "this", "from", "not", "but", "are", "we", "so")
+  def rakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = rakeStops.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val tokens = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "w")))
+      .withColumn("is_stop", expr(s"array_contains($stopArr, w)"))
+      .withColumn("phrase_id", sum(when(col("is_stop"), 1L).otherwise(0L))
+        .over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(!col("is_stop"))
+    val inPhrase = tokens
+      .withColumn("plen", count(lit(1))
+        .over(Window.partitionBy("doc_id", "phrase_id")))
+      .filter(col("plen").between(2, 4))
+    val wstats = inPhrase.groupBy("w")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+    val phrases = inPhrase.join(wstats, Seq("w"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(
+        expr("concat_ws(' ', transform(sort_array(collect_list(" +
+          "named_struct('pos', pos, 'w', w))), e -> e.w))").as("phrase"),
+        expr("aggregate(sort_array(collect_list(named_struct('pos', pos, " +
+          "'v', CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)))), 0D, " +
+          "(a, e) -> a + e.v)").as("score"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("score").as("score"))
+      .withColumn("score_r", round(col("score"), 4))
+      .orderBy(col("score_r").desc, col("phrase").asc)
+      .limit(20)
+      .select(col("phrase"), col("n_occurrences"), col("score_r").as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase").asc)
+  }
+
+  private val rakeKeywordsSql = {
+    val stopList = rakeStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tokens0 AS (
+       |  SELECT doc_id, tk[i] AS w, i AS pos,
+       |    list_contains($stopList, tk[i]) AS is_stop
+       |  FROM (SELECT doc_id, tk, CAST(unnest(range(1, len(tk) + 1)) AS INT) AS i
+       |    FROM (SELECT doc_id, $dToks AS tk FROM documents))),
+       |tokens AS (
+       |  SELECT doc_id, w, pos,
+       |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id, is_stop
+       |  FROM tokens0),
+       |inphrase0 AS (
+       |  SELECT doc_id, w, pos, phrase_id,
+       |    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+       |  FROM tokens WHERE NOT is_stop),
+       |inphrase AS (SELECT * FROM inphrase0 WHERE plen BETWEEN 2 AND 4),
+       |wstats AS (
+       |  SELECT w, CAST(sum(plen) AS BIGINT) AS deg,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM inphrase GROUP BY 1),
+       |phrases AS (
+       |  SELECT doc_id, phrase_id,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) ORDER BY pos)),
+       |      (a, v) -> a + v) AS score
+       |  FROM inphrase JOIN wstats USING (w)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    round(max(score), 4) AS rake_score
+       |  FROM phrases GROUP BY 1)
+       |SELECT phrase, n_occurrences, rake_score
+       |FROM ranked
+       |ORDER BY rake_score DESC, phrase ASC LIMIT 20""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),
     QueryDef("text_readability", readability, Some(readabilitySql)),
     QueryDef("text_kl_divergence", klDivergence, Some(klDivergenceSql)),
     QueryDef("text_mattr", mattr, Some(mattrSql)),

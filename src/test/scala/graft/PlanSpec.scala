@@ -494,7 +494,7 @@ class PlanSpec extends SparkSuite {
     Seq("win_sma_crossover", "win_hampel_outliers", "win_bollinger_bands",
       "win_rsi_signal", "win_stochastic_osc", "win_holt_linear",
       "agg_ljung_box", "win_page_hinkley", "win_holt_winters",
-      "agg_durbin_watson").foreach { q =>
+      "agg_durbin_watson", "win_kalman_level").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), s"$q: $p")
       assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: $p")
