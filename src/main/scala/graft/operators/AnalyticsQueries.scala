@@ -3901,7 +3901,207 @@ object AnalyticsQueries extends QueryModule {
        |FROM folded""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Jarque–Bera normality test on daily revenue — the moment-based
+  // gate (are skewness and excess kurtosis jointly zero?) that decides
+  // whether the z/t machinery upstream (TOST, MDE, CUPED) is even
+  // applicable. Revenue is floored to THOUSANDS of dollars so the
+  // raw-moment sums Σx..Σx⁴ stay exact in DECIMAL(38,0) out to ~10⁴×
+  // the sf0.1 corpus; central moments, skew = m₃/(m₂√m₂) and kurtosis
+  // = m₄/m₂² are then the identical double chains on both engines
+  // (√ is IEEE-exact), and JB = n/6·(S² + (K−3)²/4) compares against
+  // the χ²(2) literal. One scan, one single-row aggregate.
+  // ------------------------------------------------------------------
+  def jarqueBera(s: SparkSession, dir: String): DataFrame = {
+    def p(k: Int) = {
+      val f = (1 to k).map(_ => "CAST(x AS DECIMAL(38,0))").mkString(" * ")
+      sum(expr(f)).as(s"s$k")
+    }
+    val d = (c: String) => s"CAST($c AS DOUBLE)"
+    Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100000").as("x"))
+      .agg(count(lit(1)).as("n"), p(1), p(2), p(3), p(4))
+      // central moments from raw moments, mean folded in at double
+      // precision with one fixed op order: mu = s1/n, then
+      // m2 = s2/n − mu², m3 = s3/n − 3·mu·s2/n + 2·mu³,
+      // m4 = s4/n − 4·mu·s3/n + 6·mu²·s2/n − 3·mu⁴
+      .withColumn("mu", expr(s"${d("s1")} / ${d("n")}"))
+      .withColumn("m2", expr(s"${d("s2")} / ${d("n")} - mu * mu"))
+      .withColumn("m3", expr(
+        s"${d("s3")} / ${d("n")} - 3.0 * mu * (${d("s2")} / ${d("n")}) + 2.0 * mu * mu * mu"))
+      .withColumn("m4", expr(
+        s"${d("s4")} / ${d("n")} - 4.0 * mu * (${d("s3")} / ${d("n")})" +
+          s" + 6.0 * mu * mu * (${d("s2")} / ${d("n")}) - 3.0 * mu * mu * mu * mu"))
+      .withColumn("skew", expr("m3 / (m2 * sqrt(m2))"))
+      .withColumn("kurt", expr("m4 / (m2 * m2)"))
+      .withColumn("jb", expr(
+        s"${d("n")} / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)"))
+      .select(col("n").as("n_days"), round(col("skew"), 4).as("skewness"),
+        round(col("kurt"), 4).as("kurtosis"), round(col("jb"), 4).as("jb_stat"),
+        (col("jb") < lit(5.991)).as("normal_p05"))
+  }
+
+  private val jarqueBeraSql = {
+    def p(k: Int) = {
+      val f = (1 to k).map(_ => "CAST(x AS HUGEINT)").mkString(" * ")
+      s"sum($f) AS s$k"
+    }
+    val d = (c: String) => s"CAST($c AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, ${p(1)}, ${p(2)}, ${p(3)}, ${p(4)}
+       |  FROM daily),
+       |mom AS (
+       |  SELECT n, ${d("s1")} / ${d("n")} AS mu,
+       |    s2, s3, s4
+       |  FROM sums),
+       |cm AS (
+       |  SELECT n, mu,
+       |    ${d("s2")} / ${d("n")} - mu * mu AS m2,
+       |    ${d("s3")} / ${d("n")} - 3.0 * mu * (${d("s2")} / ${d("n")}) + 2.0 * mu * mu * mu AS m3,
+       |    ${d("s4")} / ${d("n")} - 4.0 * mu * (${d("s3")} / ${d("n")})
+       |      + 6.0 * mu * mu * (${d("s2")} / ${d("n")}) - 3.0 * mu * mu * mu * mu AS m4
+       |  FROM mom),
+       |f AS (
+       |  SELECT n, m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt
+       |  FROM cm),
+       |jb AS (
+       |  SELECT n, skew, kurt,
+       |    ${d("n")} / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+       |  FROM f)
+       |SELECT n AS n_days, round(skew, 4) AS skewness, round(kurt, 4) AS kurtosis,
+       |  round(jb, 4) AS jb_stat, jb < 5.991 AS normal_p05
+       |FROM jb""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Wald–Wolfowitz runs test: is the daily revenue's above/below-median
+  // pattern RANDOM, or does it cluster (trend/seasonality leave long
+  // same-side runs)? Everything that decides is exact integer: the
+  // median is dyadic (2·med over integer dollars), each day's side is
+  // an integer comparison, the run census is one lag window over the
+  // daily frame, and μ_R = 1 + 2ab/n, σ²_R = 2ab(2ab−n)/(n²(n−1)) use
+  // exact BIGINT products (a,b ≤ days — calendar-bounded, no overflow
+  // ever). Only the final z divides doubles. One scan, no joins.
+  // ------------------------------------------------------------------
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    val w = Window.orderBy("day")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sided = daily
+      .withColumn("med", expr("percentile(x, 0.5)").over(full))
+      .withColumn("med2", expr("CAST(round(med * 2) AS BIGINT)"))
+      .filter(lit(2L) * col("x") =!= col("med2")) // drop exact-median days
+      .withColumn("side", (lit(2L) * col("x") > col("med2")).cast("long"))
+      .withColumn("prev", lag("side", 1).over(w))
+    sided.agg(count(lit(1)).as("n"), sum("side").as("a"),
+        sum(when(col("prev").isNull || col("prev") =!= col("side"), 1L)
+          .otherwise(0L)).as("runs"))
+      .withColumn("b", col("n") - col("a"))
+      .withColumn("mu_r", lit(1.0)
+        + lit(2.0) * col("a").cast("double") * col("b").cast("double")
+          / col("n").cast("double"))
+      .withColumn("var_r", lit(2.0) * col("a").cast("double") * col("b").cast("double")
+        * (lit(2.0) * col("a").cast("double") * col("b").cast("double")
+          - col("n").cast("double"))
+        / (col("n").cast("double") * col("n").cast("double")
+          * (col("n") - 1L).cast("double")))
+      .select(col("n").as("n_days"), col("a").as("n_above"), col("b").as("n_below"),
+        col("runs").as("n_runs"),
+        round((col("runs").cast("double") - col("mu_r")) / sqrt(col("var_r")), 4)
+          .as("z_runs"),
+        (abs((col("runs").cast("double") - col("mu_r")) / sqrt(col("var_r")))
+          > lit(1.96)).as("nonrandom_p05"))
+  }
+
+  private val runsTestSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |med AS (
+      |  SELECT CAST(round(quantile_cont(x, 0.5) * 2) AS BIGINT) AS med2 FROM daily),
+      |sided AS (
+      |  SELECT day, CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END AS side
+      |  FROM daily, med WHERE 2 * x <> med2),
+      |runs AS (
+      |  SELECT side, lag(side) OVER (ORDER BY day) AS prev FROM sided),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(side) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN prev IS NULL OR prev <> side THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS runs
+      |  FROM runs),
+      |f AS (
+      |  SELECT n, a, n - a AS b, runs,
+      |    1.0 + 2.0 * CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS mu_r,
+      |    2.0 * CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE)
+      |      * (2.0 * CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE) - CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_r
+      |  FROM agg)
+      |SELECT n AS n_days, a AS n_above, b AS n_below, runs AS n_runs,
+      |  round((CAST(runs AS DOUBLE) - mu_r) / sqrt(var_r), 4) AS z_runs,
+      |  abs((CAST(runs AS DOUBLE) - mu_r) / sqrt(var_r)) > 1.96 AS nonrandom_p05
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Wilson score intervals for the high-value-order rate per priority —
+  // the binomial CI that stays honest at extreme rates and small cells
+  // (the normal-approximation CI goes negative there), i.e. what a
+  // guardrail dashboard should actually show next to each proportion.
+  // Inputs are exact integer (k successes, n trials) from one
+  // conditional-sum pass; the closed form
+  // (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) is the
+  // identical double chain on both engines with z = 1.96 literal.
+  // ------------------------------------------------------------------
+  def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum((expr("CAST(round(o_totalprice * 100) AS BIGINT)") > 25000000L)
+          .cast("long")).as("k"))
+      .withColumn("ph", expr("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("z2n", expr("1.96 * 1.96 / CAST(n AS DOUBLE)"))
+      .withColumn("half", expr(
+        "1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE)" +
+          " + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"))
+      .select(col("priority"), col("n").as("n_orders"), col("k").as("n_high_value"),
+        round(col("ph"), 4).as("p_hat"),
+        round(expr("(ph + z2n / 2.0 - half) / (1.0 + z2n)"), 4).as("wilson_lo"),
+        round(expr("(ph + z2n / 2.0 + half) / (1.0 + z2n)"), 4).as("wilson_hi"))
+      .orderBy("priority")
+  }
+
+  private val wilsonCiSql =
+    """WITH agg AS (
+      |  SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 25000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM orders GROUP BY 1),
+      |f AS (
+      |  SELECT priority, n, k,
+      |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+      |    1.96 * 1.96 / CAST(n AS DOUBLE) AS z2n,
+      |    1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS half
+      |  FROM agg)
+      |SELECT priority, n AS n_orders, k AS n_high_value,
+      |  round(ph, 4) AS p_hat,
+      |  round((ph + z2n / 2.0 - half) / (1.0 + z2n), 4) AS wilson_lo,
+      |  round((ph + z2n / 2.0 + half) / (1.0 + z2n), 4) AS wilson_hi
+      |FROM f ORDER BY priority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_jarque_bera", jarqueBera, Some(jarqueBeraSql)),
+    QueryDef("agg_runs_test", runsTest, Some(runsTestSql)),
+    QueryDef("agg_wilson_ci", wilsonCi, Some(wilsonCiSql)),
     QueryDef("win_kalman_level", kalmanLevel, Some(kalmanLevelSql)),
     QueryDef("win_holt_winters", holtWinters, Some(holtWintersSql)),
     QueryDef("agg_durbin_watson", durbinWatson, Some(durbinWatsonSql)),
