@@ -4098,7 +4098,72 @@ object AnalyticsQueries extends QueryModule {
       |  round((ph + z2n / 2.0 + half) / (1.0 + z2n), 4) AS wilson_hi
       |FROM f ORDER BY priority""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Gumbel extreme-value fit on monthly block maxima of daily revenue —
+  // the capacity-planning question ("what peak day should we provision
+  // for once in 100 months?") that mean/percentile reports structurally
+  // cannot answer, because it extrapolates BEYOND the observed maxima.
+  // Method-of-moments fit: β = s·√6/π, μ = m − γβ, both from exact
+  // DECIMAL(38,0) moment sums over the ≤|months| block frame; the
+  // 100-block return level x₁₀₀ = μ + β·(−ln(−ln(0.99))) uses shared
+  // PRECOMPUTED literals (√6/π, Euler γ, the double-log factor — the
+  // ln-literal discipline, no runtime transcendental anywhere). The
+  // corpus-sized work is one daily aggregate; everything after walks
+  // the calendar-bounded month frame.
+  // ------------------------------------------------------------------
+  def gumbelMaxima(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+      .groupBy(date_format(col("day"), "yyyy-MM").as("ym"))
+      .agg(max("x").as("mx"))
+    blocks.agg(count(lit(1)).as("n"), sum("mx").as("sm"),
+        sum(expr("CAST(mx AS DECIMAL(38,0)) * CAST(mx AS DECIMAL(38,0))")).as("smm"),
+        max("mx").as("max_obs"))
+      .withColumn("m", expr("CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("sd", expr(
+        "sqrt((CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)" +
+          " - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"))
+      .withColumn("beta", expr("sd * 0.7796968012"))
+      .withColumn("mu", expr("m - 0.5772156649 * beta"))
+      .select(col("n").as("n_blocks"), col("max_obs").as("max_observed"),
+        round(col("mu"), 4).as("gumbel_mu"),
+        round(col("beta"), 4).as("gumbel_beta"),
+        round(expr("mu + beta * 4.6001492268"), 4).as("return_level_100"))
+  }
+
+  private val gumbelMaximaSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |blocks AS (
+      |  SELECT strftime(day, '%Y-%m') AS ym, CAST(max(x) AS BIGINT) AS mx
+      |  FROM daily GROUP BY 1),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mx) AS BIGINT) AS sm,
+      |    sum(CAST(mx AS HUGEINT) * CAST(mx AS HUGEINT)) AS smm,
+      |    CAST(max(mx) AS BIGINT) AS max_obs
+      |  FROM blocks),
+      |fit AS (
+      |  SELECT n, max_obs,
+      |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+      |    sqrt((CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+      |      - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+      |  FROM sums),
+      |f2 AS (
+      |  SELECT n, max_obs, m, sd * 0.7796968012 AS beta,
+      |    m - 0.5772156649 * (sd * 0.7796968012) AS mu
+      |  FROM fit)
+      |SELECT n AS n_blocks, max_obs AS max_observed,
+      |  round(mu, 4) AS gumbel_mu, round(beta, 4) AS gumbel_beta,
+      |  round(mu + beta * 4.6001492268, 4) AS return_level_100
+      |FROM f2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_gumbel_maxima", gumbelMaxima, Some(gumbelMaximaSql)),
     QueryDef("agg_jarque_bera", jarqueBera, Some(jarqueBeraSql)),
     QueryDef("agg_runs_test", runsTest, Some(runsTestSql)),
     QueryDef("agg_wilson_ci", wilsonCi, Some(wilsonCiSql)),

@@ -1345,7 +1345,103 @@ object DedupQueries extends QueryModule {
        |SELECT * FROM ($rows) ORDER BY bands DESC""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // LSH recall evaluation: does the banded minhash ACTUALLY catch the
+  // near-duplicates the exact n-gram pass finds? — the measured ground
+  // truth for what [[lshBandTuning]] predicts analytically, and the
+  // number a dedup deployment must monitor before trusting sketches at
+  // 100 TB. Truth = source-blocked capped-shingle pairs with exact
+  // Jaccard ≥ 0.5 (integer-decided: 2·|∩| ≥ |∪|; the ≥ 0.7 band
+  // 10·|∩| ≥ 7·|∪| reported separately — banding theory says recall
+  // there should be near 1). Candidates = the production lshCandidates
+  // set. Recall ratios are the only doubles, derived from exact
+  // censuses. Scale shape: both sides are the existing bounded
+  // pipelines; the recall join is pair-keyed.
+  // ------------------------------------------------------------------
+  def lshRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleFrame(s, dir)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("source", "shingle")))
+      .filter(col("df") <= MaxShingleDf)
+      .drop("df")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
+      col("shingle").as("shingle_b"))
+    val inter = a.join(b,
+        col("source") === col("source_b") && col("shingle") === col("shingle_b") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(lit(2L) * col("inter") >= col("uni"))
+      .withColumn("hi", lit(10L) * col("inter") >= lit(7L) * col("uni"))
+    val cand = lshCandidates(lshDocs(s, dir)).withColumn("caught", lit(1L))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_truth_hi"),
+        sum(when(col("hi"), coalesce(col("caught"), lit(0L))).otherwise(0L))
+          .as("n_caught_hi"))
+      .crossJoin(broadcast(nCand))
+      .select(col("n_truth"), col("n_caught"),
+        round(col("n_caught").cast("double") / col("n_truth").cast("double"), 4)
+          .as("recall"),
+        col("n_truth_hi"), col("n_caught_hi"),
+        round(col("n_caught_hi").cast("double") / col("n_truth_hi").cast("double"), 4)
+          .as("recall_hi"),
+        col("n_candidates"))
+  }
+
+  private val lshRecallEvalSql =
+    s"""WITH $lshCandCtes,
+       |sh_raw AS (
+       |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+       |    range(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3])))) AS shingle
+       |  FROM (SELECT doc_id, source, $dToks AS tk FROM documents)
+       |  WHERE len(tk) >= 4),
+       |sh AS (
+       |  SELECT doc_id, source, shingle FROM (
+       |    SELECT doc_id, source, shingle,
+       |      count(*) OVER (PARTITION BY source, shingle) AS df
+       |    FROM sh_raw)
+       |  WHERE df <= 50),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b, inter, ca.n_sh + cb.n_sh - inter AS uni
+       |  FROM inter JOIN counts ca ON doc_a = ca.doc_id
+       |  JOIN counts cb ON doc_b = cb.doc_id
+       |  WHERE 2 * inter >= ca.n_sh + cb.n_sh - inter),
+       |flag AS (
+       |  SELECT t.doc_a, t.doc_b, 10 * inter >= 7 * uni AS hi,
+       |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+       |  FROM truth t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |    CAST(sum(caught) AS BIGINT) AS n_caught,
+       |    CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_truth_hi,
+       |    CAST(sum(CASE WHEN hi THEN caught ELSE 0 END) AS BIGINT) AS n_caught_hi
+       |  FROM flag),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+       |SELECT n_truth, n_caught,
+       |  round(CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE), 4) AS recall,
+       |  n_truth_hi, n_caught_hi,
+       |  round(CAST(n_caught_hi AS DOUBLE) / CAST(n_truth_hi AS DOUBLE), 4) AS recall_hi,
+       |  n_candidates
+       |FROM agg, nc""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_lsh_recall_eval", lshRecallEval, Some(lshRecallEvalSql)),
     QueryDef("curation_lsh_band_tuning", lshBandTuning, Some(lshBandTuningSql)),
     QueryDef("dedup_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
