@@ -1052,7 +1052,171 @@ object SimilarityQueries extends QueryModule {
        |ORDER BY q_id, c_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Embedding-space isotropy diagnostics — the one-pass health report a
+  // corpus owner runs BEFORE trusting any ANN index: anisotropic or
+  // collapsed embedding spaces silently destroy recall. The key identity
+  // makes it 100 TB-shaped: mean pairwise cosine of unit vectors needs NO
+  // pair enumeration, because Σᵢ≠ⱼ x̂ᵢ·x̂ⱼ = ‖Σx̂‖² − Σ‖x̂‖² — two
+  // sufficient statistics from ONE streaming pass (per-dim component
+  // sums + per-vector self-products). Determinism: unit components are
+  // quantized to integer 1e-6 units up front, so every downstream moment
+  // (‖Σx̂‖², per-dim variance numerators n·Σm²−S², the diagonal
+  // participation ratio) is exact DECIMAL(38,0) integer arithmetic; the
+  // only doubles are final display ratios and one 64-element
+  // pos-ordered fold for ΣV² (dim-bounded, order-pinned on both
+  // engines). Reported cosine is the quantized statistic — identical by
+  // construction, within 1e-4 of the float truth.
+  // ------------------------------------------------------------------
+  def embeddingIsotropy(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("nrm6", expr("CAST(round(nrm * 1e6) AS BIGINT)"))
+    val totals = e.agg(count(lit(1)).as("n"), sum("nrm6").as("snrm6"))
+    val dims = e.select(col("nrm"), posexplode(col("embedding")))
+      .withColumn("m", expr("CAST(round(CAST(col AS DOUBLE) / nrm * 1e6) AS BIGINT)"))
+      .groupBy("pos")
+      .agg(sum("m").as("sd"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))")).as("ssq"))
+      .crossJoin(broadcast(totals))
+      .withColumn("vnum", expr(
+        "CAST(n AS DECIMAL(38,0)) * ssq - CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))"))
+    dims.agg(
+        first(col("n")).as("n"), first(col("snrm6")).as("snrm6"),
+        count(lit(1)).as("dim"),
+        sum(expr("CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))")).as("ss2"),
+        sum("ssq").as("self_sq"),
+        sum("vnum").as("sumv"), max("vnum").as("maxv"),
+        expr("aggregate(array_sort(collect_list(struct(pos, CAST(vnum AS DOUBLE) AS v)))," +
+          " 0D, (a, p) -> a + p.v * p.v)").as("sumv2"))
+      .select(col("n").as("n_vectors"), col("dim"),
+        round(expr("CAST(snrm6 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6"), 4).as("mean_norm"),
+        round(expr("CAST(ss2 - self_sq AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12"), 6)
+          .as("mean_pairwise_cosine"),
+        round(expr("CAST(maxv AS DOUBLE) / CAST(sumv AS DOUBLE)"), 4)
+          .as("top_dim_var_share"),
+        round(expr("CAST(sumv AS DOUBLE) * CAST(sumv AS DOUBLE) / sumv2"), 4)
+          .as("participation_ratio"))
+  }
+
+  private val embeddingIsotropySql =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |withn AS (
+      |  SELECT vec_id, embedding, nrm,
+      |    CAST(round(nrm * 1e6) AS BIGINT) AS nrm6 FROM base),
+      |totals AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(nrm6) AS BIGINT) AS snrm6
+      |  FROM withn),
+      |comps AS (
+      |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) / nrm * 1e6) AS BIGINT) AS m
+      |  FROM withn),
+      |dims AS (
+      |  SELECT pos, CAST(sum(m) AS BIGINT) AS sd,
+      |    sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS ssq
+      |  FROM comps GROUP BY pos),
+      |vd AS (
+      |  SELECT pos, sd, ssq,
+      |    CAST(n AS HUGEINT) * ssq - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT) AS vnum
+      |  FROM dims, totals),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS dim,
+      |    sum(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS ss2,
+      |    sum(ssq) AS self_sq, sum(vnum) AS sumv, max(vnum) AS maxv,
+      |    list_sum(list_transform(list(CAST(vnum AS DOUBLE) ORDER BY pos),
+      |      v -> v * v)) AS sumv2
+      |  FROM vd)
+      |SELECT n AS n_vectors, dim,
+      |  round(CAST(snrm6 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 4) AS mean_norm,
+      |  round(CAST(ss2 - self_sq AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12, 6)
+      |    AS mean_pairwise_cosine,
+      |  round(CAST(maxv AS DOUBLE) / CAST(sumv AS DOUBLE), 4) AS top_dim_var_share,
+      |  round(CAST(sumv AS DOUBLE) * CAST(sumv AS DOUBLE) / sumv2, 4)
+      |    AS participation_ratio
+      |FROM agg, totals""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Simplified silhouette (centroid-based, the Spark-MLlib evaluator's
+  // formulation): per point, a = distance to OWN label centroid, b = min
+  // distance to any OTHER label centroid, s = (b−a)/max(a,b) — the
+  // cluster-quality number that decides whether the IVF coarse quantizer
+  // / SemDeDup clusters are worth trusting. Exact-pair silhouette is
+  // O(n²) and banned at scale; this form is one broadcast of k centroid
+  // rows against the streamed corpus (identical plan shape to the IVF
+  // probe). Determinism: distances quantize to 1e-6 integers, each
+  // point's silhouette to an integer 1e-4 grid via ONE double division,
+  // per-label means are exact integer sums over those grid values.
+  // ------------------------------------------------------------------
+  def silhouetteSimplified(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val cents = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label").as("c_label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("avg_v"))
+      .groupBy("c_label")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, avg_v))), p -> CAST(p.avg_v AS FLOAT))")
+        .as("cemb"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("d6", expr("CAST(round(l2_sq(embedding, cemb) * 1e6) AS BIGINT)"))
+      .groupBy("vec_id", "label")
+      .agg(min(when(col("label") === col("c_label"), col("d6"))).as("a6"),
+        min(when(col("label") =!= col("c_label"), col("d6"))).as("b6"))
+      .withColumn("s4", expr(
+        "CAST(round(CAST(b6 - a6 AS DOUBLE) * 1e4" +
+          " / CAST(greatest(a6, b6, 1) AS DOUBLE)) AS BIGINT)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(expr("CAST(sum(s4) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1e4"), 4)
+          .as("mean_silhouette"))
+      .orderBy("label")
+  }
+
+  private val silhouetteSimplifiedSql = {
+    val l2 =
+      """list_sum(list_transform(list_zip(e.embedding, c.cemb),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT label AS c_label,
+       |    list_transform(list(avg_v ORDER BY dim), x -> CAST(x AS FLOAT)) AS cemb
+       |  FROM (
+       |    SELECT label, dim, avg(CAST(v AS DOUBLE)) AS avg_v
+       |    FROM (SELECT label, unnest(embedding) AS v,
+       |            generate_subscripts(embedding, 1) AS dim
+       |          FROM embeddings)
+       |    GROUP BY label, dim)
+       |  GROUP BY label),
+       |dists AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    CAST(round($l2 * 1e6) AS BIGINT) AS d6
+       |  FROM embeddings e CROSS JOIN cents c),
+       |ab AS (
+       |  SELECT vec_id, label,
+       |    min(CASE WHEN label = c_label THEN d6 END) AS a6,
+       |    min(CASE WHEN label <> c_label THEN d6 END) AS b6
+       |  FROM dists GROUP BY 1, 2),
+       |sil AS (
+       |  SELECT label,
+       |    CAST(round(CAST(b6 - a6 AS DOUBLE) * 1e4
+       |      / CAST(greatest(a6, b6, 1) AS DOUBLE)) AS BIGINT) AS s4
+       |  FROM ab)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  round(CAST(sum(s4) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e4, 4)
+       |    AS mean_silhouette
+       |FROM sil GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_embedding_isotropy", embeddingIsotropy, Some(embeddingIsotropySql)),
+    QueryDef("sim_silhouette_simplified", silhouetteSimplified, Some(silhouetteSimplifiedSql)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchSql)),
     QueryDef("sim_mips_topk", mipsTopK, Some(mipsTopKSql)),
     QueryDef("sim_knn_classify", knnClassify, Some(knnClassifySql)),

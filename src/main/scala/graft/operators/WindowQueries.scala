@@ -881,7 +881,160 @@ object WindowQueries extends QueryModule {
       |WHERE CAST(abs(rc - med) AS DOUBLE) > 4.4478 * mad
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // SAX symbolization (Symbolic Aggregate approXimation) of 1995 daily
+  // revenue: z-normalize the series, PAA-average into calendar-month
+  // segments, quantize each segment against the N(0,1) quartile
+  // breakpoints {−0.6745, 0, 0.6745} into a 4-letter alphabet — the
+  // representation under time-series indexing/motif mining that turns a
+  // numeric series into a short string. Scale shape: one corpus-sized
+  // daily hash-agg, then everything walks the calendar-bounded month
+  // frame. Determinism: daily revenue pins to exact per-row-rounded
+  // cents, μ/σ and each PAA mean derive from exact integer (n, Σ, Σ²)
+  // sums, breakpoints are shared literals, and the CASE comparisons see
+  // identical doubles on both engines.
+  // ------------------------------------------------------------------
+  def saxSymbols(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate").cast("date")) === 1995)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("rc").as("ssum"),
+      sum(expr("CAST(rc AS DECIMAL(38,0)) * CAST(rc AS DECIMAL(38,0))")).as("ssq"))
+    daily
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_days"), sum("rc").as("sm"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mu", expr("CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("sd", expr(
+        "sqrt((CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)" +
+          " - CAST(ssum AS DOUBLE) * CAST(ssum AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"))
+      .withColumn("paa_z", expr(
+        "(CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE) - mu) / sd"))
+      .select(col("month"), col("n_days"), round(col("paa_z"), 4).as("paa_z"),
+        expr("CASE WHEN paa_z < -0.6745 THEN 'a' WHEN paa_z < 0.0 THEN 'b'" +
+          " WHEN paa_z < 0.6745 THEN 'c' ELSE 'd' END").as("symbol"))
+      .orderBy("month")
+  }
+
+  private val saxSymbolsSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rc) AS BIGINT) AS ssum,
+      |    sum(CAST(rc AS HUGEINT) * CAST(rc AS HUGEINT)) AS ssq
+      |  FROM daily),
+      |months AS (
+      |  SELECT strftime(day, '%Y-%m') AS month,
+      |    CAST(count(*) AS BIGINT) AS n_days, CAST(sum(rc) AS BIGINT) AS sm
+      |  FROM daily GROUP BY 1),
+      |z AS (
+      |  SELECT month, n_days,
+      |    (CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |      - CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)
+      |        - CAST(ssum AS DOUBLE) * CAST(ssum AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS paa_z
+      |  FROM months CROSS JOIN tot)
+      |SELECT month, n_days, round(paa_z, 4) AS paa_z,
+      |  CASE WHEN paa_z < -0.6745 THEN 'a' WHEN paa_z < 0.0 THEN 'b'
+      |    WHEN paa_z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+      |FROM z ORDER BY month""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Motif discovery (matrix-profile shape): the 5 most similar
+  // non-overlapping 7-observation windows of 1995 daily revenue under
+  // z-normalized Euclidean distance — "which two weeks behaved most
+  // alike?", the primitive under matrix-profile motif/discord mining.
+  // The exact-pair formulation is calendar-bounded: windows scale with
+  // the time span (≤359 for a year), so the pair join is ~65 k rows
+  // REGARDLESS of corpus size — the same frame-not-corpus invariant as
+  // the statistics suite. Determinism: the z-normalized deviation has
+  // the exact integer form zᵢ = (7xᵢ − S)/√(7Σx² − S²); each pair
+  // distance folds those in index order through one shared double
+  // chain, then quantizes to 1e-6 before the (d6, day_a, day_b) rank.
+  // Zero-variance windows are filtered by the exact integer predicate.
+  // ------------------------------------------------------------------
+  def motifPairs(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate").cast("date")) === 1995)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    val wins = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("arr", collect_list("rc").over(w))
+      .withColumn("sw", sum("rc").over(w))
+      .withColumn("ssw", sum(expr("CAST(rc AS DECIMAL(38,0)) * CAST(rc AS DECIMAL(38,0))")).over(w))
+      .filter(col("t") >= 7)
+      .withColumn("r2", expr("CAST(7 * ssw - CAST(sw AS DECIMAL(38,0)) * CAST(sw AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+      .filter(col("r2") > 0)
+      .withColumn("ra", expr("sqrt(CAST(r2 AS DOUBLE))"))
+      .select(col("day"), col("arr"), col("sw"), col("ra"))
+    val a = wins.select(col("day").as("day_a"), col("arr").as("aa"),
+      col("sw").as("sa"), col("ra").as("raa"))
+    val b = wins.select(col("day").as("day_b"), col("arr").as("ab"),
+      col("sw").as("sb"), col("ra").as("rab"))
+    a.join(b, expr("datediff(day_b, day_a) >= 7"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(aa, ab, (x, y) ->" +
+          " (CAST(7 * x - sa AS DOUBLE) / raa - CAST(7 * y - sb AS DOUBLE) / rab)" +
+          " * (CAST(7 * x - sa AS DOUBLE) / raa - CAST(7 * y - sb AS DOUBLE) / rab))," +
+          " 0D, (acc, v) -> acc + v)"))
+      .withColumn("d6", expr("CAST(round(dist * 1e6) AS BIGINT)"))
+      .orderBy(col("d6"), col("day_a"), col("day_b"))
+      .limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("d6"), col("day_a"), col("day_b"))))
+      .select(col("rank"),
+        date_format(col("day_a"), "yyyy-MM-dd").as("day_a"),
+        date_format(col("day_b"), "yyyy-MM-dd").as("day_b"),
+        round(expr("CAST(d6 AS DOUBLE) / 1e6"), 4).as("z_distance"))
+  }
+
+  private val motifPairsSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+      |wins0 AS (
+      |  SELECT day,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    list(rc) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr,
+      |    CAST(sum(rc) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sw,
+      |    sum(CAST(rc AS HUGEINT) * CAST(rc AS HUGEINT))
+      |      OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ssw
+      |  FROM daily),
+      |wins AS (
+      |  SELECT day, arr, sw,
+      |    sqrt(CAST(7 * ssw - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) AS DOUBLE)) AS ra
+      |  FROM wins0
+      |  WHERE t >= 7 AND 7 * ssw - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) > 0),
+      |pairs AS (
+      |  SELECT a.day AS day_a, b.day AS day_b,
+      |    list_sum(list_transform(list_zip(a.arr, b.arr), p ->
+      |      (CAST(7 * p[1] - a.sw AS DOUBLE) / a.ra - CAST(7 * p[2] - b.sw AS DOUBLE) / b.ra)
+      |      * (CAST(7 * p[1] - a.sw AS DOUBLE) / a.ra - CAST(7 * p[2] - b.sw AS DOUBLE) / b.ra)))
+      |      AS dist
+      |  FROM wins a JOIN wins b ON datediff('day', a.day, b.day) >= 7),
+      |q AS (
+      |  SELECT day_a, day_b, CAST(round(dist * 1e6) AS BIGINT) AS d6
+      |  FROM pairs),
+      |top AS (
+      |  SELECT day_a, day_b, d6,
+      |    CAST(row_number() OVER (ORDER BY d6, day_a, day_b) AS INTEGER) AS rank
+      |  FROM q)
+      |SELECT rank, strftime(day_a, '%Y-%m-%d') AS day_a,
+      |  strftime(day_b, '%Y-%m-%d') AS day_b,
+      |  round(CAST(d6 AS DOUBLE) / 1e6, 4) AS z_distance
+      |FROM top WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_sax_symbols", saxSymbols, Some(saxSymbolsSql)),
+    QueryDef("win_motif_pairs", motifPairs, Some(motifPairsSql)),
     QueryDef("win_drawdown", drawdown, Some(drawdownSql)),
     QueryDef("win_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
     QueryDef("win_cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),
