@@ -4162,7 +4162,72 @@ object AnalyticsQueries extends QueryModule {
       |  round(mu + beta * 4.6001492268, 4) AS return_level_100
       |FROM f2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Two-sample Poisson rate test per order priority: did the 1996 order
+  // ARRIVAL RATE differ from 1995's? — the event-rate question count
+  // comparisons get wrong when exposures differ (1996 is a leap year:
+  // 366 days vs 365). The conditional binomial form: under H₀ (equal
+  // rates), k₉₆ | k₉₆+k₉₅ ~ Binomial(n, p) with p = 366/731 — exposures
+  // are CALENDAR CONSTANTS, so p is a shared literal division and the
+  // normal-approximation z needs only the exact integer counts. Two-
+  // sided p via the shared A&S 7.1.26 erfc polynomial (same literals as
+  // the BH-FDR / Mann–Kendall chain). One hash-agg over the corpus;
+  // everything downstream is a 5-row frame.
+  // ------------------------------------------------------------------
+  def poissonRateTest(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("k95"),
+        sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("k96"))
+      .withColumn("n", col("k95") + col("k96"))
+      .withColumn("p0", expr("366.0 / 731.0"))
+      .withColumn("z", expr(
+        "(CAST(k96 AS DOUBLE) - CAST(n AS DOUBLE) * p0)" +
+          " / sqrt(CAST(n AS DOUBLE) * p0 * (1.0 - p0))"))
+      .withColumn("y", abs(col("z")) / lit(1.4142135623730951))
+      .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("y")))
+      .withColumn("p_value",
+        expr("""tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+              + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-y * y)"""))
+      .select(col("priority"), col("k95"), col("k96"),
+        round(expr("CAST(k95 AS DOUBLE) / 365.0"), 4).as("rate_1995"),
+        round(expr("CAST(k96 AS DOUBLE) / 366.0"), 4).as("rate_1996"),
+        round(col("z"), 4).as("z"),
+        round(col("p_value"), 4).as("p_value"),
+        (col("p_value") < 0.05).as("significant"))
+      .orderBy("priority")
+  }
+
+  private val poissonRateTestSql =
+    """WITH counts AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS k95,
+      |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS k96
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      |  GROUP BY 1),
+      |zf AS (
+      |  SELECT *, k95 + k96 AS n, 366.0 / 731.0 AS p0 FROM counts),
+      |z2 AS (
+      |  SELECT *,
+      |    (CAST(k96 AS DOUBLE) - CAST(n AS DOUBLE) * p0)
+      |      / sqrt(CAST(n AS DOUBLE) * p0 * (1.0 - p0)) AS z
+      |  FROM zf),
+      |p AS (
+      |  SELECT *, tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+      |      + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-y * y) AS p_value
+      |  FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * y) AS tt
+      |        FROM (SELECT *, abs(z) / 1.4142135623730951 AS y FROM z2)))
+      |SELECT priority, k95, k96,
+      |  round(CAST(k95 AS DOUBLE) / 365.0, 4) AS rate_1995,
+      |  round(CAST(k96 AS DOUBLE) / 366.0, 4) AS rate_1996,
+      |  round(z, 4) AS z, round(p_value, 4) AS p_value,
+      |  (p_value < 0.05) AS significant
+      |FROM p ORDER BY priority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_poisson_rate_test", poissonRateTest, Some(poissonRateTestSql)),
     QueryDef("agg_gumbel_maxima", gumbelMaxima, Some(gumbelMaximaSql)),
     QueryDef("agg_jarque_bera", jarqueBera, Some(jarqueBeraSql)),
     QueryDef("agg_runs_test", runsTest, Some(runsTestSql)),

@@ -1214,7 +1214,103 @@ object SimilarityQueries extends QueryModule {
        |FROM sil GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Ranking-quality evaluation of the dense retriever: nDCG@10, MRR@10
+  // and precision@5 of the brute-force cosine ranking, with relevance =
+  // label agreement — the offline eval harness every retrieval deployment
+  // runs before swapping an index. Scale shape: the 20-query panel is
+  // broadcast against the streamed corpus (the sim_brute_topk plan), the
+  // metric fold touches ≤10 rows per query. Determinism: the log₂
+  // discounts are PRECOMPUTED integer literals (round(1e6/log₂(i+1)) and
+  // their prefix sums for the ideal DCG), so DCG/IDCG are exact integer
+  // sums; each query's nDCG and reciprocal rank quantize to a 1e-4 grid
+  // through one double division before the exact-integer panel mean.
+  // ------------------------------------------------------------------
+  def rankingMetrics(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val disc = "array(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)"
+    val pref = "array(1000000L, 1630930L, 2130930L, 2561607L, 2948460L, 3304667L, 3638000L, 3953465L, 4254495L, 4543560L)"
+    val e = Tables.embeddings(s, dir)
+    val labCnt = e.groupBy(col("label").as("q_label")).agg(count(lit(1)).as("lc"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .join(labCnt, "q_label")
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("label").as("c_label"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos6"), asc("c_id"))
+    cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos6", round(expr("cosine_sim(q_emb, c_emb)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .withColumn("rel", (col("c_label") === col("q_label")).cast("long"))
+      .groupBy("q_id")
+      .agg(first("lc").as("lc"),
+        sum(expr(s"rel * element_at($disc, rn)")).as("dcg"),
+        min(when(col("rel") === 1L, col("rn"))).as("fr"),
+        sum(when(col("rn") <= 5, col("rel")).otherwise(0L)).as("p5"))
+      .withColumn("r", expr("least(lc - 1, 10)"))
+      .withColumn("ndcg4", expr(
+        s"CASE WHEN r <= 0 THEN 0L ELSE CAST(round(1e4 * CAST(dcg AS DOUBLE)" +
+          s" / CAST(element_at($pref, CAST(r AS INT)) AS DOUBLE)) AS BIGINT) END"))
+      .withColumn("mrr4", expr(
+        "CASE WHEN fr IS NULL THEN 0L" +
+          " ELSE CAST(round(1e4 / CAST(fr AS DOUBLE)) AS BIGINT) END"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(expr("CAST(sum(ndcg4) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1e4"), 4)
+          .as("mean_ndcg10"),
+        round(expr("CAST(sum(mrr4) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1e4"), 4)
+          .as("mrr10"),
+        round(expr("CAST(sum(p5) AS DOUBLE) / (5.0 * CAST(count(1) AS DOUBLE))"), 4)
+          .as("mean_prec5"))
+  }
+
+  private val rankingMetricsSql = {
+    val cos = cosineSqlDuck.replace("QA", "q.q_emb").replace("QB", "c.c_emb")
+    """WITH labcnt AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS lc
+      |  FROM embeddings GROUP BY 1),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label, lc
+      |  FROM embeddings JOIN labcnt USING (label) WHERE vec_id < 20),
+      |ranked AS (
+      |  SELECT q_id, lc, rn,
+      |    CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel
+      |  FROM (
+      |    SELECT q.q_id, q.lc, q.q_label, c.label AS c_label,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY round(COS_EXPR, 6) DESC, c.vec_id ASC) AS rn
+      |    FROM q JOIN (SELECT vec_id, embedding AS c_emb, label FROM embeddings) c
+      |      ON q.q_id <> c.vec_id)
+      |  WHERE rn <= 10),
+      |per AS (
+      |  SELECT q_id, any_value(lc) AS lc,
+      |    CAST(sum(rel * list_extract(
+      |      [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065],
+      |      rn)) AS BIGINT) AS dcg,
+      |    min(CASE WHEN rel = 1 THEN rn END) AS fr,
+      |    CAST(sum(CASE WHEN rn <= 5 THEN rel ELSE 0 END) AS BIGINT) AS p5
+      |  FROM ranked GROUP BY q_id),
+      |grid AS (
+      |  SELECT q_id, p5,
+      |    CASE WHEN least(lc - 1, 10) <= 0 THEN 0
+      |      ELSE CAST(round(1e4 * CAST(dcg AS DOUBLE) / CAST(list_extract(
+      |        [1000000, 1630930, 2130930, 2561607, 2948460, 3304667, 3638000, 3953465, 4254495, 4543560],
+      |        CAST(least(lc - 1, 10) AS INTEGER)) AS DOUBLE)) AS BIGINT) END AS ndcg4,
+      |    CASE WHEN fr IS NULL THEN 0
+      |      ELSE CAST(round(1e4 / CAST(fr AS DOUBLE)) AS BIGINT) END AS mrr4
+      |  FROM per)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(CAST(sum(ndcg4) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e4, 4)
+      |    AS mean_ndcg10,
+      |  round(CAST(sum(mrr4) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e4, 4) AS mrr10,
+      |  round(CAST(sum(p5) AS DOUBLE) / (5.0 * CAST(count(*) AS DOUBLE)), 4)
+      |    AS mean_prec5
+      |FROM grid""".stripMargin.replace("COS_EXPR", cos)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_ranking_metrics", rankingMetrics, Some(rankingMetricsSql)),
     QueryDef("sim_embedding_isotropy", embeddingIsotropy, Some(embeddingIsotropySql)),
     QueryDef("sim_silhouette_simplified", silhouetteSimplified, Some(silhouetteSimplifiedSql)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchSql)),

@@ -1152,7 +1152,77 @@ object TextQueries extends QueryModule {
        |ORDER BY rake_score DESC, phrase ASC LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β over the corpus in
+  // doc_id order — the curve that predicts how much NEW vocabulary the
+  // next 10× of corpus brings (β ≈ 0.4–0.6 for natural text; β near 1
+  // flags boilerplate/id-like token spam, β near 0 a collapsed corpus).
+  // Scale shape: token positions never materialize — V and N come from
+  // two exact cumulative frames (per-doc token counts; per-term FIRST
+  // doc via min(doc_id), both corpus-sized hash-aggs), sampled at 10
+  // exact-integer decile checkpoints (rank = n_docs·t DIV 10, shared
+  // literal list). The OLS fit runs regr_slope/intercept on ln N, ln V
+  // over those 10 rows — the zipf_fit precedent for runtime ln.
+  // ------------------------------------------------------------------
+  def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+    val perDoc = terms.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val firstDoc = terms.groupBy("term").agg(min("doc_id").as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("nv"))
+    val wOrd = Window.orderBy("doc_id")
+    val ranks = perDoc.join(firstDoc, Seq("doc_id"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
+      .withColumn("r", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_n", sum("nt").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_v", sum("nv").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val nd = perDoc.agg(count(lit(1)).as("n_docs"))
+    ranks.crossJoin(broadcast(nd))
+      .filter(expr(
+        "array_contains(transform(array(1L,2L,3L,4L,5L,6L,7L,8L,9L,10L)," +
+          " t -> (n_docs * t) DIV 10), r)"))
+      .agg(first("n_docs").as("n_docs"),
+        max("cum_n").as("total_tokens"), max("cum_v").as("vocabulary"),
+        round(expr("regr_slope(ln(CAST(cum_v AS DOUBLE)), ln(CAST(cum_n AS DOUBLE)))"), 4)
+          .as("heaps_beta"),
+        round(expr("exp(regr_intercept(ln(CAST(cum_v AS DOUBLE)), ln(CAST(cum_n AS DOUBLE))))"), 4)
+          .as("heaps_k"))
+  }
+
+  private val heapsLawSql =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(tk) AS term
+       |  FROM (SELECT doc_id, $dToks AS tk FROM documents)),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM terms GROUP BY 1),
+       |firstdoc AS (
+       |  SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+       |  FROM (SELECT term, min(doc_id) AS fd FROM terms GROUP BY 1)
+       |  GROUP BY 1),
+       |ranks AS (
+       |  SELECT p.doc_id,
+       |    CAST(row_number() OVER (ORDER BY p.doc_id) AS BIGINT) AS r,
+       |    CAST(sum(p.nt) OVER (ORDER BY p.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       |    CAST(sum(coalesce(f.nv, 0)) OVER (ORDER BY p.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v
+       |  FROM perdoc p LEFT JOIN firstdoc f ON p.doc_id = f.doc_id),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM perdoc),
+       |pts AS (
+       |  SELECT * FROM ranks, nd
+       |  WHERE list_contains(list_transform([1,2,3,4,5,6,7,8,9,10],
+       |    t -> (n_docs * t) // 10), r))
+       |SELECT any_value(n_docs) AS n_docs,
+       |  CAST(max(cum_n) AS BIGINT) AS total_tokens,
+       |  CAST(max(cum_v) AS BIGINT) AS vocabulary,
+       |  round(regr_slope(ln(CAST(cum_v AS DOUBLE)), ln(CAST(cum_n AS DOUBLE))), 4)
+       |    AS heaps_beta,
+       |  round(exp(regr_intercept(ln(CAST(cum_v AS DOUBLE)), ln(CAST(cum_n AS DOUBLE)))), 4)
+       |    AS heaps_k
+       |FROM pts""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_heaps_law", heapsLaw, Some(heapsLawSql)),
     QueryDef("text_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),
     QueryDef("text_readability", readability, Some(readabilitySql)),
     QueryDef("text_kl_divergence", klDivergence, Some(klDivergenceSql)),
