@@ -4226,7 +4226,162 @@ object AnalyticsQueries extends QueryModule {
       |  (p_value < 0.05) AS significant
       |FROM p ORDER BY priority""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Granger causality (lag-1): does yesterday's CLICK volume help predict
+  // today's PURCHASE volume beyond yesterday's purchases? — the
+  // predictive-causality test behind "which upstream signal leads the
+  // metric". Restricted model p_t = a + b·p_{t−1} vs full model adding
+  // c·c_{t−1}; F = (RSS_r − RSS_f) / (RSS_f/(n−3)). Every raw and
+  // centered cross-moment (n·Σxy − Σx·Σy …) is exact DECIMAL(38,0)
+  // integer arithmetic over the days-bounded daily frame; the 2×2
+  // normal-equation solve and both RSS values are ONE shared double
+  // chain from those exact integers (triple products would overflow
+  // DECIMAL, so the cast happens after centering, before Cramer).
+  // ------------------------------------------------------------------
+  def grangerCausality(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy("day")
+    val lagged = daily
+      .withColumn("x", lag("p", 1).over(w))
+      .withColumn("z", lag("c", 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("p").as("y"), col("x"), col("z"))
+    lagged.agg(count(lit(1)).as("n"),
+        sum("y").as("sy"), sum("x").as("sx"), sum("z").as("sz"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))")).as("szz"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("szy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))")).as("sxz"))
+      .withColumn("cxx", expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)"))
+      .withColumn("czz", expr("CAST(n * szz - CAST(sz AS DECIMAL(38,0)) * CAST(sz AS DECIMAL(38,0)) AS DOUBLE)"))
+      .withColumn("cyy", expr("CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)"))
+      .withColumn("cxy", expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)"))
+      .withColumn("czy", expr("CAST(n * szy - CAST(sz AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)"))
+      .withColumn("cxz", expr("CAST(n * sxz - CAST(sx AS DECIMAL(38,0)) * CAST(sz AS DECIMAL(38,0)) AS DOUBLE)"))
+      .withColumn("rss_r", expr("cyy - cxy * cxy / cxx"))
+      .withColumn("det", expr("cxx * czz - cxz * cxz"))
+      .withColumn("bhat", expr("(cxy * czz - czy * cxz) / det"))
+      .withColumn("chat", expr("(czy * cxx - cxy * cxz) / det"))
+      .withColumn("rss_f", expr("cyy - bhat * cxy - chat * czy"))
+      .withColumn("f_stat", expr(
+        "(rss_r - rss_f) / (rss_f / CAST(n - 3 AS DOUBLE))"))
+      .select(col("n").as("n_days"),
+        round(expr("bhat"), 4).as("ar_coef"),
+        round(expr("chat"), 4).as("granger_coef"),
+        round(col("f_stat"), 4).as("f_stat"),
+        (col("f_stat") > 3.89).as("granger_significant"))
+  }
+
+  private val grangerCausalitySql =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |lagged AS (
+      |  SELECT p AS y,
+      |    lag(p, 1) OVER (ORDER BY day) AS x,
+      |    lag(c, 1) OVER (ORDER BY day) AS z
+      |  FROM daily),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+      |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    sum(CAST(z AS HUGEINT) * CAST(y AS HUGEINT)) AS szy,
+      |    sum(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz
+      |  FROM lagged WHERE x IS NOT NULL),
+      |cen AS (
+      |  SELECT n,
+      |    CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS cxx,
+      |    CAST(n * szz - CAST(sz AS HUGEINT) * CAST(sz AS HUGEINT) AS DOUBLE) AS czz,
+      |    CAST(n * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS cyy,
+      |    CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS cxy,
+      |    CAST(n * szy - CAST(sz AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS czy,
+      |    CAST(n * sxz - CAST(sx AS HUGEINT) * CAST(sz AS HUGEINT) AS DOUBLE) AS cxz
+      |  FROM m),
+      |fit AS (
+      |  SELECT n, cyy, cxy, czy,
+      |    cyy - cxy * cxy / cxx AS rss_r,
+      |    (cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) AS bhat,
+      |    (czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) AS chat
+      |  FROM cen),
+      |ff AS (
+      |  SELECT n, bhat, chat, rss_r,
+      |    cyy - bhat * cxy - chat * czy AS rss_f
+      |  FROM fit)
+      |SELECT n AS n_days, round(bhat, 4) AS ar_coef, round(chat, 4) AS granger_coef,
+      |  round((rss_r - rss_f) / (rss_f / CAST(n - 3 AS DOUBLE)), 4) AS f_stat,
+      |  ((rss_r - rss_f) / (rss_f / CAST(n - 3 AS DOUBLE)) > 3.89)
+      |    AS granger_significant
+      |FROM ff""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Index of dispersion (variance-to-mean ratio) of daily event counts
+  // per event type — the overdispersion diagnostic that decides whether
+  // a Poisson model (D = 1) is even admissible before rate tests or
+  // anomaly thresholds are trusted. Exact integer (n, Σ, Σ²) per type;
+  // D and its normal-approximation z = (D−1)·√((n−1)/2) are one shared
+  // double chain from those integers.
+  // ------------------------------------------------------------------
+  def dispersionIndex(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("sc"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))")).as("scc"))
+      .withColumn("mean_d", expr("CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)"))
+      .withColumn("var_d", expr(
+        "CAST(n_days * scc - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0)) AS DOUBLE)" +
+          " / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE))"))
+      .withColumn("disp", expr("var_d / mean_d"))
+      .withColumn("zod", expr("(disp - 1.0) * sqrt(CAST(n_days - 1 AS DOUBLE) / 2.0)"))
+      .select(col("event_type"), col("n_days"),
+        round(col("mean_d"), 4).as("mean_daily"),
+        round(col("var_d"), 4).as("var_daily"),
+        round(col("disp"), 4).as("dispersion"),
+        round(col("zod"), 4).as("z"),
+        (col("zod") > 1.6449).as("overdispersed"))
+      .orderBy("event_type")
+  }
+
+  private val dispersionIndexSql =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(cnt) AS BIGINT) AS sc,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS scc
+      |  FROM daily GROUP BY 1),
+      |d AS (
+      |  SELECT event_type, n_days,
+      |    CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_d,
+      |    CAST(n_days * scc - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS DOUBLE)
+      |      / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)) AS var_d
+      |  FROM m),
+      |z AS (
+      |  SELECT *, var_d / mean_d AS disp,
+      |    (var_d / mean_d - 1.0) * sqrt(CAST(n_days - 1 AS DOUBLE) / 2.0) AS zod
+      |  FROM d)
+      |SELECT event_type, n_days, round(mean_d, 4) AS mean_daily,
+      |  round(var_d, 4) AS var_daily, round(disp, 4) AS dispersion,
+      |  round(zod, 4) AS z, (zod > 1.6449) AS overdispersed
+      |FROM z ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_granger_causality", grangerCausality, Some(grangerCausalitySql)),
+    QueryDef("agg_dispersion_index", dispersionIndex, Some(dispersionIndexSql)),
     QueryDef("agg_poisson_rate_test", poissonRateTest, Some(poissonRateTestSql)),
     QueryDef("agg_gumbel_maxima", gumbelMaxima, Some(gumbelMaximaSql)),
     QueryDef("agg_jarque_bera", jarqueBera, Some(jarqueBeraSql)),
