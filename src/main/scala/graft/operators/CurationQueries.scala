@@ -1093,7 +1093,63 @@ object CurationQueries extends QueryModule {
        |  round(avg(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_rate
        |FROM cut GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Temperature-based source mixing (the mT5/XLM-R multilingual recipe):
+  // sampling weight wᵢ ∝ nᵢ^α with α = 0.7 upsamples small sources and
+  // damps the head — the standard fix for the "English swallows the
+  // mixture" failure that uniform-target plans ([[mixturePlan]]) and
+  // proportional sampling both have. Per-source token counts are exact
+  // integers; the only transcendental is pow(n, 0.7) (the zipf-fit
+  // runtime-ln precedent), and the weight normalizer is an ORDERED fold
+  // over the |sources|-bounded frame so no cross-row double sum depends
+  // on partitioning. Expected tokens land on an integer grid before the
+  // per-source epoch ratio.
+  // ------------------------------------------------------------------
+  def temperatureMixing(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"size($toks)").cast("long")).as("src_tokens"))
+      .withColumn("w", expr("pow(CAST(src_tokens AS DOUBLE), 0.7)"))
+    val norm = perSrc.agg(
+      sum("src_tokens").as("total_tokens"),
+      expr("aggregate(array_sort(collect_list(struct(source, w))), 0D," +
+        " (a, p) -> a + p.w)").as("wsum"))
+    perSrc.crossJoin(broadcast(norm))
+      .withColumn("weight", expr("w / wsum"))
+      .withColumn("expected_tokens", expr(
+        "CAST(round(CAST(total_tokens AS DOUBLE) * w / wsum) AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        round(col("weight"), 4).as("weight"),
+        col("expected_tokens"),
+        round(expr("CAST(expected_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE)"), 4)
+          .as("epochs_over_source"))
+      .orderBy("source")
+  }
+
+  private val temperatureMixingSql =
+    s"""WITH per_src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($dToks)) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY source),
+       |pw AS (
+       |  SELECT *, pow(CAST(src_tokens AS DOUBLE), 0.7) AS w FROM per_src),
+       |norm AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       |    list_sum(list_transform(list(w ORDER BY source), x -> x)) AS wsum
+       |  FROM pw)
+       |SELECT source, n_docs, src_tokens,
+       |  round(w / wsum, 4) AS weight,
+       |  CAST(round(CAST(total_tokens AS DOUBLE) * w / wsum) AS BIGINT)
+       |    AS expected_tokens,
+       |  round(CAST(CAST(round(CAST(total_tokens AS DOUBLE) * w / wsum) AS BIGINT)
+       |      AS DOUBLE) / CAST(src_tokens AS DOUBLE), 4)
+       |    AS epochs_over_source
+       |FROM pw, norm ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_temperature_mixing", temperatureMixing,
+      Some(temperatureMixingSql)),
     QueryDef("curation_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
     QueryDef("curation_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("curation_psi_drift", psiDrift, Some(psiDriftSql)),

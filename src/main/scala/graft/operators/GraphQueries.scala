@@ -1030,7 +1030,70 @@ object GraphQueries extends QueryModule {
       |FROM a2 JOIN a1 USING (sp)
       |ORDER BY a2 DESC, sp LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Personalized PageRank from the top-degree hub (restart α = 0.15,
+  // 4 unrolled power iterations) — the "what's relevant AROUND this
+  // node" primitive behind related-item retrieval and local community
+  // seeding, where global PageRank washes out locality. Determinism at
+  // graph scale is the hard part: per-node double sums over 100k+
+  // in-edges are order-dependent, so this runs an INTEGER-QUANTIZED
+  // walk — mass starts at 1e12, each edge carries r DIV deg(u), each
+  // iteration keeps (inflow·85) DIV 100 plus the seed's exact
+  // 0.15·1e12 restart — every value a BIGINT, every sum order-free,
+  // truncation bounded by iterations·|frontier|/1e12. Ranks stay a
+  // SPARSE frame (only touched nodes), each round one keyed join +
+  // hash-agg over the materialized edge table; lineage is flattened
+  // per round (the k-core checkpoint lesson).
+  // ------------------------------------------------------------------
+  def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val und2 = und.join(deg, Seq("u")).localCheckpoint(true)
+    val seed = deg.orderBy(col("d").desc, col("u").asc).limit(1)
+      .select(col("u").as("node")).localCheckpoint(true)
+    val seedRestart = seed.select(col("node"), lit(150000000000L).as("val"))
+    var ranks = seed.select(col("node"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to 4) {
+      val inflow = und2.join(ranks, col("u") === col("node"))
+        .select(col("v"), expr("r DIV d").as("c"))
+        .groupBy("v").agg(sum("c").as("infl"))
+        .select(col("v").as("node"), expr("(infl * 85) DIV 100").as("val"))
+      ranks = inflow.unionByName(seedRestart)
+        .groupBy("node").agg(sum("val").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.join(deg, col("node") === col("u"))
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(10)
+      .select(col("node"), col("d").as("degree"),
+        round(expr("CAST(r AS DOUBLE) / 1e12"), 6).as("ppr"))
+  }
+
+  private val personalizedPagerankSql = {
+    def iter(i: Int) =
+      s"""r${i + 1} AS (
+         |  SELECT node, CAST(sum(val) AS BIGINT) AS r FROM (
+         |    SELECT node, (infl * 85) // 100 AS val FROM (
+         |      SELECT s.v AS node, CAST(sum(r$i.r // d.d) AS BIGINT) AS infl
+         |      FROM sym s JOIN r$i ON s.u = r$i.node JOIN deg d ON d.n = s.u
+         |      GROUP BY 1)
+         |    UNION ALL SELECT node, 150000000000 FROM seed)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $edgesCte,
+       |sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+       |seed AS (SELECT n AS node FROM deg ORDER BY d DESC, n LIMIT 1),
+       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM seed),
+       |${(0 until 4).map(iter).mkString(",\n")}
+       |SELECT r4.node, d.d AS degree,
+       |  round(CAST(r4.r AS DOUBLE) / 1e12, 6) AS ppr
+       |FROM r4 JOIN deg d ON d.n = r4.node
+       |ORDER BY r4.r DESC, r4.node LIMIT 10""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_personalized_pagerank", personalizedPagerank,
+      Some(personalizedPagerankSql)),
     QueryDef("graph_hits", hits, Some(hitsSql)),
     QueryDef("graph_harmonic_centrality", harmonicCentrality, Some(harmonicCentralitySql)),
     QueryDef("graph_katz_centrality", katzCentrality, Some(katzCentralitySql)),
