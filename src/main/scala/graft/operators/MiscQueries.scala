@@ -748,7 +748,53 @@ object MiscQueries extends QueryModule {
        |FROM scored ORDER BY split_at""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // 2-D skyline (Pareto frontier): parts not dominated on (minimize
+  // retail price, maximize size) — the multi-objective shortlist query
+  // ("no other part is both cheaper and larger"). The textbook
+  // dominance formulation is an O(n²) self-join; this is the sort-sweep
+  // form: collapse to distinct (price, size) VALUE pairs first (price
+  // domain is bounded, the repo's value-collapse discipline), order by
+  // price, and a point is on the frontier iff its size strictly exceeds
+  // the running max of every cheaper point — one window over the
+  // collapsed frame, no pair join anywhere. Exact integer cents and
+  // sizes end to end; ties (same price) keep only the largest size via
+  // the collapse.
+  // ------------------------------------------------------------------
+  def skyline2d(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(s, dir)
+      .select(expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      .groupBy("price_c").agg(max("size").as("size"))
+    val w = Window.orderBy("price_c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("prev_max", max("size").over(w))
+      .filter(col("prev_max").isNull || col("size") > col("prev_max"))
+      .select(round(expr("CAST(price_c AS DOUBLE) / 100.0"), 2).as("price"),
+        col("size"))
+      .orderBy("price")
+  }
+
+  private val skyline2dSql =
+    """WITH pts AS (
+      |  SELECT price_c, CAST(max(size) AS BIGINT) AS size FROM (
+      |    SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+      |      CAST(p_size AS BIGINT) AS size
+      |    FROM part)
+      |  GROUP BY price_c),
+      |sweep AS (
+      |  SELECT price_c, size,
+      |    max(size) OVER (ORDER BY price_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM pts)
+      |SELECT round(CAST(price_c AS DOUBLE) / 100.0, 2) AS price, size
+      |FROM sweep
+      |WHERE prev_max IS NULL OR size > prev_max
+      |ORDER BY price""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_skyline_2d", skyline2d, Some(skyline2dSql)),
     QueryDef("misc_gini_split", giniSplit, Some(giniSplitSql)),
     QueryDef("misc_crosstab", crosstabStatus, Some(crosstabStatusSql)),
     QueryDef("misc_observe_metrics", observeMetrics, Some(observeMetricsSql)),

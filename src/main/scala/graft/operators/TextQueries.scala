@@ -1221,7 +1221,54 @@ object TextQueries extends QueryModule {
        |    AS heaps_k
        |FROM pts""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Chao1 species-richness estimate + Good–Turing unseen mass over the
+  // corpus vocabulary — "how many token types does the corpus have that
+  // we HAVEN'T seen yet, and how much probability mass do they carry?"
+  // — the coverage questions behind tokenizer-vocab sizing and corpus-
+  // growth planning, answered from the frequency-of-frequencies frame
+  // (f₁ singletons, f₂ doubletons). Bias-corrected Chao1 =
+  // V + f₁(f₁−1)/(2(f₂+1)); Good–Turing unseen mass P₀ = f₁/N. Scale
+  // shape: term-count hash-agg, then a 2-row census — everything after
+  // the first agg is constant-size. All inputs exact integers; the two
+  // ratios are single divisions.
+  // ------------------------------------------------------------------
+  def chao1Richness(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    freq.agg(count(lit(1)).as("vocabulary"), sum("f").as("n_tokens"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("vocabulary"), col("n_tokens"), col("f1"), col("f2"),
+        round(expr("CAST(vocabulary AS DOUBLE)" +
+          " + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE))"), 2)
+          .as("chao1"),
+        round(expr("CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"), 6)
+          .as("unseen_mass"))
+  }
+
+  private val chao1RichnessSql =
+    s"""WITH freq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(tk) AS term
+       |    FROM (SELECT $dToks AS tk FROM documents))
+       |  GROUP BY term),
+       |census AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS vocabulary,
+       |    CAST(sum(f) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM freq)
+       |SELECT vocabulary, n_tokens, f1, f2,
+       |  round(CAST(vocabulary AS DOUBLE)
+       |    + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE)), 2)
+       |    AS chao1,
+       |  round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS unseen_mass
+       |FROM census""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_chao1_richness", chao1Richness, Some(chao1RichnessSql)),
     QueryDef("text_heaps_law", heapsLaw, Some(heapsLawSql)),
     QueryDef("text_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),
     QueryDef("text_readability", readability, Some(readabilitySql)),
