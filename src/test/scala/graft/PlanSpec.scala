@@ -569,4 +569,50 @@ class PlanSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert("orders\\.parquet".r.findAllIn(full).size == 1, full)
   }
+
+  test("isotropy: pair-free sufficient statistics — no pair join of any kind") {
+    // the whole point of the ‖Σx̂‖² identity is that mean pairwise cosine
+    // needs NO pair enumeration: the plan must stay scan→agg with only the
+    // 1-row totals broadcast, never a vector-vector join
+    val p = plan("sim_embedding_isotropy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("skyline: sort-sweep is one scan, one window, zero joins") {
+    val p = plan("misc_skyline_2d")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("granger: centered moments are one aggregate — no join anywhere") {
+    val p = plan("win_granger_causality")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ranking metrics: the query panel broadcasts against the corpus") {
+    val p = plan("sim_ranking_metrics")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("personalized pagerank: sparse integer walk — keyed joins only") {
+    val p = plan("graph_personalized_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("motif pairs: the theta pair join runs on the days-bounded window frame") {
+    // corpus-sized work must collapse to the daily aggregate BEFORE the
+    // non-equi pair join; the base scan feeds a HashAggregate, and the
+    // only join in the plan is the broadcast theta join of the tiny frames
+    val p = plan("win_motif_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
