@@ -4379,7 +4379,76 @@ object AnalyticsQueries extends QueryModule {
       |  round(zod, 4) AS z, (zod > 1.6449) AS overdispersed
       |FROM z ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Pinball-loss backtest of a q90 forecast: fit the exact 0.9 order
+  // statistic of 1995 order totals per priority, then score it against
+  // 1996 orders under the τ = 0.9 pinball (quantile) loss — the backtest
+  // that tells a capacity planner whether last year's P90 still covers
+  // this year. Integer-exact end to end: the quantile is the value at
+  // rank ⌈0.9n⌉ = (9n+9) DIV 10 (tie order irrelevant — the VALUE at a
+  // rank is tie-invariant), and the ×10-scaled loss 9(y−q)⁺ + (q−y)⁺
+  // sums as exact cents; only the final per-priority means are doubles.
+  // The 1995 sort is partition-local per priority (the exact-order-
+  // statistic cost); the sketch path for 100 TB is agg_tdigest_quantiles.
+  // ------------------------------------------------------------------
+  def pinballBacktest(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val o95 = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderpriority").as("priority"), cents.as("y"))
+    val q = o95
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("priority").orderBy("y")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("priority")))
+      .filter(col("rn") === expr("(9 * n + 9) DIV 10"))
+      .select(col("priority"), col("y").as("q90c"))
+    Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_orderpriority").as("priority"), cents.as("y"))
+      .join(broadcast(q), "priority")
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_1996"),
+        first("q90c").as("q90c"),
+        sum(expr("CASE WHEN y >= q90c THEN 9 * (y - q90c) ELSE q90c - y END"))
+          .as("loss10"),
+        sum(when(col("y") <= col("q90c"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("priority"), col("n_1996"),
+        round(expr("CAST(q90c AS DOUBLE) / 100.0"), 2).as("q90_1995"),
+        round(expr("CAST(loss10 AS DOUBLE) / (10.0 * CAST(n_1996 AS DOUBLE)) / 100.0"), 4)
+          .as("mean_pinball"),
+        round(expr("CAST(n_covered AS DOUBLE) / CAST(n_1996 AS DOUBLE)"), 4)
+          .as("coverage"))
+      .orderBy("priority")
+  }
+
+  private val pinballBacktestSql =
+    """WITH o95 AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+      |ranked AS (
+      |  SELECT priority, y,
+      |    CAST(row_number() OVER (PARTITION BY priority ORDER BY y) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM o95),
+      |q AS (
+      |  SELECT priority, y AS q90c FROM ranked WHERE rn = (9 * n + 9) // 10),
+      |o96 AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n_1996,
+      |  round(CAST(any_value(q90c) AS DOUBLE) / 100.0, 2) AS q90_1995,
+      |  round(CAST(sum(CASE WHEN y >= q90c THEN 9 * (y - q90c) ELSE q90c - y END)
+      |      AS DOUBLE) / (10.0 * CAST(count(*) AS DOUBLE)) / 100.0, 4)
+      |    AS mean_pinball,
+      |  round(CAST(sum(CASE WHEN y <= q90c THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE), 4) AS coverage
+      |FROM o96 JOIN q USING (priority)
+      |GROUP BY priority ORDER BY priority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_pinball_backtest", pinballBacktest, Some(pinballBacktestSql)),
     QueryDef("win_granger_causality", grangerCausality, Some(grangerCausalitySql)),
     QueryDef("agg_dispersion_index", dispersionIndex, Some(dispersionIndexSql)),
     QueryDef("agg_poisson_rate_test", poissonRateTest, Some(poissonRateTestSql)),

@@ -1309,7 +1309,83 @@ object SimilarityQueries extends QueryModule {
       |FROM grid""".stripMargin.replace("COS_EXPR", cos)
   }
 
+  // ------------------------------------------------------------------
+  // Embedding-distribution drift between two corpus cohorts (labels 0–4
+  // as the reference snapshot, 5–9 as the current one — the snapshot
+  // proxy this fixture affords): per-dimension two-sample z on the
+  // component means, reporting the 5 most-drifted dimensions — the
+  // monitoring check that catches a silently retrained/renormalized
+  // encoder before stale ANN centroids rot recall. Scale shape: ONE
+  // streaming pass (per-dim × cohort exact integer Σ, Σ² over
+  // 1e-6-quantized components), then a 64-row frame. The z chain
+  // (m̄₁−m̄₂)/√(s₁²/n₁+s₂²/n₂) is doubles from exact DECIMAL integers;
+  // ranking quantizes |z| to 1e-6 with a dim tie-break.
+  // ------------------------------------------------------------------
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(s, dir)
+      .withColumn("cohort", when(col("label") < 5, "ref").otherwise("cur"))
+      .select(col("cohort"), posexplode(col("embedding")))
+      .withColumn("m", expr("CAST(round(CAST(col AS DOUBLE) * 1e6) AS BIGINT)"))
+      .groupBy("pos", "cohort")
+      .agg(count(lit(1)).as("n"), sum("m").as("sm"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))")).as("smm"))
+      .withColumn("mean_d", expr("CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("var_d", expr(
+        "CAST(n * smm - CAST(sm AS DECIMAL(38,0)) * CAST(sm AS DECIMAL(38,0)) AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"))
+    val ref = dims.filter(col("cohort") === "ref")
+      .select(col("pos"), col("n").as("n_ref"), col("mean_d").as("mu_ref"),
+        col("var_d").as("v_ref"))
+    val cur = dims.filter(col("cohort") === "cur")
+      .select(col("pos").as("pos_c"), col("n").as("n_cur"),
+        col("mean_d").as("mu_cur"), col("var_d").as("v_cur"))
+    ref.join(cur, col("pos") === col("pos_c"))
+      .withColumn("z", expr(
+        "(mu_cur - mu_ref) / sqrt(v_ref / CAST(n_ref AS DOUBLE)" +
+          " + v_cur / CAST(n_cur AS DOUBLE))"))
+      .withColumn("az6", expr("CAST(round(abs(z) * 1e6) AS BIGINT)"))
+      .orderBy(col("az6").desc, col("pos").asc)
+      .limit(5)
+      .select(col("pos").cast("long").as("dim"),
+        round(expr("mu_ref / 1e6"), 6).as("mean_ref"),
+        round(expr("mu_cur / 1e6"), 6).as("mean_cur"),
+        round(col("z"), 4).as("drift_z"))
+      .orderBy(col("dim"))
+  }
+
+  private val embeddingDriftSql =
+    """WITH comps AS (
+      |  SELECT CASE WHEN label < 5 THEN 'ref' ELSE 'cur' END AS cohort,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS m
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT pos, cohort, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(m) AS BIGINT) AS sm,
+      |    sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS smm
+      |  FROM comps GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT pos, cohort, n,
+      |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+      |    CAST(n * smm - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT) AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_d
+      |  FROM dims),
+      |z AS (
+      |  SELECT r.pos,
+      |    (c.mean_d - r.mean_d)
+      |      / sqrt(r.var_d / CAST(r.n AS DOUBLE) + c.var_d / CAST(c.n AS DOUBLE)) AS z,
+      |    r.mean_d AS mu_ref, c.mean_d AS mu_cur
+      |  FROM (SELECT * FROM stats WHERE cohort = 'ref') r
+      |  JOIN (SELECT * FROM stats WHERE cohort = 'cur') c ON r.pos = c.pos),
+      |top AS (
+      |  SELECT * FROM z
+      |  ORDER BY CAST(round(abs(z) * 1e6) AS BIGINT) DESC, pos ASC LIMIT 5)
+      |SELECT pos AS dim, round(mu_ref / 1e6, 6) AS mean_ref,
+      |  round(mu_cur / 1e6, 6) AS mean_cur, round(z, 4) AS drift_z
+      |FROM top ORDER BY dim""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     QueryDef("sim_ranking_metrics", rankingMetrics, Some(rankingMetricsSql)),
     QueryDef("sim_embedding_isotropy", embeddingIsotropy, Some(embeddingIsotropySql)),
     QueryDef("sim_silhouette_simplified", silhouetteSimplified, Some(silhouetteSimplifiedSql)),
