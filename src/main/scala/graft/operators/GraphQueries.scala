@@ -1091,7 +1091,68 @@ object GraphQueries extends QueryModule {
        |ORDER BY r4.r DESC, r4.node LIMIT 10""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Friendship paradox census: "your neighbors have more connections
+  // than you" — mean neighbor degree Σd²/Σd exceeds mean degree Σd/n
+  // whenever degree has variance, and the per-node form (node u
+  // experiences the paradox iff Σ_{v∈N(u)} d_v > d(u)²) is the
+  // sampling-bias diagnostic for neighborhood-based crawlers/samplers:
+  // a high paradox share means edge-sampled views of the graph are
+  // badly degree-biased. Exact integers end to end — the global means
+  // are integer ratios and the per-node test is an integer cross-
+  // product; one degree self-join over the edge list, no doubles
+  // before display.
+  // ------------------------------------------------------------------
+  def friendshipParadox(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val nbrSum = und
+      .join(deg.select(col("u").as("v2"), col("d").as("dv")), col("v") === col("v2"))
+      .groupBy("u").agg(sum("dv").as("sdv"))
+    val perNode = deg.join(nbrSum, Seq("u"))
+      .select(col("u"), col("d"), col("sdv"),
+        (col("sdv") > col("d") * col("d")).cast("long").as("paradox"))
+    perNode.agg(count(lit(1)).as("n_nodes"),
+        sum("d").as("sum_d"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))")).as("sum_d2"),
+        sum("paradox").as("n_paradox"))
+      .select(col("n_nodes"), expr("sum_d DIV 2").as("n_edges"),
+        round(expr("CAST(sum_d AS DOUBLE) / CAST(n_nodes AS DOUBLE)"), 4)
+          .as("mean_degree"),
+        round(expr("CAST(sum_d2 AS DOUBLE) / CAST(sum_d AS DOUBLE)"), 4)
+          .as("mean_neighbor_degree"),
+        round(expr("CAST(n_paradox AS DOUBLE) / CAST(n_nodes AS DOUBLE)"), 4)
+          .as("paradox_share"))
+  }
+
+  private val friendshipParadoxSql =
+    s"""WITH $edgesCte,
+       |sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+       |nbr AS (
+       |  SELECT s.u, CAST(sum(d.d) AS BIGINT) AS sdv
+       |  FROM sym s JOIN deg d ON s.v = d.n GROUP BY 1),
+       |pernode AS (
+       |  SELECT deg.n AS u, deg.d, nbr.sdv,
+       |    CASE WHEN nbr.sdv > deg.d * deg.d THEN 1 ELSE 0 END AS paradox
+       |  FROM deg JOIN nbr ON deg.n = nbr.u),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d) AS BIGINT) AS sum_d,
+       |    sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sum_d2,
+       |    CAST(sum(paradox) AS BIGINT) AS n_paradox
+       |  FROM pernode)
+       |SELECT n_nodes, CAST(sum_d // 2 AS BIGINT) AS n_edges,
+       |  round(CAST(sum_d AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4) AS mean_degree,
+       |  round(CAST(sum_d2 AS DOUBLE) / CAST(sum_d AS DOUBLE), 4)
+       |    AS mean_neighbor_degree,
+       |  round(CAST(n_paradox AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4)
+       |    AS paradox_share
+       |FROM agg""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_friendship_paradox", friendshipParadox,
+      Some(friendshipParadoxSql)),
     QueryDef("graph_personalized_pagerank", personalizedPagerank,
       Some(personalizedPagerankSql)),
     QueryDef("graph_hits", hits, Some(hitsSql)),

@@ -258,6 +258,57 @@ object SourceQueries extends QueryModule {
       |  (SELECT md5(string_agg(line, chr(10) ORDER BY line)) FROM bad)
       |    AS corrupt_md5""".stripMargin
 
+  /** JSON twin of [[csvPermissive]] [REF A9]: malformed JSON lines park
+    * raw in `_corrupt_record` (the poison-pill dead-letter discipline,
+    * AmazonKinesisApplicationSampleRecordProcessor.java:63-87) while good
+    * records parse — the JSON ingestion contract a log pipeline needs at
+    * 100 TB, where one truncated record must never kill a batch. Staged
+    * lines derive deterministically from the nation fixture (every 5th key
+    * contributes an unterminated-object line); the corrupt set is
+    * md5-pinned over its sorted raw lines so the oracle checks CONTENT,
+    * not just counts.
+    */
+  def jsonPermissive(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_jsonp_")
+    val rows = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .collect().sortBy(_.getLong(0))
+    val lines = rows.flatMap { r =>
+      val k = r.getLong(0)
+      val good =
+        s"""{"n_nationkey":$k,"n_name":"${r.getString(1)}","n_regionkey":${r.getLong(2)}}"""
+      if (k % 5 == 0) Seq(good, s"""{"n_nationkey":$k,"n_name":"BAD""") else Seq(good)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "nation.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_nationkey"))).as("good_key_sum"),
+        md5(expr(
+          "CAST(array_join(array_sort(collect_list(_corrupt_record)), '\n') AS BINARY)"))
+          .as("corrupt_md5"))
+  }
+
+  private val jsonPermissiveSql =
+    """WITH bad AS (
+      |  SELECT '{"n_nationkey":' || CAST(n_nationkey AS VARCHAR)
+      |      || ',"n_name":"BAD' AS line
+      |  FROM nation WHERE n_nationkey % 5 = 0)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_good,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_corrupt,
+      |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS good_key_sum,
+      |  (SELECT md5(string_agg(line, chr(10) ORDER BY line)) FROM bad)
+      |    AS corrupt_md5""".stripMargin
+
   /** Partitioned parquet write → partition-pruned read: only two partition
     * directories may be scanned (the scale-out layout pattern: partition by
     * low-cardinality routing key, prune at read).
@@ -419,6 +470,7 @@ object SourceQueries extends QueryModule {
     QueryDef("src_schema_merge", schemaMerge, Some(schemaMergeSql)),
     QueryDef("src_xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripSql)),
     QueryDef("src_binary_files", binaryFiles, Some(binaryFilesSql)),
-    QueryDef("src_csv_permissive", csvPermissive, Some(csvPermissiveSql))
+    QueryDef("src_csv_permissive", csvPermissive, Some(csvPermissiveSql)),
+    QueryDef("src_json_permissive", jsonPermissive, Some(jsonPermissiveSql))
   )
 }
