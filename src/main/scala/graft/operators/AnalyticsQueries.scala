@@ -4447,7 +4447,57 @@ object AnalyticsQueries extends QueryModule {
       |FROM o96 JOIN q USING (priority)
       |GROUP BY priority ORDER BY priority""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Hill estimator of the Pareto tail index over the top-200 order
+  // totals: α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) — the heavy-tail diagnostic that
+  // says whether extremes follow a power law (α ≤ 2: infinite variance,
+  // mean-based capacity planning is invalid) and complements
+  // [[gumbelMaxima]]'s block-maxima view. The top-(k+1) frame comes from
+  // one ORDER BY cents DESC LIMIT — at scale a native top-k, never a
+  // global sort. Determinism: the selection is on exact integer cents
+  // with a value-only order (ranks of tied values interchangeable — the
+  // ln sum only sees VALUES), and the ln sum runs as an ordered fold
+  // over the sorted 200-element array (the jackknife discipline), so no
+  // unordered double reduction decides α̂.
+  // ------------------------------------------------------------------
+  def tailIndexHill(s: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val top = Tables.orders(s, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .orderBy(col("cents").desc)
+      .limit(k + 1)
+    top.agg(min("cents").as("xk1"),
+        expr("sort_array(collect_list(cents), false)").as("arr"))
+      .withColumn("lnsum", expr(
+        "aggregate(slice(arr, 1, 200), 0D," +
+          " (a, x) -> a + ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE)))"))
+      .select(lit(k).cast("long").as("k"),
+        round(expr("CAST(xk1 AS DOUBLE) / 100.0"), 2).as("threshold"),
+        round(expr("CAST(200 AS DOUBLE) / lnsum"), 4).as("hill_alpha"),
+        (expr("CAST(200 AS DOUBLE) / lnsum") <= 2.0).as("infinite_variance"))
+  }
+
+  private val tailIndexHillSql =
+    """WITH top AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders ORDER BY cents DESC LIMIT 201),
+      |agg AS (
+      |  SELECT CAST(min(cents) AS BIGINT) AS xk1,
+      |    list_sort(list(cents), 'DESC') AS arr
+      |  FROM top),
+      |f AS (
+      |  SELECT xk1,
+      |    list_sum(list_transform(arr[1:200],
+      |      x -> ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE)))) AS lnsum
+      |  FROM agg)
+      |SELECT CAST(200 AS BIGINT) AS k,
+      |  round(CAST(xk1 AS DOUBLE) / 100.0, 2) AS threshold,
+      |  round(CAST(200 AS DOUBLE) / lnsum, 4) AS hill_alpha,
+      |  (CAST(200 AS DOUBLE) / lnsum <= 2.0) AS infinite_variance
+      |FROM f""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_tail_index_hill", tailIndexHill, Some(tailIndexHillSql)),
     QueryDef("agg_pinball_backtest", pinballBacktest, Some(pinballBacktestSql)),
     QueryDef("win_granger_causality", grangerCausality, Some(grangerCausalitySql)),
     QueryDef("agg_dispersion_index", dispersionIndex, Some(dispersionIndexSql)),

@@ -793,7 +793,64 @@ object MiscQueries extends QueryModule {
       |WHERE prev_max IS NULL OR size > prev_max
       |ORDER BY price""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Equi-depth histogram construction (10 buckets over order totals) —
+  // the ANALYZE-TABLE statistics primitive a cost-based optimizer feeds
+  // on: bucket b spans ranks ((b−1)·n DIV 10, b·n DIV 10]. Built the
+  // value-collapsed way: collapse to DISTINCT cent values with counts
+  // first (price-domain-bounded — the corpus-sized pass is one
+  // hash-agg), then ONE window walks the distinct values assigning each
+  // to the bucket of its last rank. Exact integers end to end: rank
+  // arithmetic is n·b DIV 10, bucket populations are count sums, and
+  // boundaries are actual data values — no interpolation, no doubles
+  // except display.
+  // ------------------------------------------------------------------
+  def histogramEquiDepth(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(s, dir)
+      .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = vals.agg(sum("cnt").as("n"))
+    val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    vals
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(tot))
+      // bucket of a value = bucket of its LAST occupied rank: the smallest
+      // b with cum ≤ b·n DIV 10 — ceil-style integer search via (10·cum +
+      // n − 1) DIV n clamps ties onto the same boundary both engines use
+      .withColumn("bucket", expr("least(CAST((10 * cum + n - 1) DIV n AS BIGINT), 10L)"))
+      .groupBy("bucket")
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_distinct"),
+        min("cents").as("locents"), max("cents").as("hicents"))
+      .select(col("bucket"), col("n_rows"), col("n_distinct"),
+        round(expr("CAST(locents AS DOUBLE) / 100.0"), 2).as("lo"),
+        round(expr("CAST(hicents AS DOUBLE) / 100.0"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val histogramEquiDepthSql =
+    """WITH vals AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vals),
+      |cum AS (
+      |  SELECT cents, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM vals),
+      |bkt AS (
+      |  SELECT cents, cnt,
+      |    least(CAST((10 * cum + n - 1) // n AS BIGINT), 10) AS bucket
+      |  FROM cum, tot)
+      |SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  round(CAST(min(cents) AS DOUBLE) / 100.0, 2) AS lo,
+      |  round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS hi
+      |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_histogram_equi_depth", histogramEquiDepth,
+      Some(histogramEquiDepthSql)),
     QueryDef("misc_skyline_2d", skyline2d, Some(skyline2dSql)),
     QueryDef("misc_gini_split", giniSplit, Some(giniSplitSql)),
     QueryDef("misc_crosstab", crosstabStatus, Some(crosstabStatusSql)),
