@@ -4496,7 +4496,64 @@ object AnalyticsQueries extends QueryModule {
       |  (CAST(200 AS DOUBLE) / lnsum <= 2.0) AS infinite_variance
       |FROM f""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Lorenz-curve decile table of 1995 customer spend: each decile's
+  // share and the cumulative share — the distribution table behind the
+  // Gini number ([[agg_gini_spend]] reports the scalar; this is the
+  // curve a revenue team actually reads: "the top decile carries X% of
+  // spend"). Exact integers end to end: customers rank by (spend cents,
+  // custkey), decile = ⌈10·rank/n⌉ via (10·rn + n − 1) DIV n, decile
+  // sums and the cumulative window are BIGINT; only the two display
+  // shares divide.
+  // ------------------------------------------------------------------
+  def lorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sp"))
+    val n = spend.agg(count(lit(1)).as("n"))
+    val deciles = spend
+      .withColumn("rn", row_number().over(Window.orderBy(col("sp"), col("o_custkey"))))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("least((10 * rn + n - 1) DIV n, 10L)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("sp").as("dsp"))
+    val tot = deciles.agg(sum("dsp").as("tsp"))
+    deciles.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("dsp").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_customers"),
+        round(expr("CAST(dsp AS DOUBLE) / CAST(tsp AS DOUBLE)"), 4).as("spend_share"),
+        round(expr("CAST(cum AS DOUBLE) / CAST(tsp AS DOUBLE)"), 4).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  private val lorenzDecilesSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM spend),
+      |ranked AS (
+      |  SELECT sp, CAST(row_number() OVER (ORDER BY sp, o_custkey) AS BIGINT) AS rn
+      |  FROM spend),
+      |dec AS (
+      |  SELECT least((10 * rn + n - 1) // n, 10) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(sp) AS BIGINT) AS dsp
+      |  FROM ranked, n GROUP BY 1),
+      |tot AS (SELECT CAST(sum(dsp) AS BIGINT) AS tsp FROM dec),
+      |cum AS (
+      |  SELECT decile, n_customers, dsp,
+      |    CAST(sum(dsp) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM dec)
+      |SELECT decile, n_customers,
+      |  round(CAST(dsp AS DOUBLE) / CAST(tsp AS DOUBLE), 4) AS spend_share,
+      |  round(CAST(cum AS DOUBLE) / CAST(tsp AS DOUBLE), 4) AS cum_share
+      |FROM cum, tot ORDER BY decile""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_lorenz_deciles", lorenzDeciles, Some(lorenzDecilesSql)),
     QueryDef("agg_tail_index_hill", tailIndexHill, Some(tailIndexHillSql)),
     QueryDef("agg_pinball_backtest", pinballBacktest, Some(pinballBacktestSql)),
     QueryDef("win_granger_causality", grangerCausality, Some(grangerCausalitySql)),

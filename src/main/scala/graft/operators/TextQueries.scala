@@ -1267,7 +1267,71 @@ object TextQueries extends QueryModule {
        |  round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS unseen_mass
        |FROM census""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Jensen–Shannon divergence of each source's unigram distribution vs
+  // the REST of the corpus — the symmetric, bounded (≤ ln 2) sibling of
+  // [[klDivergence]] and the standard "which source is distributionally
+  // alien" ranking for mixture debugging. The join frame only carries
+  // terms PRESENT in the source; the rest-only tail needs no
+  // enumeration because Σ_{t∉src} q_t = 1 − Σ_{t∈src} q_t, so its JS
+  // contribution collapses to ½·ln2·(1−Σq) exactly (each such term has
+  // p = 0 ⇒ q·ln(2q/(p+q)) = q·ln 2). Counts are exact integers;
+  // the per-term double sum follows the KL precedent.
+  // ------------------------------------------------------------------
+  def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("source"), explode(expr(toks)).as("term"))
+    val srcCounts = terms.groupBy("source", "term").agg(count(lit(1)).as("c_src"))
+    val corpusCounts = srcCounts.groupBy("term").agg(sum("c_src").as("c_all"))
+    val srcTotals = srcCounts.groupBy("source").agg(sum("c_src").as("n_src"))
+    val total = corpusCounts.agg(sum("c_all").as("n_all"))
+    srcCounts
+      .join(corpusCounts, "term")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("p", expr("CAST(c_src AS DOUBLE) / CAST(n_src AS DOUBLE)"))
+      .withColumn("q", expr(
+        "CAST(c_all - c_src AS DOUBLE) / CAST(n_all - n_src AS DOUBLE)"))
+      .groupBy("source")
+      .agg(max("n_src").as("n_tokens"),
+        sum(expr("p * ln(2.0 * p / (p + q))" +
+          " + CASE WHEN q > 0.0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END"))
+          .as("s_pq"),
+        sum("q").as("qcov"))
+      .select(col("source"), col("n_tokens"),
+        round(expr("0.5 * s_pq + 0.5 * 0.6931471805599453 * (1.0 - qcov)"), 4)
+          .as("js_nats"))
+      .orderBy("source")
+  }
+
+  private val jsDivergenceSql =
+    s"""WITH t AS (
+       |  SELECT source, unnest($dToks) AS term FROM documents
+       |), sc AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_src FROM t GROUP BY 1, 2
+       |), cc AS (
+       |  SELECT term, CAST(sum(c_src) AS BIGINT) AS c_all FROM sc GROUP BY 1
+       |), st AS (
+       |  SELECT source, CAST(sum(c_src) AS BIGINT) AS n_src FROM sc GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM cc
+       |), pq AS (
+       |  SELECT sc.source, st.n_src,
+       |    CAST(c_src AS DOUBLE) / CAST(n_src AS DOUBLE) AS p,
+       |    CAST(c_all - c_src AS DOUBLE) / CAST(n_all - n_src AS DOUBLE) AS q
+       |  FROM sc JOIN cc USING (term) JOIN st USING (source), tot
+       |), agg AS (
+       |  SELECT source, max(n_src) AS n_tokens,
+       |    sum(p * ln(2.0 * p / (p + q))
+       |      + CASE WHEN q > 0.0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END) AS s_pq,
+       |    sum(q) AS qcov
+       |  FROM pq GROUP BY source)
+       |SELECT source, n_tokens,
+       |  round(0.5 * s_pq + 0.5 * 0.6931471805599453 * (1.0 - qcov), 4) AS js_nats
+       |FROM agg ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_js_divergence", jsDivergence, Some(jsDivergenceSql)),
     QueryDef("text_chao1_richness", chao1Richness, Some(chao1RichnessSql)),
     QueryDef("text_heaps_law", heapsLaw, Some(heapsLawSql)),
     QueryDef("text_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),
