@@ -173,6 +173,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "max_token_count", exprs => MaxTokenMultiplicity(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "cdc_boundaries", exprs => CdcBoundaries(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "pair_combos", exprs => PairCombinations(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count",

@@ -1169,28 +1169,27 @@ object DedupQueries extends QueryModule {
   // hash is the repo's established polynomial (Σ c·31^k mod 1000003,
   // exact integer on both engines), chunk identity is md5 of the chunk
   // text, and cross-document sharing is one chunk-hash-keyed
-  // aggregation. Per-position cost is O(8); everything else is
-  // embarrassingly parallel per document + one keyed shuffle.
+  // aggregation. The boundary scan is the native rolling-hash kernel
+  // `cdc_boundaries` (functions/TokenFunctions.scala): O(1) per position
+  // via the multiply-subtract recurrence, codegen'd, value-identical to
+  // the O(8)-per-position HOF fold the DuckDB oracle still replays.
+  // Everything else is embarrassingly parallel per document + one keyed
+  // shuffle.
   // ------------------------------------------------------------------
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
       .filter(length(col("text")) >= 8)
       .withColumn("n", length(col("text")))
       // boundary positions: i in [8, n) where hash(text[i-7..i]) % 64 == 0
-      // (the final position n never opens an empty tail chunk). Spark's
-      // sequence(8, n-1) DESCENDS when n = 8, so the empty case is gated
-      // explicitly (DuckDB's range is ascending-only and empty there).
-      .withColumn("bounds", expr(
-        """filter(transform(
-          |  if(n > 8, sequence(8, n - 1), array_remove(array(0), 0)),
-          |  i -> named_struct('i', i, 'h',
-          |    aggregate(sequence(i - 7, i), 0L,
-          |      (a, j) -> (a * 31 + ascii(substr(text, j, 1))) % 1000003))),
-          |  e -> e.h % 64 = 0)""".stripMargin))
+      // (the final position n never opens an empty tail chunk; the kernel
+      // returns an empty array at n = 8, matching the oracle's empty
+      // ascending range there).
+      .withColumn("bounds", expr("cdc_boundaries(text)"))
       .withColumn("starts", expr(
-        "concat(array(1), transform(bounds, e -> e.i + 1))"))
+        "concat(array(1), transform(bounds, i -> i + 1))"))
       .withColumn("ends", expr(
-        "concat(transform(bounds, e -> e.i), array(n))"))
+        "concat(bounds, array(n))"))
       .withColumn("chunks", expr(
         """transform(arrays_zip(starts, ends),
           |  p -> named_struct('len', CAST(p.ends - p.starts + 1 AS BIGINT),

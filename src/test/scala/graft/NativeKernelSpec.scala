@@ -129,6 +129,38 @@ class NativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("CdcOps.boundaries matches the O(8)-per-position oracle fold") {
+    val rnd = new scala.util.Random(41)
+    // codepoints above ASCII on purpose: Spark's ascii(substr(text, j, 1))
+    // is codePointAt(0) of the 1-char substring, so the kernel must fold
+    // codepoints, not bytes or UTF-16 units (δ is 2 UTF-8 bytes, 𝕏 is a
+    // surrogate pair)
+    val alphabets = Seq("abcdefgh", "aβcδ𝕏fgh", "0123456789abcdef")
+    (1 to 40).foreach { _ =>
+      val alpha = alphabets(rnd.nextInt(alphabets.size))
+      val cps0 = alpha.codePoints().toArray()
+      val n = rnd.nextInt(400)
+      val text = new String(
+        Array.fill(n)(cps0(rnd.nextInt(cps0.length))), 0, n)
+      val cps = text.codePoints().toArray()
+      // oracle form: fresh Horner fold with mod at each step, window
+      // [i-7, i] for 1-based i in [8, len-1]
+      val want =
+        if (cps.length <= 8) Seq.empty
+        else (8 to cps.length - 1).filter { i =>
+          var a = 0L
+          ((i - 8) until i).foreach(j => a = (a * 31 + cps(j)) % 1000003L)
+          a % 64 == 0
+        }
+      val got = graft.functions.CdcOps.boundaries(UTF8String.fromString(text))
+      val gotSeq = (0 until got.numElements()).map(got.getInt)
+      assert(gotSeq == want, s"text.len=${cps.length} got=$gotSeq want=$want")
+    }
+    // the n = 8 edge: sequence(8, n-1) is empty there, so must the kernel be
+    assert(graft.functions.CdcOps.boundaries(
+      UTF8String.fromString("exactly8")).numElements() == 0)
+  }
+
   test("TokenOps.maxMultiplicity matches the nested-HOF multiplicity form") {
     val rnd = new scala.util.Random(29)
     (1 to 40).foreach { _ =>

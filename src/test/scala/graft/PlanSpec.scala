@@ -615,4 +615,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("CDC: native kernel scans text once, consumers share one chunk RDD") {
+    // the boundary pass must be the codegen'd rolling-hash kernel over ONE
+    // parquet scan with no shuffle — a regression back to the interpreted
+    // O(8)-per-position HOF fold shows up as `aggregate(sequence(...` in
+    // the projection
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, length}
+    val scanSide = Tables.documents(spark, Sf)
+      .filter(length(col("text")) >= 8)
+      .selectExpr("doc_id", "cdc_boundaries(text) AS bounds")
+      .queryExecution.executedPlan.toString
+    assert(scanSide.contains("cdc_boundaries"), scanSide)
+    assert(!scanSide.contains("Exchange"), scanSide)
+    assert(!scanSide.toLowerCase.contains("aggregate(sequence"), scanSide)
+    // the full query re-uses the checkpointed chunk table on BOTH sides of
+    // the doc-frequency join (every ExistingRDD scan cites the same RDD) —
+    // the kernel pass runs once, and the text column is never re-read
+    val p = SparkEntry.queries("dedup_cdc_chunks")(spark, Sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val rddIds = """MapPartitionsRDD\[\d+\]""".r.findAllIn(p).toSeq
+    assert(rddIds.size == 2 && rddIds.distinct.size == 1, p)
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
