@@ -3206,7 +3206,12 @@ object AnalyticsQueries extends QueryModule {
           * col("nt").cast("double") - col("nt").cast("double")))
       .select(col("k").as("n_groups"), col("nt").as("n_rows"),
         round(col("hu") / col("cc"), 4).as("h_stat"),
-        (col("hu") / col("cc") > lit(12.592)).as("location_shift_p05"))
+        // H ~ χ²(k−1) with k = 12 ship months ⇒ df = 11, whose 0.05
+        // critical value is 19.675 (12.592 — the df = 6 cutoff — was a
+        // carried copy-paste from a 7-group sibling and over-reported
+        // significance; duplicated in the oracle, so only the pinned
+        // literal discipline below catches it)
+        (col("hu") / col("cc") > lit(19.675)).as("location_shift_p05"))
   }
 
   private val kruskalWallisSql =
@@ -3240,7 +3245,7 @@ object AnalyticsQueries extends QueryModule {
       |      * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)) AS cc
       |  FROM tot, ties)
       |SELECT k AS n_groups, nt AS n_rows, round(hu / cc, 4) AS h_stat,
-      |  hu / cc > 12.592 AS location_shift_p05
+      |  hu / cc > 19.675 AS location_shift_p05
       |FROM h""".stripMargin
 
   // ------------------------------------------------------------------
@@ -3414,16 +3419,25 @@ object AnalyticsQueries extends QueryModule {
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
       .localCheckpoint()
     val m = rev.select(countDistinct("yr").as("m"))
-    val dr = rev.withColumn("dr",
+    // Panel balance FIRST: ranks, rank sums, and the tie census must all
+    // be computed over the SAME set of judged subjects. Ranking all
+    // nations and filtering to seen == m afterwards leaves rank sums (and
+    // t³−t tie terms) that count absent-elsewhere nations, so n, S4 and D
+    // disagree and W can leave [0, 1] on an unbalanced panel — masked on
+    // this fixture only because every nation orders in every year.
+    val kept = rev
+      .withColumn("seen", count(lit(1)).over(Window.partitionBy("n_name")))
+      .crossJoin(broadcast(m)).filter(col("seen") === col("m"))
+      .select("yr", "n_name", "rev")
+    val dr = kept.withColumn("dr",
       rank().over(Window.partitionBy("yr").orderBy("rev")) * 2
         + count(lit(1)).over(Window.partitionBy("yr", "rev")) - 1)
-    val rsum = dr.groupBy("n_name")
-      .agg(sum("dr").as("r2"), count(lit(1)).as("seen"))
-      .crossJoin(broadcast(m)).filter(col("seen") === col("m"))
+    val rsum = dr.groupBy("n_name").agg(sum("dr").as("r2"))
     val ties = dr.groupBy("yr", "rev").agg(count(lit(1)).as("t"))
       .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
-    val tot = rsum.agg(count(lit(1)).as("n"), max("m").as("m"),
-      sum("r2").as("tt"), sum(col("r2") * col("r2")).as("sr2"))
+    val tot = rsum.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n"), max("m").as("m"),
+        sum("r2").as("tt"), sum(col("r2") * col("r2")).as("sr2"))
     tot.crossJoin(broadcast(ties))
       // Σ(n·R2ᵢ − T)² = n²·ΣR2² − n·T² when T = ΣR2ᵢ — compute from the
       // two exact sums so no per-row second pass is needed
@@ -3452,23 +3466,24 @@ object AnalyticsQueries extends QueryModule {
       |  JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY 1, 2),
       |m AS (SELECT CAST(count(DISTINCT yr) AS BIGINT) AS m FROM rev),
+      |kept AS (
+      |  SELECT rev.yr, rev.n_name, rev.rev
+      |  FROM rev JOIN (
+      |    SELECT n_name, CAST(count(*) AS BIGINT) AS seen FROM rev GROUP BY 1
+      |  ) s ON rev.n_name = s.n_name, m WHERE s.seen = m.m),
       |dr AS (
       |  SELECT yr, n_name, rev,
       |    rank() OVER (PARTITION BY yr ORDER BY rev) * 2
       |      + count(*) OVER (PARTITION BY yr, rev) - 1 AS dr
-      |  FROM rev),
-      |rsum AS (
-      |  SELECT n_name, CAST(sum(dr) AS BIGINT) AS r2,
-      |    CAST(count(*) AS BIGINT) AS seen
-      |  FROM dr GROUP BY 1),
-      |kept AS (SELECT r2 FROM rsum, m WHERE seen = m),
+      |  FROM kept),
+      |rsum AS (SELECT n_name, CAST(sum(dr) AS BIGINT) AS r2 FROM dr GROUP BY 1),
       |ties AS (
       |  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM (
       |    SELECT CAST(count(*) AS BIGINT) AS t FROM dr GROUP BY yr, rev)),
       |tot AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r2) AS BIGINT) AS tt,
       |    CAST(sum(r2 * r2) AS BIGINT) AS sr2
-      |  FROM kept),
+      |  FROM rsum),
       |f AS (
       |  SELECT n, m, n * n * sr2 - n * tt * tt AS s4,
       |    m * m * (n * n * n - n) - m * tsum AS dd

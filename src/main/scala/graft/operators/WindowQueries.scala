@@ -973,12 +973,16 @@ object WindowQueries extends QueryModule {
       .withColumn("r2", expr("CAST(7 * ssw - CAST(sw AS DECIMAL(38,0)) * CAST(sw AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
       .filter(col("r2") > 0)
       .withColumn("ra", expr("sqrt(CAST(r2 AS DOUBLE))"))
-      .select(col("day"), col("arr"), col("sw"), col("ra"))
-    val a = wins.select(col("day").as("day_a"), col("arr").as("aa"),
-      col("sw").as("sa"), col("ra").as("raa"))
-    val b = wins.select(col("day").as("day_b"), col("arr").as("ab"),
-      col("sw").as("sb"), col("ra").as("rab"))
-    a.join(b, expr("datediff(day_b, day_a) >= 7"))
+      .select(col("day"), col("t"), col("arr"), col("sw"), col("ra"))
+    val a = wins.select(col("day").as("day_a"), col("t").as("ta"),
+      col("arr").as("aa"), col("sw").as("sa"), col("ra").as("raa"))
+    val b = wins.select(col("day").as("day_b"), col("t").as("tb"),
+      col("arr").as("ab"), col("sw").as("sb"), col("ra").as("rab"))
+    // non-overlap by ROW distance, not calendar distance: the windows are
+    // 7-ROW trailing frames, so two windows share observations exactly when
+    // their row indices are < 7 apart — a calendar gap of 7 days would let
+    // them share rows whenever the daily series has holes
+    a.join(b, expr("tb - ta >= 7"))
       .withColumn("dist", expr(
         "aggregate(zip_with(aa, ab, (x, y) ->" +
           " (CAST(7 * x - sa AS DOUBLE) / raa - CAST(7 * y - sb AS DOUBLE) / rab)" +
@@ -1009,7 +1013,7 @@ object WindowQueries extends QueryModule {
       |      OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ssw
       |  FROM daily),
       |wins AS (
-      |  SELECT day, arr, sw,
+      |  SELECT day, t, arr, sw,
       |    sqrt(CAST(7 * ssw - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) AS DOUBLE)) AS ra
       |  FROM wins0
       |  WHERE t >= 7 AND 7 * ssw - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) > 0),
@@ -1019,7 +1023,7 @@ object WindowQueries extends QueryModule {
       |      (CAST(7 * p[1] - a.sw AS DOUBLE) / a.ra - CAST(7 * p[2] - b.sw AS DOUBLE) / b.ra)
       |      * (CAST(7 * p[1] - a.sw AS DOUBLE) / a.ra - CAST(7 * p[2] - b.sw AS DOUBLE) / b.ra)))
       |      AS dist
-      |  FROM wins a JOIN wins b ON datediff('day', a.day, b.day) >= 7),
+      |  FROM wins a JOIN wins b ON b.t - a.t >= 7),
       |q AS (
       |  SELECT day_a, day_b, CAST(round(dist * 1e6) AS BIGINT) AS d6
       |  FROM pairs),

@@ -134,6 +134,34 @@ class InvariantSpec extends SparkSuite {
     ds.sliding(2).foreach { case Array(a, b) => assert(b >= a); case _ => }
   }
 
+  test("kruskal-wallis: significance flag uses the chi-square cutoff for ITS df") {
+    // a duplicated wrong-df literal is invisible to the cross-engine
+    // oracle (both twins carry it), so derive the 0.95 quantile of
+    // chi2(k-1) INDEPENDENTLY via Wilson–Hilferty (exact to ~0.02 at
+    // these df) and require the flag to agree with it
+    val r = rows("agg_kruskal_wallis").head
+    val k = r.getAs[Long]("n_groups")
+    val h = r.getAs[Double]("h_stat")
+    val df = (k - 1).toDouble
+    val z95 = 1.6448536269514722
+    val cut = df * math.pow(1.0 - 2.0 / (9.0 * df) + z95 * math.sqrt(2.0 / (9.0 * df)), 3)
+    // the approximation error band: only assert when H is decisively on
+    // one side (it always is here — the wrong-df cutoffs differ by >7)
+    assert(math.abs(h - cut) > 0.2, s"h=$h too close to cut=$cut to adjudicate")
+    assert(r.getAs[Boolean]("location_shift_p05") == (h > cut),
+      s"flag disagrees with chi2(${df.toInt}) 0.95 quantile ~$cut at h=$h")
+  }
+
+  test("kendall's W lies in [0, 1] and its chi-square is non-negative") {
+    val r = rows("agg_kendalls_w").head
+    val w = r.getAs[Double]("w")
+    assert(w >= 0.0 && w <= 1.0, w)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    // the panel discipline: n counts only nations ranked in every year,
+    // and with 25 nations over 7 years that is the full roster here
+    assert(r.getAs[Long]("n_nations") <= 25)
+  }
+
   test("dispersion index and granger F are finite; poisson rate test p-values in [0, 1]") {
     rows("agg_dispersion_index").foreach { r =>
       assert(r.getAs[Double]("dispersion") > 0.0)
