@@ -227,13 +227,35 @@ object Bench {
     // Adjudicated-regression channel: a deliberate semantic change (e.g.
     // r10's quota eviction lifecycle — 2 extra micro-batch commits + a
     // timeout pass over the whole store, priced in by design) SHOULD slow
-    // its query and SHOULD refresh the reference, but only by being named
-    // explicitly — the flag still appears in the artifact (as `expected`)
-    // so nothing is silently absorbed, and every unlisted flag still
-    // blocks the refresh.
-    val expectedRegressions = sys.env.get("SPARK_GRAFT_EXPECTED_REGRESSIONS")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
+    // its query, but only by being named explicitly IN THE REPO — the
+    // channel is the committed bench_expected.json ({query, reason,
+    // expired} entries), not an env var or round-notes prose, so the
+    // acceptance travels with the artifact. Lifecycle: while an entry is
+    // ACTIVE (expired=false) its flag routes to `regressions_expected`
+    // (with the reason) and the bench_ref refresh is REFUSED — the
+    // accepted cost stays visible against the old reference every run
+    // instead of being silently grandfathered. Retiring it is an explicit
+    // edit (expired=true), after which the next clean full sweep may
+    // refresh the reference and bake the cost into `prev`. The env var
+    // remains as an ad-hoc local override; entries from it carry reason
+    // "env (uncommitted)".
+    val expectedPath = sys.env.getOrElse(
+      "SPARK_GRAFT_EXPECTED_FILE", "bench_expected.json")
+    val expectedEntries: Seq[(String, String, Boolean)] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(expectedPath)), "UTF-8")
+      """"query"\s*:\s*"([^"]+)"[^}]*?"reason"\s*:\s*"([^"]*)"[^}]*?"expired"\s*:\s*(true|false)""".r
+        .findAllMatchIn(txt)
+        .map(m => (m.group(1), m.group(2), m.group(3) == "true")).toSeq
+    } catch { case _: Throwable => Seq.empty }
+    val envExpected = sys.env.get("SPARK_GRAFT_EXPECTED_REGRESSIONS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+      .map(n => (n, "env (uncommitted)", false))
+    val expectedReasons: Map[String, String] =
+      (expectedEntries ++ envExpected).map { case (n, r, _) => n -> r }.toMap
+    val activeExpected = (expectedEntries ++ envExpected)
+      .collect { case (n, _, false) => n }.distinct
     val confirmed = rechecked.flatMap { case (n, prev, sweep, solo) =>
       // same canary-normalized gate as the candidate pass (clamped at 1.0:
       // a faster-than-ref window never masks a real regression)
@@ -243,13 +265,17 @@ object Bench {
       else None
     }.sortBy(-_._4)
     val (regressionsExpected, regressions) =
-      confirmed.partition { case (n, _, _, _) => expectedRegressions(n) }
+      confirmed.partition { case (n, _, _, _) => expectedReasons.contains(n) }
     def regJson(rs: Seq[(String, Double, Double, Double)]): String =
       rs.map { case (n, prev, now, r) =>
         f"""{"query":"$n","prev":$prev%.3f,"best_sec":$now%.3f,"ratio":$r%.2f}"""
       }.mkString("[", ",", "]")
     val regressionsJson = regJson(regressions)
-    val regressionsExpectedJson = regJson(regressionsExpected)
+    val regressionsExpectedJson = regressionsExpected.map {
+      case (n, prev, now, r) =>
+        val reason = expectedReasons.getOrElse(n, "").replace("\"", "'")
+        f"""{"query":"$n","reason":"$reason","prev":$prev%.3f,"best_sec":$now%.3f,"ratio":$r%.2f}"""
+    }.mkString("[", ",", "]")
 
     // bench_ref refresh policy, codified (VERDICT r9 #3): the reference is
     // only rewritten from a FULL sweep measured in a clean-enough window
@@ -259,15 +285,18 @@ object Bench {
     // regression would grandfather it. Opt-in via SPARK_GRAFT_REFRESH_REF=1
     // so an iteration run never clobbers the frozen reference by accident;
     // a refused refresh is recorded in the artifact, not just on stderr.
-    val refreshPolicy = "full sweep && canary_ratio>=0.95 && n_regressions==0"
+    val refreshPolicy = "full sweep && canary_ratio>=0.95 && n_regressions==0" +
+      " && no active (unexpired) entry in bench_expected.json"
     val refreshRequested = sys.env.get("SPARK_GRAFT_REFRESH_REF").contains("1")
     val refreshEligible =
-      only.isEmpty && canaryRatio >= 0.95 && regressions.isEmpty
+      only.isEmpty && canaryRatio >= 0.95 && regressions.isEmpty &&
+        activeExpected.isEmpty
     val refreshed = refreshRequested && refreshEligible
     if (refreshRequested && !refreshEligible)
       System.err.println(
         f"[bench] bench_ref refresh REFUSED (policy: $refreshPolicy; " +
           f"canary_ratio=$canaryRatio%.3f, n_regressions=${regressions.size}, " +
+          s"active_expected=${activeExpected.mkString("[", ",", "]")}, " +
           s"filtered=${only.nonEmpty})")
 
     // Full per-query detail — too big for the driver's log tail (the
@@ -275,7 +304,7 @@ object Bench {
     // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
     // (committed with the round) and target/bench.json (back-compat).
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"regressions_rechecked":$recheckedJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"expected_file":"$expectedPath","expected_active":${activeExpected.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressions_rechecked":$recheckedJson}"""
     val outFiles = Seq("target/bench.json", "BENCH_FULL.json") ++
       (if (refreshed) Seq(refPath) else Seq.empty)
     for (p <- outFiles) {

@@ -141,6 +141,18 @@ object BenchScale {
     */
   val BaseTimeFloor = 0.5
 
+  /** Adjudication margin: any entry whose first-pass floored factor lands
+    * ABOVE this fraction of the bound — not just above the bound itself —
+    * is re-measured median-of-3 per side. A gate that can flip on one
+    * noisy run is a gate that gets ignored when it flips: r10 recorded
+    * `dt_timezone_funcs` at exactly factor 12.00 of bound 12.0 (a pass by
+    * zero margin) with no requery record to say whether that was the plan
+    * or the window. Every near-bound figure in the artifact is now an
+    * adjudicated median, with the raw runs kept in `requeried_raw` and the
+    * survivors listed in `near_bound`.
+    */
+  val RequeryMargin = 0.9
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaled = if (args.length > 0) args(0) else "target/scale10"
@@ -224,7 +236,8 @@ object BenchScale {
       if (v.isEmpty) -1.0 else v(v.size / 2)
     }
     val rows = firstPass.map { case r @ (n, b, sc, _) =>
-      if (b > 0 && sc > 0 && !BoundExempt(n) && floored(b, sc) > FactorBound) {
+      if (b > 0 && sc > 0 && !BoundExempt(n)
+          && floored(b, sc) > RequeryMargin * FactorBound) {
         val d = defs.find(_.name == n).get
         val b2 = timeOne(d, base)
         val sc2 = timeOne(d, scaled)
@@ -268,7 +281,7 @@ object BenchScale {
       defs.find(_.name == n).map { d =>
         val sk1 = timeOne(d, skewDir)
         val b = baseByName.getOrElse(n, -1.0)
-        if (b > 0 && sk1 > 0 && floored(b, sk1) > FactorBound) {
+        if (b > 0 && sk1 > 0 && floored(b, sk1) > RequeryMargin * FactorBound) {
           // same median-of-3 adjudication as the main sweep
           val sk2 = timeOne(d, skewDir)
           val sk3 = timeOne(d, skewDir)
@@ -310,7 +323,20 @@ object BenchScale {
         f""""$n":{"base_sec":$b%.3f,"skew_sec":$sk%.3f,"factor":$f%.2f}"""
       }.mkString("{", ",", "}")
       val skewViol = skewViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty && skewViolations.isEmpty},"failed":$fails,"requeried_raw":$req,"skew_sweep":$skew,"skew_violations":$skewViol,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
+      // adjudicated near-bound survivors: entries whose MEDIAN factor
+      // still sits within the requery margin of the bound after the
+      // med3 pass — the watch list for the next round, named in the
+      // artifact instead of discovered by re-reading 385 figures
+      val nearBound = rows.filter { case (n, b, sc, _) =>
+        b > 0 && sc > 0 && !BoundExempt(n) && {
+          val f = floored(b, sc)
+          f > RequeryMargin * FactorBound && f <= FactorBound
+        }
+      }.map { case (n, b, sc, _) =>
+        f""""$n":{"floored_factor":${floored(b, sc)}%.2f,"adjudicated":${requeried.contains(n)}}"""
+      }.mkString("{", ",", "}")
+      val policy = f"median-of-3 re-measure per side when floored factor > $RequeryMargin%.1f*factor_bound; survivors listed in near_bound"
+      f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"requery_policy":"$policy","bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty && skewViolations.isEmpty},"failed":$fails,"near_bound":$nearBound,"requeried_raw":$req,"skew_sweep":$skew,"skew_violations":$skewViol,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       json.getBytes("UTF-8"))
