@@ -121,15 +121,16 @@ object CurationQueries extends QueryModule {
   /** Token-budget packing: documents in doc_id order are packed greedily
     * into 2048-token context windows (a document goes to the pack where its
     * running-total START falls — the standard streaming approximation). The
-    * global running sum is a single-partition window here; at 100 TB the
-    * same query packs per shard (partition key prepended to pack_id), which
-    * changes only the window's partitionBy.
+    * global running sum is the DISTRIBUTED two-phase prefix sum
+    * ([[DistributedOrder.globalCumsum]]): range-partition on doc_id,
+    * per-partition cumsum, broadcast exclusive offsets — identical values
+    * to a global-order window with no single-partition stage, so the same
+    * plan packs 100 TB.
     */
   def tokenPacking(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
       .withColumn("n_tokens", expr(s"size($toks)").cast("long"))
-      .withColumn("cum", sum("n_tokens").over(w))
+    DistributedOrder.globalCumsum(docs, col("n_tokens"), "cum", col("doc_id"))
       .withColumn("pack_id", expr("CAST((cum - n_tokens) div 2048 AS INT)"))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
@@ -1049,11 +1050,14 @@ object CurationQueries extends QueryModule {
     * cheap quality proxy (type-token ratio) and report each decile's
     * exact-duplicate rate — the check that a filter score actually
     * correlates with the outcome it gates before it is trusted in a
-    * curation pipeline. The decile cut is ntile over a TOTAL order
-    * (score, doc_id), deterministic under score ties; at scale that is
-    * Spark's range-partitioned global sort — the one global sort this
-    * operator is fundamentally about. Duplicate membership reuses the
-    * exact-dedup content hash.
+    * curation pipeline. The decile cut is ntile semantics over a TOTAL
+    * order (score, doc_id), deterministic under score ties — computed as
+    * the DISTRIBUTED global row number ([[DistributedOrder]]: range
+    * partition + per-partition rank + broadcast offsets) fed through
+    * NTile's closed form (the first n mod 10 buckets carry one extra
+    * row), so no single-partition window touches row-level data and the
+    * identical deciles come out at 100 TB. Duplicate membership reuses
+    * the exact-dedup content hash.
     */
   def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -1065,8 +1069,21 @@ object CurationQueries extends QueryModule {
         lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"), 256))
     val dup = d.withColumn("n_copies",
       count(lit(1)).over(Window.partitionBy("content_hash")))
-    val w = Window.orderBy(col("score"), col("doc_id"))
-    dup.withColumn("decile", ntile(10).over(w))
+    val ranked = DistributedOrder
+      .globalRowNumber(dup, "grank", col("score"), col("doc_id"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_tot"))))
+    // NTile(10)'s exact bucket rule: with n = 10q + r rows, buckets
+    // 1..r hold q+1 rows and buckets r+1..10 hold q (Spark and DuckDB
+    // agree on this form, which is why the unchanged oracle still
+    // hash-matches)
+    ranked
+      .withColumn("q", expr("n_tot div 10"))
+      .withColumn("r", expr("n_tot % 10"))
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN grank <= r * (q + 1)
+          |  THEN (grank - 1) div (q + 1)
+          |  ELSE r + (grank - r * (q + 1) - 1) div q END + 1 AS INT)"""
+          .stripMargin))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("score"), 4).as("avg_score"),

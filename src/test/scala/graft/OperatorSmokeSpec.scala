@@ -16,6 +16,30 @@ class OperatorSmokeSpec extends SparkSuite {
       val mayBeEmpty = Set("join_anti_no_orders", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_clusters", "curation_contamination")
       if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} returned 0 rows")
+      // sweep-level unpartitioned-window guard: an unpartitioned Window
+      // moves ALL its input to one task, and the bench tail's WindowExec
+      // warning storm would hide a new row-level one — so every such
+      // window must be named in the allowlist with its bounded domain AND
+      // structurally sit above a collapsed frame
+      val ws = WindowAudit.unpartitioned(df.queryExecution.optimizedPlan)
+      if (ws.nonEmpty) {
+        assert(WindowAudit.BoundedGlobalWindows.contains(d.name),
+          s"${d.name} has ${ws.size} unpartitioned window(s) but no " +
+            "documented bounded-domain entry in WindowAudit.BoundedGlobalWindows")
+        assert(ws.forall(WindowAudit.collapsedBelow),
+          s"${d.name}: unpartitioned window over a non-collapsed (row-level) input")
+      }
+    }
+  }
+
+  test("unpartitioned-window allowlist is exact (no stale or unknown entries)") {
+    val declared = SparkEntry.allDefs.map(_.name).toSet
+    val unknown = WindowAudit.BoundedGlobalWindows.keySet -- declared
+    assert(unknown.isEmpty, s"allowlist names unknown queries: $unknown")
+    WindowAudit.BoundedGlobalWindows.keys.toSeq.sorted.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, Sf).queryExecution.optimizedPlan
+      assert(WindowAudit.unpartitioned(plan).nonEmpty,
+        s"$n is allowlisted but no longer has an unpartitioned window — remove it")
     }
   }
 
