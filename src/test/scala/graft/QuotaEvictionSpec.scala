@@ -75,7 +75,12 @@ class QuotaEvictionSpec extends SparkSuite {
       .select("key.*").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
-  test("watermark evicts closed day keys from the store; eviction survives restart") {
+  /** The full eviction scenario (admission → watermark purge → restart
+    * with a late row); returns the checkpoint dir so provider-specific
+    * tests can inspect the physical state layout. Runs under whatever
+    * state-store provider the session is configured with.
+    */
+  private def evictionScenario(): String = {
     val in = Scratch.dir("graft_quota_in_")
     val ckpt = Scratch.dir("graft_quota_ckpt_")
     // batch 0: 5 events each for users 1 and 2 on day 2024-01-01
@@ -121,6 +126,39 @@ class QuotaEvictionSpec extends SparkSuite {
     assert(!keys2.contains((1L, "2024-01-01")),
       s"evicted key resurrected after restart: $keys2")
     assert(keys2.contains((3L, "2030-01-05")), s"fresh key missing from store: $keys2")
+    ckpt
+  }
+
+  test("watermark evicts closed day keys from the store; eviction survives restart") {
+    evictionScenario()
+    ()
+  }
+
+  test("the same eviction + restart contract holds on the RocksDB provider") {
+    // QuotaEvictionSpec's default leg proves purge on the HDFS-backed
+    // store; the 100 TB deployment runs RocksDB, whose timeout handling
+    // (range scan over timestamps) and checkpoint format (changelog/zip,
+    // not .delta files) are entirely different code paths — so the
+    // contract is re-proven under that provider, not assumed
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt =
+      try evictionScenario()
+      finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    // physical proof the run actually used RocksDB: its checkpoint keeps
+    // changelog/zip artifacts where the HDFS provider writes .delta files
+    import scala.jdk.CollectionConverters._
+    val stateFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(ckpt, "state"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      s"HDFS-provider .delta files in a RocksDB checkpoint: $stateFiles")
+    assert(stateFiles.exists(f => f.endsWith(".changelog") || f.endsWith(".zip")),
+      s"no RocksDB changelog/zip artifacts found: $stateFiles")
   }
 
   test("sentinel staging delivers every real fixture row in batch 0 (quota SET contract)") {
