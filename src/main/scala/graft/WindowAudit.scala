@@ -26,6 +26,7 @@ object WindowAudit {
     "agg_bh_fdr" -> "hypothesis list (one row per test), BH rank walk",
     "agg_cliffs_delta" -> "value-collapsed quantity domain (<=50 distinct)",
     "agg_conditional_entropy" -> "category-grid frame (status x flag)",
+    "agg_dickey_fuller" -> "daily revenue frame (days in span, not rows)",
     "agg_durbin_watson" -> "daily revenue frame (days in span, not rows)",
     "agg_kruskal_wallis" -> "(ship-month x quantity-domain) collapsed frame",
     "agg_ks_test" -> "value-collapsed quantity-domain ECDF",
@@ -55,7 +56,9 @@ object WindowAudit {
     "win_cusum_changepoint" -> "daily frame",
     "win_granger_causality" -> "daily frame",
     "win_hampel_outliers" -> "daily frame",
+    "win_mase_smape" -> "daily frame",
     "win_motif_pairs" -> "daily frame (<=359 windows/yr)",
+    "win_pacf_durbin" -> "daily frame",
     "win_peak_detection" -> "daily frame",
     "win_period_over_period" -> "daily frame",
     "win_rolling_corr" -> "daily frame",
@@ -63,6 +66,7 @@ object WindowAudit {
     "win_seasonality_dow" -> "day-of-week grid over daily frame",
     "win_share_of_total" -> "grouped aggregate vs 1-row total",
     "win_sma_crossover" -> "daily frame",
+    "win_spectral_weekly" -> "daily frame",
     "win_stochastic_osc" -> "daily frame")
 
   /** Unpartitioned logical Window nodes anywhere in the plan. */

@@ -4567,7 +4567,652 @@ object AnalyticsQueries extends QueryModule {
       |  round(CAST(cum AS DOUBLE) / CAST(tsp AS DOUBLE), 4) AS cum_share
       |FROM cum, tot ORDER BY decile""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Two-proportion z-test: does the return rate differ between heavy
+  // lines (quantity > 25) and light ones? — the workhorse A/B
+  // significance test for binary outcomes. Everything is exact integer
+  // until one final expression: four BIGINT cell counts from one
+  // map-side-combinable aggregate, then z = (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2))
+  // with the identical operation tree on both engines. Scale shape: one
+  // scan, one 1-row aggregate.
+  // ------------------------------------------------------------------
+  def twoProportionZ(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .agg(
+        sum(when(col("l_quantity") > 25 && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("x1"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("l_quantity") <= 25 && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("x2"),
+        sum(when(col("l_quantity") <= 25, 1L).otherwise(0L)).as("n2"))
+      .withColumn("p1", col("x1").cast("double") / col("n1"))
+      .withColumn("p2", col("x2").cast("double") / col("n2"))
+      .withColumn("pp", (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")))
+      .withColumn("z", (col("p1") - col("p2"))
+        / sqrt(col("pp") * (lit(1.0) - col("pp"))
+          * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+      .select(col("n1"), col("n2"),
+        round(col("p1"), 6).as("rate_heavy"),
+        round(col("p2"), 6).as("rate_light"),
+        round(col("z"), 4).as("z_stat"),
+        (abs(col("z")) > lit(1.96)).as("rates_differ_p05"))
+  }
+
+  private val twoProportionZSql =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN l_quantity > 25 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN l_quantity <= 25 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+      |    CAST(sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM lineitem),
+      |z AS (
+      |  SELECT n1, n2,
+      |    CAST(x1 AS DOUBLE) / n1 AS p1, CAST(x2 AS DOUBLE) / n2 AS p2,
+      |    CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+      |  FROM c),
+      |f AS (
+      |  SELECT n1, n2, p1, p2,
+      |    (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)) AS zz
+      |  FROM z)
+      |SELECT n1, n2, round(p1, 6) AS rate_heavy, round(p2, 6) AS rate_light,
+      |  round(zz, 4) AS z_stat, abs(zz) > 1.96 AS rates_differ_p05
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cohen's d / Hedges' g: the PARAMETRIC effect size between returned
+  // ('R') and accepted ('A') line quantities — the companion number to
+  // agg_cliffs_delta's ordinal δ (d answers "how many pooled SDs apart
+  // are the means"). Quantities are integers, so n, Σx, Σx² are exact
+  // BIGINT per group from one aggregate; the variances, pooled SD, d,
+  // and the small-sample Hedges correction g = d·(1 − 3/(4N−9)) are one
+  // final double expression shared verbatim with the oracle.
+  // ------------------------------------------------------------------
+  def cohensD(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .withColumn("q", col("l_quantity").cast("long"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("l_returnflag") === "R", col("q")).otherwise(0L)).as("s1"),
+        sum(when(col("l_returnflag") === "R", col("q") * col("q")).otherwise(0L)).as("q1"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("l_returnflag") === "A", col("q")).otherwise(0L)).as("s2"),
+        sum(when(col("l_returnflag") === "A", col("q") * col("q")).otherwise(0L)).as("q2"))
+      .withColumn("m1", col("s1").cast("double") / col("n1"))
+      .withColumn("m2", col("s2").cast("double") / col("n2"))
+      .withColumn("v1", (col("q1").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / col("n1"))
+        / (col("n1") - lit(1L)))
+      .withColumn("v2", (col("q2").cast("double")
+        - col("s2").cast("double") * col("s2").cast("double") / col("n2"))
+        / (col("n2") - lit(1L)))
+      .withColumn("sp", sqrt(((col("n1") - lit(1L)) * col("v1")
+        + (col("n2") - lit(1L)) * col("v2"))
+        / (col("n1") + col("n2") - lit(2L)).cast("double")))
+      .withColumn("d", (col("m1") - col("m2")) / col("sp"))
+      .select(col("n1"), col("n2"),
+        round(col("m1"), 4).as("mean_returned"),
+        round(col("m2"), 4).as("mean_accepted"),
+        round(col("d"), 6).as("cohens_d"),
+        round(col("d") * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (col("n1") + col("n2")) - lit(9.0))), 6).as("hedges_g"))
+  }
+
+  private val cohensDSql =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+      |m AS (
+      |  SELECT n1, n2,
+      |    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+      |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1,
+      |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2
+      |  FROM c),
+      |d AS (
+      |  SELECT n1, n2, m1, m2,
+      |    (m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+      |      / CAST(n1 + n2 - 2 AS DOUBLE)) AS dd
+      |  FROM m)
+      |SELECT n1, n2, round(m1, 4) AS mean_returned, round(m2, 4) AS mean_accepted,
+      |  round(dd, 6) AS cohens_d,
+      |  round(dd * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+      |FROM d""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Odds ratio with a Wald 95% CI: the 2×2 association between heavy
+  // lines (quantity > 25) and returns, on the multiplicative scale
+  // epidemiology and ranking-experiment readouts use. The four cell
+  // counts are exact BIGINT; OR = ad/bc is an exact integer cross-
+  // product divided once; ln, the SE √(1/a+1/b+1/c+1/d) and the exp
+  // bounds are the identical final tree on both engines. The
+  // significance call is CI-excludes-1.
+  // ------------------------------------------------------------------
+  def oddsRatio(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .agg(
+        sum(when(col("l_quantity") > 25 && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("l_quantity") > 25 && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("l_quantity") <= 25 && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("l_quantity") <= 25 && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("or_", (col("a") * col("d")).cast("double")
+        / (col("b") * col("c")).cast("double"))
+      .withColumn("se", sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+        + lit(1.0) / col("c") + lit(1.0) / col("d")))
+      .withColumn("lo", exp(log(col("or_")) - lit(1.96) * col("se")))
+      .withColumn("hi", exp(log(col("or_")) + lit(1.96) * col("se")))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        round(col("or_"), 6).as("odds_ratio"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"),
+        (col("lo") > lit(1.0) || col("hi") < lit(1.0)).as("assoc_p05"))
+  }
+
+  private val oddsRatioSql =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN l_quantity > 25 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN l_quantity > 25 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN l_quantity <= 25 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN l_quantity <= 25 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT a, b, c, d,
+      |    CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) AS orr,
+      |    sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+      |  FROM c),
+      |ci AS (
+      |  SELECT a, b, c, d, orr,
+      |    exp(ln(orr) - 1.96 * se) AS lo, exp(ln(orr) + 1.96 * se) AS hi
+      |  FROM o)
+      |SELECT a, b, c, d, round(orr, 6) AS odds_ratio,
+      |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi,
+      |  (lo > 1.0 OR hi < 1.0) AS assoc_p05
+      |FROM ci""".stripMargin
+
+  // ------------------------------------------------------------------
+  // G-test of independence (the likelihood-ratio sibling of
+  // agg_chi_square, additive across partitions of the table): G =
+  // 2·Σ O·ln(O·N/(R·C)) over the (returnflag × linestatus) grid.
+  // Only OBSERVED cells contribute (TPC-H's grid is structurally
+  // sparse — O·ln O → 0 as O → 0, the same zero-cell convention the KL
+  // operators use); df stays (r−1)(c−1) from the marginal alphabets.
+  // The per-cell ln work is |grid|-bounded; the fold over cells is
+  // ORDERED (sorted collect + aggregate) so no cross-row double sum
+  // depends on partitioning. χ²(2) 0.05 cutoff 5.991.
+  // ------------------------------------------------------------------
+  def gTest(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("o"))
+    val margins = cells
+      .withColumn("r", sum("o").over(Window.partitionBy("l_returnflag")))
+      .withColumn("c", sum("o").over(Window.partitionBy("l_linestatus")))
+    margins
+      .agg(
+        countDistinct("l_returnflag").as("n_rows_alpha"),
+        countDistinct("l_linestatus").as("n_cols_alpha"),
+        sum("o").as("n"),
+        expr("""aggregate(
+          |  array_sort(collect_list(named_struct(
+          |    'k', concat(l_returnflag, l_linestatus),
+          |    'v', CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE) /
+          |      (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))))),
+          |  0D, (a, e) -> a + e.v)""".stripMargin).as("olno"))
+      // Σ O·ln(O·N/(R·C)) = Σ O·ln(O/(R·C)) + N·ln N — the N·ln N term is
+      // pulled out so the fold's per-cell value needs no N reference
+      .withColumn("g", lit(2.0) * (col("olno")
+        + col("n").cast("double") * log(col("n").cast("double"))))
+      .select(
+        ((col("n_rows_alpha") - 1) * (col("n_cols_alpha") - 1)).as("df"),
+        col("n").as("n_rows"),
+        round(col("g"), 4).as("g_stat"),
+        (col("g") > lit(5.991)).as("dependent_p05"))
+  }
+
+  private val gTestSql =
+    """WITH cells AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag, l_linestatus, o,
+      |    sum(o) OVER (PARTITION BY l_returnflag) AS r,
+      |    sum(o) OVER (PARTITION BY l_linestatus) AS c
+      |  FROM cells),
+      |tot AS (
+      |  SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nra,
+      |    CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nca,
+      |    CAST(sum(o) AS BIGINT) AS n,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)
+      |        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+      |        ORDER BY l_returnflag || l_linestatus)),
+      |      (a, v) -> a + v) AS olno
+      |  FROM m),
+      |g AS (
+      |  SELECT (nra - 1) * (nca - 1) AS df, n,
+      |    2.0 * (olno + CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS g
+      |  FROM tot)
+      |SELECT df, n AS n_rows, round(g, 4) AS g_stat, g > 5.991 AS dependent_p05
+      |FROM g""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Mantel–Haenszel pooled odds ratio: the heavy-line × return
+  // association CONTROLLED for order year — the stratified version of
+  // agg_odds_ratio that a confounded rollout readout needs (each year is
+  // a stratum; OR_MH = Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ weights strata by size
+  // without modeling). Per-stratum cells are exact BIGINT; the two
+  // cross-product sums fold ORDERED over the |years|-bounded frame.
+  // ------------------------------------------------------------------
+  def mantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.lineitem(s, dir)
+      .groupBy(year(col("l_shipdate")).as("yr"))
+      .agg(
+        sum(when(col("l_quantity") > 25 && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("l_quantity") > 25 && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("l_quantity") <= 25 && col("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("l_quantity") <= 25 && col("l_returnflag") =!= "R", 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    strata.agg(
+        count(lit(1)).as("n_strata"),
+        expr("""aggregate(array_sort(collect_list(named_struct('k', yr,
+          |  'v', CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE)))),
+          |  0D, (acc, e) -> acc + e.v)""".stripMargin).as("num"),
+        expr("""aggregate(array_sort(collect_list(named_struct('k', yr,
+          |  'v', CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE)))),
+          |  0D, (acc, e) -> acc + e.v)""".stripMargin).as("den"))
+      .select(col("n_strata"),
+        round(col("num") / col("den"), 6).as("or_mh"))
+  }
+
+  private val mantelHaenszelSql =
+    """WITH strata AS (
+      |  SELECT year(CAST(l_shipdate AS DATE)) AS yr,
+      |    CAST(sum(CASE WHEN l_quantity > 25 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN l_quantity > 25 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN l_quantity <= 25 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN l_quantity <= 25 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM lineitem GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(CAST(a * d AS DOUBLE) / (a + b + c + d) ORDER BY yr)),
+      |      (acc, v) -> acc + v) AS num,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(CAST(b * c AS DOUBLE) / (a + b + c + d) ORDER BY yr)),
+      |      (acc, v) -> acc + v) AS den
+      |  FROM strata)
+      |SELECT n_strata, round(num / den, 6) AS or_mh FROM t""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Friedman test: do the seven line positions (l_linenumber 1–7) rank
+  // consistently by monthly revenue across the twelve ship months? — the
+  // repeated-measures rank ANOVA (blocks = months, treatments = line
+  // positions; first lines carry more revenue than seventh lines in
+  // every month if order composition is stable), the WITHIN-subjects
+  // complement of agg_kruskal_wallis and the significance test behind
+  // agg_kendalls_w-style concordance. Cell values are exact revenue
+  // cents; within-block ranks use the doubled-average-rank discipline
+  // (ties exact, though cents make them measure-zero), so ΣRⱼ² is exact
+  // BIGINT (÷4 for the doubling at the end). χ²_F compared to the
+  // df = k−1 = 6 cutoff 12.592 — the value agg_kruskal_wallis wrongly
+  // carried for df=11, correct HERE because this grid really is 7-way.
+  // ------------------------------------------------------------------
+  def friedmanTest(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(month(col("l_shipdate")).as("blk"), col("l_linenumber"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("v"))
+    val dr = cells.withColumn("dr",
+      rank().over(Window.partitionBy("blk").orderBy("v")) * 2
+        + count(lit(1)).over(Window.partitionBy("blk", "v")) - 1)
+    val rsum = dr.groupBy("l_linenumber").agg(sum("dr").as("r2"),
+      count(lit(1)).as("nblk"))
+    rsum.agg(count(lit(1)).as("k"), max("nblk").as("n"), min("nblk").as("n_min"),
+        sum(col("r2") * col("r2")).as("sr2"))
+      // balanced-panel guard: every mode must appear in every month
+      .withColumn("chi2", lit(12.0)
+        / (col("n").cast("double") * col("k").cast("double") * (col("k") + 1))
+        * (col("sr2").cast("double") / lit(4.0))
+        - lit(3.0) * col("n").cast("double") * (col("k") + 1).cast("double"))
+      .select(col("k").as("n_treatments"), col("n").as("n_blocks"),
+        (col("n") === col("n_min")).as("balanced"),
+        round(col("chi2"), 4).as("friedman_chi2"),
+        (col("chi2") > lit(12.592)).as("ranks_differ_p05"))
+  }
+
+  private val friedmanTestSql =
+    """WITH cells AS (
+      |  SELECT month(CAST(l_shipdate AS DATE)) AS blk, l_linenumber,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1, 2),
+      |dr AS (
+      |  SELECT blk, l_linenumber,
+      |    rank() OVER (PARTITION BY blk ORDER BY v) * 2
+      |      + count(*) OVER (PARTITION BY blk, v) - 1 AS dr
+      |  FROM cells),
+      |rsum AS (
+      |  SELECT l_linenumber, CAST(sum(dr) AS BIGINT) AS r2,
+      |    CAST(count(*) AS BIGINT) AS nblk
+      |  FROM dr GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(nblk) AS BIGINT) AS n,
+      |    CAST(min(nblk) AS BIGINT) AS n_min,
+      |    CAST(sum(r2 * r2) AS BIGINT) AS sr2
+      |  FROM rsum),
+      |f AS (
+      |  SELECT k, n, n_min,
+      |    12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (k + 1))
+      |      * (CAST(sr2 AS DOUBLE) / 4.0)
+      |      - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE) AS chi2
+      |  FROM t)
+      |SELECT k AS n_treatments, n AS n_blocks, n = n_min AS balanced,
+      |  round(chi2, 4) AS friedman_chi2, chi2 > 12.592 AS ranks_differ_p05
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Dickey–Fuller unit-root test: is daily order revenue stationary, or
+  // a random walk? — the gate before any mean-reverting alert (CUSUM,
+  // z-score bands) is trusted on a metric: those assume shocks decay,
+  // and a unit root means they don't. Lag-0 DF: regress Δxₜ on xₜ₋₁
+  // with intercept; τ = β̂/SE(β̂) against the asymptotic 5% critical
+  // value −2.86 (more negative ⇒ reject unit root ⇒ stationary). All
+  // moment sums are exact DECIMAL(38,0) over the days-bounded frame
+  // (the ljung-box discipline); β, SE, τ are one shared final tree.
+  // ------------------------------------------------------------------
+  def dickeyFuller(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    val w = Window.orderBy("day")
+    val pairs = daily.withColumn("z", lag("x", 1).over(w))
+      .filter(col("z").isNotNull)
+      .withColumn("y", col("x") - col("z"))
+    def d(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    val sums = pairs.agg(count(lit(1)).as("m"),
+      sum(expr(d("z"))).as("sz"), sum(expr(d("y"))).as("sy"),
+      sum(expr(s"${d("z")} * ${d("y")}")).as("szy"),
+      sum(expr(s"${d("z")} * ${d("z")}")).as("szz"),
+      sum(expr(s"${d("y")} * ${d("y")}")).as("syy"))
+    sums
+      .withColumn("czz", expr("CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / m"))
+      .withColumn("czy", expr("CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) / m"))
+      .withColumn("cyy", expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / m"))
+      .withColumn("beta", col("czy") / col("czz"))
+      .withColumn("se", sqrt(((col("cyy") - col("beta") * col("czy"))
+        / (col("m") - lit(2L))) / col("czz")))
+      .select(col("m").as("n_diffs"),
+        round(col("beta"), 6).as("beta"),
+        round(col("beta") / col("se"), 4).as("tau_stat"),
+        (col("beta") / col("se") < lit(-2.86)).as("stationary_p05"))
+  }
+
+  private val dickeyFullerSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT x, lag(x) OVER (ORDER BY day) AS z,
+      |    x - lag(x) OVER (ORDER BY day) AS y
+      |  FROM daily QUALIFY z IS NOT NULL),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |    sum(CAST(z AS HUGEINT)) AS sz, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(z AS HUGEINT) * CAST(y AS HUGEINT)) AS szy,
+      |    sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+      |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |  FROM pairs),
+      |c AS (
+      |  SELECT m,
+      |    CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / m AS czz,
+      |    CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) / m AS czy,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / m AS cyy
+      |  FROM sums),
+      |f AS (
+      |  SELECT m, czy / czz AS beta,
+      |    sqrt(((cyy - (czy / czz) * czy) / (m - 2)) / czz) AS se
+      |  FROM c)
+      |SELECT m AS n_diffs, round(beta, 6) AS beta,
+      |  round(beta / se, 4) AS tau_stat,
+      |  beta / se < -2.86 AS stationary_p05
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Partial autocorrelation (Durbin–Levinson, lags 1–3) of daily
+  // revenue: the AR-order diagnostic — ACF says "correlated at lag k",
+  // PACF says "correlated at lag k AFTER removing lags < k", which is
+  // what picks the AR(p) model and explains whether yesterday's alert
+  // already accounts for the week's drift. ρₖ come from the exact
+  // DECIMAL(38,0) deviation products (the ljung-box discipline); the
+  // three Durbin–Levinson levels are one shared closed-form tree.
+  // ------------------------------------------------------------------
+  def pacfDurbin(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    val w = Window.orderBy("day")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lagged = daily
+      .select(col("day") +: col("x") +:
+        (1 to 3).map(k => lag("x", k).over(w).as(s"x$k")): _*)
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("sx", sum("x").over(full))
+    def dev(c: String) = s"(CAST(n AS DECIMAL(38,0)) * CAST($c AS DECIMAL(38,0))" +
+      s" - CAST(sx AS DECIMAL(38,0)))"
+    val sumCols = sum(expr(s"${dev("x")} * ${dev("x")}")).as("c0") +:
+      (1 to 3).map(k => sum(expr(s"${dev("x")} * ${dev(s"x$k")}")).as(s"c$k"))
+    val sums = lagged.agg(sumCols.head, sumCols.tail: _*)
+    sums
+      .withColumn("r1", expr("CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)"))
+      .withColumn("r2", expr("CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE)"))
+      .withColumn("r3", expr("CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE)"))
+      // Durbin–Levinson: φ11 = ρ1; v1 = 1−ρ1²; φ22 = (ρ2−ρ1²)/v1;
+      // φ21 = φ11−φ22·φ11; v2 = v1(1−φ22²); φ33 = (ρ3−φ21ρ2−φ22ρ1)/v2
+      .withColumn("p11", col("r1"))
+      .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("p22", (col("r2") - col("r1") * col("r1")) / col("v1"))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+      .withColumn("v2", col("v1") * (lit(1.0) - col("p22") * col("p22")))
+      .withColumn("p33", (col("r3") - col("p21") * col("r2")
+        - col("p22") * col("r1")) / col("v2"))
+      .select(round(col("p11"), 4).as("pacf1"),
+        round(col("p22"), 4).as("pacf2"),
+        round(col("p33"), 4).as("pacf3"))
+  }
+
+  private val pacfDurbinSql = {
+    def dev(c: String) =
+      s"(CAST(n AS HUGEINT) * CAST($c AS HUGEINT) - CAST(sx AS HUGEINT))"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |lagged AS (
+       |  SELECT x, lag(x, 1) OVER (ORDER BY day) AS x1,
+       |    lag(x, 2) OVER (ORDER BY day) AS x2,
+       |    lag(x, 3) OVER (ORDER BY day) AS x3,
+       |    count(*) OVER () AS n, sum(x) OVER () AS sx
+       |  FROM daily),
+       |sums AS (
+       |  SELECT sum(${dev("x")} * ${dev("x")}) AS c0,
+       |    sum(${dev("x")} * ${dev("x1")}) AS c1,
+       |    sum(${dev("x")} * ${dev("x2")}) AS c2,
+       |    sum(${dev("x")} * ${dev("x3")}) AS c3
+       |  FROM lagged),
+       |r AS (
+       |  SELECT CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+       |    CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+       |    CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
+       |  FROM sums),
+       |dl AS (
+       |  SELECT r1 AS p11, 1.0 - r1 * r1 AS v1,
+       |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22, r1, r2, r3
+       |  FROM r),
+       |dl2 AS (
+       |  SELECT p11, p22, r1, r2, r3,
+       |    p11 - p22 * p11 AS p21, v1 * (1.0 - p22 * p22) AS v2
+       |  FROM dl)
+       |SELECT round(p11, 4) AS pacf1, round(p22, 4) AS pacf2,
+       |  round((r3 - p21 * r2 - p22 * r1) / v2, 4) AS pacf3
+       |FROM dl2""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // MASE + sMAPE forecast backtest: how good is the 7-day moving-average
+  // forecast of daily revenue, scaled against the seasonal-naive (lag-7)
+  // baseline? — the two standard scale-free backtest metrics (pinball
+  // covers quantile forecasts; these cover point forecasts). Exactness:
+  // with S = the trailing-7 sum, |xₜ − S/7| = |7xₜ − S|/7 — so the MASE
+  // numerator Σ|7xₜ−S| and denominator Σ|xₜ−xₜ₋₇| are EXACT BIGINT
+  // sums; sMAPE's per-day ratios 2|7x−S|/(7x+S) fold ORDERED over the
+  // days-bounded frame.
+  // ------------------------------------------------------------------
+  def maseSmape(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    val w = Window.orderBy("day")
+    val eval = daily
+      .withColumn("sw", sum("x").over(w.rowsBetween(-7, -1)))
+      .withColumn("cnt", count("x").over(w.rowsBetween(-7, -1)))
+      .withColumn("x7", lag("x", 7).over(w))
+      .filter(col("cnt") === 7 && col("x7").isNotNull)
+    eval.agg(count(lit(1)).as("n_eval"),
+        sum(abs(lit(7L) * col("x") - col("sw"))).as("ae_model7"),
+        sum(abs(col("x") - col("x7"))).as("ae_naive"),
+        expr("""aggregate(array_sort(collect_list(named_struct('k', day,
+          |  'v', 2.0 * abs(7 * x - sw) / CAST(7 * x + sw AS DOUBLE)))),
+          |  0D, (a, e) -> a + e.v)""".stripMargin).as("smape_sum"))
+      .select(col("n_eval"),
+        round(col("ae_model7").cast("double")
+          / (lit(7.0) * col("ae_naive").cast("double")), 6).as("mase"),
+        round(col("smape_sum") / col("n_eval"), 6).as("smape"))
+  }
+
+  private val maseSmapeSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |ev AS (
+      |  SELECT day, x,
+      |    sum(x) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sw,
+      |    count(x) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS cnt,
+      |    lag(x, 7) OVER (ORDER BY day) AS x7
+      |  FROM daily QUALIFY cnt = 7 AND x7 IS NOT NULL),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+      |    CAST(sum(abs(7 * x - sw)) AS BIGINT) AS ae_model7,
+      |    CAST(sum(abs(x - x7)) AS BIGINT) AS ae_naive,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(2.0 * abs(7 * x - sw) / CAST(7 * x + sw AS DOUBLE) ORDER BY day)),
+      |      (a, v) -> a + v) AS smape_sum
+      |  FROM ev)
+      |SELECT n_eval,
+      |  round(CAST(ae_model7 AS DOUBLE) / (7.0 * CAST(ae_naive AS DOUBLE)), 6) AS mase,
+      |  round(smape_sum / n_eval, 6) AS smape
+      |FROM t""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Weekly spectral power: the periodogram ordinate of daily revenue at
+  // the 1/7 frequency, as a share of total variance — "how much of this
+  // metric is just the weekly cycle", the quantitative version of
+  // win_seasonality_dow's eyeball table. Exact integer DFT: the cos/sin
+  // weights for t mod 7 are SHARED 1e-6-unit integer literals (never
+  // runtime trig — libm differs across engines), daily cents are
+  // BIGINT, deviations use the n·x − Σx form, so both Fourier sums are
+  // exact DECIMAL(38,0) products; doubles appear only in the final
+  // power/share expression.
+  // ------------------------------------------------------------------
+  def spectralWeekly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val w = Window.orderBy("day")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // round(cos(2πk/7)·1e6), round(sin(2πk/7)·1e6) for k = 0..6
+    val cosT = "array(1000000L, 623490L, -222521L, -900969L, -900969L, -222521L, 623490L)"
+    val sinT = "array(0L, 781831L, 974928L, 433884L, -433884L, -974928L, -781831L)"
+    val t = daily
+      .withColumn("t", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("sx", sum("x").over(full))
+      .withColumn("dev", expr("CAST(n AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))" +
+        " - CAST(sx AS DECIMAL(38,0))"))
+      .withColumn("c6", expr(s"element_at($cosT, CAST(t % 7 AS INT) + 1)"))
+      .withColumn("s6", expr(s"element_at($sinT, CAST(t % 7 AS INT) + 1)"))
+    t.agg(max("n").as("n"),
+        sum(expr("dev * CAST(c6 AS DECIMAL(38,0))")).as("cc"),
+        sum(expr("dev * CAST(s6 AS DECIMAL(38,0))")).as("ss"),
+        sum(expr("dev * dev")).as("ssq"))
+      // de-scale: dev carries a factor n, the weights 1e6
+      .withColumn("cd", expr("CAST(cc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)"))
+      .withColumn("sd", expr("CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)"))
+      .withColumn("sst", expr("CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"))
+      .select(col("n").as("n_days"),
+        round((col("cd") * col("cd") + col("sd") * col("sd")) / col("n"), 4)
+          .as("weekly_power"),
+        round(lit(2.0) * (col("cd") * col("cd") + col("sd") * col("sd"))
+          / (col("n") * col("sst")), 6).as("weekly_var_share"))
+  }
+
+  private val spectralWeeklySql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT x, row_number() OVER (ORDER BY day) - 1 AS t,
+      |    count(*) OVER () AS n, sum(x) OVER () AS sx
+      |  FROM daily),
+      |d AS (
+      |  SELECT n,
+      |    CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - CAST(sx AS HUGEINT) AS dev,
+      |    [CAST(1000000 AS HUGEINT), 623490, -222521, -900969, -900969, -222521, 623490][CAST(t % 7 AS INT) + 1] AS c6,
+      |    [CAST(0 AS HUGEINT), 781831, 974928, 433884, -433884, -974928, -781831][CAST(t % 7 AS INT) + 1] AS s6
+      |  FROM t),
+      |sums AS (
+      |  SELECT CAST(max(n) AS BIGINT) AS n, sum(dev * c6) AS cc,
+      |    sum(dev * s6) AS ss, sum(dev * dev) AS ssq
+      |  FROM d),
+      |f AS (
+      |  SELECT n,
+      |    CAST(cc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS cd,
+      |    CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS sd,
+      |    CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS sst
+      |  FROM sums)
+      |SELECT n AS n_days,
+      |  round((cd * cd + sd * sd) / n, 4) AS weekly_power,
+      |  round(2.0 * (cd * cd + sd * sd) / (n * sst), 6) AS weekly_var_share
+      |FROM f""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_dickey_fuller", dickeyFuller, Some(dickeyFullerSql)),
+    QueryDef("win_pacf_durbin", pacfDurbin, Some(pacfDurbinSql)),
+    QueryDef("win_mase_smape", maseSmape, Some(maseSmapeSql)),
+    QueryDef("win_spectral_weekly", spectralWeekly, Some(spectralWeeklySql)),
+    QueryDef("agg_two_proportion_z", twoProportionZ, Some(twoProportionZSql)),
+    QueryDef("agg_cohens_d", cohensD, Some(cohensDSql)),
+    QueryDef("agg_odds_ratio", oddsRatio, Some(oddsRatioSql)),
+    QueryDef("agg_g_test", gTest, Some(gTestSql)),
+    QueryDef("agg_mantel_haenszel", mantelHaenszel, Some(mantelHaenszelSql)),
+    QueryDef("agg_friedman_test", friedmanTest, Some(friedmanTestSql)),
     QueryDef("agg_lorenz_deciles", lorenzDeciles, Some(lorenzDecilesSql)),
     QueryDef("agg_tail_index_hill", tailIndexHill, Some(tailIndexHillSql)),
     QueryDef("agg_pinball_backtest", pinballBacktest, Some(pinballBacktestSql)),
