@@ -1164,7 +1164,140 @@ object CurationQueries extends QueryModule {
        |    AS epochs_over_source
        |FROM pw, norm ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // OOV-rate census: per-source share of tokens OUTSIDE the reference
+  // vocabulary (top-200 tokens of source src0 by frequency, ties broken
+  // by token) — the tokenizer-fit check before mixing a new source into
+  // a training run: a high OOV rate means the tokenizer will shatter
+  // this source into bytes. Scale shape: the vocabulary is built from
+  // one (token) hash-agg + top-k and BROADCAST; the corpus side is one
+  // explode + broadcast anti-lookup + per-source aggregate — no
+  // corpus-sized shuffle on the token key.
+  // ------------------------------------------------------------------
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(expr(toks)).as("tk"))
+    val vocab = tok.filter(col("source") === "src0")
+      .groupBy("tk").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk")).limit(200)
+      .select(col("tk"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  private val oovRateSql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest($dToks) AS tk FROM documents),
+       |vocab AS (
+       |  SELECT tk FROM (
+       |    SELECT tk, count(*) AS c FROM tok WHERE source = 'src0' GROUP BY 1)
+       |  ORDER BY c DESC, tk LIMIT 200)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS oov_rate
+       |FROM tok LEFT JOIN vocab v USING (tk)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Label-balance census: the class-distribution health check a corpus
+  // gets before anything trains on its labels — per-language counts and
+  // shares plus the three standard whole-distribution figures stamped on
+  // every row (entropy, effective class count e^H, max/min imbalance
+  // ratio). The per-class ln work is |classes|-bounded; the entropy fold
+  // is ORDERED over the collapsed class frame.
+  // ------------------------------------------------------------------
+  def labelBalance(s: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = cls.agg(sum("n_docs").as("n_tot"),
+      max("n_docs").as("n_max"), min("n_docs").as("n_min"),
+      expr("""aggregate(array_sort(collect_list(named_struct('k', lang,
+        |  'v', CAST(n_docs AS DOUBLE) * ln(CAST(n_docs AS DOUBLE))))),
+        |  0D, (a, e) -> a + e.v)""".stripMargin).as("snln"))
+      .withColumn("entropy", log(col("n_tot").cast("double"))
+        - col("snln") / col("n_tot"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_tot"), 6).as("share"),
+        round(col("entropy"), 4).as("entropy"),
+        round(exp(col("entropy")), 4).as("effective_classes"),
+        round(col("n_max").cast("double") / col("n_min"), 4).as("imbalance_ratio"))
+      .orderBy("lang")
+  }
+
+  private val labelBalanceSql =
+    """WITH cls AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+      |    CAST(max(n_docs) AS BIGINT) AS n_max, CAST(min(n_docs) AS BIGINT) AS n_min,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(CAST(n_docs AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+      |      (a, v) -> a + v) AS snln
+      |  FROM cls),
+      |e AS (
+      |  SELECT n_tot, n_max, n_min,
+      |    ln(CAST(n_tot AS DOUBLE)) - snln / n_tot AS entropy
+      |  FROM tot)
+      |SELECT lang, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) / n_tot, 6) AS share,
+      |  round(entropy, 4) AS entropy,
+      |  round(exp(entropy), 4) AS effective_classes,
+      |  round(CAST(n_max AS DOUBLE) / n_min, 4) AS imbalance_ratio
+      |FROM cls, e ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Train/eval split leakage: how many documents in each split share an
+  // OPENING (the md5 of their first 8 tokens) with a document in another
+  // split — the leakage detector every split assignment needs BEFORE
+  // training (curation_contamination catches n-gram overlap; this
+  // catches near-verbatim openings that crossed the split boundary —
+  // the fixture, like most real corpora, has shared boilerplate
+  // openings but no byte-identical documents). Split rule =
+  // curation_train_split's md5 bucket; flow is counted directionally
+  // (docs in to_split sharing a fingerprint with from_split). Scale
+  // shape: collapse to (fingerprint, split, n) first, then one keyed
+  // self-join of the collapsed frame — never row-level pairs.
+  // ------------------------------------------------------------------
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 2), 16, 10) AS INT)"))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END"))
+      .withColumn("h", expr(s"md5(array_join(slice($toks, 1, 8), ' '))"))
+    val hs = d.groupBy("h", "split").agg(count(lit(1)).as("n"))
+    hs.select(col("h"), col("split").as("from_split"))
+      .join(hs.select(col("h"), col("split").as("to_split"), col("n")), Seq("h"))
+      .filter(col("from_split") =!= col("to_split"))
+      .groupBy("from_split", "to_split")
+      .agg(countDistinct("h").as("n_shared_hashes"), sum("n").as("n_leaked_docs"))
+      .orderBy("from_split", "to_split")
+  }
+
+  private val splitLeakageSql =
+    s"""WITH d AS (
+      |  SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    md5(array_to_string(($dToks)[1:8], ' ')) AS h
+      |  FROM (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+      |        AS bucket FROM documents)),
+      |hs AS (SELECT h, split, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2)
+      |SELECT a.split AS from_split, b.split AS to_split,
+      |  CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared_hashes,
+      |  CAST(sum(b.n) AS BIGINT) AS n_leaked_docs
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.split <> b.split
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_oov_rate", oovRate, Some(oovRateSql)),
+    QueryDef("curation_label_balance", labelBalance, Some(labelBalanceSql)),
+    QueryDef("curation_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("curation_temperature_mixing", temperatureMixing,
       Some(temperatureMixingSql)),
     QueryDef("curation_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),

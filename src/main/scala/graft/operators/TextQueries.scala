@@ -1330,7 +1330,89 @@ object TextQueries extends QueryModule {
        |  round(0.5 * s_pq + 0.5 * 0.6931471805599453 * (1.0 - qcov), 4) AS js_nats
        |FROM agg ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Mutual information between source and document-length bucket
+  // (n_chars DIV 100): "does knowing the source tell you the length
+  // distribution?" — the dependence number behind stratified sampling
+  // decisions (agg_conditional_entropy gives H(Y|X) for one pair; MI is
+  // its symmetric, normalizable companion: NMI = MI/min(H(X), H(Y)) in
+  // [0, 1]). One (source × bucket) hash-agg is the only corpus-sized
+  // pass; the per-cell ln work and the three ORDERED folds walk the
+  // ≤ |sources|·|buckets| collapsed grid.
+  // ------------------------------------------------------------------
+  def mutualInformation(s: SparkSession, dir: String): DataFrame = {
+    def fold(v: String, key: String) =
+      s"""aggregate(array_sort(collect_list(named_struct('k', $key, 'v', $v))),
+         |  0D, (a, e) -> a + e.v)""".stripMargin
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("source"), expr("n_chars DIV 100").as("lb"))
+      .agg(count(lit(1)).as("o"))
+    val joint = cells
+      .withColumn("rx", sum("o").over(Window.partitionBy("source")))
+      .withColumn("cy", sum("o").over(Window.partitionBy("lb")))
+      .agg(sum("o").as("n"),
+        countDistinct("source").as("nx"), countDistinct("lb").as("ny"),
+        expr(fold(
+          "CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE) / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)))",
+          "concat(source, '|', CAST(lb AS STRING))")).as("oln"))
+    // margin entropies for the normalization: H = ln N − Σ m·ln m / N
+    val hx = cells.groupBy("source").agg(sum("o").as("m"))
+      .agg(expr(fold("CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE))", "source")).as("sxln"))
+    val hy = cells.groupBy("lb").agg(sum("o").as("m"))
+      .agg(expr(fold("CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE))", "lb")).as("syln"))
+    joint.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .withColumn("lnn", log(col("n").cast("double")))
+      .withColumn("mi", col("oln") / col("n") + col("lnn"))
+      .withColumn("hxv", col("lnn") - col("sxln") / col("n"))
+      .withColumn("hyv", col("lnn") - col("syln") / col("n"))
+      .select(col("n").as("n_docs"), col("nx").as("n_sources"),
+        col("ny").as("n_len_buckets"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("mi") / least(col("hxv"), col("hyv")), 6).as("nmi"))
+  }
+
+  private val mutualInformationSql =
+    """WITH cells AS (
+      |  SELECT source, n_chars // 100 AS lb, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source, lb, o,
+      |    sum(o) OVER (PARTITION BY source) AS rx,
+      |    sum(o) OVER (PARTITION BY lb) AS cy
+      |  FROM cells),
+      |joint AS (
+      |  SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS nx,
+      |    CAST(count(DISTINCT lb) AS BIGINT) AS ny,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)
+      |        / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)))
+      |        ORDER BY source || '|' || CAST(lb AS VARCHAR))),
+      |      (a, v) -> a + v) AS oln
+      |  FROM g),
+      |hx AS (
+      |  SELECT list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |    list(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)) ORDER BY source)),
+      |    (a, v) -> a + v) AS sxln
+      |  FROM (SELECT source, CAST(sum(o) AS BIGINT) AS m FROM cells GROUP BY 1)),
+      |hy AS (
+      |  SELECT list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |    list(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)) ORDER BY lb)),
+      |    (a, v) -> a + v) AS syln
+      |  FROM (SELECT lb, CAST(sum(o) AS BIGINT) AS m FROM cells GROUP BY 1)),
+      |f AS (
+      |  SELECT n, nx, ny,
+      |    oln / n + ln(CAST(n AS DOUBLE)) AS mi,
+      |    ln(CAST(n AS DOUBLE)) - sxln / n AS hxv,
+      |    ln(CAST(n AS DOUBLE)) - syln / n AS hyv
+      |  FROM joint, hx, hy)
+      |SELECT n AS n_docs, nx AS n_sources, ny AS n_len_buckets,
+      |  round(mi, 6) AS mi_nats,
+      |  round(mi / least(hxv, hyv), 6) AS nmi
+      |FROM f""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_mutual_information", mutualInformation, Some(mutualInformationSql)),
     QueryDef("text_js_divergence", jsDivergence, Some(jsDivergenceSql)),
     QueryDef("text_chao1_richness", chao1Richness, Some(chao1RichnessSql)),
     QueryDef("text_heaps_law", heapsLaw, Some(heapsLawSql)),
