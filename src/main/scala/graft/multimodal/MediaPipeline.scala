@@ -600,7 +600,43 @@ object MediaPipeline extends QueryModule {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM pref GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corpus-wide amplitude histogram over the decoded audio samples: 16
+    * equal byte-value buckets (sample DIV 16) — the distribution check an
+    * audio-curation pass runs before normalization/clipping decisions
+    * (all-quiet or clipped shards show up as mass piled in the end
+    * buckets). Real WAV decode per row in mapPartitions (embarrassingly
+    * parallel); each task emits 16 partial counts so the only shuffle is
+    * a 16-key merge — the histogram analogue of a map-side combine. The
+    * oracle replays the lossless staging formula
+    * (sample k = (doc_id·17 + 5k) % 256) in SQL.
+    */
+  def byteHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(col("media_type") === "audio")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val counts = new Array[Long](16)
+        it.foreach { rec =>
+          decodedSamples(rec.payload).foreach(v => counts(v / 16) += 1)
+        }
+        counts.indices.iterator.map(b => (b, counts(b)))
+      }
+      .toDF("bucket", "c")
+      .groupBy("bucket").agg(sum("c").as("n_samples"))
+      .filter(col("n_samples") > 0)
+      .orderBy("bucket")
+  }
+
+  private val byteHistogramSql =
+    """SELECT CAST(((doc_id * 17 + k * 5) % 256) // 16 AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_samples
+      |FROM (SELECT doc_id, unnest(range(0, 256)) AS k
+      |      FROM documents WHERE doc_id % 3 = 1)
+      |GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("multimodal_byte_histogram", byteHistogram, Some(byteHistogramSql)),
     QueryDef("multimodal_audio_energy", audioEnergy, Some(audioEnergySql)),
     QueryDef("multimodal_shard_plan", shardPlan, Some(shardPlanSql)),
     QueryDef("multimodal_features", extractFeatures, Some(extractFeaturesSql)),

@@ -457,7 +457,76 @@ object SourceQueries extends QueryModule {
     """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS all_dense
       |FROM lineitem""".stripMargin
 
+  /** multiLine JSON: one file holding a single JSON ARRAY of objects —
+    * the interchange shape REST dumps and config exports arrive in, which
+    * the default JSON-Lines reader cannot parse (it would see one
+    * unsplittable corrupt line). The staged array is built from the
+    * nation rows (toJSON, driver-side — 25 rows), read back with
+    * multiLine=true, and aggregated; the oracle aggregates the original
+    * parquet, so a reader that drops or re-types a row fails the hash.
+    * multiLine files are NOT splittable — at 100 TB this shape is for
+    * small config/dim payloads, never the fact tables (that is the
+    * documented trade of the format, not of this query).
+    */
+  def jsonMultiline(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_jsonml_")
+    val rows = Tables.nation(s, dir).orderBy("n_nationkey")
+      .toJSON.collect()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "nations.json"),
+      rows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+    s.read.option("multiLine", "true").json(tmp)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        sum(length(col("n_name"))).as("name_chars"))
+      .orderBy("n_regionkey")
+  }
+
+  // n_regionkey CAST to BIGINT: JSON inference has no integer widths
+  private val jsonMultilineSql =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+      |  CAST(count(*) AS BIGINT) AS n_nations,
+      |  CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Parquet compression codecs: the same supplier table written with
+    * zstd (the modern scan-speed/ratio default) and gzip (the legacy
+    * interchange codec), read back and aggregated — plus a physical
+    * assertion that each directory's data files really carry the codec
+    * extension, so a silently-ignored option cannot pass. The oracle
+    * emits the same aggregate with literal TRUE: any codec-induced value
+    * drift or a false extension check fails the hash.
+    */
+  def parquetCodecs(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft_codec_")
+    val src = Tables.supplier(s, dir)
+    val perCodec = Seq("gzip" -> ".gz.parquet", "zstd" -> ".zstd.parquet")
+      .map { case (codec, ext) =>
+        val path = s"$base/$codec"
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        import scala.jdk.CollectionConverters._
+        val dataFiles = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        val extOk = dataFiles.nonEmpty && dataFiles.forall(_.endsWith(ext))
+        s.read.parquet(path)
+          .agg(count(lit(1)).as("n_suppliers"),
+            round(sum("s_acctbal"), 2).as("total_bal"))
+          .select(lit(codec).as("codec"), col("n_suppliers"), col("total_bal"),
+            lit(extOk).as("codec_ext_ok"))
+      }
+    perCodec.reduce(_ unionByName _).orderBy("codec")
+  }
+
+  private val parquetCodecsSql =
+    """SELECT codec, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  round(sum(s_acctbal), 2) AS total_bal, TRUE AS codec_ext_ok
+      |FROM supplier CROSS JOIN (SELECT unnest(['gzip', 'zstd']) AS codec)
+      |GROUP BY codec ORDER BY codec""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("src_json_multiline", jsonMultiline, Some(jsonMultilineSql)),
+    QueryDef("src_parquet_codecs", parquetCodecs, Some(parquetCodecsSql)),
     QueryDef("src_file_metadata", fileMetadata, Some(fileMetadataSql)),
     QueryDef("src_sql_ctas_insert", sqlCtasInsert, Some(sqlCtasInsertSql)),
     QueryDef("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),

@@ -322,6 +322,54 @@ object StreamingQueries extends QueryModule {
        |FROM numbered GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Session windows with a DYNAMIC per-event gap: purchases hold a
+    * session open 30 minutes, everything else 10 — the per-event-type
+    * idle budget (checkout flows idle longer than browse flows), which
+    * the fixed-gap [[sessions]] cannot express. Each event opens
+    * [ts, ts+gap) and overlapping windows merge, so the oracle replays
+    * the exact rule: a session breaks where ts clears the running max of
+    * previous window ends (interval arithmetic on timestamps, never
+    * epoch doubles), and the session end is the max end of its members.
+    * Same sentinel-staged append-mode ceremony as [[sessions]].
+    */
+  def dynamicGapSessions(s: SparkSession, dir: String): DataFrame = {
+    val gap = expr(
+      "CASE WHEN event_type = 'purchase' THEN '30 minutes' ELSE '10 minutes' END")
+    val agg = RecordStream.eventsStreamWithSentinels(s, dir, filesPerTrigger = 4)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    RecordStream.runToMemory(s, agg, "stream_dyngap_sink", "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("w.start"), TsFmt).as("session_start"),
+        date_format(col("w.end"), TsFmt).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val dynamicGapSessionsSql =
+    s"""WITH g AS (
+       |  SELECT user_id, ts,
+       |    ts + (CASE WHEN event_type = 'purchase' THEN 1800 ELSE 600 END)
+       |      * INTERVAL 1 SECOND AS win_end
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, ts, win_end,
+       |    max(win_end) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM g),
+       |sid AS (
+       |  SELECT user_id, ts, win_end,
+       |    sum(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id, strftime(min(ts), '$DTsFmt') AS session_start,
+       |  strftime(max(win_end), '$DTsFmt') AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM sid GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** Streaming dedup on a key subset (dropDuplicates with the stream's
     * state store); output projected to the key so the surviving set is
     * deterministic.
@@ -1320,6 +1368,8 @@ object StreamingQueries extends QueryModule {
     QueryDef("stream_windowed_topk", windowedTopk, Some(windowedTopkSql)),
     QueryDef("stream_sliding_counts", sliding, Some(slidingSql)),
     QueryDef("stream_session_windows", sessions, Some(sessionsSql)),
+    QueryDef("stream_dynamic_gap_sessions", dynamicGapSessions,
+      Some(dynamicGapSessionsSql)),
     QueryDef("stream_dedup", dedup, Some(dedupSql)),
     QueryDef("stream_dedup_within_watermark", dedupWithinWatermark,
       Some(dedupWithinWatermarkSql)),
