@@ -162,6 +162,66 @@ class InvariantSpec extends SparkSuite {
     assert(r.getAs[Long]("n_nations") <= 25)
   }
 
+  test("r11 effect sizes: Hedges shrinks d, OR inside its CI, G and MI non-negative") {
+    val z = rows("agg_two_proportion_z").head
+    Seq("rate_heavy", "rate_light").foreach { c =>
+      val v = z.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+    }
+    assert(z.getAs[Boolean]("rates_differ_p05") ==
+      (math.abs(z.getAs[Double]("z_stat")) > 1.96))
+    val d = rows("agg_cohens_d").head
+    assert(math.abs(d.getAs[Double]("hedges_g")) <= math.abs(d.getAs[Double]("cohens_d")) + 1e-12)
+    val or = rows("agg_odds_ratio").head
+    val (lo, mid, hi) = (or.getAs[Double]("ci_lo"),
+      or.getAs[Double]("odds_ratio"), or.getAs[Double]("ci_hi"))
+    assert(lo > 0 && lo <= mid && mid <= hi, s"($lo, $mid, $hi)")
+    // G is a likelihood ratio: non-negative by Gibbs' inequality
+    assert(rows("agg_g_test").head.getAs[Double]("g_stat") >= -1e-9)
+    assert(rows("agg_mantel_haenszel").head.getAs[Double]("or_mh") > 0.0)
+    val mi = rows("text_mutual_information").head
+    assert(mi.getAs[Double]("mi_nats") >= -1e-9)
+    val nmi = mi.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, nmi)
+  }
+
+  test("r11 time series: Friedman in [0, n(k-1)], PACF in [-1,1], spectral share in [0,1]") {
+    val f = rows("agg_friedman_test").head
+    val (k, n) = (f.getAs[Long]("n_treatments"), f.getAs[Long]("n_blocks"))
+    val chi2 = f.getAs[Double]("friedman_chi2")
+    assert(f.getAs[Boolean]("balanced"))
+    assert(chi2 >= -1e-9 && chi2 <= n * (k - 1) + 1e-9, chi2)
+    val p = rows("win_pacf_durbin").head
+    Seq("pacf1", "pacf2", "pacf3").foreach { c =>
+      val v = p.getAs[Double](c); assert(v >= -1.0 && v <= 1.0, s"$c=$v")
+    }
+    val df = rows("agg_dickey_fuller").head
+    // the Δx-on-lag regression slope lies in (−2, 0) for any mean-reverting
+    // series; a unit root gives ~0
+    val beta = df.getAs[Double]("beta")
+    assert(beta > -2.0 && beta < 0.5, beta)
+    val m = rows("win_mase_smape").head
+    assert(m.getAs[Double]("mase") > 0.0)
+    val sm = m.getAs[Double]("smape")
+    assert(sm >= 0.0 && sm <= 2.0, sm)
+    val sp = rows("win_spectral_weekly").head.getAs[Double]("weekly_var_share")
+    assert(sp >= 0.0 && sp <= 1.0 + 1e-6, sp)
+  }
+
+  test("r11 dataset health: shares sum to 1, OOV rates are probabilities, leakage counts cohere") {
+    val lb = rows("curation_label_balance")
+    val shares = lb.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, shares.sum)
+    val ec = lb.head.getAs[Double]("effective_classes")
+    assert(ec >= 1.0 && ec <= lb.length + 1e-9, s"$ec vs ${lb.length}")
+    rows("curation_oov_rate").foreach { r =>
+      val v = r.getAs[Double]("oov_rate"); assert(v >= 0.0 && v <= 1.0, v)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+    rows("curation_split_leakage").foreach { r =>
+      assert(r.getAs[Long]("n_leaked_docs") >= r.getAs[Long]("n_shared_hashes"))
+    }
+  }
+
   test("dispersion index and granger F are finite; poisson rate test p-values in [0, 1]") {
     rows("agg_dispersion_index").foreach { r =>
       assert(r.getAs[Double]("dispersion") > 0.0)
