@@ -28,6 +28,7 @@ object WindowAudit {
     "agg_conditional_entropy" -> "category-grid frame (status x flag)",
     "agg_dickey_fuller" -> "daily revenue frame (days in span, not rows)",
     "agg_durbin_watson" -> "daily revenue frame (days in span, not rows)",
+    "agg_kpss_test" -> "daily revenue frame (days in span, not rows)",
     "agg_kruskal_wallis" -> "(ship-month x quantity-domain) collapsed frame",
     "agg_ks_test" -> "value-collapsed quantity-domain ECDF",
     "agg_ljung_box" -> "daily revenue frame",

@@ -5202,7 +5202,85 @@ object AnalyticsQueries extends QueryModule {
       |  round(2.0 * (cd * cd + sd * sd) / (n * sst), 6) AS weekly_var_share
       |FROM f""".stripMargin
 
+  // ------------------------------------------------------------------
+  // KPSS stationarity test: the REVERSED-null complement of
+  // agg_dickey_fuller (DF's null is a unit root, KPSS's null is
+  // stationarity — agreeing verdicts from both is the standard
+  // two-sided evidence before trusting mean-reversion). η = ΣS_t² /
+  // (n²·σ̂²_lr) with S_t the partial sums of deviations and σ̂²_lr the
+  // Bartlett long-run variance at l = 4. Exactness: dev_t = n·x_t − Σx
+  // keeps everything integer; with S'_t = cumsum(dev) and
+  // c_j = Σ dev·dev_lag, η = 5·ΣS'² / (n·(5c₀ + 2Σ(5−j)c_j)) — ONE
+  // double division at the end, both sides exact DECIMAL(38,0).
+  // Level-stationarity 5% critical value 0.463 (η below ⇒ stationary).
+  // ------------------------------------------------------------------
+  def kpssTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100").as("x"))
+    val w = Window.orderBy("day")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dev(c: String) = s"(CAST(n AS DECIMAL(38,0)) * CAST($c AS DECIMAL(38,0))" +
+      s" - CAST(sx AS DECIMAL(38,0)))"
+    val lagged = daily
+      .select(col("day") +: col("x") +:
+        (1 to 4).map(k => lag("x", k).over(w).as(s"x$k")): _*)
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("sx", sum("x").over(full))
+      .withColumn("sp", sum(expr(dev("x")))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sumCols = max("n").as("n") +:
+      sum(expr("sp * sp")).as("ssp") +:
+      sum(expr(s"${dev("x")} * ${dev("x")}")).as("c0") +:
+      (1 to 4).map(k => sum(expr(s"${dev("x")} * ${dev(s"x$k")}")).as(s"c$k"))
+    lagged.agg(sumCols.head, sumCols.tail: _*)
+      .withColumn("eta", expr(
+        """5.0 * CAST(ssp AS DOUBLE)
+          | / (CAST(n AS DOUBLE) * CAST(5 * c0 + 2 * (4 * c1 + 3 * c2 + 2 * c3 + 1 * c4)
+          |     AS DOUBLE))""".stripMargin))
+      .select(col("n").as("n_days"),
+        round(col("eta"), 6).as("kpss_eta"),
+        (col("eta") < lit(0.463)).as("level_stationary_p05"))
+  }
+
+  private val kpssTestSql = {
+    def dev(c: String) =
+      s"(CAST(n AS HUGEINT) * CAST($c AS HUGEINT) - CAST(sx AS HUGEINT))"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |lagged AS (
+       |  SELECT day, x, lag(x, 1) OVER (ORDER BY day) AS x1,
+       |    lag(x, 2) OVER (ORDER BY day) AS x2,
+       |    lag(x, 3) OVER (ORDER BY day) AS x3,
+       |    lag(x, 4) OVER (ORDER BY day) AS x4,
+       |    count(*) OVER () AS n, sum(x) OVER () AS sx
+       |  FROM daily),
+       |cum AS (
+       |  SELECT *, sum(${dev("x")}) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp
+       |  FROM lagged),
+       |sums AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n, sum(sp * sp) AS ssp,
+       |    sum(${dev("x")} * ${dev("x")}) AS c0,
+       |    sum(${dev("x")} * ${dev("x1")}) AS c1,
+       |    sum(${dev("x")} * ${dev("x2")}) AS c2,
+       |    sum(${dev("x")} * ${dev("x3")}) AS c3,
+       |    sum(${dev("x")} * ${dev("x4")}) AS c4
+       |  FROM cum),
+       |f AS (
+       |  SELECT n, 5.0 * CAST(ssp AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(5 * c0 + 2 * (4 * c1 + 3 * c2 + 2 * c3 + 1 * c4)
+       |       AS DOUBLE)) AS eta
+       |  FROM sums)
+       |SELECT n AS n_days, round(eta, 6) AS kpss_eta,
+       |  eta < 0.463 AS level_stationary_p05
+       |FROM f""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_kpss_test", kpssTest, Some(kpssTestSql)),
     QueryDef("agg_dickey_fuller", dickeyFuller, Some(dickeyFullerSql)),
     QueryDef("win_pacf_durbin", pacfDurbin, Some(pacfDurbinSql)),
     QueryDef("win_mase_smape", maseSmape, Some(maseSmapeSql)),

@@ -235,7 +235,25 @@ object SqlSyntaxQueries extends QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey LIMIT 500""".stripMargin
 
+  /** Star-EXCEPT projection + LIMIT/OFFSET pagination (both Spark 4
+    * parser surface): `SELECT * EXCEPT (cols)` keeps a wide-table
+    * projection maintainable when one column must be dropped (the
+    * blob/PII column pattern), and OFFSET is keyset-free pagination.
+    * Column pruning still applies — the excluded column never reaches
+    * the scan. DuckDB spells the same star modifier EXCLUDE, so the
+    * oracle is the identical shape under its dialect.
+    */
+  def starExceptOffset(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT * EXCEPT (c_acctbal, c_name) FROM customer
+        |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin)
+
+  private val starExceptOffsetSql =
+    """SELECT * EXCLUDE (c_acctbal, c_name) FROM customer
+      |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_star_except_offset", starExceptOffset, Some(starExceptOffsetSql)),
     QueryDef("sql_group_by_all", groupByAll, Some(groupByAllSql)),
     QueryDef("sql_window_clause", windowClause, Some(windowClauseSql)),
     QueryDef("sql_identifier_templating", identifierTemplating,

@@ -205,6 +205,13 @@ class InvariantSpec extends SparkSuite {
     assert(sm >= 0.0 && sm <= 2.0, sm)
     val sp = rows("win_spectral_weekly").head.getAs[Double]("weekly_var_share")
     assert(sp >= 0.0 && sp <= 1.0 + 1e-6, sp)
+    // KPSS eta is a ratio of sums of squares — non-negative by construction;
+    // and on this fixture the two unit-root tests must agree (DF rejects a
+    // unit root exactly where KPSS accepts stationarity)
+    val kp = rows("agg_kpss_test").head
+    assert(kp.getAs[Double]("kpss_eta") >= 0.0)
+    assert(kp.getAs[Boolean]("level_stationary_p05") ==
+      df.getAs[Boolean]("stationary_p05"))
   }
 
   test("r11 dataset health: shares sum to 1, OOV rates are probabilities, leakage counts cohere") {
