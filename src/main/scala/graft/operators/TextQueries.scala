@@ -1181,12 +1181,29 @@ object TextQueries extends QueryModule {
       .filter(expr(
         "array_contains(transform(array(1L,2L,3L,4L,5L,6L,7L,8L,9L,10L)," +
           " t -> (n_docs * t) DIV 10), r)"))
+      // OLS over the 10 checkpoints from ORDERED folds, never regr_* —
+      // the regr aggregates sum doubles in scan order, and with a
+      // saturated vocabulary the slope/intercept sit exactly on a
+      // rounding boundary where a parallel-order flip changes the 4th
+      // decimal (observed once at sf0.1: heaps_k 31.0 vs 30.9999)
       .agg(first("n_docs").as("n_docs"),
         max("cum_n").as("total_tokens"), max("cum_v").as("vocabulary"),
-        round(expr("regr_slope(ln(CAST(cum_v AS DOUBLE)), ln(CAST(cum_n AS DOUBLE)))"), 4)
-          .as("heaps_beta"),
-        round(expr("exp(regr_intercept(ln(CAST(cum_v AS DOUBLE)), ln(CAST(cum_n AS DOUBLE))))"), 4)
-          .as("heaps_k"))
+        count(lit(1)).cast("double").as("m"),
+        expr("aggregate(array_sort(collect_list(named_struct('k', r," +
+          " 'v', ln(CAST(cum_n AS DOUBLE))))), 0D, (a, e) -> a + e.v)").as("sx"),
+        expr("aggregate(array_sort(collect_list(named_struct('k', r," +
+          " 'v', ln(CAST(cum_v AS DOUBLE))))), 0D, (a, e) -> a + e.v)").as("sy"),
+        expr("aggregate(array_sort(collect_list(named_struct('k', r," +
+          " 'v', ln(CAST(cum_n AS DOUBLE)) * ln(CAST(cum_v AS DOUBLE))))), 0D," +
+          " (a, e) -> a + e.v)").as("sxy"),
+        expr("aggregate(array_sort(collect_list(named_struct('k', r," +
+          " 'v', ln(CAST(cum_n AS DOUBLE)) * ln(CAST(cum_n AS DOUBLE))))), 0D," +
+          " (a, e) -> a + e.v)").as("sxx"))
+      .withColumn("beta", (col("m") * col("sxy") - col("sx") * col("sy"))
+        / (col("m") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n_docs"), col("total_tokens"), col("vocabulary"),
+        round(col("beta"), 4).as("heaps_beta"),
+        round(exp((col("sy") - col("beta") * col("sx")) / col("m")), 4).as("heaps_k"))
   }
 
   private val heapsLawSql =
@@ -1211,15 +1228,29 @@ object TextQueries extends QueryModule {
        |pts AS (
        |  SELECT * FROM ranks, nd
        |  WHERE list_contains(list_transform([1,2,3,4,5,6,7,8,9,10],
-       |    t -> (n_docs * t) // 10), r))
-       |SELECT any_value(n_docs) AS n_docs,
-       |  CAST(max(cum_n) AS BIGINT) AS total_tokens,
-       |  CAST(max(cum_v) AS BIGINT) AS vocabulary,
-       |  round(regr_slope(ln(CAST(cum_v AS DOUBLE)), ln(CAST(cum_n AS DOUBLE))), 4)
-       |    AS heaps_beta,
-       |  round(exp(regr_intercept(ln(CAST(cum_v AS DOUBLE)), ln(CAST(cum_n AS DOUBLE)))), 4)
-       |    AS heaps_k
-       |FROM pts""".stripMargin
+       |    t -> (n_docs * t) // 10), r)),
+       |sums AS (
+       |  SELECT any_value(n_docs) AS n_docs,
+       |    CAST(max(cum_n) AS BIGINT) AS total_tokens,
+       |    CAST(max(cum_v) AS BIGINT) AS vocabulary,
+       |    CAST(count(*) AS DOUBLE) AS m,
+       |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list(ln(CAST(cum_n AS DOUBLE)) ORDER BY r)), (a, v) -> a + v) AS sx,
+       |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list(ln(CAST(cum_v AS DOUBLE)) ORDER BY r)), (a, v) -> a + v) AS sy,
+       |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list(ln(CAST(cum_n AS DOUBLE)) * ln(CAST(cum_v AS DOUBLE)) ORDER BY r)),
+       |      (a, v) -> a + v) AS sxy,
+       |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list(ln(CAST(cum_n AS DOUBLE)) * ln(CAST(cum_n AS DOUBLE)) ORDER BY r)),
+       |      (a, v) -> a + v) AS sxx
+       |  FROM pts),
+       |b AS (
+       |  SELECT *, (m * sxy - sx * sy) / (m * sxx - sx * sx) AS beta FROM sums)
+       |SELECT n_docs, total_tokens, vocabulary,
+       |  round(beta, 4) AS heaps_beta,
+       |  round(exp((sy - beta * sx) / m), 4) AS heaps_k
+       |FROM b""".stripMargin
 
   // ------------------------------------------------------------------
   // Chao1 species-richness estimate + Good–Turing unseen mass over the
