@@ -616,6 +616,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("r11 plan shapes: OOV vocab broadcasts, leakage joins keyed, prefix ops have no global window") {
+    // the OOV census must broadcast the 200-row vocabulary against the
+    // token stream — a shuffle join on the token key would re-partition
+    // the whole corpus by token
+    val oov = plan("curation_oov_rate")
+    assert(oov.contains("BroadcastHashJoin"), oov)
+    assert(!oov.contains("SortMergeJoin"), oov)
+    assert(!oov.contains("CartesianProduct"), oov)
+    // split leakage: one keyed self-join of the collapsed frame — no
+    // cartesian, no row-level pair expansion
+    val leak = plan("curation_split_leakage")
+    assert(!leak.contains("CartesianProduct"), leak)
+    assert(!leak.contains("BroadcastNestedLoopJoin"), leak)
+    // the two DistributedOrder rewrites: every Window in the physical plan
+    // is partitioned (the only unpartitioned window allowed is the
+    // |partitions|-row offsets prefix, which the optimizer keeps above an
+    // Aggregate — the class guard in OperatorSmokeSpec checks that level;
+    // here we pin the physical plan carries a range exchange, the
+    // signature of the two-phase prefix)
+    Seq("curation_token_packing", "curation_quality_calibration").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Exchange rangepartitioning"), s"$n: $p")
+    }
+  }
+
   test("CDC: native kernel scans text once, consumers share one chunk RDD") {
     // the boundary pass must be the codegen'd rolling-hash kernel over ONE
     // parquet scan with no shuffle — a regression back to the interpreted

@@ -1221,4 +1221,31 @@ class PropertySpec extends SparkSuite {
         s"spark=(${got.getDouble(0)}, ${got.getDouble(1)}) scala=($l, $b)")
     }
   }
+
+  test("DistributedOrder equals the single-partition window on random data") {
+    // the value-identity law behind the r11 token-packing / ntile
+    // rewrites: the two-phase prefix (range partition + local window +
+    // broadcast offsets) must reproduce the global-order window EXACTLY,
+    // for any data and any partition count — keys are made unique (the
+    // documented total-order requirement) via the index tiebreaker
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.listOfN(200, Gen.chooseNum(-1000L, 1000L))
+    forAll(gen, n = 4) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("k", "v").repartition(7)
+      val cum = operators.DistributedOrder
+        .globalCumsum(df, col("v"), "cum", col("k"))
+        .select("k", "cum").as[(Long, Long)].collect().toMap
+      val rn = operators.DistributedOrder
+        .globalRowNumber(df, "rn", col("k"))
+        .select("k", "rn").as[(Long, Long)].collect().toMap
+      var run = 0L
+      vs.zipWithIndex.foreach { case (v, i) =>
+        run += v
+        assert(cum(i.toLong) == run, s"cumsum at $i: ${cum(i.toLong)} vs $run")
+        assert(rn(i.toLong) == i + 1L, s"rank at $i: ${rn(i.toLong)}")
+      }
+    }
+  }
 }
