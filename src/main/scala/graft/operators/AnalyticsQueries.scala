@@ -5279,7 +5279,69 @@ object AnalyticsQueries extends QueryModule {
        |FROM f""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Tukey HSD (honestly significant difference): WHICH of the seven
+  // line positions differ in mean quantity, after agg_anova_f says SOME
+  // do — the post-hoc pairwise step every ANOVA needs, with the
+  // familywise error held at 0.05 by the studentized-range cutoff
+  // instead of 21 uncorrected t-tests. Per-group (n, Σx, Σx²) are exact
+  // BIGINT from one aggregate; the 21 Tukey–Kramer comparisons are a
+  // broadcast self-join of the 7-row collapsed frame. q₀.₀₅(7, ∞) =
+  // 4.170 — the ∞-df studentized-range value, appropriate at this
+  // error df (~N−7) and shared as a literal with the oracle.
+  // ------------------------------------------------------------------
+  def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .withColumn("q", col("l_quantity").cast("long"))
+      .groupBy(col("l_linenumber").as("grp"))
+      .agg(count(lit(1)).as("n"), sum("q").as("sx"),
+        sum(col("q") * col("q")).as("sxx"))
+    val mse = g.agg(
+      count(lit(1)).as("k"), sum("n").as("nt"),
+      expr("""aggregate(array_sort(collect_list(named_struct('k', grp,
+        |  'v', CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))),
+        |  0D, (a, e) -> a + e.v)""".stripMargin).as("sse"))
+      .withColumn("mse", col("sse") / (col("nt") - col("k")).cast("double"))
+    val a = g.select(col("grp").as("g1"), col("n").as("n1"),
+      (col("sx").cast("double") / col("n")).as("m1"))
+    val b = g.select(col("grp").as("g2"), col("n").as("n2"),
+      (col("sx").cast("double") / col("n")).as("m2"))
+    a.join(b, col("g1") < col("g2"))
+      .crossJoin(broadcast(mse.select("mse")))
+      .withColumn("diff", col("m1") - col("m2"))
+      .withColumn("crit", lit(4.170)
+        * sqrt(col("mse") / lit(2.0)
+          * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+      .select(col("g1"), col("g2"),
+        round(col("diff"), 4).as("mean_diff"),
+        round(col("crit"), 4).as("hsd_critical"),
+        (abs(col("diff")) > col("crit")).as("differs_p05"))
+      .orderBy("g1", "g2")
+  }
+
+  private val tukeyHsdSql =
+    """WITH g AS (
+      |  SELECT l_linenumber AS grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+      |  FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+      |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+      |      list(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+      |        ORDER BY grp)), (a, v) -> a + v) AS sse
+      |  FROM g),
+      |mse AS (SELECT sse / CAST(nt - k AS DOUBLE) AS mse FROM m)
+      |SELECT a.grp AS g1, b.grp AS g2,
+      |  round(CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n, 4) AS mean_diff,
+      |  round(4.170 * sqrt(mse / 2.0 * (1.0 / a.n + 1.0 / b.n)), 4) AS hsd_critical,
+      |  abs(CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+      |    > 4.170 * sqrt(mse / 2.0 * (1.0 / a.n + 1.0 / b.n)) AS differs_p05
+      |FROM g a JOIN g b ON a.grp < b.grp, mse
+      |ORDER BY g1, g2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_tukey_hsd", tukeyHsd, Some(tukeyHsdSql)),
     QueryDef("agg_kpss_test", kpssTest, Some(kpssTestSql)),
     QueryDef("agg_dickey_fuller", dickeyFuller, Some(dickeyFullerSql)),
     QueryDef("win_pacf_durbin", pacfDurbin, Some(pacfDurbinSql)),
