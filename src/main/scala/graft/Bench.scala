@@ -125,13 +125,20 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
-    // Throttled-window policy: run the sweep, then ONE full re-run, and
-    // report the per-query min — the second pass usually lands after the
-    // throttle window and the artifact records that it happened.
+    // Degraded/throttled-window policy (VERDICT r11 #4): run the sweep,
+    // then ONE full re-run, and report the per-query min. Originally only
+    // `throttled` (< 0.5×) windows re-ran, but two of the last three
+    // driver benches graded merely `degraded` (canary 0.79, 0.83) and
+    // their per-query figures needed recheck forensics — so the re-run now
+    // fires on `degraded` too (which throttled implies). The first pass's
+    // figures all go to queries_raw so both passes stay in the artifact.
+    val raw = scala.collection.mutable.LinkedHashMap[String, Double]()
     val onePass = benched.map(d => d -> timeOne(d))
+    val rerunFullSweep = degraded // throttled < 0.5 implies degraded < 0.85
     val firstPass =
-      if (!throttled) onePass
+      if (!rerunFullSweep) onePass
       else onePass.map { case (d, sec1) =>
+        raw(d.name) = sec1
         val sec2 = timeOne(d)
         d -> (if (sec1 < 0) sec2 else if (sec2 < 0) sec1 else math.min(sec1, sec2))
       }
@@ -142,11 +149,10 @@ object Bench {
     // are both visible in the artifact.
     val oks = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
     val median = if (oks.isEmpty) 0.0 else oks(oks.size / 2)
-    val raw = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = firstPass.map { case (d, sec) =>
       if (sec > 5.0 && median > 0 && sec > 5.0 * median) {
         val again = timeOne(d)
-        raw(d.name) = sec
+        if (!raw.contains(d.name)) raw(d.name) = sec
         d.name -> (if (again >= 0) math.min(sec, again) else sec)
       } else d.name -> sec
     }
@@ -239,15 +245,36 @@ object Bench {
     // refresh the reference and bake the cost into `prev`. The env var
     // remains as an ad-hoc local override; entries from it carry reason
     // "env (uncommitted)".
+    // Parsed with Jackson (on the Spark classpath), not a regex: the old
+    // field-order-sensitive regex silently dropped ALL expectations on a
+    // benign reformat or a '}' inside a reason string (ADVICE r11), which
+    // would resurface accepted costs as blocking regressions with no
+    // diagnostic. A present-but-unparseable file now warns loudly.
     val expectedPath = sys.env.getOrElse(
       "SPARK_GRAFT_EXPECTED_FILE", "bench_expected.json")
-    val expectedEntries: Seq[(String, String, Boolean)] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(expectedPath)), "UTF-8")
-      """"query"\s*:\s*"([^"]+)"[^}]*?"reason"\s*:\s*"([^"]*)"[^}]*?"expired"\s*:\s*(true|false)""".r
-        .findAllMatchIn(txt)
-        .map(m => (m.group(1), m.group(2), m.group(3) == "true")).toSeq
-    } catch { case _: Throwable => Seq.empty }
+    val expectedEntries: Seq[(String, String, Boolean)] =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(expectedPath))) Seq.empty
+      else try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Paths.get(expectedPath).toFile)
+        val arr = root.path("expectations")
+        val out = (0 until arr.size()).flatMap { i =>
+          val e = arr.get(i)
+          if (e.hasNonNull("query"))
+            Some((e.path("query").asText(), e.path("reason").asText(""),
+              e.path("expired").asBoolean(false)))
+          else None
+        }
+        if (out.isEmpty)
+          System.err.println(s"[bench] WARNING: $expectedPath exists but contains " +
+            "zero parseable expectation entries — committed adjudications are NOT in effect")
+        out
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] WARNING: failed to parse $expectedPath " +
+            s"(${e.getMessage}) — committed adjudications are NOT in effect")
+          Seq.empty
+      }
     val envExpected = sys.env.get("SPARK_GRAFT_EXPECTED_REGRESSIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -304,7 +331,7 @@ object Bench {
     // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
     // (committed with the round) and target/bench.json (back-compat).
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"expected_file":"$expectedPath","expected_active":${activeExpected.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressions_rechecked":$recheckedJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"full_rerun":$rerunFullSweep,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"expected_file":"$expectedPath","expected_active":${activeExpected.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressions_rechecked":$recheckedJson}"""
     val outFiles = Seq("target/bench.json", "BENCH_FULL.json") ++
       (if (refreshed) Seq(refPath) else Seq.empty)
     for (p <- outFiles) {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Sweep-level guard logic for unpartitioned windows (shared by the
@@ -78,13 +78,28 @@ object WindowAudit {
     * usual daily/value-collapsed frame), a checkpointed LogicalRDD (a
     * collapsed frame materialized via localCheckpoint — the aggregate that
     * built it is behind the RDD cut), or a LocalRelation (literal frame).
+    *
+    * The walk is BARRIER-BOUNDED (VERDICT r11 #2 / ADVICE): it descends
+    * only through row-preserving unary nodes from the window's child —
+    * a `collectFirst` over the whole subtree would accept an Aggregate
+    * found on the SMALL side of a join whose other side is a row-level
+    * scan. At a Join or Union, EVERY branch must itself be collapsed
+    * (bounded × bounded is still bounded; bounded × row-level is not).
+    * Row-MULTIPLYING nodes (Generate/explode, Expand) stop the walk and
+    * fail: an explode of a collect_list over the corpus is row-level data
+    * again, even though an Aggregate sits below it.
     */
-  def collapsedBelow(w: Window): Boolean =
-    w.child.collectFirst {
-      case _: Aggregate => true
-      case _: LogicalRDD => true
-      case _: LocalRelation => true
-    }.getOrElse(false)
+  def collapsedBelow(w: Window): Boolean = collapsed(w.child)
+
+  private def collapsed(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: LogicalRDD | _: LocalRelation => true
+    case _: Join | _: Union | _: SetOperation => p.children.forall(collapsed)
+    case _: Project | _: Filter | _: SubqueryAlias | _: Sort | _: Window |
+        _: GlobalLimit | _: LocalLimit | _: Offset | _: Distinct |
+        _: Deduplicate | _: RepartitionOperation =>
+      collapsed(p.children.head)
+    case _ => false
+  }
 
   /** Audit main: prints `name  n_unpartitioned  all_collapsed` for every
     * declared query that has at least one unpartitioned window.

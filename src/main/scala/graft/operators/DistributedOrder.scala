@@ -30,8 +30,19 @@ object DistributedOrder {
   private def withOffsets(df: DataFrame,
       local: org.apache.spark.sql.expressions.WindowSpec => Column,
       total: Column, out: String, order: Seq[Column]): DataFrame = {
+    // The ranged frame is MATERIALIZED (localCheckpoint) before either
+    // consumer branch derives from it (ADVICE r11): both the row branch
+    // and the offsets branch must see the SAME partition assignment, and
+    // without materialization that correctness hangs on physical exchange
+    // reuse — if reuse is disabled or a stage is re-planned, the two
+    // branches get two RangePartitioners whose sampled boundaries can
+    // differ, and rows near a boundary land in a different pid than the
+    // one their offset row was computed under (wrong global ranks). The
+    // checkpoint pins one RDD; PlanSpec asserts both consumers scan the
+    // same RDD id.
     val ranged = df.repartitionByRange(order: _*)
       .withColumn(Pid, spark_partition_id())
+      .localCheckpoint()
     val wp = Window.partitionBy(Pid).orderBy(order: _*)
     val localized = ranged.withColumn(Loc, local(wp))
     // exclusive prefix of per-partition totals: |shuffle partitions| rows

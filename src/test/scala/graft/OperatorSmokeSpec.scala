@@ -62,6 +62,38 @@ class OperatorSmokeSpec extends SparkSuite {
         "byte==codepoint equivalence no longer holds")
   }
 
+  test("window guard rejects a row-level window above a join with an aggregate (r12)") {
+    // VERDICT r11 #2: the old collapsedBelow accepted an Aggregate found
+    // ANYWHERE in the window's subtree — so an unpartitioned window over
+    // rowLevelData.join(someAggregate) passed even though the frame is
+    // row-level. The barrier-bounded walk must fail exactly that shape,
+    // while still accepting aggregate-only inputs (incl. joins of two
+    // collapsed frames) and rejecting a Generate re-expansion.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rows = Tables.lineitem(spark, Sf)
+    val agg = rows.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+    def guard(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val ws = WindowAudit.unpartitioned(df.queryExecution.optimizedPlan)
+      assert(ws.nonEmpty, "test plan lost its unpartitioned window")
+      ws.forall(WindowAudit.collapsedBelow)
+    }
+    // row-level side joined with a collapsed side: must FAIL
+    assert(!guard(rows.join(agg, "l_returnflag")
+      .withColumn("rn", row_number().over(W.orderBy("l_orderkey")))))
+    // collapsed input: must PASS
+    assert(guard(agg.withColumn("rn", row_number().over(W.orderBy("l_returnflag")))))
+    // join of two collapsed frames (bounded x bounded): must PASS
+    val agg2 = rows.groupBy("l_returnflag").agg(avg("l_extendedprice").as("p"))
+    assert(guard(agg.join(agg2, "l_returnflag")
+      .withColumn("rn", row_number().over(W.orderBy("l_returnflag")))))
+    // Generate above an Aggregate re-expands to row-level: must FAIL
+    val reexpanded = rows.agg(collect_list("l_orderkey").as("ks"))
+      .select(explode(col("ks")).as("k"))
+      .withColumn("rn", row_number().over(W.orderBy("k")))
+    assert(!guard(reexpanded))
+  }
+
   test("every query name has either an oracle or a documented exemption") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
     // only the genuinely approximate / engine-specific-hash ops are exempt:

@@ -629,15 +629,19 @@ class PlanSpec extends SparkSuite {
     val leak = plan("curation_split_leakage")
     assert(!leak.contains("CartesianProduct"), leak)
     assert(!leak.contains("BroadcastNestedLoopJoin"), leak)
-    // the two DistributedOrder rewrites: every Window in the physical plan
-    // is partitioned (the only unpartitioned window allowed is the
-    // |partitions|-row offsets prefix, which the optimizer keeps above an
-    // Aggregate — the class guard in OperatorSmokeSpec checks that level;
-    // here we pin the physical plan carries a range exchange, the
-    // signature of the two-phase prefix)
+    // the two DistributedOrder rewrites: since r12 the ranged frame is
+    // localCheckpoint'd BEFORE the branches fork (ADVICE r11 — partition
+    // assignment must not depend on exchange reuse), so the range exchange
+    // runs inside the eager checkpoint and the final plan's signature is
+    // both consumer branches scanning the SAME materialized RDD: every
+    // ExistingRDD scan cites one RDD id, and no range exchange (which
+    // would mean a branch re-partitioned independently) remains
     Seq("curation_token_packing", "curation_quality_calibration").foreach { n =>
-      val p = plan(n)
-      assert(p.contains("Exchange rangepartitioning"), s"$n: $p")
+      val p = SparkEntry.queries(n)(spark, Sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val rddIds = """MapPartitionsRDD\[\d+\]""".r.findAllIn(p).toSeq
+      assert(rddIds.size >= 2 && rddIds.distinct.size == 1, s"$n: $p")
+      assert(!p.contains("Exchange rangepartitioning"), s"$n: $p")
     }
   }
 
