@@ -37,6 +37,7 @@ object WindowAudit {
     "agg_runs_test" -> "daily sign sequence",
     "agg_survival_km" -> "event-day-collapsed risk table",
     "curation_bpe_pairs" -> "top-20 merge-pair list",
+    "curation_bpe_encode" -> "top-20 merge-pair ranking (reuses bpe_pairs)",
     "curation_epoch_plan" -> "|sources|-bounded planning grid",
     "curation_quality_calibration" ->
       "per-partition offset prefix (|shuffle partitions| rows; DistributedOrder)",

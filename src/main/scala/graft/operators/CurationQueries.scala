@@ -1046,6 +1046,176 @@ object CurationQueries extends QueryModule {
        |  pair, pair_count
        |FROM pc ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  /** The greedy-BPE application fold shared by [[bpeEncode]] and the
+    * InvariantSpec encoding laws: tokens are delimited by the \\u0001 sentinel (never in
+    * the ASCII fixture's words), a merge (a,b) rewrites delimiter-bounded
+    * "␟a␟b␟" to "␟ab␟", and SQL `replace`'s left-to-right non-overlapping
+    * scan gives exactly greedy BPE semantics ("␟a␟a␟a␟" under merge (a,a)
+    * becomes [aa, a], not [a, aa]) — identically in Spark and DuckDB, so
+    * the oracle replays the same merges with the same fold.
+    */
+  private val Sep = "\u0001"
+
+  /** Each merge is applied as THREE successive leftmost-non-overlapping
+    * replaces, not one: the pattern's trailing delimiter is consumed by a
+    * match, so a chained occurrence (four a's under merge (a,a)) is
+    * blocked within the same pass and needs a follow-up. Two passes reach
+    * the fixpoint even on pathological runs of length 80+ (blocked pairs
+    * left by pass 1 are isolated); the third is margin, and InvariantSpec
+    * pins that a fourth application changes nothing on the fixture
+    * vocabulary. RE2 (DuckDB) has no lookahead, so the portable
+    * formulation is iterated replace, identical in both engines.
+    */
+  private def rep3(acc: String): String = {
+    val pat = s"concat('$Sep', substring(m, 1, 1), '$Sep', substring(m, 2, 1), '$Sep')"
+    val rw = s"concat('$Sep', m, '$Sep')"
+    s"replace(replace(replace($acc, $pat, $rw), $pat, $rw), $pat, $rw)"
+  }
+
+  private[graft] def bpeFoldExpr(wordCol: String, mergesCol: String): String =
+    s"""aggregate($mergesCol,
+       |  concat('$Sep', regexp_replace($wordCol, '(.)', '$$1$Sep')),
+       |  (acc, m) -> ${rep3("acc")})""".stripMargin
+
+  /** Greedy BPE ENCODING — the capstone of the tokenizer-training rows
+    * (VERDICT r11 #6): apply the top-20 learned merges from
+    * [[bpePairs]] to every word of `documents.text` and report per-doc
+    * token accounting. Scale shape: the 20-merge fold runs once per
+    * DISTINCT word (vocabulary-sized, the production amortization), the
+    * merge table is a broadcast 1-row frame, and the corpus-side work is
+    * one keyed join on the word plus a doc-id aggregate — no row-level
+    * global state anywhere. Conservation law (InvariantSpec): stripping
+    * the delimiters reproduces the word exactly, so n_chars ==
+    * n_bpe_tokens + n_merges_applied by construction.
+    */
+  /** The vocabulary-level encoding frame: one row per distinct word with
+    * its delimited encoding `e` and token count — exposed so InvariantSpec
+    * can pin the conservation laws (strip(e) == word; 1 <= n_tokens <=
+    * length(word)) on the real fixture vocabulary.
+    */
+  private[graft] def bpeEncodedWords(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpePairs(s, dir)
+      .agg(expr("transform(array_sort(collect_list(struct(rank, pair))), x -> x.pair)")
+        .as("merges"))
+    Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("word"))
+      .distinct()
+      .crossJoin(broadcast(merges))
+      .withColumn("e", expr(bpeFoldExpr("word", "merges")))
+  }
+
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val encoded = bpeEncodedWords(s, dir)
+      .select(col("word"),
+        (length(col("e")) - length(expr(s"replace(e, '$Sep', '')")) - 1)
+          .cast("long").as("n_tokens"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toks)).as("word"))
+      .join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum("n_tokens").as("n_bpe_tokens"))
+      .withColumn("n_merges_applied", col("n_chars") - col("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeEncodeSql =
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS wc FROM (
+       |    SELECT unnest($dToks) AS word FROM documents)
+       |  GROUP BY 1
+       |), pc AS (
+       |  SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count FROM (
+       |    SELECT unnest(list_transform(range(1, length(word)),
+       |      i -> word[i:i+1])) AS pair, wc
+       |    FROM words WHERE length(word) >= 2)
+       |  GROUP BY 1
+       |), merges AS (
+       |  SELECT list(pair ORDER BY pair_count DESC, pair ASC) AS ms FROM (
+       |    SELECT pair, pair_count FROM pc
+       |    ORDER BY pair_count DESC, pair ASC LIMIT 20)
+       |), enc AS (
+       |  SELECT word,
+       |    list_reduce(list_prepend(
+       |        chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1)), 'g'),
+       |        (SELECT ms FROM merges)),
+       |      (acc, m) -> replace(replace(replace(acc,
+       |          chr(1) || m[1:1] || chr(1) || m[2:2] || chr(1),
+       |          chr(1) || m || chr(1)),
+       |          chr(1) || m[1:1] || chr(1) || m[2:2] || chr(1),
+       |          chr(1) || m || chr(1)),
+       |          chr(1) || m[1:1] || chr(1) || m[2:2] || chr(1),
+       |          chr(1) || m || chr(1))) AS e
+       |  FROM words
+       |), tok AS (
+       |  SELECT word,
+       |    CAST(length(e) - length(replace(e, chr(1), '')) - 1 AS BIGINT) AS n_tokens
+       |  FROM enc)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(t.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(d.word)) - sum(t.n_tokens) AS BIGINT) AS n_merges_applied
+       |FROM (SELECT doc_id, unnest($dToks) AS word FROM documents) d
+       |JOIN tok t USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** Benchmark contamination at MULTIPLE published n-gram sizes (VERDICT
+    * r11 #7): the fixed 3-gram of [[contamination]] exercises the operator
+    * on the fixture's tiny vocabulary, but real decontamination standards
+    * use longer windows (the 13-gram of the published eval-suite
+    * protocols, with 8 as a mid setting). One pass shingles the corpus at
+    * n ∈ {3, 8, 13} (union of three linear explodes), joins train against
+    * the broadcast eval side keyed on (n, shingle), and reports the
+    * overlap census per size — a clean corpus legitimately reports 0 at
+    * the long sizes, and the guaranteed 3-row output (left join from the
+    * size grid) makes "clean at 13-gram" an explicit answer rather than
+    * an empty result.
+    */
+  def contaminationMulti(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val ns = Seq(3, 8, 13)
+    val docs = Tables.documents(s, dir).withColumn("tk", expr(toks))
+    def sh(n: Int): DataFrame = docs
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), lit(n).as("n"),
+        explode(expr(s"word_shingles(tk, $n)")).as("shingle"))
+    val allSh = ns.map(sh).reduce(_ unionAll _)
+    val evalSh = allSh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("n"), col("shingle"))
+    val hits = allSh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSh), Seq("n", "shingle"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct("doc_id").as("n_contaminated_docs"),
+        countDistinct("eval_id").as("n_eval_docs_hit"))
+    ns.toDF("n").join(hits, Seq("n"), "left")
+      .na.fill(0L, Seq("n_shared_shingles", "n_contaminated_docs", "n_eval_docs_hit"))
+      .orderBy("n")
+  }
+
+  private val contaminationMultiSql =
+    s"""WITH tks AS (
+       |  SELECT doc_id, $dToks AS tk FROM documents
+       |), sizes AS (SELECT unnest([3, 8, 13]) AS n
+       |), sh AS (
+       |  SELECT doc_id, n, unnest(list_distinct(list_transform(
+       |    range(1, len(tk) - n + 2),
+       |    i -> array_to_string(tk[i:i+n-1], ' ')))) AS shingle
+       |  FROM tks, sizes WHERE len(tk) >= n
+       |), hits AS (
+       |  SELECT t.n, CAST(count(*) AS BIGINT) AS n_shared_shingles,
+       |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_contaminated_docs,
+       |    CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs_hit
+       |  FROM sh t JOIN sh e ON t.shingle = e.shingle AND t.n = e.n
+       |    AND e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+       |  GROUP BY t.n)
+       |SELECT s.n, coalesce(h.n_shared_shingles, 0) AS n_shared_shingles,
+       |  coalesce(h.n_contaminated_docs, 0) AS n_contaminated_docs,
+       |  coalesce(h.n_eval_docs_hit, 0) AS n_eval_docs_hit
+       |FROM sizes s LEFT JOIN hits h ON s.n = h.n ORDER BY s.n""".stripMargin
+
   /** Quality-signal calibration (reliability diagram): decile-bucket a
     * cheap quality proxy (type-token ratio) and report each decile's
     * exact-duplicate rate — the check that a filter score actually
@@ -1304,6 +1474,9 @@ object CurationQueries extends QueryModule {
     QueryDef("curation_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("curation_psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("curation_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    QueryDef("curation_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("curation_contamination_multi", contaminationMulti,
+      Some(contaminationMultiSql)),
     QueryDef("curation_importance_sample", importanceSample, Some(importanceSampleSql)),
     QueryDef("curation_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
     QueryDef("curation_builtin_mask", builtinMask, Some(builtinMaskSql)),

@@ -229,6 +229,79 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("r12 BPE encode: greedy semantics on known words, conservation on the fixture") {
+    // the greedy law on hand-checked cases: SQL replace's left-to-right
+    // non-overlapping scan must tokenize 'aaa' under merge (a,a) as
+    // [aa, a] (2 tokens), not [a, aa] — and merges apply in rank order
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sep = "\u0001"
+    val cases = Seq(
+      ("aaaa", 2L), // [aa, aa]
+      ("aaa", 2L),  // greedy: [aa, a]
+      ("banana", 4L), // merge (an): [b, an, an, a]
+      ("x", 1L),    // single char: untouched
+      ("ab", 2L))   // no merge for (a,b) in the list
+      .toDF("word", "want")
+      .withColumn("merges", typedLit(Seq("aa", "an")))
+      .withColumn("e", expr(operators.CurationQueries.bpeFoldExpr("word", "merges")))
+      .withColumn("got",
+        (length(col("e")) - length(expr(s"replace(e, '$sep', '')")) - 1).cast("long"))
+    cases.collect().foreach { r =>
+      assert(r.getAs[Long]("got") == r.getAs[Long]("want"),
+        s"${r.getAs[String]("word")}: ${r.getAs[String]("e").replace(sep, "|")}")
+    }
+    // conservation on the real vocabulary: stripping delimiters reproduces
+    // the word EXACTLY (no character created or destroyed by any merge),
+    // and token counts stay within [1, n_chars]
+    val bad = operators.CurationQueries.bpeEncodedWords(spark, Sf)
+      .withColumn("stripped", expr(s"replace(e, '$sep', '')"))
+      .withColumn("n_tokens",
+        (length(col("e")) - length(col("stripped")) - 1).cast("long"))
+      .filter(col("stripped") =!= col("word") ||
+        col("n_tokens") < 1 || col("n_tokens") > length(col("word")))
+      .count()
+    assert(bad == 0, s"$bad vocabulary words violate BPE conservation")
+    // fixpoint pin for the 3-pass-per-merge formulation: a FOURTH
+    // application of every merge must change nothing on the fixture
+    // vocabulary — if fixture drift ever introduces words deep enough to
+    // still be mid-merge after three passes, this fails loudly instead of
+    // silently shifting token counts
+    val notFixed = operators.CurationQueries.bpeEncodedWords(spark, Sf)
+      .withColumn("e4", expr(
+        s"""aggregate(merges, e, (acc, m) -> replace(acc,
+           |  concat('$sep', substring(m, 1, 1), '$sep', substring(m, 2, 1), '$sep'),
+           |  concat('$sep', m, '$sep')))""".stripMargin))
+      .filter(col("e4") =!= col("e"))
+      .count()
+    assert(notFixed == 0, s"$notFixed words not at merge fixpoint after 3 passes")
+    // and the query-level accounting identity holds row by row
+    rows("curation_bpe_encode").foreach { r =>
+      assert(r.getAs[Long]("n_chars") ==
+        r.getAs[Long]("n_bpe_tokens") + r.getAs[Long]("n_merges_applied"))
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_bpe_tokens"))
+    }
+  }
+
+  test("r12 contamination sizes: monotone non-increasing overlap, 3-gram grounded") {
+    // a shared 13-gram implies shared 8-grams implies shared 3-grams, so
+    // the contaminated-doc census must be non-increasing in n; the 3-gram
+    // row must agree with the standalone curation_contamination query's
+    // distinct contaminated-doc count
+    val m = rows("curation_contamination_multi").map(r =>
+      r.getAs[Int]("n") -> r).toMap
+    assert(m.keySet == Set(3, 8, 13))
+    assert(m(3).getAs[Long]("n_contaminated_docs") >=
+      m(8).getAs[Long]("n_contaminated_docs"))
+    assert(m(8).getAs[Long]("n_contaminated_docs") >=
+      m(13).getAs[Long]("n_contaminated_docs"))
+    assert(m(3).getAs[Long]("n_contaminated_docs") > 0,
+      "the 3-gram grounding row is vacuous — fixture drift?")
+    val standalone = rows("curation_contamination").length.toLong
+    assert(m(3).getAs[Long]("n_contaminated_docs") == standalone,
+      s"multi-size n=3 disagrees with curation_contamination ($standalone)")
+  }
+
   test("dispersion index and granger F are finite; poisson rate test p-values in [0, 1]") {
     rows("agg_dispersion_index").foreach { r =>
       assert(r.getAs[Double]("dispersion") > 0.0)
