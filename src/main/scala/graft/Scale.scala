@@ -294,6 +294,53 @@ object BenchScale {
       b > 0 && sk > 0 && floored(b, sk) > FactorBound
     }.map(_._1)
 
+    // Streaming scale leg under RocksDB (VERDICT r11 #5): the main sweep
+    // times every stateful streaming query at 10× data, but on the default
+    // HDFS-backed state store — the provider the 100 TB deployment would
+    // actually run (state larger than heap spills to disk) was only ever
+    // exercised at unit-test scale. Re-run the five heaviest stateful
+    // queries on the scaled corpus under RocksDBStateStoreProvider and
+    // record wall time (same floored factor vs the main sweep's base) plus
+    // the state-store census from the query progress (rows, bytes, and a
+    // provider-confirmation flag so a silent fallback to HDFS can't pass).
+    val RocksQueries = Seq("stream_quota_enforce", "stream_tws_sessions",
+      "stream_stateful_user_stats", "stream_stream_join", "stream_session_windows")
+    val progresses =
+      new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        progresses.synchronized { progresses += e.progress }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocksRows = RocksQueries.flatMap { n =>
+      defs.find(_.name == n).map { d =>
+        progresses.synchronized(progresses.clear())
+        val sec = timeOne(d, scaled)
+        Thread.sleep(2000) // listener bus is async; let the tail progress land
+        val snap = progresses.synchronized(progresses.toSeq)
+        val stateRows = snap.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .maxOption.getOrElse(0L)
+        val stateBytes = snap.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+          .maxOption.getOrElse(0L)
+        val rocksConfirmed = snap.exists(_.stateOperators.exists(
+          _.customMetrics.toString.toLowerCase.contains("rocksdb")))
+        val b = baseByName.getOrElse(n, -1.0)
+        (n, b, sec, if (b > 0 && sec > 0) sec / b else -1.0, stateRows, stateBytes,
+          rocksConfirmed)
+      }
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.streams.removeListener(listener)
+    val rocksViolations = rocksRows.filter { case (n, b, sec, _, _, _, ok) =>
+      (b > 0 && sec > 0 && floored(b, sec) > FactorBound) || !ok
+    }.map(_._1)
+
     // candidate-pair census for the bound-exempt generators, both corpora
     // (outside all timing)
     val census = Seq("base" -> base, "scaled" -> scaled).map { case (tag, dir) =>
@@ -323,6 +370,10 @@ object BenchScale {
         f""""$n":{"base_sec":$b%.3f,"skew_sec":$sk%.3f,"factor":$f%.2f}"""
       }.mkString("{", ",", "}")
       val skewViol = skewViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val rocks = rocksRows.map { case (n, b, sec, f, rws, bytes, ok) =>
+        f""""$n":{"base_sec":$b%.3f,"rocksdb_scaled_sec":$sec%.3f,"factor":$f%.2f,"state_rows":$rws,"state_bytes":$bytes,"provider_confirmed":$ok}"""
+      }.mkString("{", ",", "}")
+      val rocksViol = rocksViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
       // adjudicated near-bound survivors: entries whose MEDIAN factor
       // still sits within the requery margin of the bound after the
       // med3 pass — the watch list for the next round, named in the
@@ -336,7 +387,7 @@ object BenchScale {
         f""""$n":{"floored_factor":${floored(b, sc)}%.2f,"adjudicated":${requeried.contains(n)}}"""
       }.mkString("{", ",", "}")
       val policy = f"median-of-3 re-measure per side when floored factor > $RequeryMargin%.1f*factor_bound; survivors listed in near_bound"
-      f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"requery_policy":"$policy","bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty && skewViolations.isEmpty},"failed":$fails,"near_bound":$nearBound,"requeried_raw":$req,"skew_sweep":$skew,"skew_violations":$skewViol,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
+      f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"requery_policy":"$policy","bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty && skewViolations.isEmpty && rocksViolations.isEmpty},"failed":$fails,"near_bound":$nearBound,"requeried_raw":$req,"skew_sweep":$skew,"skew_violations":$skewViol,"streaming_rocksdb":$rocks,"streaming_rocksdb_violations":$rocksViol,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       json.getBytes("UTF-8"))

@@ -645,6 +645,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("r12 dt families: derived date columns come from a broadcast dictionary") {
+    // the scale fix for the worst non-exempt 10x factors (9.0-9.5x in
+    // BENCH_SCALE r11): formatter/zone-rule work runs once per DISTINCT
+    // o_orderdate (a ~2.4k-row broadcast dictionary), never per row — a
+    // SortMergeJoin here would mean the dictionary stopped broadcasting,
+    // and a missing join would mean someone reverted to per-row formatting
+    Seq("dt_funcs", "dt_timezone_funcs").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: $p")
+      assert(!p.contains("SortMergeJoin"), s"$n: $p")
+    }
+  }
+
   test("CDC: native kernel scans text once, consumers share one chunk RDD") {
     // the boundary pass must be the codegen'd rolling-hash kernel over ONE
     // parquet scan with no shuffle — a regression back to the interpreted
