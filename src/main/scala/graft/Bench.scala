@@ -319,6 +319,18 @@ object Bench {
       only.isEmpty && canaryRatio >= 0.95 && regressions.isEmpty &&
         activeExpected.isEmpty
     val refreshed = refreshRequested && refreshEligible
+    // Grandfathering audit (ADVICE r12): a refresh bakes every RETIRED
+    // (expired=true) expectation's accepted cost into the new `prev`
+    // silently — its query stops being flagged not because the cost went
+    // away but because the reference moved. Record exactly which retired
+    // entries were baked at refresh time, so the acceptance stays
+    // auditable from the artifact instead of from cross-round forensics.
+    val bakedExpired =
+      if (!refreshed) Seq.empty
+      else expectedEntries.collect { case (n, reason, true) => (n, reason) }
+    val bakedJson = bakedExpired.map { case (n, r) =>
+      s"""{"query":"$n","reason":"${r.replace("\"", "'")}"}"""
+    }.mkString("[", ",", "]")
     if (refreshRequested && !refreshEligible)
       System.err.println(
         f"[bench] bench_ref refresh REFUSED (policy: $refreshPolicy; " +
@@ -331,7 +343,7 @@ object Bench {
     // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
     // (committed with the round) and target/bench.json (back-compat).
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"full_rerun":$rerunFullSweep,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"expected_file":"$expectedPath","expected_active":${activeExpected.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressions_rechecked":$recheckedJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"full_rerun":$rerunFullSweep,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"refresh_baked_expired":$bakedJson,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"expected_file":"$expectedPath","expected_active":${activeExpected.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressions_rechecked":$recheckedJson}"""
     val outFiles = Seq("target/bench.json", "BENCH_FULL.json") ++
       (if (refreshed) Seq(refPath) else Seq.empty)
     for (p <- outFiles) {

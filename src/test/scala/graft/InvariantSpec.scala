@@ -283,6 +283,48 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("r13 BPE training: each merge is the post-previous-merge argmax, counts non-increasing, recount diverges from round-1 ranking") {
+    import org.apache.spark.sql.functions._
+    val learned = rows("curation_bpe_train").sortBy(_.getAs[Int]("step"))
+    assert(learned.length == 20, learned.length)
+    // replay: after applying merges 1..i, merge i+1 must be the argmax of
+    // the CURRENT census — selected here by an independent driver-side
+    // ordering over the full collected census, not the query's
+    // orderBy/limit(1) path, so a tie-break or ordering defect in either
+    // path fails the comparison
+    var enc = operators.CurationQueries.bpeInitEnc(spark, Sf).localCheckpoint()
+    learned.foreach { m =>
+      val census = operators.CurationQueries.bpeCensus(enc).collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"), r.getAs[Long]("cnt")))
+      val (bl, br, bc) = census.minBy { case (l, r, c) => (-c, l, r) }
+      assert((bl, br, bc) ==
+        (m.getAs[String]("lhs"), m.getAs[String]("rhs"), m.getAs[Long]("pair_count")),
+        s"step ${m.getAs[Int]("step")}: census argmax ($bl,$br,$bc) != learned merge")
+      enc = operators.CurationQueries
+        .bpeApply(enc, bl, br).localCheckpoint()
+    }
+    // the argmax pair count can never increase across steps: a merge only
+    // removes adjacencies of existing pairs, and every new pair (x,ab) is
+    // bounded by the number of ab tokens it just created
+    val counts = learned.map(_.getAs[Long]("pair_count"))
+    counts.sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"pair_count increased: ${counts.mkString(",")}")
+    }
+    // the recount MATTERS: the learned sequence must diverge from the
+    // round-1 ranking (curation_bpe_pairs), and — the structural proof —
+    // training composes multi-character tokens (round-1 pairs are single
+    // chars by construction, so e.g. 'spark' is unreachable without the
+    // per-merge recount)
+    val round1 = rows("curation_bpe_pairs").sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[String]("pair"))
+    val trained = learned.map(_.getAs[String]("merged"))
+    assert(!trained.sameElements(round1),
+      "learned sequence identical to round-1 ranking — recount had no effect")
+    assert(learned.exists(r => r.getAs[String]("lhs").length > 1 ||
+      r.getAs[String]("rhs").length > 1),
+      "no merge consumed a composed token — training never built past round 1")
+  }
+
   test("r12 contamination sizes: monotone non-increasing overlap, 3-gram grounded") {
     // a shared 13-gram implies shared 8-grams implies shared 3-grams, so
     // the contaminated-doc census must be non-increasing in n; the 3-gram
