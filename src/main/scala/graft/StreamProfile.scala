@@ -44,6 +44,49 @@ object StreamProfile {
     streaming.RecordStream.eventsStreamWithSentinels(spark, sfDir)
     streaming.RecordStream.kinesisFixture(spark, sfDir)
 
+    // Window-quality canary (same pipeline as Bench) so the profile is
+    // self-describing about host state: these phases are latency-bound
+    // (fsync, driver metadata ops), and the throughput canary is the only
+    // cross-round comparable we have.
+    val nEvents = Tables.events(spark, sfDir).count()
+    val canary = {
+      val rates = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries("stream_payload_pipeline")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        nEvents / ((System.nanoTime() - t0) / 1e9)
+      }.sorted
+      rates(1)
+    }
+
+    // Ceremony-floor decomposition: a ONE-ROW single-batch stream through
+    // the same memory-sink protocol as runToMemory — its wall time is pure
+    // per-query streaming ceremony (no data). Phase-timed so the floor's
+    // composition (start vs drain vs stop vs sink read) is in the artifact.
+    val floorRuns = (1 to runs).map { i =>
+      val stage = Scratch.dir("graft_floor_")
+      spark.range(1).toDF("id").write.mode("overwrite").parquet(s"$stage/in")
+      val t0 = System.nanoTime()
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(s"$stage/in")
+      val q = src.writeStream.outputMode("append").format("memory")
+        .queryName(s"floor_sink_$i").start()
+      val t1 = System.nanoTime()
+      q.processAllAvailable()
+      val t2 = System.nanoTime()
+      q.stop(); q.awaitTermination(20000)
+      val t3 = System.nanoTime()
+      spark.table(s"floor_sink_$i").write.mode("overwrite").format("noop").save()
+      val t4 = System.nanoTime()
+      spark.catalog.dropTempView(s"floor_sink_$i")
+      Map("start" -> (t1 - t0) / 1e9, "drain" -> (t2 - t1) / 1e9,
+        "stop" -> (t3 - t2) / 1e9, "sink_read" -> (t4 - t3) / 1e9,
+        "total" -> (t4 - t0) / 1e9)
+    }
+
     val progresses = new scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.streaming.StreamingQueryProgress]
     val listener = new StreamingQueryListener {
@@ -105,7 +148,11 @@ object StreamProfile {
       val comps = comp.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
       f""""$n":{"wall_med_sec":$wallMed%.3f,"wall_runs":${walls.map(w => f"$w%.3f").mkString("[", ",", "]")},"n_batches_med":$nb%.0f,"components_ms_med":$comps,"outside_trigger_sec":$outside%.3f}"""
     }.mkString(
-      s"""{"metric":"stream_profile","sf":"$sfDir","runs_per_query":$runs,"queries":{""",
+      s"""{"metric":"stream_profile","sf":"$sfDir","runs_per_query":$runs,"stream_events_per_sec":${f"$canary%.0f"},"canary_ratio":${f"${canary / 95000.0}%.3f"},"ceremony_floor":{${
+        floorRuns.head.keys.toSeq.sorted.map { k =>
+          f""""${k}_med_sec":${med(floorRuns.map(_(k)))}%.3f"""
+        }.mkString(",")
+      }},"queries":{""",
       ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_PROFILE.json"),
       json.getBytes("UTF-8"))
