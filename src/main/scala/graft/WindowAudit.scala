@@ -39,6 +39,8 @@ object WindowAudit {
     "curation_bpe_pairs" -> "top-20 merge-pair list",
     "curation_bpe_encode" -> "top-20 merge-pair ranking (reuses bpe_pairs)",
     "curation_epoch_plan" -> "|sources|-bounded planning grid",
+    "curation_dsir_selection" ->
+      "per-partition offset prefix (|shuffle partitions| rows; DistributedOrder)",
     "curation_quality_calibration" ->
       "per-partition offset prefix (|shuffle partitions| rows; DistributedOrder)",
     "curation_token_packing" ->

@@ -1277,6 +1277,87 @@ object CurationQueries extends QueryModule {
     s"$init\n$stages\nSELECT * FROM (\n$union\n) ORDER BY step"
   }
 
+  /** DSIR-style data selection (importance resampling over hashed n-gram
+    * LM features — the published recipe for "select raw-corpus documents
+    * that look like the target domain"): every document is scored by
+    * Σ_features log p_target(f) − log p_raw(f) under Laplace-smoothed
+    * hashed unigram+bigram bag models (256 md5 buckets; target = the
+    * English slice, raw = the whole corpus), and the top quarter by weight
+    * is selected. Engine-exactness: the 256 per-bucket log-ratios are
+    * quantized to integer MICRO-units once (a 256-row broadcast dim), so
+    * every per-document sum is exact integer arithmetic — order-free under
+    * any partitioning — and the output weight is the integer itself.
+    * Scale shape: one linear feature explode, two 256-row aggregates, a
+    * broadcast dim join, one doc-keyed sum, and the selection rank comes
+    * from [[DistributedOrder.globalRowNumber]] (two-phase prefix), never a
+    * single-partition window.
+    */
+  def dsirSelection(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "CASE WHEN size(tk) >= 2 THEN concat(tk, transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) ELSE tk END")).as("f"))
+      .withColumn("b", expr("CAST(conv(substring(md5(f), 1, 4), 16, 10) AS INT) % 256"))
+    val rawB = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtB = feats.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+    // raw covers every bucket any document hashes to, so the left join
+    // cannot drop a scored bucket; absent target mass is the smoothed 0
+    val dist = rawB.join(tgtB, Seq("b"), "left").na.fill(0, Seq("ct"))
+    val tot = dist.agg(sum("cr").as("r_tot"), sum("ct").as("t_tot"))
+    val llr = dist.crossJoin(broadcast(tot))
+      .withColumn("llr_c", expr(
+        "CAST(round((ln(ct + 1) - ln(t_tot + 256) - ln(cr + 1) + ln(r_tot + 256)) " +
+          "* 1000000) AS BIGINT)"))
+      .select("b", "llr_c")
+    val scored = feats.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(llr), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("n") * col("llr_c")).as("weight_c"))
+    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
+    DistributedOrder.globalRowNumber(scored, "rk",
+        col("weight_c").desc, col("doc_id").asc)
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("lang"),
+        col("weight_c").as("dsir_weight_micros"),
+        (col("rk") <= expr("n_docs div 4")).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  private val dsirSelectionSql =
+    s"""WITH feats AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(f), 1, 4)) AS INT) % 256 AS b
+       |  FROM (
+       |    SELECT doc_id, lang, unnest(list_concat(tk,
+       |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]))) AS f
+       |    FROM (SELECT doc_id, lang, $dToks AS tk FROM documents))
+       |), rawb AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM feats GROUP BY 1
+       |), tgtb AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM feats WHERE lang = 'en' GROUP BY 1
+       |), dist AS (
+       |  SELECT r.b AS b, r.cr AS cr, coalesce(t.ct, 0) AS ct
+       |  FROM rawb r LEFT JOIN tgtb t USING (b)
+       |), tot AS (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS r_tot, CAST(sum(ct) AS BIGINT) AS t_tot FROM dist
+       |), llr AS (
+       |  SELECT b, CAST(round((ln(ct + 1) - ln(t_tot + 256) - ln(cr + 1)
+       |    + ln(r_tot + 256)) * 1000000) AS BIGINT) AS llr_c
+       |  FROM dist, tot
+       |), scored AS (
+       |  SELECT doc_id, lang, CAST(sum(n * llr_c) AS BIGINT) AS weight_c
+       |  FROM (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n
+       |        FROM feats GROUP BY 1, 2, 3) db
+       |  JOIN llr USING (b) GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY weight_c DESC, doc_id) AS rk,
+       |    count(*) OVER () AS n_docs
+       |  FROM scored)
+       |SELECT doc_id, lang, weight_c AS dsir_weight_micros,
+       |  rk <= n_docs // 4 AS selected
+       |FROM rk ORDER BY doc_id""".stripMargin
+
   /** Benchmark contamination at MULTIPLE published n-gram sizes (VERDICT
     * r11 #7): the fixed 3-gram of [[contamination]] exercises the operator
     * on the fixture's tiny vocabulary, but real decontamination standards
@@ -1593,6 +1674,7 @@ object CurationQueries extends QueryModule {
     QueryDef("curation_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("curation_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("curation_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("curation_dsir_selection", dsirSelection, Some(dsirSelectionSql)),
     QueryDef("curation_contamination_multi", contaminationMulti,
       Some(contaminationMultiSql)),
     QueryDef("curation_importance_sample", importanceSample, Some(importanceSampleSql)),

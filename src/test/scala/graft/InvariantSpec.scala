@@ -325,6 +325,26 @@ class InvariantSpec extends SparkSuite {
       "no merge consumed a composed token — training never built past round 1")
   }
 
+  test("r13 DSIR selection: exact quota, rank-coherent cut, target-domain alignment") {
+    val rs = rows("curation_dsir_selection")
+    val (sel, unsel) = rs.partition(_.getAs[Boolean]("selected"))
+    // the selected set is exactly the top quarter (integer division)
+    assert(sel.length == rs.length / 4, s"${sel.length} vs ${rs.length / 4}")
+    // rank coherence across the cut: no unselected doc outweighs a
+    // selected one (boundary ties broken by doc_id may touch, not cross)
+    if (sel.nonEmpty && unsel.nonEmpty) {
+      val minSel = sel.map(_.getAs[Long]("dsir_weight_micros")).min
+      val maxUnsel = unsel.map(_.getAs[Long]("dsir_weight_micros")).max
+      assert(minSel >= maxUnsel, s"$minSel < $maxUnsel")
+    }
+    // the point of DSIR: documents from the target domain (en) must score
+    // higher on average than the rest of the raw corpus
+    val (en, rest) = rs.partition(_.getAs[String]("lang") == "en")
+    def mean(xs: Array[Row]): Double =
+      xs.map(_.getAs[Long]("dsir_weight_micros").toDouble).sum / xs.length
+    assert(mean(en) > mean(rest), s"${mean(en)} <= ${mean(rest)}")
+  }
+
   test("r12 contamination sizes: monotone non-increasing overlap, 3-gram grounded") {
     // a shared 13-gram implies shared 8-grams implies shared 3-grams, so
     // the contaminated-doc census must be non-increasing in n; the 3-gram
