@@ -1293,30 +1293,38 @@ object CurationQueries extends QueryModule {
     * single-partition window.
     */
   def dsirSelection(s: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.documents(s, dir)
+    // ONE corpus pass: the feature explode collapses straight into the
+    // (doc, bucket) count frame, which is localCheckpoint()ed because it
+    // feeds BOTH the distribution fit and the scoring join — without the
+    // materialization each consumer would re-run the corpus explode.
+    val db = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .select(col("doc_id"), col("lang"), explode(expr(
         "CASE WHEN size(tk) >= 2 THEN concat(tk, transform(sequence(1, size(tk) - 1), " +
           "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) ELSE tk END")).as("f"))
       .withColumn("b", expr("CAST(conv(substring(md5(f), 1, 4), 16, 10) AS INT) % 256"))
-    val rawB = feats.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgtB = feats.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
-    // raw covers every bucket any document hashes to, so the left join
-    // cannot drop a scored bucket; absent target mass is the smoothed 0
-    val dist = rawB.join(tgtB, Seq("b"), "left").na.fill(0, Seq("ct"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // raw + target bucket masses in ONE 256-row aggregate (raw covers
+    // every bucket any document hashes to by construction; absent target
+    // mass is the smoothed 0)
+    val dist = db.groupBy("b").agg(sum("n").as("cr"),
+      sum(when(col("lang") === "en", col("n")).otherwise(lit(0L))).as("ct"))
     val tot = dist.agg(sum("cr").as("r_tot"), sum("ct").as("t_tot"))
     val llr = dist.crossJoin(broadcast(tot))
       .withColumn("llr_c", expr(
         "CAST(round((ln(ct + 1) - ln(t_tot + 256) - ln(cr + 1) + ln(r_tot + 256)) " +
           "* 1000000) AS BIGINT)"))
       .select("b", "llr_c")
-    val scored = feats.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
-      .join(broadcast(llr), "b")
+    val scored = db.join(broadcast(llr), "b")
       .groupBy("doc_id", "lang")
       .agg(sum(col("n") * col("llr_c")).as("weight_c"))
-    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
-    DistributedOrder.globalRowNumber(scored, "rk",
-        col("weight_c").desc, col("doc_id").asc)
+    val ranked = DistributedOrder.globalRowNumber(scored, "rk",
+      col("weight_c").desc, col("doc_id").asc)
+    // the quota count reads the ranked frame (whose lineage is the
+    // DistributedOrder checkpoint), never re-deriving the corpus pipeline
+    val nDocs = ranked.agg(count(lit(1)).as("n_docs"))
+    ranked
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("lang"),
         col("weight_c").as("dsir_weight_micros"),

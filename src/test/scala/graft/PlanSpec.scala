@@ -658,6 +658,37 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("r13 DSIR: one corpus pass into the checkpoint, broadcast dims, materialized prefix") {
+    // the (doc, bucket) frame is localCheckpoint'd and the rank comes from
+    // DistributedOrder's checkpoint, so the FINAL plan must read only the
+    // materialized RDD — a parquet scan here would mean a consumer
+    // re-derived the corpus explode (a duplicated 100 TB pass), and a
+    // residual range exchange would mean the prefix branches forked before
+    // materialization
+    val p = SparkEntry.queries("curation_dsir_selection")(spark, Sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Scan parquet"), p)
+    val rddIds = """MapPartitionsRDD\[\d+\]""".r.findAllIn(p).toSeq
+    assert(rddIds.size >= 3 && rddIds.distinct.size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("r13 BPE train: the per-iteration census is one keyed aggregate — no join, no window") {
+    // every training step's argmax census runs over the vocabulary frame
+    // as hash aggregates only; a window or join appearing here would put
+    // per-iteration cost above |vocab| and the 20-step loop would not
+    // survive a 100 TB corpus's vocabulary
+    val c = operators.CurationQueries
+      .bpeCensus(operators.CurationQueries.bpeInitEnc(spark, Sf))
+      .queryExecution.executedPlan.toString
+    assert(!c.contains("Window"), c)
+    assert(!c.contains("Join"), c)
+    assert(!c.contains("CartesianProduct"), c)
+    assert("HashAggregate".r.findAllIn(c).nonEmpty, c)
+  }
+
   test("CDC: native kernel scans text once, consumers share one chunk RDD") {
     // the boundary pass must be the codegen'd rolling-hash kernel over ONE
     // parquet scan with no shuffle — a regression back to the interpreted
