@@ -89,6 +89,37 @@ object Bench {
     // r8's 0.74× window fired 24 noise flags while throttled stayed false,
     // so the artifact needs the finer grade even when the coarse one
     // doesn't trip.
+    // Latency-floor canary (r13, STREAM_PROFILE.json attribution): the
+    // throughput canary above is 32-way parallel CPU work, but streaming
+    // queries also pay a single-threaded, fsync/metadata-latency-bound
+    // ceremony floor (~0.32 s/query in a clean window: WAL + offset log +
+    // planning + memory-sink drain) that a host can degrade INDEPENDENTLY
+    // of throughput — the r12 drift trio was exactly this shape. A one-row
+    // single-batch stream measures that floor directly. Recorded for
+    // window forensics (median of 3 + raw runs); not used in any gate.
+    def floorOnce(i: Int): Double = try {
+      val stage = Scratch.dir("graft_floor_")
+      spark.range(1).toDF("id").write.mode("overwrite").parquet(s"$stage/in")
+      val t0 = System.nanoTime()
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(s"$stage/in")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"bench_floor_$i").start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination(20000)
+      spark.table(s"bench_floor_$i").write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.dropTempView(s"bench_floor_$i")
+      sec
+    } catch { case _: Throwable => -1.0 }
+    val floorRuns = Seq(floorOnce(1), floorOnce(2), floorOnce(3))
+    val ceremonyFloor = {
+      val ok = floorRuns.filter(_ > 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+
     val CanaryBestEventsPerSec = 95000.0
     val canaryRatio =
       if (streamRate > 0 && sfDir.endsWith("sf0.1"))
@@ -343,7 +374,7 @@ object Bench {
     // are ~4 KB), so it goes to files: BENCH_FULL.json at the repo root
     // (committed with the round) and target/bench.json (back-compat).
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"throttled":$throttled,"degraded":$degraded,"full_rerun":$rerunFullSweep,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"refresh_baked_expired":$bakedJson,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"expected_file":"$expectedPath","expected_active":${activeExpected.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressions_rechecked":$recheckedJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results, 3)},"queries_raw":${jsonMap(raw, 3)},"sf":"$sfDir","staging_sec":$stagingSec%.3f,"stream_events_per_sec":$streamRate%.0f,"canary_runs":${canaryRuns.map(r => f"$r%.0f").mkString("[", ",", "]")},"canary_best_ref":$CanaryBestEventsPerSec%.0f,"canary_ratio":$canaryRatio%.3f,"ceremony_floor_sec":$ceremonyFloor%.3f,"floor_runs":${floorRuns.map(r => f"$r%.3f").mkString("[", ",", "]")},"throttled":$throttled,"degraded":$degraded,"full_rerun":$rerunFullSweep,"bench_ref":"$refPath","ref_refresh_policy":"$refreshPolicy","ref_refresh_requested":$refreshRequested,"ref_refreshed":$refreshed,"refresh_baked_expired":$bakedJson,"regressions":$regressionsJson,"regressions_expected":$regressionsExpectedJson,"expected_file":"$expectedPath","expected_active":${activeExpected.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressions_rechecked":$recheckedJson}"""
     val outFiles = Seq("target/bench.json", "BENCH_FULL.json") ++
       (if (refreshed) Seq(refPath) else Seq.empty)
     for (p <- outFiles) {
