@@ -171,6 +171,7 @@ object BenchScale {
       // pre-stage the memoized per-fixture tables (see Bench warmup)
       operators.GraphQueries.edges(spark, dir).count()
       operators.DedupQueries.clusterLabels(spark, dir).count()
+      operators.DedupQueries.bandIndex(spark, dir)._1.count()
       operators.AggQueries.hllPartials(spark, dir).count()
       operators.AggQueries.tdPartials(spark, dir).count()
     }
@@ -235,20 +236,37 @@ object BenchScale {
       val v = Seq(first, x, y).filter(_ > 0).sorted
       if (v.isEmpty) -1.0 else v(v.size / 2)
     }
-    val rows = firstPass.map { case r @ (n, b, sc, _) =>
+    def requeryOne(r: (String, Double, Double, Double)): (String, Double, Double, Double) = {
+      val (n, b, sc, _) = r
+      val d = defs.find(_.name == n).get
+      val b2 = timeOne(d, base)
+      val sc2 = timeOne(d, scaled)
+      val b3 = timeOne(d, base)
+      val sc3 = timeOne(d, scaled)
+      requeried(n) = Seq(b, sc, b2, sc2, b3, sc3)
+      val bMed = med3(b, b2, b3)
+      val scMed = med3(sc, sc2, sc3)
+      println(f"[benchscale] ${d.name}%-28s REQUERY(med3) base ${bMed}%6.2f s   x$reps ${scMed}%6.2f s   factor ${scMed / bMed}%5.2f")
+      (n, bMed, scMed, scMed / bMed)
+    }
+    val marginPass = firstPass.map { case r @ (n, b, sc, _) =>
       if (b > 0 && sc > 0 && !BoundExempt(n)
-          && floored(b, sc) > RequeryMargin * FactorBound) {
-        val d = defs.find(_.name == n).get
-        val b2 = timeOne(d, base)
-        val sc2 = timeOne(d, scaled)
-        val b3 = timeOne(d, base)
-        val sc3 = timeOne(d, scaled)
-        requeried(n) = Seq(b, sc, b2, sc2, b3, sc3)
-        val bMed = med3(b, b2, b3)
-        val scMed = med3(sc, sc2, sc3)
-        println(f"[benchscale] ${d.name}%-28s REQUERY(med3) base ${bMed}%6.2f s   x$reps ${scMed}%6.2f s   factor ${scMed / bMed}%5.2f")
-        (n, bMed, scMed, scMed / bMed)
-      } else r
+          && floored(b, sc) > RequeryMargin * FactorBound) requeryOne(r)
+      else r
+    }
+    // The sweep's WORST surviving factor is its least-confirmed number when
+    // it lands just below the requery margin: r13 froze win_median_trailing
+    // at 9.71 first-pass (margin 10.8) where r11 froze the identical plan
+    // at 4.27 — a 2.3× disagreement between two freezes is a measurement
+    // problem, and the artifact's headline figure shouldn't rest on one
+    // run. Always adjudicate the worst non-exempt entry median-of-3, so
+    // `worst_factor` is backed by `requeried_raw` every sweep.
+    val rows = {
+      val worstIdx = marginPass.zipWithIndex.collect {
+        case ((n, b, sc, _), i) if b > 0 && sc > 0 && !BoundExempt(n) && !requeried.contains(n) =>
+          (floored(b, sc), i)
+      }.sortBy(-_._1).headOption.map(_._2)
+      worstIdx.fold(marginPass)(i => marginPass.updated(i, requeryOne(marginPass(i))))
     }
     // Skewed-key sweep: the per-key-density-sensitive families re-measured
     // on the hot-key corpus (same 10× volume, one customer owning ~10% of

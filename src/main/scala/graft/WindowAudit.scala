@@ -38,6 +38,8 @@ object WindowAudit {
     "agg_survival_km" -> "event-day-collapsed risk table",
     "curation_bpe_pairs" -> "top-20 merge-pair list",
     "curation_bpe_encode" -> "top-20 merge-pair ranking (reuses bpe_pairs)",
+    "curation_bpe_tokenize" ->
+      "token-id vocabulary (distinct final tokens: chars + 20 learned merges)",
     "curation_epoch_plan" -> "|sources|-bounded planning grid",
     "curation_dsir_selection" ->
       "per-partition offset prefix (|shuffle partitions| rows; DistributedOrder)",

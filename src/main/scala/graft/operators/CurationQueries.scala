@@ -1221,10 +1221,17 @@ object CurationQueries extends QueryModule {
     * non-increasing pair_count law, and pins that the learned sequence
     * diverges from [[bpePairs]]' round-1 ranking (the recount matters).
     */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The shared k=20 trainer loop (census → argmax → greedy apply →
+    * recount), returning BOTH the final encoding frame and the learned
+    * merge sequence — [[bpeTrain]] emits the sequence, [[bpeTokenize]]
+    * consumes the final encodings. The census ignores 1-token rows, so a
+    * caller may include single-character words (which never merge) without
+    * changing the learned sequence.
+    */
+  private[graft] def bpeTrainLoop(enc0: DataFrame)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     val k = 20
-    var enc = bpeInitEnc(s, dir).localCheckpoint()
+    var enc = enc0.localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var exhausted = false
     while (learned.size < k && !exhausted) {
@@ -1238,7 +1245,13 @@ object CurationQueries extends QueryModule {
         enc = bpeApply(enc, l, r).localCheckpoint()
       }
     }
-    learned.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count").orderBy("step")
+    (enc, learned.toSeq)
+  }
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, learned) = bpeTrainLoop(bpeInitEnc(s, dir))
+    learned.toDF("step", "lhs", "rhs", "merged", "pair_count").orderBy("step")
   }
 
   /** The DuckDB twin replays the identical loop as 20 UNROLLED chained
@@ -1275,6 +1288,128 @@ object CurationQueries extends QueryModule {
       s"SELECT $i AS step, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM m$i"
     }.mkString("\nUNION ALL\n")
     s"$init\n$stages\nSELECT * FROM (\n$union\n) ORDER BY step"
+  }
+
+  /** The final trained word encodings — vocabulary rows (word, wc, e) after
+    * the full k=20 trainer loop, INCLUDING single-character words (they
+    * never merge and contribute nothing to any census, so the learned
+    * sequence is identical to [[bpeTrain]]'s; they must still tokenize).
+    * Exposed for the InvariantSpec round-trip laws.
+    */
+  private[graft] def bpeTrainedEncodings(s: SparkSession, dir: String): DataFrame = {
+    val init = Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        expr(s"concat('$Sep', regexp_replace(word, '(.)', '$$1$Sep'))").as("e"))
+    bpeTrainLoop(init)._1
+  }
+
+  /** The per-word token view of the trained encodings: (word, tpos, token).
+    * Vocabulary-sized × tokens-per-word — never corpus-sized.
+    */
+  private[graft] def bpeWordTokens(s: SparkSession, dir: String): DataFrame =
+    bpeTrainedEncodings(s, dir)
+      .withColumn("tk", expr(s"filter(split(e, '$Sep', -1), t -> t <> '')"))
+      .select(col("word"), posexplode(col("tk")))
+      .withColumnRenamed("pos", "tpos")
+      .withColumnRenamed("col", "token")
+
+  /** Token-id vocabulary over the trained encodings: every distinct final
+    * token (single chars + the 20 learned merges — a few dozen rows) gets
+    * a dense id by lexicographic order, the deterministic rule both
+    * engines replay. The unpartitioned row_number sits above a distinct
+    * over that bounded token domain (WindowAudit-allowlisted).
+    */
+  private[graft] def bpeVocab(wordTok: DataFrame): DataFrame =
+    wordTok.select("token").distinct()
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("token"))).cast("long"))
+
+  /** Corpus tokenization with the LEARNED vocabulary (VERDICT r13 #6) —
+    * the artifact a training pipeline actually emits: every document
+    * encoded into its token-ID sequence under the k=20 trained merges
+    * ([[bpeTrainLoop]]), closing the loop from [[bpeTrain]] (which learns
+    * the merges) through [[bpeEncode]] (which only counts tokens). Scale
+    * shape: the trainer and the per-word id assembly run on the
+    * distinct-word frame (vocabulary-sized); the corpus-side work is one
+    * positional explode + a keyed join on the word + one doc-keyed
+    * order-reassembling aggregate — the same linear shape as
+    * [[bpeEncode]]. The id sequence is emitted as a space-joined string
+    * (portable across engines; parquet array hashing is not).
+    */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val wordTok = bpeWordTokens(s, dir)
+    val wordIds = wordTok.join(broadcast(bpeVocab(wordTok)), "token")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_word_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(tpos, token_id))), " +
+            "x -> CAST(x.token_id AS STRING))")).as("ids"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(expr(toks)))
+      .withColumnRenamed("col", "word")
+      .join(wordIds, "word")
+      .groupBy("doc_id")
+      .agg(sum("n_word_tokens").as("n_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, ids))), x -> x.ids)")).as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB twin replays the identical trainer (the same 20 unrolled
+    * MATERIALIZED stages as [[bpeTrainSql]], with `word` carried through
+    * and single-char words included — they never enter a census), then the
+    * same vocab/id assembly and per-doc reassembly.
+    */
+  private val bpeTokenizeSql: String = {
+    val init =
+      s"""WITH enc0 AS MATERIALIZED (
+         |  SELECT word, wc, chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1)), 'g') AS e
+         |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+         |      SELECT unnest($dToks) AS word FROM documents) GROUP BY 1)
+         |)""".stripMargin
+    val stages = (1 to 20).map { i =>
+      s""", m$i AS MATERIALIZED (
+         |  SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |        i -> struct_pack(lhs := tk[i], rhs := tk[i + 1]))) AS p, wc
+         |    FROM (SELECT list_filter(string_split(e, chr(1)), t -> t <> '') AS tk, wc
+         |          FROM enc${i - 1})
+         |    WHERE len(tk) >= 2)
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1
+         |), enc$i AS MATERIALIZED (
+         |  SELECT word, wc, replace(replace(replace(e, m.pat, m.rw), m.pat, m.rw), m.pat, m.rw) AS e
+         |  FROM enc${i - 1}, (SELECT chr(1) || lhs || chr(1) || rhs || chr(1) AS pat,
+         |        chr(1) || lhs || rhs || chr(1) AS rw FROM m$i) m
+         |)""".stripMargin
+    }.mkString("\n")
+    val tail =
+      s""", wt AS MATERIALIZED (
+         |  SELECT word, p.tpos AS tpos, p.token AS token FROM (
+         |    SELECT word, unnest(list_transform(range(1, len(tk) + 1),
+         |      i -> struct_pack(tpos := i, token := tk[i]))) AS p
+         |    FROM (SELECT word, list_filter(string_split(e, chr(1)), t -> t <> '') AS tk
+         |          FROM enc20))
+         |), vocab AS (
+         |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
+         |  FROM (SELECT DISTINCT token FROM wt)
+         |), word_ids AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_word_tokens,
+         |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY tpos) AS ids
+         |  FROM wt JOIN vocab USING (token) GROUP BY word
+         |), dw AS (
+         |  SELECT doc_id, q.pos AS pos, q.word AS word FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |      i -> struct_pack(pos := i, word := tk[i]))) AS q
+         |    FROM (SELECT doc_id, $dToks AS tk FROM documents))
+         |)
+         |SELECT doc_id, CAST(sum(n_word_tokens) AS BIGINT) AS n_tokens,
+         |  string_agg(ids, ' ' ORDER BY pos) AS token_ids
+         |FROM dw JOIN word_ids USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"$init\n$stages\n$tail"
   }
 
   /** DSIR-style data selection (importance resampling over hashed n-gram
@@ -1682,6 +1817,7 @@ object CurationQueries extends QueryModule {
     QueryDef("curation_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("curation_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("curation_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("curation_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     QueryDef("curation_dsir_selection", dsirSelection, Some(dsirSelectionSql)),
     QueryDef("curation_contamination_multi", contaminationMulti,
       Some(contaminationMultiSql)),

@@ -122,16 +122,26 @@ object JoinQueries extends QueryModule {
       |    AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  /** Left-anti join = NOT EXISTS: customers with no orders at all. */
+  /** Left-anti join = NOT EXISTS: customers with no orders in 1995.
+    * Bounded to one order year so the declared vector pins real rows — the
+    * fixture gives every customer at least one order overall, so the
+    * unfiltered anti-join hashed nothing but emptiness (VERDICT r13 #2).
+    */
   def antiJoinNoOrders(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_mktsegment")
       .orderBy("c_custkey")
 
   private val antiJoinNoOrdersSql =
     """SELECT c_custkey, c_mktsegment FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-01-01')
       |ORDER BY c_custkey""".stripMargin
 
   /** Cross join of the two tiny dims (125·SF rows — bounded). */

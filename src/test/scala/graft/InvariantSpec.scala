@@ -325,6 +325,51 @@ class InvariantSpec extends SparkSuite {
       "no merge consumed a composed token — training never built past round 1")
   }
 
+  test("r14 BPE tokenize: detokenize(encode(word)) == word, dense vocab ids, doc lengths conserved") {
+    import org.apache.spark.sql.functions._
+    val wordTok = operators.CurationQueries.bpeWordTokens(spark, Sf).cache()
+    try {
+      // (1) round-trip: concatenating a word's final tokens in position
+      // order reproduces the word exactly — no character created,
+      // destroyed, or reordered by the trained merges
+      val badRt = wordTok.groupBy("word")
+        .agg(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(tpos, token))), x -> x.token)")).as("rt"))
+        .filter(col("rt") =!= col("word")).count()
+      assert(badRt == 0, s"$badRt words fail detokenize(encode(w)) == w")
+      // (2) the id space is dense 1..|V| with a bijective token mapping,
+      // so an id sequence decodes to exactly one token sequence
+      val vocab = operators.CurationQueries.bpeVocab(wordTok).collect()
+      val ids = vocab.map(_.getAs[Long]("token_id"))
+      assert(ids.toSet == (1L to vocab.length).toSet, ids.sorted.mkString(","))
+      assert(vocab.map(_.getAs[String]("token")).distinct.length == vocab.length)
+      // (3) doc-level conservation vs the raw text (the same token domain
+      // text_length_histogram buckets): the emitted id string has exactly
+      // n_tokens ids, and n_words <= n_tokens <= n_chars per document;
+      // every document with at least one word is present
+      val out = rows("curation_bpe_tokenize")
+      out.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        val nIds = r.getAs[String]("token_ids").split(" ").length.toLong
+        assert(nIds == n, s"doc ${r.getAs[Long]("doc_id")}: $nIds ids != n_tokens $n")
+      }
+      val docStats = Tables.documents(spark, Sf)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' ', -1), t -> t <> '')").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_words"),
+          expr("aggregate(tk, 0L, (a, w) -> a + length(w))").as("n_chars"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      out.foreach { r =>
+        val (nw, nc) = docStats(r.getAs[Long]("doc_id"))
+        val n = r.getAs[Long]("n_tokens")
+        assert(nw <= n && n <= nc,
+          s"doc ${r.getAs[Long]("doc_id")}: n_tokens $n outside [$nw, $nc]")
+      }
+      assert(out.length == docStats.count { case (_, (nw, _)) => nw > 0 },
+        "tokenized doc set != docs with >= 1 word")
+    } finally wordTok.unpersist()
+  }
+
   test("r13 DSIR selection: exact quota, rank-coherent cut, target-domain alignment") {
     val rs = rows("curation_dsir_selection")
     val (sel, unsel) = rs.partition(_.getAs[Boolean]("selected"))

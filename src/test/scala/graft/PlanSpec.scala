@@ -570,6 +570,21 @@ class PlanSpec extends SparkSuite {
     assert("orders\\.parquet".r.findAllIn(full).size == 1, full)
   }
 
+  test("index maintenance: probe scans persisted band index + new batch only — no corpus re-shingle") {
+    // the production daily-crawl contract (VERDICT r12 #6): the corpus
+    // band index is a maintained table, so the per-batch query must read
+    // it from disk (postings + sigs) and shingle ONLY the batch slice. A
+    // regression that re-derives the corpus postings inline would show a
+    // corpus-side documents pipeline (the NOT-batch filter) in the plan.
+    val p = SparkEntry.queries("dedup_index_maintenance")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("graft-band-index".r.findAllIn(p).size >= 2, p) // postings AND sigs
+    // the batch filter is present on the documents pipeline...
+    assert("""\(doc_id#\d+L? % 10\) = 9""".r.findFirstIn(p).nonEmpty, p)
+    // ...and the corpus complement is NOT (no full-corpus re-shingle)
+    assert("""NOT \(\(doc_id#\d+L? % 10\) = 9\)""".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("isotropy: pair-free sufficient statistics — no pair join of any kind") {
     // the whole point of the ‖Σx̂‖² identity is that mean pairwise cosine
     // needs NO pair enumeration: the plan must stay scan→agg with only the
