@@ -1050,9 +1050,21 @@ object CurationQueries extends QueryModule {
     * InvariantSpec encoding laws: tokens are delimited by the \\u0001 sentinel (never in
     * the ASCII fixture's words), a merge (a,b) rewrites delimiter-bounded
     * "␟a␟b␟" to "␟ab␟", and SQL `replace`'s left-to-right non-overlapping
-    * scan gives exactly greedy BPE semantics ("␟a␟a␟a␟" under merge (a,a)
+    * scan gives greedy-leftmost BPE semantics ("␟a␟a␟a␟" under merge (a,a)
     * becomes [aa, a], not [a, aa]) — identically in Spark and DuckDB, so
     * the oracle replays the same merges with the same fold.
+    *
+    * KNOWN DEVIATION from strictly sequential leftmost BPE (ADVICE r13),
+    * holding engine and oracle in lock-step: a match consumes its trailing
+    * delimiter, so on an odd run of ≥ 5 identical mergeable tokens the
+    * SAME PASS matches again only after skipping one token — "aaaaa" under
+    * merge (a,a) yields [aa, a, aa] here, where one-merge-at-a-time
+    * leftmost application yields [aa, aa, a]. Token COUNTS agree (both
+    * fold ⌊run/2⌋ merges); only the segmentation of the unpaired residue
+    * differs, which can shift downstream pair censuses on such inputs
+    * relative to a strictly sequential trainer. InvariantSpec pins this
+    * exact behavior on a synthetic "aaaaa" fixture so the deviation is
+    * declared, not silent.
     */
   private val Sep = "\u0001"
 
@@ -1422,6 +1434,16 @@ object CurationQueries extends QueryModule {
     * quantized to integer MICRO-units once (a 256-row broadcast dim), so
     * every per-document sum is exact integer arithmetic — order-free under
     * any partitioning — and the output weight is the integer itself.
+    * Residual float dependency (ADVICE r13): the 256 pre-quantization
+    * log-ratios are still computed independently as doubles on each side
+    * (JVM Math.log vs DuckDB's libm log), so the integer-only contract
+    * covers the document sums, not the bucket constants — a 1-ulp ln
+    * disagreement landing exactly on a .5-micro rounding boundary would
+    * flip one bucket's llr_c. No such boundary case exists in the fixtures
+    * (the oracle gate would catch it as a hash mismatch, loudly); making
+    * the contract genuinely integer-only would mean feeding both engines
+    * one shared 256-row quantized fixture, which trades away the
+    * independent-twin property the oracle exists to provide.
     * Scale shape: one linear feature explode, two 256-row aggregates, a
     * broadcast dim join, one doc-keyed sum, and the selection rank comes
     * from [[DistributedOrder.globalRowNumber]] (two-phase prefix), never a

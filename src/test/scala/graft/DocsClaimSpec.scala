@@ -14,8 +14,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *    artifact states (BENCH_FULL.json is overwritten every round);
   *  - `~~struck-through~~` spans are ignored (that is how a corrected
   *    overclaim is quoted without re-asserting it);
-  *  - a claim binds to the nearest artifact filename within the preceding
-  *    300 chars — a bare `flag: value` with no nearby filename is prose;
+  *  - a claim binds to EVERY artifact filename within the preceding
+  *    300 chars — a bare `flag: value` with no nearby filename is prose.
+  *    (ADVICE r13: nearest-only binding silently unguarded the first of
+  *    "A.json and B.json each carry `n_pass: 408`" — now a sentence naming
+  *    two artifacts checks the claim against both, and a contradiction in
+  *    EITHER fails; contrast an old artifact's different value with
+  *    strikethrough or >300 chars of distance, not bare prose);
   *  - only top-level scalar keys are compared (booleans, numbers, strings);
   *    nested or absent keys are skipped, not failed — the guard catches
   *    contradictions, it does not enforce completeness.
@@ -69,9 +74,10 @@ class DocsClaimSpec extends AnyFunSuite {
 
     val violations = claimRx.findAllMatchIn(text).flatMap { m =>
       val (key, claimedRaw) = (m.group(1), m.group(2).trim)
-      // nearest artifact filename mentioned within the preceding window
+      // EVERY artifact filename mentioned within the preceding window is
+      // checked; a contradiction in any one of them fails the claim
       files.filter(f => f._1 < m.start && m.start - f._1 <= ClaimWindow)
-        .sortBy(_._1).lastOption.flatMap { case (_, fname) =>
+        .map(_._2).distinct.flatMap { fname =>
           artifact(fname).flatMap { root =>
             scalarOf(root.get(key)).flatMap { actual =>
               val claimed = claimedRaw.stripPrefix("\"").stripSuffix("\"")

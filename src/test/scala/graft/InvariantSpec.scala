@@ -251,6 +251,19 @@ class InvariantSpec extends SparkSuite {
       assert(r.getAs[Long]("got") == r.getAs[Long]("want"),
         s"${r.getAs[String]("word")}: ${r.getAs[String]("e").replace(sep, "|")}")
     }
+    // DECLARED deviation pin (ADVICE r13, documented at bpeFoldExpr): on
+    // an odd run of >= 5 identical mergeable tokens, the delimiter-
+    // consuming replace segments 'aaaaa' under (a,a) as [aa, a, aa] —
+    // strictly sequential leftmost BPE would give [aa, aa, a]. Same token
+    // count (3 = 5 - floor(5/2) merges), different residue placement; the
+    // pin fails loudly if the fold's segmentation ever shifts, so the
+    // deviation stays declared rather than silent.
+    val run5 = Seq(("aaaaa", 0L)).toDF("word", "ignore")
+      .withColumn("merges", typedLit(Seq("aa")))
+      .withColumn("e", expr(operators.CurationQueries.bpeFoldExpr("word", "merges")))
+      .collect()(0).getAs[String]("e")
+    assert(run5 == s"${sep}aa${sep}a${sep}aa$sep",
+      s"aaaaa segmentation drifted: ${run5.replace(sep, "|")}")
     // conservation on the real vocabulary: stripping delimiters reproduces
     // the word EXACTLY (no character created or destroyed by any merge),
     // and token counts stay within [1, n_chars]
