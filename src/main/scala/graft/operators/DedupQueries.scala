@@ -782,6 +782,65 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Numeric census of the maintenance contract — the companion pin to
+    * [[indexMaintenance]]: posting counts for the persisted index, the
+    * batch delta, and the merged table, plus how many distinct band
+    * buckets the batch actually hit and how many new docs collided. At
+    * sf0.01 the probe itself emits a single collision row, so this census
+    * is what makes the maintenance arithmetic (delta is batch-sized,
+    * merged = index + delta, probe touches only hit buckets) hash-pinned
+    * at the driver's gate scale. All five figures are exact integers; the
+    * cross joins are 1-row scalar combines.
+    */
+  def indexMaintenanceCensus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (idx, _) = bandIndex(s, dir)
+    val batch = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 9)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 4)
+      .withColumn("shingles", expr("word_shingles(tk, 4)"))
+      .withColumn("sig", expr("minhash_sig(shingles, 16)"))
+      .select("doc_id", "sig")
+    // batch-sized, consumed three times below — materialize once
+    val newPostings = mhBanded(batch).localCheckpoint()
+    val merged = idx.unionByName(newPostings)
+    val nIdx = idx.agg(count(lit(1)).as("n_index_postings"))
+    val nNew = newPostings.agg(count(lit(1)).as("n_batch_postings"))
+    val nHit = newPostings.select("band", "bhash").distinct()
+      .join(idx.select("band", "bhash").distinct(), Seq("band", "bhash"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_buckets"))
+    val nCollided = newPostings
+      .join(merged.withColumnRenamed("doc_id", "other_id"), Seq("band", "bhash"))
+      .filter(col("other_id") < col("doc_id"))
+      .select("doc_id").distinct()
+      .agg(count(lit(1)).as("n_collided_new_docs"))
+    nIdx.crossJoin(nNew).crossJoin(nHit).crossJoin(nCollided)
+      .withColumn("n_merged_postings",
+        col("n_index_postings") + col("n_batch_postings"))
+      .select("n_index_postings", "n_batch_postings", "n_merged_postings",
+        "n_hit_buckets", "n_collided_new_docs")
+  }
+
+  private val indexMaintenanceCensusSql =
+    s"""WITH $lshCandCtes,
+       |bb AS (SELECT DISTINCT band, bhash FROM banded WHERE doc_id % 10 = 9),
+       |cb AS (SELECT DISTINCT band, bhash FROM banded WHERE doc_id % 10 <> 9),
+       |np AS (SELECT count(*) AS n FROM banded WHERE doc_id % 10 = 9),
+       |ip AS (SELECT count(*) AS n FROM banded WHERE doc_id % 10 <> 9),
+       |hit AS (SELECT count(*) AS n FROM bb JOIN cb USING (band, bhash)),
+       |coll AS (
+       |  SELECT count(DISTINCT b.doc_id) AS n
+       |  FROM banded b
+       |  JOIN banded c ON c.band = b.band AND c.bhash = b.bhash AND c.doc_id < b.doc_id
+       |  WHERE b.doc_id % 10 = 9)
+       |SELECT CAST(ip.n AS BIGINT) AS n_index_postings,
+       |  CAST(np.n AS BIGINT) AS n_batch_postings,
+       |  CAST(ip.n + np.n AS BIGINT) AS n_merged_postings,
+       |  CAST(hit.n AS BIGINT) AS n_hit_buckets,
+       |  CAST(coll.n AS BIGINT) AS n_collided_new_docs
+       |FROM ip, np, hit, coll""".stripMargin
+
   private val indexMaintenanceSql =
     s"""WITH $lshCandCtes,
        |hits AS (
@@ -1547,6 +1606,7 @@ object DedupQueries extends QueryModule {
     QueryDef("dedup_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("dedup_index_maintenance", indexMaintenance, Some(indexMaintenanceSql)),
+    QueryDef("dedup_index_census", indexMaintenanceCensus, Some(indexMaintenanceCensusSql)),
     QueryDef("dedup_exact", exactDedup, Some(exactDedupSql)),
     QueryDef("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
