@@ -47,6 +47,7 @@ object Bench {
     operators.GraphQueries.edges(spark, sfDir).count()
     operators.DedupQueries.clusterLabels(spark, sfDir).count()
     operators.DedupQueries.bandIndex(spark, sfDir)._1.count()
+    operators.DedupQueries.corpusClusterLabels(spark, sfDir).count()
     // the persisted sketch-partial tables: same maintained-pre-agg policy
     operators.AggQueries.hllPartials(spark, sfDir).count()
     operators.AggQueries.tdPartials(spark, sfDir).count()

@@ -172,6 +172,7 @@ object BenchScale {
       operators.GraphQueries.edges(spark, dir).count()
       operators.DedupQueries.clusterLabels(spark, dir).count()
       operators.DedupQueries.bandIndex(spark, dir)._1.count()
+      operators.DedupQueries.corpusClusterLabels(spark, dir).count()
       operators.AggQueries.hllPartials(spark, dir).count()
       operators.AggQueries.tdPartials(spark, dir).count()
     }

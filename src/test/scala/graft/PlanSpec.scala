@@ -585,6 +585,17 @@ class PlanSpec extends SparkSuite {
     assert("""NOT \(\(doc_id#\d+L? % 10\) = 9\)""".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("incremental clusters: closure maintained from persisted labels — no corpus re-shingle") {
+    // the delta path reads the persisted corpus labels and the persisted
+    // postings; the corpus-side documents pipeline (the NOT-batch filter)
+    // must never appear — re-deriving the closure from text would be the
+    // regression this operator exists to avoid
+    val p = SparkEntry.queries("dedup_clusters_incremental")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-corpus-cc-labels"), p)
+    assert("""NOT \(\(doc_id#\d+L? % 10\) = 9\)""".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("isotropy: pair-free sufficient statistics — no pair join of any kind") {
     // the whole point of the ‖Σx̂‖² identity is that mean pairwise cosine
     // needs NO pair enumeration: the plan must stay scan→agg with only the
