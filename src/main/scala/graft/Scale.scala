@@ -266,6 +266,8 @@ object BenchScale {
     // new unadjudicated worst just below it (the r14 first freeze hit
     // exactly that: frame_sample 9.74 → med3 8.84 left fuzzy_blocked 9.34
     // on top, unconfirmed). Capped at 5 extra adjudications per sweep.
+    var adjudicationExtra = 0
+    var adjudicationSettled = false
     val rows = {
       var cur = marginPass
       var extra = 0
@@ -281,6 +283,16 @@ object BenchScale {
           case _ => settled = true
         }
       }
+      // Cap-exhaustion visibility (ADVICE r14 #4): a loop that exits on the
+      // 5-requery cap leaves the headline worst factor an unconfirmed
+      // first-pass figure — record settled-vs-exhausted (and the count) so
+      // the artifact distinguishes the two instead of reading identically.
+      adjudicationExtra = extra
+      adjudicationSettled = settled
+      if (!settled)
+        System.err.println(s"[benchscale] WARNING: worst-factor adjudication " +
+          s"EXHAUSTED its $extra-requery cap without settling — the headline " +
+          "worst factor may be an unconfirmed first-pass measurement")
       cur
     }
     // Skewed-key sweep: the per-key-density-sensitive families re-measured
@@ -420,7 +432,7 @@ object BenchScale {
         f""""$n":{"floored_factor":${floored(b, sc)}%.2f,"adjudicated":${requeried.contains(n)}}"""
       }.mkString("{", ",", "}")
       val policy = f"median-of-3 re-measure per side when floored factor > $RequeryMargin%.1f*factor_bound; survivors listed in near_bound"
-      f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"requery_policy":"$policy","bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty && skewViolations.isEmpty && rocksViolations.isEmpty},"failed":$fails,"near_bound":$nearBound,"requeried_raw":$req,"skew_sweep":$skew,"skew_violations":$skewViol,"streaming_rocksdb":$rocks,"streaming_rocksdb_violations":$rocksViol,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
+      f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"requery_policy":"$policy","bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty && skewViolations.isEmpty && rocksViolations.isEmpty},"failed":$fails,"near_bound":$nearBound,"requeried_raw":$req,"skew_sweep":$skew,"skew_violations":$skewViol,"streaming_rocksdb":$rocks,"streaming_rocksdb_violations":$rocksViol,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"worst_adjudication_settled":$adjudicationSettled,"worst_adjudication_requeries":$adjudicationExtra,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       json.getBytes("UTF-8"))

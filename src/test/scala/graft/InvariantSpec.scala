@@ -13,6 +13,27 @@ class InvariantSpec extends SparkSuite {
   private def rows(name: String): Array[Row] =
     SparkEntry.queries(name)(spark, Sf).collect()
 
+  test("r15 incremental clusters: incremental ≡ from-scratch under ALTERNATIVE batch splits") {
+    // The oracle gate proves incremental ≡ recompute for the declared
+    // split (doc_id % 10 == 9) only; the connectivity-equivalence argument
+    // behind the delta-edge restriction is split-independent, so replaying
+    // the merge under other splits pins it (VERDICT r14 #5) — any future
+    // edit that silently narrows the delta restriction to something that
+    // only happens to hold for one split fails here. The from-scratch
+    // clustering covers the FULL corpus regardless of the split, so the
+    // expected result is the same for every mod.
+    val expected = operators.DedupQueries.dedupClusters(spark, Sf)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    for (mod <- Seq(0, 4)) {
+      val got = operators.DedupQueries.incrementalClusters(spark, Sf, mod)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.length == expected.length,
+        s"mod=$mod: ${got.length} rows vs from-scratch ${expected.length}")
+      assert(got.sameElements(expected) || got.toSeq == expected.toSeq,
+        s"mod=$mod: incremental result diverges from from-scratch clustering")
+    }
+  }
+
   test("silhouette values lie in [-1, 1]") {
     rows("sim_silhouette_simplified").foreach { r =>
       val s = r.getAs[Double]("mean_silhouette")

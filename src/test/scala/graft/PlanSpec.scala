@@ -570,19 +570,80 @@ class PlanSpec extends SparkSuite {
     assert("orders\\.parquet".r.findAllIn(full).size == 1, full)
   }
 
+  private val NotBatchRx = """NOT \(\(doc_id#\d+L? % 10\) = 9\)""".r
+
   test("index maintenance: probe scans persisted band index + new batch only — no corpus re-shingle") {
     // the production daily-crawl contract (VERDICT r12 #6): the corpus
     // band index is a maintained table, so the per-batch query must read
-    // it from disk (postings + sigs) and shingle ONLY the batch slice. A
-    // regression that re-derives the corpus postings inline would show a
-    // corpus-side documents pipeline (the NOT-batch filter) in the plan.
+    // it from disk (bucketed postings table + sigs parquet) and shingle
+    // ONLY the batch slice. A regression that re-derives the corpus
+    // postings inline would show a corpus-side documents pipeline (the
+    // NOT-batch filter) in the plan.
     val p = SparkEntry.queries("dedup_index_maintenance")(spark, Sf)
       .queryExecution.executedPlan.toString
-    assert("graft-band-index".r.findAllIn(p).size >= 2, p) // postings AND sigs
+    assert(p.contains("graft_band_postings"), p) // the bucketed index table
+    assert(p.contains("graft-band-index"), p)    // the sigs parquet
     // the batch filter is present on the documents pipeline...
     assert("""\(doc_id#\d+L? % 10\) = 9""".r.findFirstIn(p).nonEmpty, p)
     // ...and the corpus complement is NOT (no full-corpus re-shingle)
-    assert("""NOT \(\(doc_id#\d+L? % 10\) = 9\)""".r.findFirstIn(p).isEmpty, p)
+    assert(NotBatchRx.findFirstIn(p).isEmpty, p)
+    // POSITIVE CONTROL (ADVICE r14 #3): the absence-regex above must be
+    // able to see the regression it guards against — the corpus-side
+    // build lineage (the one pass that legally scans the complement) DOES
+    // carry the NOT-batch filter, so the regex is not vacuously empty
+    val ctrl = operators.DedupQueries.corpusSigsFrame(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(NotBatchRx.findFirstIn(ctrl).nonEmpty, ctrl)
+  }
+
+  test("index maintenance: bucketed postings side of the probe join has NO shuffle") {
+    // the cluster-scale layout (VERDICT r14 #4): postings are bucketed on
+    // (band, bhash) — exactly the probe join key — so the index side reads
+    // co-located and only the batch-sized probe side exchanges. Broadcast
+    // + AQE disabled so the pin exercises the shuffle path the 100 TB
+    // deployment would take (a corpus-sized index is never broadcast).
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("dedup_index_maintenance")(spark, Sf)
+      val phys = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      def scansBucketTable(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect {
+          case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table.startsWith("graft_band_postings")) => f
+        }.nonEmpty
+      // the bucketed scan is in the plan at all…
+      assert(scansBucketTable(phys), phys.toString)
+      // …and on the probe join itself, the child feeding the bucketed
+      // scan reaches the join with NO shuffle in between (the probe side
+      // is allowed — indeed required — to exchange to the bucket count)
+      def hasJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.nonEmpty
+      // the INNERMOST join side over the scan: contains the bucketed scan
+      // and no further join below (ancestor joins see the scan too, but
+      // through intermediate aggregates whose exchanges are legitimate)
+      val joinChildren = phys.collect {
+        case j: SortMergeJoinExec => Seq(j.left, j.right)
+        case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+      }.flatten.filter(c => scansBucketTable(c) && !hasJoin(c))
+      assert(joinChildren.nonEmpty, phys.toString)
+      joinChildren.foreach { side =>
+        val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"shuffle on the bucketed index side of the probe join:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("incremental clusters: closure maintained from persisted labels — no corpus re-shingle") {
@@ -593,7 +654,18 @@ class PlanSpec extends SparkSuite {
     val p = SparkEntry.queries("dedup_clusters_incremental")(spark, Sf)
       .queryExecution.executedPlan.toString
     assert(p.contains("graft-corpus-cc-labels"), p)
-    assert("""NOT \(\(doc_id#\d+L? % 10\) = 9\)""".r.findFirstIn(p).isEmpty, p)
+    assert(NotBatchRx.findFirstIn(p).isEmpty, p)
+    // The assembly plan above cannot witness the delta path (the closure
+    // runs eagerly at DataFrame construction — ADVICE r14 #3), so pin the
+    // batch-only shape on the LAZY delta lineage itself: it shingles only
+    // the batch slice, reads the persisted postings table + labels, and
+    // never the corpus complement
+    val d = operators.DedupQueries.incrementalClusterDelta(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(d.contains("graft_band_postings"), d)
+    assert(d.contains("graft-corpus-cc-labels"), d)
+    assert("""\(doc_id#\d+L? % 10\) = 9""".r.findFirstIn(d).nonEmpty, d)
+    assert(NotBatchRx.findFirstIn(d).isEmpty, d)
   }
 
   test("isotropy: pair-free sufficient statistics — no pair join of any kind") {
