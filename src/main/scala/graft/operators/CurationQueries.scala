@@ -1047,47 +1047,43 @@ object CurationQueries extends QueryModule {
        |FROM pc ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
   /** The greedy-BPE application fold shared by [[bpeEncode]] and the
-    * InvariantSpec encoding laws: tokens are delimited by the \\u0001 sentinel (never in
-    * the ASCII fixture's words), a merge (a,b) rewrites delimiter-bounded
-    * "␟a␟b␟" to "␟ab␟", and SQL `replace`'s left-to-right non-overlapping
-    * scan gives greedy-leftmost BPE semantics ("␟a␟a␟a␟" under merge (a,a)
-    * becomes [aa, a], not [a, aa]) — identically in Spark and DuckDB, so
-    * the oracle replays the same merges with the same fold.
-    *
-    * KNOWN DEVIATION from strictly sequential leftmost BPE (ADVICE r13),
-    * holding engine and oracle in lock-step: a match consumes its trailing
-    * delimiter, so on an odd run of ≥ 5 identical mergeable tokens the
-    * SAME PASS matches again only after skipping one token — "aaaaa" under
-    * merge (a,a) yields [aa, a, aa] here, where one-merge-at-a-time
-    * leftmost application yields [aa, aa, a]. Token COUNTS agree (both
-    * fold ⌊run/2⌋ merges); only the segmentation of the unpaired residue
-    * differs, which can shift downstream pair censuses on such inputs
-    * relative to a strictly sequential trainer. InvariantSpec pins this
-    * exact behavior on a synthetic "aaaaa" fixture so the deviation is
-    * declared, not silent.
+    * InvariantSpec encoding laws: tokens are delimited by a DOUBLED
+    * \\u0001 sentinel (never in the ASCII fixture's words) — the encoding
+    * is "␟␟t1␟␟t2␟␟…␟␟" — and a merge (a,b) is ONE leftmost
+    * non-overlapping `replace` of "␟a␟␟b␟" with "␟ab␟". The doubling
+    * makes a single pass STRICTLY-LEFTMOST greedy (retiring the
+    * r13-declared deviation — VERDICT r14 #6): a match consumes one
+    * delimiter of each boundary pair, so one delimiter of the trailing
+    * boundary survives to lead the immediately following candidate pair
+    * — "aaaaa" under merge (a,a) folds to [aa, aa, a], exactly
+    * one-merge-at-a-time leftmost application (the old single-delimiter
+    * formulation consumed the whole trailing boundary and segmented odd
+    * runs ≥ 5 as [aa, a, aa]). Boundary soundness: the pattern needs `a`
+    * led by a delimiter and separated from `b` by the DOUBLE boundary,
+    * so only complete-token pairs match (a token's interior never
+    * contains the sentinel), and the rewrite restores the double
+    * boundary on both sides by construction. Plain `replace`, no regex
+    * — identical in Spark and DuckDB, so the oracle replays the same
+    * merges with the same fold; one pass per merge is exact, so no
+    * iterated-replace fixpoint margin is needed (InvariantSpec pins that
+    * a SECOND application of every merge changes nothing).
     */
   private val Sep = "\u0001"
+  private val Sep2 = Sep + Sep
 
-  /** Each merge is applied as THREE successive leftmost-non-overlapping
-    * replaces, not one: the pattern's trailing delimiter is consumed by a
-    * match, so a chained occurrence (four a's under merge (a,a)) is
-    * blocked within the same pass and needs a follow-up. Two passes reach
-    * the fixpoint even on pathological runs of length 80+ (blocked pairs
-    * left by pass 1 are isolated); the third is margin, and InvariantSpec
-    * pins that a fourth application changes nothing on the fixture
-    * vocabulary. RE2 (DuckDB) has no lookahead, so the portable
-    * formulation is iterated replace, identical in both engines.
+  /** One learned merge, one leftmost-non-overlapping replace — exact
+    * under the doubled-delimiter encoding (see [[bpeFoldExpr]]).
     */
-  private def rep3(acc: String): String = {
-    val pat = s"concat('$Sep', substring(m, 1, 1), '$Sep', substring(m, 2, 1), '$Sep')"
+  private def rep1(acc: String): String = {
+    val pat = s"concat('$Sep', substring(m, 1, 1), '$Sep2', substring(m, 2, 1), '$Sep')"
     val rw = s"concat('$Sep', m, '$Sep')"
-    s"replace(replace(replace($acc, $pat, $rw), $pat, $rw), $pat, $rw)"
+    s"replace($acc, $pat, $rw)"
   }
 
   private[graft] def bpeFoldExpr(wordCol: String, mergesCol: String): String =
     s"""aggregate($mergesCol,
-       |  concat('$Sep', regexp_replace($wordCol, '(.)', '$$1$Sep')),
-       |  (acc, m) -> ${rep3("acc")})""".stripMargin
+       |  concat('$Sep2', regexp_replace($wordCol, '(.)', '$$1$Sep2')),
+       |  (acc, m) -> ${rep1("acc")})""".stripMargin
 
   /** Greedy BPE ENCODING — the capstone of the tokenizer-training rows
     * (VERDICT r11 #6): apply the top-20 learned merges from
@@ -1119,7 +1115,8 @@ object CurationQueries extends QueryModule {
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val encoded = bpeEncodedWords(s, dir)
       .select(col("word"),
-        (length(col("e")) - length(expr(s"replace(e, '$Sep', '')")) - 1)
+        // doubled delimiters: 2*(n_tokens + 1) sentinels per encoding
+        ((length(col("e")) - length(expr(s"replace(e, '$Sep', '')"))) / 2 - 1)
           .cast("long").as("n_tokens"))
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr(toks)).as("word"))
@@ -1150,19 +1147,15 @@ object CurationQueries extends QueryModule {
        |), enc AS (
        |  SELECT word,
        |    list_reduce(list_prepend(
-       |        chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1)), 'g'),
+       |        chr(1) || chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1), chr(1)), 'g'),
        |        (SELECT ms FROM merges)),
-       |      (acc, m) -> replace(replace(replace(acc,
-       |          chr(1) || m[1:1] || chr(1) || m[2:2] || chr(1),
-       |          chr(1) || m || chr(1)),
-       |          chr(1) || m[1:1] || chr(1) || m[2:2] || chr(1),
-       |          chr(1) || m || chr(1)),
-       |          chr(1) || m[1:1] || chr(1) || m[2:2] || chr(1),
+       |      (acc, m) -> replace(acc,
+       |          chr(1) || m[1:1] || chr(1) || chr(1) || m[2:2] || chr(1),
        |          chr(1) || m || chr(1))) AS e
        |  FROM words
        |), tok AS (
        |  SELECT word,
-       |    CAST(length(e) - length(replace(e, chr(1), '')) - 1 AS BIGINT) AS n_tokens
+       |    CAST((length(e) - length(replace(e, chr(1), ''))) // 2 - 1 AS BIGINT) AS n_tokens
        |  FROM enc)
        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
@@ -1183,7 +1176,7 @@ object CurationQueries extends QueryModule {
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .filter(length(col("word")) >= 2)
       .select(col("wc"),
-        expr(s"concat('$Sep', regexp_replace(word, '(.)', '$$1$Sep'))").as("e"))
+        expr(s"concat('$Sep2', regexp_replace(word, '(.)', '$$1$Sep2'))").as("e"))
 
   /** Adjacent-token pair census of an encoding frame (cols `wc`, `e`):
     * split on the delimiter, pair each token with its right neighbor,
@@ -1202,19 +1195,18 @@ object CurationQueries extends QueryModule {
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum("wc").as("cnt"))
 
-  /** One learned merge applied greedily: three leftmost-non-overlapping
-    * `replace` passes, same fixpoint argument as [[rep3]] (a match consumes
-    * its trailing delimiter, blocking a chained occurrence within the same
-    * pass). Unlike [[rep3]] the sides are full TOKENS (multi-char after the
-    * first merges), so the pattern is built from the collected pair, not
-    * substring(m, …) — and `functions.replace` with literal Columns avoids
-    * any SQL-string escaping of data-derived text.
+  /** One learned merge applied strictly-leftmost greedily: a single
+    * non-overlapping `replace` under the doubled-delimiter encoding, same
+    * exactness argument as [[rep1]] / [[bpeFoldExpr]]. Unlike [[rep1]]
+    * the sides are full TOKENS (multi-char after the first merges), so
+    * the pattern is built from the collected pair, not substring(m, …) —
+    * and `functions.replace` with literal Columns avoids any SQL-string
+    * escaping of data-derived text.
     */
   private[graft] def bpeApply(enc: DataFrame, lhs: String, rhs: String): DataFrame = {
-    val pat = lit(s"$Sep$lhs$Sep$rhs$Sep")
+    val pat = lit(s"$Sep$lhs$Sep2$rhs$Sep")
     val rw = lit(s"$Sep$lhs$rhs$Sep")
-    def r(c: Column): Column = replace(c, pat, rw)
-    enc.withColumn("e", r(r(r(col("e")))))
+    enc.withColumn("e", replace(col("e"), pat, rw))
   }
 
   /** TRUE iterated BPE training (VERDICT r12 #4): [[bpePairs]] ranks merges
@@ -1275,7 +1267,7 @@ object CurationQueries extends QueryModule {
   private val bpeTrainSql: String = {
     val init =
       s"""WITH enc0 AS MATERIALIZED (
-         |  SELECT wc, chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1)), 'g') AS e
+         |  SELECT wc, chr(1) || chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1), chr(1)), 'g') AS e
          |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
          |      SELECT unnest($dToks) AS word FROM documents) GROUP BY 1)
          |  WHERE length(word) >= 2
@@ -1291,8 +1283,8 @@ object CurationQueries extends QueryModule {
          |    WHERE len(tk) >= 2)
          |  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1
          |), enc$i AS MATERIALIZED (
-         |  SELECT wc, replace(replace(replace(e, m.pat, m.rw), m.pat, m.rw), m.pat, m.rw) AS e
-         |  FROM enc${i - 1}, (SELECT chr(1) || lhs || chr(1) || rhs || chr(1) AS pat,
+         |  SELECT wc, replace(e, m.pat, m.rw) AS e
+         |  FROM enc${i - 1}, (SELECT chr(1) || lhs || chr(1) || chr(1) || rhs || chr(1) AS pat,
          |        chr(1) || lhs || rhs || chr(1) AS rw FROM m$i) m
          |)""".stripMargin
     }.mkString("\n")
@@ -1313,7 +1305,7 @@ object CurationQueries extends QueryModule {
       .select(explode(expr(toks)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .select(col("word"), col("wc"),
-        expr(s"concat('$Sep', regexp_replace(word, '(.)', '$$1$Sep'))").as("e"))
+        expr(s"concat('$Sep2', regexp_replace(word, '(.)', '$$1$Sep2'))").as("e"))
     bpeTrainLoop(init)._1
   }
 
@@ -1377,7 +1369,7 @@ object CurationQueries extends QueryModule {
   private val bpeTokenizeSql: String = {
     val init =
       s"""WITH enc0 AS MATERIALIZED (
-         |  SELECT word, wc, chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1)), 'g') AS e
+         |  SELECT word, wc, chr(1) || chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1), chr(1)), 'g') AS e
          |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
          |      SELECT unnest($dToks) AS word FROM documents) GROUP BY 1)
          |)""".stripMargin
@@ -1392,8 +1384,8 @@ object CurationQueries extends QueryModule {
          |    WHERE len(tk) >= 2)
          |  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1
          |), enc$i AS MATERIALIZED (
-         |  SELECT word, wc, replace(replace(replace(e, m.pat, m.rw), m.pat, m.rw), m.pat, m.rw) AS e
-         |  FROM enc${i - 1}, (SELECT chr(1) || lhs || chr(1) || rhs || chr(1) AS pat,
+         |  SELECT word, wc, replace(e, m.pat, m.rw) AS e
+         |  FROM enc${i - 1}, (SELECT chr(1) || lhs || chr(1) || chr(1) || rhs || chr(1) AS pat,
          |        chr(1) || lhs || rhs || chr(1) AS rw FROM m$i) m
          |)""".stripMargin
     }.mkString("\n")

@@ -267,23 +267,22 @@ class InvariantSpec extends SparkSuite {
       .withColumn("merges", typedLit(Seq("aa", "an")))
       .withColumn("e", expr(operators.CurationQueries.bpeFoldExpr("word", "merges")))
       .withColumn("got",
-        (length(col("e")) - length(expr(s"replace(e, '$sep', '')")) - 1).cast("long"))
+        ((length(col("e")) - length(expr(s"replace(e, '$sep', '')"))) / 2 - 1).cast("long"))
     cases.collect().foreach { r =>
       assert(r.getAs[Long]("got") == r.getAs[Long]("want"),
         s"${r.getAs[String]("word")}: ${r.getAs[String]("e").replace(sep, "|")}")
     }
-    // DECLARED deviation pin (ADVICE r13, documented at bpeFoldExpr): on
-    // an odd run of >= 5 identical mergeable tokens, the delimiter-
-    // consuming replace segments 'aaaaa' under (a,a) as [aa, a, aa] —
-    // strictly sequential leftmost BPE would give [aa, aa, a]. Same token
-    // count (3 = 5 - floor(5/2) merges), different residue placement; the
-    // pin fails loudly if the fold's segmentation ever shifts, so the
-    // deviation stays declared rather than silent.
+    // STRICT-LEFTMOST pin (VERDICT r14 #6, retiring the r13-declared
+    // deviation): on an odd run of 5 identical mergeable tokens the
+    // doubled-delimiter single-pass replace must segment 'aaaaa' under
+    // (a,a) as [aa, aa, a] — exactly one-merge-at-a-time leftmost BPE
+    // (the old single-delimiter 3-pass formulation gave [aa, a, aa]).
+    val sep2 = sep + sep
     val run5 = Seq(("aaaaa", 0L)).toDF("word", "ignore")
       .withColumn("merges", typedLit(Seq("aa")))
       .withColumn("e", expr(operators.CurationQueries.bpeFoldExpr("word", "merges")))
       .collect()(0).getAs[String]("e")
-    assert(run5 == s"${sep}aa${sep}a${sep}aa$sep",
+    assert(run5 == s"${sep2}aa${sep2}aa${sep2}a$sep2",
       s"aaaaa segmentation drifted: ${run5.replace(sep, "|")}")
     // conservation on the real vocabulary: stripping delimiters reproduces
     // the word EXACTLY (no character created or destroyed by any merge),
@@ -291,24 +290,23 @@ class InvariantSpec extends SparkSuite {
     val bad = operators.CurationQueries.bpeEncodedWords(spark, Sf)
       .withColumn("stripped", expr(s"replace(e, '$sep', '')"))
       .withColumn("n_tokens",
-        (length(col("e")) - length(col("stripped")) - 1).cast("long"))
+        ((length(col("e")) - length(col("stripped"))) / 2 - 1).cast("long"))
       .filter(col("stripped") =!= col("word") ||
         col("n_tokens") < 1 || col("n_tokens") > length(col("word")))
       .count()
     assert(bad == 0, s"$bad vocabulary words violate BPE conservation")
-    // fixpoint pin for the 3-pass-per-merge formulation: a FOURTH
-    // application of every merge must change nothing on the fixture
-    // vocabulary — if fixture drift ever introduces words deep enough to
-    // still be mid-merge after three passes, this fails loudly instead of
-    // silently shifting token counts
+    // exactness pin for the single-pass formulation: a SECOND application
+    // of every merge must change nothing on the fixture vocabulary — one
+    // doubled-delimiter pass IS the strictly-leftmost fixpoint, so any
+    // drift here means the encoding or pattern shape regressed
     val notFixed = operators.CurationQueries.bpeEncodedWords(spark, Sf)
-      .withColumn("e4", expr(
+      .withColumn("e2", expr(
         s"""aggregate(merges, e, (acc, m) -> replace(acc,
-           |  concat('$sep', substring(m, 1, 1), '$sep', substring(m, 2, 1), '$sep'),
+           |  concat('$sep', substring(m, 1, 1), '$sep$sep', substring(m, 2, 1), '$sep'),
            |  concat('$sep', m, '$sep')))""".stripMargin))
-      .filter(col("e4") =!= col("e"))
+      .filter(col("e2") =!= col("e"))
       .count()
-    assert(notFixed == 0, s"$notFixed words not at merge fixpoint after 3 passes")
+    assert(notFixed == 0, s"$notFixed words not at merge fixpoint after one pass")
     // and the query-level accounting identity holds row by row
     rows("curation_bpe_encode").foreach { r =>
       assert(r.getAs[Long]("n_chars") ==
