@@ -70,6 +70,8 @@ object WindowAudit {
     "win_rolling_corr" -> "daily frame",
     "win_rsi_signal" -> "daily frame",
     "win_seasonality_dow" -> "day-of-week grid over daily frame",
+    "text_keyphrase_textrank" ->
+      "vocabulary-sized rank over the co-occurrence graph nodes",
     "win_share_of_total" -> "grouped aggregate vs 1-row total",
     "win_sma_crossover" -> "daily frame",
     "win_spectral_weekly" -> "daily frame",

@@ -1789,7 +1789,45 @@ object DedupQueries extends QueryModule {
        |  n_candidates
        |FROM agg, nc""".stripMargin
 
+  /** Template-boundary grouping: documents sharing identical FIRST-2 and
+    * LAST-1 token boundaries — the cheap structural-near-dup detector for
+    * templated/boilerplate-framed content (mirror pages, scraped
+    * listings, generated reports whose frame is fixed and whose middle
+    * varies), run before any shingle-level pass because it is one linear
+    * projection + one hash-agg. Only multi-doc groups are emitted, with
+    * the earliest member as the exemplar — the survivorship convention
+    * every dedup family here shares. Scale shape: corpus-linear, one
+    * exchange on the (head, tail) key; the boundary key is tiny and
+    * uniformly hashable, so no skew mitigation is needed.
+    */
+  def templateBoundaries(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 6) // head and tail must not overlap
+      .select(col("doc_id"),
+        concat_ws(" ", expr("slice(tk, 1, 2)")).as("head"),
+        concat_ws(" ", expr("slice(tk, -1, 1)")).as("tail"))
+      .groupBy("head", "tail")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("exemplar_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), asc("head"), asc("tail"))
+
+  private val templateBoundariesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $dToks AS tk FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |    array_to_string(tk[1:2], ' ') AS head,
+       |    array_to_string(tk[-1:], ' ') AS tail
+       |  FROM t WHERE len(tk) >= 6)
+       |SELECT head, tail, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS exemplar_id
+       |FROM b GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY n_docs DESC, head, tail""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_template_boundaries", templateBoundaries,
+      Some(templateBoundariesSql)),
     QueryDef("dedup_lsh_recall_eval", lshRecallEval, Some(lshRecallEvalSql)),
     QueryDef("curation_lsh_band_tuning", lshBandTuning, Some(lshBandTuningSql)),
     QueryDef("dedup_cdc_chunks", cdcChunks, Some(cdcChunksSql)),

@@ -848,7 +848,87 @@ object MiscQueries extends QueryModule {
       |  round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS hi
       |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Referential-integrity audit — the data-quality sweep a warehouse
+    * runs before trusting a snapshot: orphan counts across the four FK
+    * edges (lineitem→orders, lineitem→part, lineitem→supplier,
+    * orders→customer), null-FK counts, and duplicate-primary-key counts
+    * on both fact PKs. One row per check with the checked population, so
+    * a clean snapshot still pins every edge's row count (the audit's
+    * value is the zeros being PROVEN zeros, not assumed). Scale shape:
+    * each orphan check is a left-anti join on the FK (broadcast for the
+    * dim-sized sides, shuffled-keyed for fact-fact), each dup check one
+    * hash-agg; checks are independent 1-row aggregates unioned at the
+    * end — nothing global, nothing quadratic.
+    */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    def one(name: String, violations: DataFrame, checked: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(checked.agg(count(lit(1)).as("n_checked")))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+    val checks = Seq(
+      one("lineitem_orphan_orderkey",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"), li),
+      one("lineitem_orphan_partkey",
+        li.join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"),
+          "left_anti"), li),
+      one("lineitem_orphan_suppkey",
+        li.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"),
+          "left_anti"), li),
+      one("orders_orphan_custkey",
+        o.join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"),
+          "left_anti"), o),
+      one("orders_null_custkey", o.filter(col("o_custkey").isNull), o),
+      one("orders_dup_orderkey",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("c")).filter(col("c") > 1), o),
+      one("lineitem_dup_pk",
+        li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), li))
+    checks.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  private val integrityAuditSql =
+    """WITH checks AS (
+      |  SELECT 'lineitem_orphan_orderkey' AS check_name,
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+      |    (SELECT count(*) FROM lineitem) AS n_checked
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_partkey',
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_suppkey',
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders_orphan_custkey',
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_null_custkey',
+      |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_dup_orderkey',
+      |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+      |       GROUP BY 1 HAVING count(*) > 1)),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem_dup_pk',
+      |    (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      |       GROUP BY 1, 2 HAVING count(*) > 1)),
+      |    (SELECT count(*) FROM lineitem))
+      |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |  CAST(n_checked AS BIGINT) AS n_checked
+      |FROM checks ORDER BY check_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_integrity_audit", integrityAudit, Some(integrityAuditSql)),
     QueryDef("misc_histogram_equi_depth", histogramEquiDepth,
       Some(histogramEquiDepthSql)),
     QueryDef("misc_skyline_2d", skyline2d, Some(skyline2dSql)),

@@ -1384,7 +1384,81 @@ object SimilarityQueries extends QueryModule {
       |  round(mu_cur / 1e6, 6) AS mean_cur, round(z, 4) AS drift_z
       |FROM top ORDER BY dim""".stripMargin
 
+  /** Nearest-centroid classification (Rocchio): per-label centroids over
+    * the embedding corpus, every vector assigned to its max-cosine
+    * centroid, confusion counts per (true, predicted) pair — the
+    * label-propagation / cluster-assignment primitive of embedding-based
+    * curation (and the assignment step of a k-means sweep). Determinism
+    * is exact-integer end to end: each float component quantizes to
+    * integer micros, a centroid is carried as its exact integer SUM
+    * vector (the member count cancels in the cosine), and dot products
+    * and norms are order-free BIGINT sums — bounds checked in-source:
+    * |q| ≤ 6e5, per-label n ≤ corpus, dim 64, so q·s ≤ 7.2e13·64 ≈ 5e15
+    * and s² ≤ 1.5e16·64 ≈ 9e17, both inside Long. The only doubles are
+    * one sqrt-divide per (vector, centroid), identical on both engines.
+    * Scale shape: centroids are a k×dim broadcast dim; the assignment is
+    * corpus-linear × k with an order-free integer aggregate — never
+    * vector-vector pairs.
+    */
+  def centroidClassify(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        expr("CAST(round(col * 1e6) AS BIGINT)").as("q"))
+    val cent = qv.groupBy(col("label").as("c_label"), col("pos"))
+      .agg(sum("q").as("cs"))
+    val centNorm = cent.groupBy("c_label")
+      .agg(sum(col("cs") * col("cs")).as("c2"))
+    val vecNorm = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("q2"))
+    val dots = qv.join(broadcast(cent), "pos")
+      .groupBy("vec_id", "label", "c_label")
+      .agg(sum(col("q") * col("cs")).as("dot"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_r"), asc("c_label"))
+    dots
+      .join(broadcast(centNorm), "c_label")
+      .join(vecNorm, "vec_id")
+      .withColumn("cos_r", round(col("dot").cast("double") /
+        (sqrt(col("q2").cast("double")) * sqrt(col("c2").cast("double"))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label").as("true_label"), col("c_label").as("predicted_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "predicted_label")
+  }
+
+  private val centroidClassifySql =
+    """WITH qv AS (
+      |  SELECT vec_id, label, p.pos AS pos,
+      |    CAST(round(p.x * 1e6) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, label,
+      |      unnest(list_transform(range(1, len(embedding) + 1),
+      |        i -> struct_pack(pos := i, x := embedding[i]))) AS p
+      |    FROM embeddings)
+      |), cent AS (
+      |  SELECT label AS c_label, pos, CAST(sum(q) AS BIGINT) AS cs
+      |  FROM qv GROUP BY 1, 2
+      |), cent_norm AS (
+      |  SELECT c_label, CAST(sum(cs * cs) AS BIGINT) AS c2 FROM cent GROUP BY 1
+      |), vec_norm AS (
+      |  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS q2 FROM qv GROUP BY 1
+      |), dots AS (
+      |  SELECT vec_id, label, c_label, CAST(sum(q * cs) AS BIGINT) AS dot
+      |  FROM qv JOIN cent USING (pos) GROUP BY 1, 2, 3
+      |), assigned AS (
+      |  SELECT vec_id, label, c_label,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      round(CAST(dot AS DOUBLE) /
+      |        (sqrt(CAST(q2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))), 6) DESC,
+      |      c_label ASC) AS rn
+      |  FROM dots JOIN cent_norm USING (c_label) JOIN vec_norm USING (vec_id))
+      |SELECT label AS true_label, c_label AS predicted_label,
+      |  CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM assigned WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_centroid_classify", centroidClassify, Some(centroidClassifySql)),
     QueryDef("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     QueryDef("sim_ranking_metrics", rankingMetrics, Some(rankingMetricsSql)),
     QueryDef("sim_embedding_isotropy", embeddingIsotropy, Some(embeddingIsotropySql)),

@@ -1442,7 +1442,182 @@ object TextQueries extends QueryModule {
       |  round(mi / least(hxv, hyv), 6) AS nmi
       |FROM f""".stripMargin
 
+  /** TextRank keyphrase extraction: PageRank over the word co-occurrence
+    * graph (adjacent-token bigrams across the corpus, undirected,
+    * count-weighted), 4 damped iterations, top-25 keywords — the
+    * graph-based unsupervised keyword ranking of Mihalcea & Tarau's
+    * TextRank, corpus-level. Scale shape: the bigram census is one
+    * corpus-linear explode + hash-agg; everything after runs on the
+    * VOCABULARY-sized graph (nodes = distinct words, edges = distinct
+    * adjacent pairs), so the 4 iterations are vocabulary-keyed joins that
+    * never touch the corpus again. Determinism: same recipe as
+    * curation_host_pagerank — uniform 1/N init, 0.15/N teleport, the
+    * transition p = w/out_w from exact integer counts, round(pr, 6), and
+    * ties in the final ranking break on the word; both engines replay the
+    * identical 4-step unrolled recursion.
+    */
+  def keyphraseTextrank(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> named_struct('u', element_at(tk, i), 'v', element_at(tk, i + 1)))""".stripMargin))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v")) // self-loops carry no ranking signal
+    // undirected: each adjacency counts in both directions
+    val edges = bigrams
+      .unionByName(bigrams.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val outdeg = edges.groupBy("u").agg(sum("w").as("out_w"))
+    val e = edges.join(outdeg, "u")
+      .select(col("u"), col("v"), (col("w") / col("out_w").cast("double")).as("p"))
+      .cache()
+    val nodes = e.select(col("u").as("word")).distinct()
+    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("word"), (lit(1.0) / col("n")).as("pr"), col("n"))
+    for (_ <- 1 to 4) {
+      val inflow = e.join(ranks, e("u") === ranks("word"))
+        .select(col("v"), (col("pr") * col("p")).as("c"))
+        .groupBy("v").agg(sum("c").as("inflow"))
+      ranks = nodes.crossJoin(broadcast(n))
+        .join(inflow, nodes("word") === inflow("v"), "left")
+        .select(col("word"),
+          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"),
+          col("n"))
+    }
+    val ranked = ranks
+      .select(col("word"), round(col("pr"), 6).as("textrank"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("textrank").desc, col("word").asc)).cast("int"))
+      .filter(col("rank") <= 25)
+      .select("rank", "word", "textrank")
+      .orderBy("rank")
+    ranked
+  }
+
+  private val keyphraseTextrankSql = {
+    val iter = (i: Int) =>
+      s"""r${i + 1} AS (
+         |  SELECT nd.word, 0.15 / nd.n + 0.85 * coalesce(sum(r.pr * e.p), 0) AS pr
+         |  FROM (SELECT word, n FROM nodes CROSS JOIN nn) nd
+         |  LEFT JOIN e ON e.v = nd.word
+         |  LEFT JOIN r$i r ON r.word = e.u
+         |  GROUP BY 1, nd.n)""".stripMargin
+    s"""WITH big AS (
+       |  SELECT p.u AS u, p.v AS v FROM (
+       |    SELECT unnest(list_transform(range(1, len(tk)),
+       |      i -> struct_pack(u := tk[i], v := tk[i + 1]))) AS p
+       |    FROM (SELECT $dToks AS tk FROM documents)
+       |    WHERE len(tk) >= 2)
+       |  WHERE p.u <> p.v
+       |), edges AS (
+       |  SELECT u, v, count(*) AS w FROM (
+       |    SELECT u, v FROM big UNION ALL SELECT v, u FROM big)
+       |  GROUP BY 1, 2
+       |), outdeg AS (
+       |  SELECT u, sum(w) AS out_w FROM edges GROUP BY 1
+       |), e AS (
+       |  SELECT edges.u, v, w / CAST(out_w AS DOUBLE) AS p
+       |  FROM edges JOIN outdeg USING (u)
+       |), nodes AS (
+       |  SELECT DISTINCT u AS word FROM edges
+       |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT word, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+       |${(0 until 4).map(iter).mkString(",\n")},
+       |ranked AS (
+       |  SELECT word, round(pr, 6) AS textrank,
+       |    CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, word ASC) AS INT) AS rank
+       |  FROM r4)
+       |SELECT rank, word, textrank FROM ranked WHERE rank <= 25 ORDER BY rank""".stripMargin
+  }
+
+  /** Interpolated Kneser–Ney bigram LM scoring — the smoothing the
+    * production LM-quality filters (CCNet-style) actually use, where
+    * [[bigramLogprob]] is the plain add-k baseline: absolute discount
+    * D = 0.75 off every seen bigram, mass redistributed through the
+    * CONTINUATION probability (how many distinct left-contexts a word
+    * follows — "Francisco" is frequent but only ever follows "San", so
+    * its continuation mass is tiny). Per doc: Σ ln P_KN(v|u) over its
+    * bigrams plus the per-bigram mean. Determinism follows the
+    * [[bigramLogprob]] recipe: all count tables are exact integers, each
+    * bigram's log-prob is one scalar expression over those integers, and
+    * per-doc sums of ~tens of such doubles round at 4 decimals — the
+    * cross-engine float slack (ulp-level libm differences in ln) is nine
+    * orders of magnitude below the rounding grid. (An earlier micro-nat
+    * quantization was REMOVED: rounding ln to integer micros put a hard
+    * decision boundary at the same 1e-6 scale the output rounding reads,
+    * and a single libm ulp flipped a micro at sf0.1.) Scale
+    * shape: count tables are vocabulary²-bounded hash-aggs; doc scoring
+    * is one corpus-linear explode + a keyed join on the bigram + one
+    * doc-keyed integer aggregate.
+    */
+  def kneserNeyLogprob(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.documents(s, dir)
+      .withColumn("tk", expr(toks))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> named_struct('u', element_at(tk, i), 'v', element_at(tk, i + 1)))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+    val cb = big.groupBy("u", "v").agg(count(lit(1)).as("c_uv"))
+    val cu = cb.groupBy("u")
+      .agg(sum("c_uv").as("c_u"), count(lit(1)).as("n_follow"))
+    val cont = cb.groupBy("v").agg(count(lit(1)).as("n_prec"))
+    val tot = cb.agg(count(lit(1)).as("t_types"))
+    val lp = cb.join(cu, "u").join(cont, "v").crossJoin(broadcast(tot))
+      .withColumn("lp", expr(
+        """ln(
+          |  (CAST(c_uv AS DOUBLE) - 0.75) / CAST(c_u AS DOUBLE)
+          |  + 0.75 * (CAST(n_follow AS DOUBLE) / CAST(c_u AS DOUBLE))
+          |    * (CAST(n_prec AS DOUBLE) / CAST(t_types AS DOUBLE))
+          |)""".stripMargin))
+      .select("u", "v", "lp")
+    big.join(lp, Seq("u", "v"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_lp"), 4).as("kn_logprob"),
+        round(col("sum_lp") / col("n_bigrams").cast("double"), 4).as("kn_per_bigram"))
+      .orderBy("doc_id")
+  }
+
+  private val kneserNeyLogprobSql =
+    s"""WITH big AS (
+       |  SELECT doc_id, p.u AS u, p.v AS v FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |      i -> struct_pack(u := tk[i], v := tk[i + 1]))) AS p
+       |    FROM (SELECT doc_id, $dToks AS tk FROM documents)
+       |    WHERE len(tk) >= 2)
+       |), cb AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS c_uv FROM big GROUP BY 1, 2
+       |), cu AS (
+       |  SELECT u, CAST(sum(c_uv) AS BIGINT) AS c_u,
+       |    CAST(count(*) AS BIGINT) AS n_follow FROM cb GROUP BY 1
+       |), cont AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS n_prec FROM cb GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS t_types FROM cb
+       |), lp AS (
+       |  SELECT u, v,
+       |    ln(
+       |      (CAST(c_uv AS DOUBLE) - 0.75) / CAST(c_u AS DOUBLE)
+       |      + 0.75 * (CAST(n_follow AS DOUBLE) / CAST(c_u AS DOUBLE))
+       |        * (CAST(n_prec AS DOUBLE) / CAST(t_types AS DOUBLE))
+       |    ) AS lp
+       |  FROM cb JOIN cu USING (u) JOIN cont USING (v) CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(sum(lp), 4) AS kn_logprob,
+       |  round(sum(lp) / CAST(count(*) AS DOUBLE), 4) AS kn_per_bigram
+       |FROM big JOIN lp USING (u, v)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_kneser_ney_logprob", kneserNeyLogprob, Some(kneserNeyLogprobSql)),
+    QueryDef("text_keyphrase_textrank", keyphraseTextrank, Some(keyphraseTextrankSql)),
     QueryDef("text_mutual_information", mutualInformation, Some(mutualInformationSql)),
     QueryDef("text_js_divergence", jsDivergence, Some(jsDivergenceSql)),
     QueryDef("text_chao1_richness", chao1Richness, Some(chao1RichnessSql)),
