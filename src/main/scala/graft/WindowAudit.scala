@@ -72,6 +72,7 @@ object WindowAudit {
     "win_seasonality_dow" -> "day-of-week grid over daily frame",
     "text_keyphrase_textrank" ->
       "vocabulary-sized rank over the co-occurrence graph nodes",
+    "text_term_burstiness" -> "vocabulary-sized term-frequency rollup",
     "win_share_of_total" -> "grouped aggregate vs 1-row total",
     "win_sma_crossover" -> "daily frame",
     "win_spectral_weekly" -> "daily frame",

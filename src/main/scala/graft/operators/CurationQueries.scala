@@ -1819,7 +1819,58 @@ object CurationQueries extends QueryModule {
       |FROM hs a JOIN hs b ON a.h = b.h AND a.split <> b.split
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** k-anonymity census over quasi-identifiers — the privacy audit a
+    * dataset release runs BEFORE publication: group the corpus by the
+    * attacker-linkable attribute combination (language, source, length
+    * bucket), measure every equivalence-class size k, and report the
+    * class/document mass in the standard risk buckets (k=1 unique →
+    * re-identifiable, k∈[2,4] → below the usual k≥5 bar, then 5-9, 10+).
+    * The headline figure is the share of documents living below k=5.
+    * Scale shape: ONE hash-agg on the QI tuple, then a 4-row bucket
+    * rollup with a broadcast 1-row total — corpus-linear, map-side
+    * combinable; exact integers everywhere, one rounded share division.
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        expr("CAST(n_chars div 32 AS INT)").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("k"))
+    val total = classes.agg(sum("k").as("n_total"))
+    classes
+      .withColumn("k_bucket",
+        when(col("k") === 1, "1_unique")
+          .when(col("k") <= 4, "2_to_4")
+          .when(col("k") <= 9, "5_to_9")
+          .otherwise("10_plus"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n_classes"), sum("k").as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("k_bucket"), col("n_classes"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 4)
+          .as("doc_share"))
+      .orderBy("k_bucket")
+  }
+
+  private val kAnonymitySql =
+    """WITH classes AS (
+      |  SELECT lang, source, CAST(n_chars // 32 AS INT) AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS k
+      |  FROM documents GROUP BY 1, 2, 3
+      |), tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_total FROM classes),
+      |bucketed AS (
+      |  SELECT CASE WHEN k = 1 THEN '1_unique'
+      |              WHEN k <= 4 THEN '2_to_4'
+      |              WHEN k <= 9 THEN '5_to_9'
+      |              ELSE '10_plus' END AS k_bucket,
+      |    CAST(count(*) AS BIGINT) AS n_classes, CAST(sum(k) AS BIGINT) AS n_docs
+      |  FROM classes GROUP BY 1)
+      |SELECT k_bucket, n_classes, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS doc_share
+      |FROM bucketed CROSS JOIN tot ORDER BY k_bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("curation_oov_rate", oovRate, Some(oovRateSql)),
     QueryDef("curation_label_balance", labelBalance, Some(labelBalanceSql)),
     QueryDef("curation_split_leakage", splitLeakage, Some(splitLeakageSql)),

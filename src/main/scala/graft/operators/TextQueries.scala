@@ -1615,7 +1615,58 @@ object TextQueries extends QueryModule {
        |FROM big JOIN lp USING (u, v)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Term burstiness (Church–Gale): how CLUMPED each term's occurrences
+    * are across documents — cf/df (mean occurrences per containing doc)
+    * and the Fano factor (variance/mean of per-doc counts over containing
+    * docs). Content words burst (a doc that mentions a topic mentions it
+    * repeatedly, Fano > 1); function words spread Poisson-like (Fano ≈ 1)
+    * — the signal term-weighting and stopword induction read. Top-25
+    * terms by collection frequency. Determinism: per-term (df, Σc, Σc²)
+    * are exact integer sums; mean and Fano are single scalar expressions
+    * over those integers, rounded at 4. Scale shape: one corpus-linear
+    * explode + per-(doc, term) count, one term-keyed rollup — map-side
+    * combinable, vocabulary-sized output.
+    */
+  def termBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(desc("cf"), asc("term"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"),
+        sum(col("c") * col("c")).as("cf2"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 25)
+      .select(col("rank"), col("term"), col("df"), col("cf"),
+        round(col("cf").cast("double") / col("df").cast("double"), 4)
+          .as("burstiness"),
+        // Fano = population variance / mean over the df containing docs:
+        // ((Σc² − (Σc)²/df)/df) / (Σc/df)  =  Σc²/Σc − Σc/df
+        round(col("cf2").cast("double") / col("cf").cast("double") -
+          col("cf").cast("double") / col("df").cast("double"), 4).as("fano"))
+      .orderBy("rank")
+  }
+
+  private val termBurstinessSql =
+    s"""WITH pd AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest($dToks) AS term FROM documents)
+       |  GROUP BY 1, 2
+       |), t AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(c) AS BIGINT) AS cf, CAST(sum(c * c) AS BIGINT) AS cf2
+       |  FROM pd GROUP BY 1
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS INT) AS rank
+       |  FROM t)
+       |SELECT rank, term, df, cf,
+       |  round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 4) AS burstiness,
+       |  round(CAST(cf2 AS DOUBLE) / CAST(cf AS DOUBLE)
+       |    - CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 4) AS fano
+       |FROM ranked WHERE rank <= 25 ORDER BY rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_term_burstiness", termBurstiness, Some(termBurstinessSql)),
     QueryDef("text_kneser_ney_logprob", kneserNeyLogprob, Some(kneserNeyLogprobSql)),
     QueryDef("text_keyphrase_textrank", keyphraseTextrank, Some(keyphraseTextrankSql)),
     QueryDef("text_mutual_information", mutualInformation, Some(mutualInformationSql)),

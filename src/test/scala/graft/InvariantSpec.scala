@@ -139,6 +139,34 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("r15 k-anonymity: buckets partition the corpus, shares sum to 1") {
+    val out = rows("curation_k_anonymity")
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(math.abs(out.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-2)
+    out.foreach { r =>
+      // a bucket's docs are at least its classes (k >= 1 per class) and —
+      // for the unique bucket — exactly its classes
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_classes"))
+      if (r.getAs[String]("k_bucket") == "1_unique")
+        assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_classes"))
+    }
+  }
+
+  test("r15 term burstiness: burstiness >= 1, Fano >= 0, ranking is by collection frequency") {
+    val out = rows("text_term_burstiness").sortBy(_.getAs[Int]("rank"))
+    assert(out.length == 25)
+    out.foreach { r =>
+      // every containing doc contributes >= 1 occurrence
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"))
+      assert(r.getAs[Double]("burstiness") >= 1.0)
+      // Fano is a variance over a mean — never negative
+      assert(r.getAs[Double]("fano") >= -1e-9)
+    }
+    val cfs = out.map(_.getAs[Long]("cf"))
+    cfs.sliding(2).foreach(w => assert(w(1) <= w(0)))
+  }
+
   test("r15 incremental clusters: incremental ≡ from-scratch under ALTERNATIVE batch splits") {
     // The oracle gate proves incremental ≡ recompute for the declared
     // split (doc_id % 10 == 9) only; the connectivity-equivalence argument
