@@ -909,10 +909,16 @@ object DedupQueries extends QueryModule {
     // localCheckpoint materialized a fresh block set on every invocation
     // (ADVICE r14 #5); mhBanded over the cached sigs is one cheap explode
     val newPostings = mhBanded(batchSigs(s, dir, batchMod))
-    // only buckets the batch touches can contribute delta edges
-    val touched = idx.unionByName(newPostings)
-      .join(newPostings.select("band", "bhash").distinct(),
-        Seq("band", "bhash"), "left_semi")
+    // only buckets the batch touches can contribute delta edges. The
+    // semi-join is SPLIT per side (same rewrite as the indexMaintenance
+    // probe): the index leg semi-joins the bucketed table on exactly its
+    // bucketing key, so the index side reads co-located — a union before
+    // the semi-join would discard the bucketing and re-shuffle the whole
+    // index per batch.
+    val batchBuckets = newPostings.select("band", "bhash").distinct()
+    val touched = idx.join(batchBuckets, Seq("band", "bhash"), "left_semi")
+      .unionByName(
+        newPostings.join(batchBuckets, Seq("band", "bhash"), "left_semi"))
     val delta = starEdges(touched)
       .filter(col("doc_a") % 10 === batchMod || col("doc_b") % 10 === batchMod)
     // contract endpoints through the persisted labels; batch ids are never
