@@ -73,6 +73,7 @@ object WindowAudit {
     "text_keyphrase_textrank" ->
       "vocabulary-sized rank over the co-occurrence graph nodes",
     "text_term_burstiness" -> "vocabulary-sized term-frequency rollup",
+    "win_ntile_quartiles" -> "per-customer spend aggregate frame (customers, not orders)",
     "win_share_of_total" -> "grouped aggregate vs 1-row total",
     "win_sma_crossover" -> "daily frame",
     "win_spectral_weekly" -> "daily frame",

@@ -1366,7 +1366,11 @@ object CurationQueries extends QueryModule {
     * and single-char words included — they never enter a census), then the
     * same vocab/id assembly and per-doc reassembly.
     */
-  private val bpeTokenizeSql: String = {
+  /** Shared word-carrying trainer-CTE prefix (enc0 … enc20) for the
+    * DuckDB twins that need the trained encodings: [[bpeTokenizeSql]] and
+    * the tokenizer-fertility oracle.
+    */
+  private val bpeTrainerCtesSql: String = {
     val init =
       s"""WITH enc0 AS MATERIALIZED (
          |  SELECT word, wc, chr(1) || chr(1) || regexp_replace(word, '(.)', concat('\\1', chr(1), chr(1)), 'g') AS e
@@ -1389,6 +1393,10 @@ object CurationQueries extends QueryModule {
          |        chr(1) || lhs || rhs || chr(1) AS rw FROM m$i) m
          |)""".stripMargin
     }.mkString("\n")
+    s"$init\n$stages"
+  }
+
+  private val bpeTokenizeSql: String = {
     val tail =
       s""", wt AS MATERIALIZED (
          |  SELECT word, p.tpos AS tpos, p.token AS token FROM (
@@ -1413,7 +1421,7 @@ object CurationQueries extends QueryModule {
          |  string_agg(ids, ' ' ORDER BY pos) AS token_ids
          |FROM dw JOIN word_ids USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    s"$init\n$stages\n$tail"
+    s"$bpeTrainerCtesSql\n$tail"
   }
 
   /** DSIR-style data selection (importance resampling over hashed n-gram
@@ -1869,7 +1877,60 @@ object CurationQueries extends QueryModule {
       |  round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS doc_share
       |FROM bucketed CROSS JOIN tot ORDER BY k_bucket""".stripMargin
 
+  /** Tokenizer fertility by language — the metric tokenizer evaluations
+    * report per language (how many subword tokens a word costs, and how
+    * many characters a token carries) under the LEARNED k=20 BPE vocab:
+    * a language the tokenizer serves poorly shows high fertility, which
+    * inflates its effective training cost and context usage. Reuses the
+    * trained vocabulary-level encodings ([[bpeTrainedEncodings]] — the
+    * per-word token count reads off the doubled-delimiter encoding), so
+    * the corpus-side work is one explode + a keyed word join + one
+    * lang-keyed exact-integer aggregate; the two reported ratios are
+    * single divisions over exact totals. The DuckDB twin replays the full
+    * 20-stage trainer (shared CTE prefix with the tokenize oracle).
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeTrainedEncodings(s, dir)
+      .select(col("word"),
+        ((length(col("e")) - length(expr(s"replace(e, '$Sep', '')"))) / 2 - 1)
+          .cast("long").as("n_word_tokens"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(expr(toks)).as("word"))
+      .join(enc, "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_word_tokens").as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 4)
+          .as("tokens_per_word"),
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  private val tokenizerFertilitySql: String =
+    s"""$bpeTrainerCtesSql
+       |, wtok AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(e, chr(1)), t -> t <> '')) AS BIGINT)
+       |      AS n_word_tokens
+       |  FROM enc20
+       |), dw AS (
+       |  SELECT lang, unnest($dToks) AS word FROM documents
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_word_tokens) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_word_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS tokens_per_word,
+       |  round(CAST(sum(length(word)) AS DOUBLE) / CAST(sum(n_word_tokens) AS DOUBLE), 4)
+       |    AS chars_per_token
+       |FROM dw JOIN wtok USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql)),
     QueryDef("curation_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("curation_oov_rate", oovRate, Some(oovRateSql)),
     QueryDef("curation_label_balance", labelBalance, Some(labelBalanceSql)),

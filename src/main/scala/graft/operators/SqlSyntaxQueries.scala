@@ -252,7 +252,65 @@ object SqlSyntaxQueries extends QueryModule {
     """SELECT * EXCLUDE (c_acctbal, c_name) FROM customer
       |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin
 
+  /** Named parameter markers (Spark 3.4+ `spark.sql(query, args)`): the
+    * SQL-injection-safe way to template a query over runtime values — the
+    * parameters bind as LITERALS in the parsed plan (foldable, so
+    * constant-folding and pushdown see the value, unlike a genuinely
+    * late-bound variable), and a marker can never splice syntax. The
+    * oracle inlines the same literals, which is exactly the semantics the
+    * binding guarantees.
+    */
+  private def parameterMarkers(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= CAST(:lo AS TIMESTAMP)
+        |  AND o_orderdate < CAST(:hi AS TIMESTAMP)
+        |  AND o_orderstatus = :status
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("lo" -> "1995-01-01", "hi" -> "1996-01-01", "status" -> "F"))
+  }
+
+  private val parameterMarkersSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderdate >= CAST('1995-01-01' AS TIMESTAMP)
+      |  AND o_orderdate < CAST('1996-01-01' AS TIMESTAMP)
+      |  AND o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** EXECUTE IMMEDIATE (Spark 4.0): dynamic SQL executed from a string
+    * expression with USING parameter binding — the stored-procedure-style
+    * escape hatch for query text assembled at runtime (a BI tool's saved
+    * query, a metadata-driven report). The inner text binds `?` markers
+    * positionally from session variables; same literal-binding semantics
+    * as [[parameterMarkers]].
+    */
+  private def execImmediate(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql("DECLARE OR REPLACE VARIABLE seg STRING")
+    s.sql("SET VAR seg = 'BUILDING'")
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |     round(sum(c_acctbal), 2) AS total_balance
+        |   FROM customer WHERE c_mktsegment = ?
+        |   GROUP BY c_nationkey ORDER BY c_nationkey'
+        |  USING seg""".stripMargin)
+  }
+
+  private val execImmediateSql =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_balance
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_parameter_markers", parameterMarkers, Some(parameterMarkersSql)),
+    QueryDef("sql_exec_immediate", execImmediate, Some(execImmediateSql)),
     QueryDef("sql_star_except_offset", starExceptOffset, Some(starExceptOffsetSql)),
     QueryDef("sql_group_by_all", groupByAll, Some(groupByAllSql)),
     QueryDef("sql_window_clause", windowClause, Some(windowClauseSql)),

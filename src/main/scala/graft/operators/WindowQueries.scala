@@ -1036,7 +1036,50 @@ object WindowQueries extends QueryModule {
       |  round(CAST(d6 AS DOUBLE) / 1e6, 4) AS z_distance
       |FROM top WHERE rank <= 5 ORDER BY rank""".stripMargin
 
+  /** ntile quartile segmentation: customers ranked by exact lifetime
+    * spend (cents) and cut into 4 equal-count tiles — the standard
+    * customer-value banding (ntile hands earlier tiles the remainder
+    * rows, identically in Spark and DuckDB). Per-tile census over exact
+    * integers. Ties in spend break on the customer key, so the tile
+    * assignment is fully deterministic. Scale shape: one customer-keyed
+    * aggregate collapses orders to the customer frame; the global ntile
+    * sorts that collapsed frame (customers, not orders) — at true scale
+    * the same cut is computed from quantile boundaries instead of one
+    * sort, which `misc_histogram_equi_depth` already demonstrates; this
+    * row pins the window-function SEMANTICS.
+    */
+  def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    spend
+      .withColumn("tile", ntile(4).over(
+        Window.orderBy(col("cents").desc, col("o_custkey").asc)))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_customers"),
+        round(min("cents") / 100.0, 2).as("min_spend"),
+        round(max("cents") / 100.0, 2).as("max_spend"),
+        round(sum("cents") / 100.0, 2).as("tile_spend"))
+      .orderBy("tile")
+  }
+
+  private val ntileQuartilesSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1
+      |), tiled AS (
+      |  SELECT cents,
+      |    CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey ASC) AS INT) AS tile
+      |  FROM spend)
+      |SELECT tile, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(min(cents) / 100.0, 2) AS min_spend,
+      |  round(max(cents) / 100.0, 2) AS max_spend,
+      |  round(sum(cents) / 100.0, 2) AS tile_spend
+      |FROM tiled GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("win_ntile_quartiles", ntileQuartiles, Some(ntileQuartilesSql)),
     QueryDef("win_sax_symbols", saxSymbols, Some(saxSymbolsSql)),
     QueryDef("win_motif_pairs", motifPairs, Some(motifPairsSql)),
     QueryDef("win_drawdown", drawdown, Some(drawdownSql)),

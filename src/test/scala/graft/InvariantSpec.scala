@@ -167,6 +167,38 @@ class InvariantSpec extends SparkSuite {
     cfs.sliding(2).foreach(w => assert(w(1) <= w(0)))
   }
 
+  test("r15 ntile quartiles: equal-count tiles (remainder to the front), descending spend bands") {
+    val out = rows("win_ntile_quartiles").sortBy(_.getAs[Int]("tile"))
+    assert(out.map(_.getAs[Int]("tile")).toSeq == (1 to 4))
+    val sizes = out.map(_.getAs[Long]("n_customers"))
+    val nCust = Tables.orders(spark, Sf).select("o_custkey").distinct().count()
+    assert(sizes.sum == nCust)
+    // ntile's contract: sizes differ by at most 1 and the larger tiles
+    // come first
+    assert(sizes.max - sizes.min <= 1)
+    sizes.sliding(2).foreach(w => assert(w(1) <= w(0)))
+    // tiles are ordered spend bands: tile i's floor >= tile i+1's ceiling
+    out.sliding(2).foreach { w =>
+      assert(w(0).getAs[Double]("min_spend") >= w(1).getAs[Double]("max_spend"))
+    }
+  }
+
+  test("r15 tokenizer fertility: ratios bounded, totals agree with bpe_tokenize") {
+    val out = rows("curation_tokenizer_fertility")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // a word costs at least 1 token; a token carries at least 1 char
+      assert(r.getAs[Double]("tokens_per_word") >= 1.0)
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+    }
+    // cross-query conservation: the per-language token totals are the
+    // same corpus tokenization curation_bpe_tokenize emits per document
+    val fertilityTotal = out.map(_.getAs[Long]("n_tokens")).sum
+    val tokenizeTotal = rows("curation_bpe_tokenize").map(_.getAs[Long]("n_tokens")).sum
+    assert(fertilityTotal == tokenizeTotal, s"$fertilityTotal != $tokenizeTotal")
+  }
+
   test("r15 incremental clusters: incremental ≡ from-scratch under ALTERNATIVE batch splits") {
     // The oracle gate proves incremental ≡ recompute for the declared
     // split (doc_id % 10 == 9) only; the connectivity-equivalence argument
