@@ -24,6 +24,7 @@ object WindowAudit {
     */
   val BoundedGlobalWindows: Map[String, String] = Map(
     "agg_bh_fdr" -> "hypothesis list (one row per test), BH rank walk",
+    "agg_isotonic_fit" -> "daily frame + its O(days^2) interval-mean pair frame",
     "agg_cliffs_delta" -> "value-collapsed quantity domain (<=50 distinct)",
     "agg_conditional_entropy" -> "category-grid frame (status x flag)",
     "agg_dickey_fuller" -> "daily revenue frame (days in span, not rows)",

@@ -1293,7 +1293,89 @@ object AggQueries extends QueryModule {
       |  round(count(*) / CAST(n AS DOUBLE) - log10(1.0 + 1.0 / digit), 4) AS excess
       |FROM d CROSS JOIN tot GROUP BY digit, n ORDER BY digit""".stripMargin
 
+  /** Isotonic regression of 1995 daily revenue on time — the monotone
+    * least-squares fit (the calibration primitive behind isotonic
+    * probability calibration and monotone trend extraction), computed by
+    * the exact MINIMAX characterization of the PAVA solution:
+    * fit_i = max_{j≤i} min_{k≥i} mean(y_j..y_k). Sequential
+    * pool-adjacent-violators doesn't distribute; the minimax form does:
+    * interval means come from exact integer prefix sums (one O(n²) pair
+    * frame over the DAYS-bounded series, ~67k rows for a year — never
+    * row-level data), the inner min is one per-j running min over k
+    * descending, the outer max one per-i running max over j ascending —
+    * two partitioned windows on the pair frame. Determinism: every mean
+    * is (S_k − S_{j−1})/(k−j+1) over exact cents, and min/max only ever
+    * SELECT among identical doubles. The fit is non-decreasing by
+    * construction (InvariantSpec pins it, plus the pool-mean property).
+    */
+  def isotonicFit(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate").cast("date")) === 1995)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(expr("CAST(round(sum(o_totalprice) * 100) AS BIGINT)").as("rc"))
+    val wIdx = Window.orderBy("day")
+    val idxd = daily
+      .withColumn("idx", row_number().over(wIdx).cast("long"))
+      .withColumn("s", sum("rc").over(
+        wIdx.rowsBetween(Window.unboundedPreceding, 0)))
+    val js = idxd.select(col("idx").as("j"), (col("s") - col("rc")).as("s_before"))
+    val ks = idxd.select(col("idx").as("k"), col("s").as("s_k"))
+    val pairs = js.join(ks, col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        ((col("s_k") - col("s_before")).cast("double") /
+          (col("k") - col("j") + 1).cast("double")).as("m"))
+    val innerMin = pairs
+      .withColumn("rm", min("m").over(
+        Window.partitionBy("j").orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("j"), col("k").as("i"), col("rm"))
+    val fit = innerMin
+      .withColumn("fit", max("rm").over(
+        Window.partitionBy("i").orderBy(col("j").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("j") === col("i"))
+      .select(col("i").as("idx"), col("fit"))
+    idxd.join(fit, "idx")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("rc") / 100.0, 2).as("revenue"),
+        round(col("fit") / 100.0, 2).as("iso_fit"))
+      .orderBy("day")
+  }
+
+  private val isotonicFitSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rc
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1
+      |), idxd AS (
+      |  SELECT day, rc,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+      |    CAST(sum(rc) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      |  FROM daily
+      |), pairs AS (
+      |  SELECT j.idx AS j, k.idx AS k,
+      |    CAST(k.s - (j.s - j.rc) AS DOUBLE) / CAST(k.idx - j.idx + 1 AS DOUBLE) AS m
+      |  FROM idxd j JOIN idxd k ON k.idx >= j.idx
+      |), inner_min AS (
+      |  SELECT j, k AS i,
+      |    min(m) OVER (PARTITION BY j ORDER BY k DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+      |  FROM pairs
+      |), fit AS (
+      |  SELECT i, rm,
+      |    max(rm) OVER (PARTITION BY i ORDER BY j ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f,
+      |    j
+      |  FROM inner_min)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  round(rc / 100.0, 2) AS revenue,
+      |  round(f / 100.0, 2) AS iso_fit
+      |FROM idxd JOIN (SELECT i AS idx, f FROM fit WHERE j = i) USING (idx)
+      |ORDER BY day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_isotonic_fit", isotonicFit, Some(isotonicFitSql)),
     QueryDef("agg_benford_digits", benfordDigits, Some(benfordDigitsSql)),
     QueryDef("agg_mann_whitney", mannWhitney, Some(mannWhitneySql)),
     QueryDef("agg_ks_test", ksTest, Some(ksTestSql)),

@@ -199,6 +199,21 @@ class InvariantSpec extends SparkSuite {
     assert(fertilityTotal == tokenizeTotal, s"$fertilityTotal != $tokenizeTotal")
   }
 
+  test("r15 isotonic fit: monotone non-decreasing, mean-preserving, range-bounded") {
+    val out = rows("agg_isotonic_fit").sortBy(_.getAs[String]("day"))
+    assert(out.length > 100) // sf0.001 covers ~163 order days of 1995
+    val fits = out.map(_.getAs[Double]("iso_fit"))
+    val ys = out.map(_.getAs[Double]("revenue"))
+    // the defining property: the fit never decreases
+    fits.sliding(2).foreach(w => assert(w(1) >= w(0) - 1e-9, w.mkString(",")))
+    // PAVA preserves the total over pools: Σ fit == Σ y (2-dp rounding
+    // slack across 365 rows)
+    assert(math.abs(fits.sum - ys.sum) < out.length * 0.005 + 1.0,
+      s"${fits.sum} vs ${ys.sum}")
+    // and the fit lives inside the data range
+    assert(fits.min >= ys.min - 1e-9 && fits.max <= ys.max + 1e-9)
+  }
+
   test("r15 incremental clusters: incremental ≡ from-scratch under ALTERNATIVE batch splits") {
     // The oracle gate proves incremental ≡ recompute for the declared
     // split (doc_id % 10 == 9) only; the connectivity-equivalence argument
