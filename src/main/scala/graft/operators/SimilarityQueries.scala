@@ -821,7 +821,12 @@ object SimilarityQueries extends QueryModule {
     s.conf.getOption("graft.bm25.materializeMinBytes")
       .map(_.toLong).getOrElse(4L << 20)
 
-  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  /** The shared BM25 inverted-index frames — (tf postings, doc lengths,
+    * document frequencies, corpus stats) — size-gated exactly as before;
+    * factored out so [[prfExpansion]] reuses one index build.
+    */
+  private def bm25Index(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = "array_remove(split(text, ' ', -1), '')"
     val docsRel = Tables.documents(s, dir)
     val terms = docsRel
@@ -850,6 +855,11 @@ object SimilarityQueries extends QueryModule {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+    (tf, dl, dfT, stats)
+  }
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val (tf, dl, dfT, stats) = bm25Index(s, dir)
     // fixed query budget: sort-limit on the tiny filtered id set plans as
     // TakeOrdered; the budget caps the broadcast side at any corpus size
     val qDocs = Tables.documents(s, dir).select("doc_id")
@@ -1457,7 +1467,123 @@ object SimilarityQueries extends QueryModule {
       |FROM assigned WHERE rn = 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio-style PRF over
+    * BM25) — the two-stage retrieval every production lexical search
+    * runs: (1) first-pass BM25 retrieves each query's top-3 feedback
+    * docs; (2) the feedback docs' highest-weight terms (by summed
+    * idf·tfn, minus the query's own terms) become 2 expansion terms at
+    * half weight; (3) the expanded query re-scores the corpus and the
+    * final top-3 is reported. Scale shape: ONE shared inverted-index
+    * build ([[bm25Index]] — the size-gated postings), every query-side
+    * frame broadcast (queries are budget-capped), both scoring passes
+    * postings-keyed joins — the index is never rebuilt between stages.
+    * Determinism: same recipe the BM25 row proved (integer tf/df/dl,
+    * exact avgdl, single-expression idf/tfn), with expansion-term
+    * selection on round-6 scores tie-broken by term.
+    */
+  def prfExpansion(s: SparkSession, dir: String): DataFrame = {
+    val (tf, dl, dfT, stats) = bm25Index(s, dir)
+    val qDocs = Tables.documents(s, dir).select("doc_id")
+      .filter(col("doc_id") % 100 === 0)
+      .orderBy("doc_id").limit(50)
+    val q = tf.join(broadcast(qDocs), "doc_id")
+      .select(col("doc_id").as("q_id"), col("term").as("q_term"))
+    def weighted(frame: DataFrame): DataFrame = frame
+      .join(dfT, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tfn",
+        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+    // stage 1: first-pass BM25 top-3 feedback docs per query
+    val firstPass = weighted(
+        tf.join(broadcast(q), col("term") === col("q_term") && col("doc_id") =!= col("q_id")))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("idf") * col("tfn")), 4).as("bm25"))
+    val wQ = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
+    val fb = firstPass.withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= 3).select(col("q_id"), col("doc_id"))
+    // stage 2: top-2 expansion terms from the feedback docs' term weights
+    val fbTerms = weighted(tf.join(broadcast(fb), "doc_id"))
+      .groupBy("q_id", "term")
+      .agg(round(sum(col("idf") * col("tfn")), 6).as("exp_score"))
+      .join(q.withColumnRenamed("q_term", "term"), Seq("q_id", "term"), "left_anti")
+    val wE = Window.partitionBy("q_id").orderBy(desc("exp_score"), asc("term"))
+    val expTerms = fbTerms.withColumn("er", row_number().over(wE))
+      .filter(col("er") <= 2)
+      .select(col("q_id"), col("term").as("q_term"), lit(0.5).as("qw"))
+    // stage 3: expanded query re-scores the corpus
+    val expanded = q.withColumn("qw", lit(1.0)).unionByName(expTerms)
+    val rescored = weighted(
+        tf.join(broadcast(expanded),
+          col("term") === col("q_term") && col("doc_id") =!= col("q_id")))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("qw") * col("idf") * col("tfn")), 4).as("bm25_prf"))
+    rescored.withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("bm25_prf"), asc("doc_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("doc_id").as("d_id"), col("bm25_prf"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val prfExpansionSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+      |), q_docs AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id LIMIT 50
+      |), q AS (
+      |  SELECT tf.doc_id AS q_id, term AS q_term FROM tf JOIN q_docs USING (doc_id)
+      |), w AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS wt
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |), first_pass AS (
+      |  SELECT q.q_id, w.doc_id AS d_id, round(sum(w.wt), 4) AS bm25
+      |  FROM w JOIN q ON w.term = q.q_term AND w.doc_id <> q.q_id
+      |  GROUP BY 1, 2
+      |), fb AS (
+      |  SELECT q_id, d_id FROM (
+      |    SELECT q_id, d_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, d_id ASC) AS rn
+      |    FROM first_pass) WHERE rn <= 3
+      |), fb_terms AS (
+      |  SELECT fb.q_id, w.term, round(sum(w.wt), 6) AS exp_score
+      |  FROM w JOIN fb ON w.doc_id = fb.d_id
+      |  GROUP BY 1, 2
+      |), exp_terms AS (
+      |  SELECT q_id, term AS q_term, 0.5 AS qw FROM (
+      |    SELECT f.q_id, f.term, f.exp_score,
+      |      row_number() OVER (PARTITION BY f.q_id
+      |        ORDER BY f.exp_score DESC, f.term ASC) AS er
+      |    FROM fb_terms f
+      |    WHERE NOT EXISTS (SELECT 1 FROM q
+      |      WHERE q.q_id = f.q_id AND q.q_term = f.term))
+      |  WHERE er <= 2
+      |), expanded AS (
+      |  SELECT q_id, q_term, 1.0 AS qw FROM q
+      |  UNION ALL SELECT q_id, q_term, qw FROM exp_terms
+      |), rescored AS (
+      |  SELECT e.q_id, w.doc_id AS d_id, round(sum(e.qw * w.wt), 4) AS bm25_prf
+      |  FROM w JOIN expanded e ON w.term = e.q_term AND w.doc_id <> e.q_id
+      |  GROUP BY 1, 2)
+      |SELECT q_id, d_id, bm25_prf, CAST(rn AS INT) AS rn FROM (
+      |  SELECT q_id, d_id, bm25_prf,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY bm25_prf DESC, d_id ASC) AS rn
+      |  FROM rescored) WHERE rn <= 3
+      |ORDER BY q_id, rn""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_prf_expansion", prfExpansion, Some(prfExpansionSql)),
     QueryDef("sim_centroid_classify", centroidClassify, Some(centroidClassifySql)),
     QueryDef("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     QueryDef("sim_ranking_metrics", rankingMetrics, Some(rankingMetricsSql)),
