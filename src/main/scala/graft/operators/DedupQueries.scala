@@ -1831,7 +1831,132 @@ object DedupQueries extends QueryModule {
        |FROM b GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY n_docs DESC, head, tail""".stripMargin
 
+  /** Near-dup impact report — the dashboard a data-engineering team
+    * reads after a dedup run: per source, how many documents sit in
+    * near-dup clusters, how many would be REMOVED under
+    * keep-the-survivor, and the token mass that removal reclaims. Built
+    * from the persisted cluster labels ([[clusterLabels]]) joined once
+    * against a per-doc token census — no re-clustering, no text
+    * re-processing; the oracle replays the from-scratch closure. Scale
+    * shape: one corpus-linear token count, one broadcast-sized label
+    * join (the dup-pair graph is corpus-density-bounded), one source agg.
+    */
+  def dedupImpact(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(expr(toks)).cast("long").as("n_tokens"))
+    val labels = clusterLabels(s, dir)
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("is_dup_member", col("label").isNotNull)
+      .withColumn("is_removed", col("label").isNotNull && col("doc_id") =!= col("label"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup_member").cast("long")).as("n_cluster_members"),
+        sum(col("is_removed").cast("long")).as("n_removed"),
+        sum("n_tokens").as("tokens_total"),
+        sum(when(col("is_removed"), col("n_tokens")).otherwise(0L)).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_cluster_members"),
+        col("n_removed"), col("tokens_total"), col("tokens_removed"),
+        round(col("n_removed").cast("double") / col("n_docs").cast("double"), 4)
+          .as("doc_removal_rate"),
+        round(col("tokens_removed").cast("double") / col("tokens_total").cast("double"), 4)
+          .as("token_removal_rate"))
+      .orderBy("source")
+  }
+
+  private val dedupImpactSql =
+    s"""WITH RECURSIVE $clusterCompCtes,
+       |toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($dToks) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), joined AS (
+       |  SELECT t.source, t.n_tokens,
+       |    c.doc_id IS NOT NULL AS is_member,
+       |    c.doc_id IS NOT NULL AND t.doc_id <> c.cluster_id AS is_removed
+       |  FROM toks t LEFT JOIN comp c ON t.doc_id = c.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_cluster_members,
+       |  CAST(sum(CASE WHEN is_removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN is_removed THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_removed,
+       |  round(CAST(sum(CASE WHEN is_removed THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 4) AS doc_removal_rate,
+       |  round(CAST(sum(CASE WHEN is_removed THEN n_tokens ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(n_tokens) AS DOUBLE), 4) AS token_removal_rate
+       |FROM joined GROUP BY source ORDER BY source""".stripMargin
+
+  /** Contrastive training-pair mining — the (anchor, positive, hard
+    * negative) triplets an embedding-model trainer consumes: every
+    * non-survivor member of a near-dup cluster pairs with its cluster's
+    * survivor as the POSITIVE (near-duplicates are semantically
+    * interchangeable), and its hard NEGATIVE is the closest-length
+    * same-source document OUTSIDE its cluster from the same length
+    * bucket — superficially similar (same provenance, same size) but not
+    * a duplicate, which is exactly what makes it hard. Blocking on
+    * (source, n_chars div 16) keeps candidate fan-out bucket-bounded (no
+    * same-source all-pairs); ranking is (|Δchars| asc, candidate id asc)
+    * — fully deterministic. Scale shape: the mining side is the dup
+    * membership (corpus-density-bounded, broadcast); candidates come
+    * from one keyed join on the block key.
+    */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("n_chars") / 16).cast("long").as("len_bucket"))
+    val labels = clusterLabels(s, dir)
+    val mining = docs.join(labels, "doc_id")
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("len_bucket"), col("label").as("pos_id"))
+    val cands = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id").as("cand_id"), col("source"),
+        col("n_chars").as("cand_chars"), col("len_bucket"),
+        col("label").as("cand_label"))
+    val wN = Window.partitionBy("doc_id")
+      .orderBy(abs(col("cand_chars") - col("n_chars")).asc, col("cand_id").asc)
+    mining.join(cands, Seq("source", "len_bucket"))
+      .filter(col("cand_id") =!= col("doc_id") &&
+        (col("cand_label").isNull || col("cand_label") =!= col("pos_id")))
+      .withColumn("rn", row_number().over(wN))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pos_id"), col("cand_id").as("neg_id"),
+        abs(col("cand_chars") - col("n_chars")).cast("long").as("neg_char_gap"))
+      .orderBy("doc_id")
+  }
+
+  private val contrastivePairsSql =
+    s"""WITH RECURSIVE $clusterCompCtes,
+       |d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(n_chars // 16 AS BIGINT) AS len_bucket
+       |  FROM documents
+       |), mining AS (
+       |  SELECT d.doc_id, d.source, d.n_chars, d.len_bucket,
+       |    c.cluster_id AS pos_id
+       |  FROM d JOIN comp c USING (doc_id)
+       |  WHERE d.doc_id <> c.cluster_id
+       |), cands AS (
+       |  SELECT d.doc_id AS cand_id, d.source, d.n_chars AS cand_chars,
+       |    d.len_bucket, c.cluster_id AS cand_label
+       |  FROM d LEFT JOIN comp c USING (doc_id)
+       |), ranked AS (
+       |  SELECT m.doc_id, m.pos_id, k.cand_id,
+       |    abs(k.cand_chars - m.n_chars) AS gap,
+       |    row_number() OVER (PARTITION BY m.doc_id
+       |      ORDER BY abs(k.cand_chars - m.n_chars) ASC, k.cand_id ASC) AS rn
+       |  FROM mining m JOIN cands k USING (source, len_bucket)
+       |  WHERE k.cand_id <> m.doc_id
+       |    AND (k.cand_label IS NULL OR k.cand_label <> m.pos_id))
+       |SELECT doc_id, pos_id, cand_id AS neg_id,
+       |  CAST(gap AS BIGINT) AS neg_char_gap
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
+    QueryDef("dedup_impact_report", dedupImpact, Some(dedupImpactSql)),
     QueryDef("dedup_template_boundaries", templateBoundaries,
       Some(templateBoundariesSql)),
     QueryDef("dedup_lsh_recall_eval", lshRecallEval, Some(lshRecallEvalSql)),

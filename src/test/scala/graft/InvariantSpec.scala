@@ -214,6 +214,39 @@ class InvariantSpec extends SparkSuite {
     assert(fits.min >= ys.min - 1e-9 && fits.max <= ys.max + 1e-9)
   }
 
+  test("r15 dedup impact: per-source accounting coheres with the cluster table") {
+    val out = rows("dedup_impact_report")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_cluster_members"))
+      assert(r.getAs[Long]("n_cluster_members") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_removed") <= r.getAs[Long]("tokens_total"))
+    }
+    // global cross-check against dedup_clusters: removed = members − clusters
+    val clusters = rows("dedup_clusters")
+    val members = clusters.length.toLong
+    val nClusters = clusters.map(_.getAs[Long]("cluster_id")).distinct.length.toLong
+    assert(out.map(_.getAs[Long]("n_cluster_members")).sum == members)
+    assert(out.map(_.getAs[Long]("n_removed")).sum == members - nClusters)
+  }
+
+  test("r15 contrastive pairs: positive is the cluster survivor, negative is outside the cluster, same source") {
+    val pairs = rows("dedup_contrastive_pairs")
+    assert(pairs.nonEmpty)
+    val label = rows("dedup_clusters")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val source = Tables.documents(spark, Sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { p =>
+      val (d, pos, neg) = (p.getAs[Long]("doc_id"), p.getAs[Long]("pos_id"),
+        p.getAs[Long]("neg_id"))
+      assert(label(d) == pos, s"doc $d: positive $pos is not its survivor")
+      assert(d != pos, s"doc $d mined itself (survivors have no positive)")
+      assert(label.get(neg) != Some(pos), s"doc $d: negative $neg shares its cluster")
+      assert(source(d) == source(neg), s"doc $d: negative from another source")
+      assert(p.getAs[Long]("neg_char_gap") >= 0)
+    }
+  }
+
   test("r15 incremental clusters: incremental ≡ from-scratch under ALTERNATIVE batch splits") {
     // The oracle gate proves incremental ≡ recompute for the declared
     // split (doc_id % 10 == 9) only; the connectivity-equivalence argument
