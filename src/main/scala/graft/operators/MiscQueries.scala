@@ -927,7 +927,56 @@ object MiscQueries extends QueryModule {
       |  CAST(n_checked AS BIGINT) AS n_checked
       |FROM checks ORDER BY check_name""".stripMargin
 
+  /** Business-day arithmetic — weekday-only order-to-ship latency, the
+    * SLA metric fulfilment reporting actually uses (calendar datediff
+    * overstates latency across weekends). No per-day explode: the
+    * weekday count uses the closed form W(d) = 5·(n div 7) +
+    * least(n mod 7, 5) with n = days since a fixed Monday epoch
+    * (1990-01-01) + 1 — W counts weekdays in [epoch, d], so the latency
+    * is W(ship) − W(order), exact integer arithmetic identical in both
+    * engines (all fixture dates are after the epoch, so div/mod stay
+    * non-negative). Per order-month census over the exact per-line
+    * business-day counts. Scale shape: one orderkey join + one
+    * month-keyed hash-agg.
+    */
+  def businessDays(s: SparkSession, dir: String): DataFrame = {
+    def wd(dcol: String): String =
+      s"""(5 * ((datediff($dcol, DATE'1990-01-01') + 1) div 7)
+         | + least((datediff($dcol, DATE'1990-01-01') + 1) % 7, 5))""".stripMargin
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM").as("order_month"),
+        (expr(wd("CAST(l_shipdate AS DATE)")) - expr(wd("CAST(o_orderdate AS DATE)")))
+          .cast("long").as("bd"))
+      .groupBy("order_month")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("bd").as("bd_total"),
+        max("bd").cast("long").as("max_bd"))
+      .select(col("order_month"), col("n_lines"),
+        round(col("bd_total").cast("double") / col("n_lines").cast("double"), 4)
+          .as("avg_business_days"),
+        col("max_bd"))
+      .orderBy("order_month")
+  }
+
+  private val businessDaysSql = {
+    val wd = (d: String) =>
+      s"""(5 * ((date_diff('day', DATE '1990-01-01', $d) + 1) // 7)
+         | + least((date_diff('day', DATE '1990-01-01', $d) + 1) % 7, 5))""".stripMargin
+    s"""WITH b AS (
+       |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       |    ${wd("CAST(l_shipdate AS DATE)")} - ${wd("CAST(o_orderdate AS DATE)")} AS bd
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT order_month, CAST(count(*) AS BIGINT) AS n_lines,
+       |  round(CAST(sum(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS avg_business_days,
+       |  CAST(max(bd) AS BIGINT) AS max_bd
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("misc_business_days", businessDays, Some(businessDaysSql)),
     QueryDef("misc_integrity_audit", integrityAudit, Some(integrityAuditSql)),
     QueryDef("misc_histogram_equi_depth", histogramEquiDepth,
       Some(histogramEquiDepthSql)),
