@@ -390,14 +390,27 @@ object Bench {
     // clean-at-HEAD guard must not bounce that one run to the post-freeze
     // file. Only the literal "1" arms it; everything else keeps the guard.
     val freezeRun = sys.env.get("SPARK_GRAFT_FREEZE").contains("1")
+    // ADVICE r15 #4: detection errors FAIL CLOSED — an undeterminable
+    // git state is treated as frozen (the sweep then writes the side
+    // artifact, which is always safe), never as a license to overwrite
+    // the committed one. The repo root is resolved explicitly so a bench
+    // launched from a non-root cwd still checks the real artifact.
     val frozenArtifact: Boolean = !freezeRun && (try {
-      val tracked = new ProcessBuilder("git", "ls-files", "--error-unmatch",
-        "BENCH_FULL.json").redirectErrorStream(true).start()
-      val clean = new ProcessBuilder("git", "diff", "--quiet", "HEAD", "--",
-        "BENCH_FULL.json").start()
+      val rootP = new ProcessBuilder("git", "rev-parse", "--show-toplevel").start()
+      val root = new String(rootP.getInputStream.readAllBytes, "UTF-8").trim
+      if (rootP.waitFor() != 0 || root.isEmpty)
+        sys.error("not inside a git worktree")
+      val tracked = new ProcessBuilder("git", "-C", root, "ls-files",
+        "--error-unmatch", "BENCH_FULL.json").redirectErrorStream(true).start()
+      val clean = new ProcessBuilder("git", "-C", root, "diff", "--quiet",
+        "HEAD", "--", "BENCH_FULL.json").start()
       tracked.waitFor() == 0 && clean.waitFor() == 0 &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH_FULL.json"))
-    } catch { case _: Throwable => false })
+        java.nio.file.Files.exists(java.nio.file.Paths.get(root, "BENCH_FULL.json"))
+    } catch { case t: Throwable =>
+      System.err.println("[bench] frozen-artifact state undeterminable (" +
+        t.getMessage + ") — failing CLOSED: treating BENCH_FULL.json as frozen")
+      true
+    })
     if (frozenArtifact)
       System.err.println("[bench] BENCH_FULL.json is committed and clean at HEAD " +
         "— post-freeze flow: writing BENCH_POSTFREEZE.json, refresh disabled")
@@ -430,7 +443,8 @@ object Bench {
     // originParseOk (ADVICE r14 #2): a missing/unparseable origin file used
     // to be indistinguishable from a genuinely empty drift list — the flag
     // makes a blind channel self-describing in the artifact.
-    val (originQ, originRate, originParseOk): (Map[String, Double], Double, Boolean) = try {
+    val (originTxt, originQ, originRate, originParseOk)
+        : (String, Map[String, Double], Double, Boolean) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(originPath)), "UTF-8")
       val qObj = """"queries":\{([^}]*)\}""".r
@@ -439,8 +453,8 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       val rate = """"stream_events_per_sec":(-?[0-9.]+)""".r
         .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
-      (q, rate, q.nonEmpty)
-    } catch { case _: Throwable => (Map.empty[String, Double], -1.0, false) }
+      (txt, q, rate, q.nonEmpty)
+    } catch { case _: Throwable => ("", Map.empty[String, Double], -1.0, false) }
     val driftCumulative: Seq[(String, Double, Double, Double)] = {
       val nOrig =
         if (originRate > 0 && streamRate > 0) math.min(1.0, streamRate / originRate)
@@ -467,12 +481,20 @@ object Bench {
         val missing = results.collect {
           case (n, v) if v > 0 && !originQ.contains(n) => n -> v
         }
+        // ADVICE r15 #3: SPLICE only the missing entries into the
+        // existing queries object text — regenerating the whole file
+        // from the lossy regex parse dropped unknown top-level fields
+        // and re-rounded every existing figure, so "append-only" has to
+        // mean string insertion, not parse → re-serialize.
         if (missing.nonEmpty) try {
-          val allQ = (originQ.toSeq ++ missing).sortBy(_._1)
-          val originOut =
-            f"""{"queries":${jsonMap(allQ, 3)},"stream_events_per_sec":$originRate%.0f,"appended_note":"origin values are first-seen frozen figures; entries are append-only"}"""
+          val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(originTxt).get
+          val add = missing.sortBy(_._1)
+            .map { case (n, v) => f""""${jsonStr(n)}":$v%.3f""" }.mkString(",")
+          val spliced = originTxt.substring(0, m.end(1)) +
+            (if (m.group(1).trim.isEmpty) add else "," + add) +
+            originTxt.substring(m.end(1))
           java.nio.file.Files.write(java.nio.file.Paths.get(originPath),
-            originOut.getBytes("UTF-8"))
+            spliced.getBytes("UTF-8"))
           missing.map(_._1)
         } catch { case _: Throwable => Seq.empty }
         else Seq.empty

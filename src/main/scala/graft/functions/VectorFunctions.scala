@@ -184,5 +184,21 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sorted_ceil_strict",
       exprs => SortedCeilStrict(exprs(0), exprs(1)), "built-in")
+    // Spark's own runtime-filter expressions, surfaced by name: the
+    // catalyst classes are public but not in the user-facing registry.
+    // bloom_agg(col, estimatedItems, numBits) builds the sketch
+    // distributedly (merged per-partition, no driver-side build);
+    // bloom_might_contain(scalar-subquery, col) is the codegen'd probe —
+    // its bloom side must be a literal/scalar subquery by the
+    // expression's own input check, so the filter inlines as a constant
+    // at execution with no broadcast-variable lifecycle to manage.
+    reg.createOrReplaceTempFunction(
+      "bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "built-in")
   }
 }

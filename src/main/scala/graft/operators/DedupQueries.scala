@@ -714,8 +714,8 @@ object DedupQueries extends QueryModule {
     * index side is read co-located with ZERO index-side exchange
     * (PlanSpec pins it) — plus the forward signature table `sigs`
     * (doc_id, sig) as plain parquet (it joins on doc_id, not the bucket
-    * key). Both are written ONCE per (fixture, split) from a single
-    * corpus pass and memoized — the production daily-crawl shape, where
+    * key). Both are written ONCE per (session, fixture, split) from a
+    * single corpus pass and memoized — the production daily-crawl shape, where
     * the band index is a maintained table (built by ingest, MERGEd per
     * batch, probed by every dedup job), not a per-query lineage that
     * re-shingles the whole corpus each run.
@@ -765,11 +765,17 @@ object DedupQueries extends QueryModule {
 
   private[graft] def bandIndex(s: SparkSession, dir: String, batchMod: Int = 9)
       : (DataFrame, DataFrame) = {
+    // session-keyed like batchSigsMemo (ADVICE r15 #2): the memo stores a
+    // catalog table name, and the in-memory catalog dies with the session
+    // that created it — a session recreated in the same JVM must rebuild,
+    // not resolve a stale name. The table name is derived from the
+    // SANITIZED fixture key (not its hashCode), so two fixtures can never
+    // collide into serving each other's postings.
     val (tbl, sigsPath) = bandIndexMemo.computeIfAbsent(
-      s"${docsFixtureKey(dir)}#m$batchMod", key => {
+      s"${System.identityHashCode(s)}:${docsFixtureKey(dir)}#m$batchMod", _ => {
         val out = graft.Scratch.dir("graft-band-index")
-        val tblName = "graft_band_postings_" +
-          java.lang.Integer.toHexString(key.hashCode).replace('-', 'x') + s"_m$batchMod"
+        val tblName = ("graft_band_postings_" +
+          s"${docsFixtureKey(dir)}_m$batchMod").replaceAll("[^A-Za-z0-9]", "_")
         val corpus = corpusSigsFrame(s, dir, batchMod).cache()
         dropManagedTable(s, tblName)
         mhBanded(corpus).write.mode("overwrite")
@@ -788,16 +794,20 @@ object DedupQueries extends QueryModule {
     * split) — the write-once pattern ADVICE r14 #5 asked for: the three
     * consumers used to each build and cache their own copy per
     * invocation, which accumulated unreleased CacheManager entries across
-    * best-of-N bench runs; one shared entry per fixture is bounded, and a
-    * sweep-level clearCache merely lets it lazily repopulate. cache() and
+    * best-of-N bench runs; one shared entry per fixture is bounded. A
+    * sweep-level clearCache() silently de-registers the entry, so every
+    * ACCESS re-arms the cache when the frame's storage level has dropped
+    * to NONE (ADVICE r15 #1: without the re-arm, the first consumer after
+    * a clearCache ran uncached for the rest of the sweep and each
+    * consumer subtree re-shingled the batch inside its own plan). cache() and
     * not localCheckpoint so the batch's provenance (the `% 10 = batchMod`
     * filter over the ONLY documents scan) stays visible in consumer plans
     * — PlanSpec pins it.
     */
   private val batchSigsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def batchSigs(s: SparkSession, dir: String, batchMod: Int = 9): DataFrame =
-    batchSigsMemo.computeIfAbsent(
+  private def batchSigs(s: SparkSession, dir: String, batchMod: Int = 9): DataFrame = {
+    val frame = batchSigsMemo.computeIfAbsent(
       s"${System.identityHashCode(s)}:${docsFixtureKey(dir)}#m$batchMod", _ =>
         Tables.documents(s, dir)
           .filter(col("doc_id") % 10 === batchMod)
@@ -805,8 +815,12 @@ object DedupQueries extends QueryModule {
           .filter(size(col("tk")) >= 4)
           .withColumn("shingles", expr("word_shingles(tk, 4)"))
           .withColumn("sig", expr("minhash_sig(shingles, 16)"))
-          .select("doc_id", "sig")
-          .cache())
+          .select("doc_id", "sig"))
+    // re-arm after any external clearCache(); storageLevel asks the
+    // CacheManager, so this is a no-op while the entry is still live
+    if (frame.storageLevel == org.apache.spark.storage.StorageLevel.NONE) frame.cache()
+    frame
+  }
 
   /** Incremental index maintenance + probe — the production shape of
     * [[incrementalDedup]] for a daily crawl: the corpus band index is a

@@ -190,15 +190,37 @@ class PlanSpec extends SparkSuite {
 
   test("bloom prefilter runs below the probe-side shuffle; PIT join is never a cartesian") {
     // the whole point of the bloom prefilter is moving FEWER rows: the
-    // membership probe must land in the lineitem scan's DataFilters (i.e.
-    // rows drop AT the scan, below the semi join — whichever physical join
-    // the build-side size selects)
-    val (bloomDf, bloomBc) = operators.JoinQueries.bloomPrefilterPlan(spark, Sf)
-    val p = try bloomDf.queryExecution.executedPlan.toString finally bloomBc.destroy()
+    // might_contain probe (native BloomFilterMightContain over a scalar
+    // subquery — no UDF since r16) must sit BELOW the semi join's
+    // probe-side shuffle, i.e. rows drop between the lineitem scan and
+    // the first exchange, whichever physical join the build side selects
+    val bloomDf = operators.JoinQueries.bloomPrefilterPlan(spark, Sf)
+    // AdaptiveSparkPlanExec is a leaf — unwrap it so collect* sees the
+    // real operator tree
+    val exec = bloomDf.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val p = exec.toString
     assert(p.contains("LeftSemi"), p)
-    val scanLine = p.linesIterator
-      .find(l => l.contains("FileScan") && l.contains("lineitem")).get
-    assert(scanLine.contains("UDF"), scanLine)
+    assert(!p.contains("UDF"), p)
+    val probeFilter = exec.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
+    }
+    assert(probeFilter.nonEmpty, p)
+    // below the probe filter: the lineitem scan and NO shuffle — the
+    // sketch drops rows pre-exchange, which is the entire 100 TB claim
+    assert(probeFilter.get.exists {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.toString.contains("lineitem")
+      case _ => false
+    }, probeFilter.get.toString)
+    assert(!probeFilter.get.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      probeFilter.get.toString)
     // the temporal interval predicate is a residual on the custkey hash
     // join — per-key history is tiny, so residual scan is bounded
     val pit = plan("join_point_in_time")
@@ -208,6 +230,21 @@ class PlanSpec extends SparkSuite {
     val ns = plan("join_null_safe")
     assert(ns.contains("HashJoin"), ns)
     assert(!ns.contains("NestedLoop") && !ns.contains("CartesianProduct"), ns)
+  }
+
+  test("prf expansion: base arm scored once, merged full-outer with the expansion arm") {
+    // VERDICT r15 #1: stage 3 must NOT re-join the base query terms
+    // against the postings — the merged score comes from a full-outer
+    // join of the stage-1 aggregate with the (≤2 terms/query) expansion
+    // arm, and the stage-1 aggregate subtree is planned once and reused
+    val df = SparkEntry.queries("sim_prf_expansion")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), p)
+    // the base-arm aggregate feeds both the feedback ranking and the
+    // merge through ONE exchange — execution dedupes the identical
+    // subtrees, which is what "never re-scored" looks like physically
+    assert(p.contains("ReusedExchange"), p)
   }
 
   test("sql-surface lowering: UnionLoop recursion, UDF-free SQL functions, identifier plan parity") {
