@@ -13,6 +13,52 @@ class InvariantSpec extends SparkSuite {
   private def rows(name: String): Array[Row] =
     SparkEntry.queries(name)(spark, Sf).collect()
 
+  test("r16 paragraph rebuild: untouched docs round-trip byte-identical, removals conserve paragraph mass") {
+    import org.apache.spark.sql.functions._
+    val perDoc = operators.DedupQueries.paragraphRebuildPerDoc(spark, Sf)
+    val joined = Tables.documents(spark, Sf).select("doc_id", "text")
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("rebuilt"),
+        col("n_paras"), col("n_removed")).collect()
+    assert(joined.nonEmpty)
+    var untouched = 0
+    joined.foreach { r =>
+      val (text, rebuilt) = (r.getString(1), r.getString(2))
+      val (nParas, nRemoved) = (r.getLong(3), r.getLong(4))
+      assert(nRemoved <= nParas, s"doc ${r.getLong(0)}: removed > total")
+      if (nRemoved == 0) {
+        // the reconstruction law: zero duplicated paragraphs ⇒ the doc
+        // reassembles BYTE-IDENTICAL to the original text
+        assert(rebuilt == text, s"doc ${r.getLong(0)} round-trip mismatch")
+        untouched += 1
+      } else {
+        // a touched doc loses exactly its removed paragraphs: the
+        // rebuilt text is a subsequence of the original's 8-word windows
+        val paras = text.split(" ").filter(_.nonEmpty).grouped(8).map(_.mkString(" ")).toSeq
+        val kept = if (rebuilt.isEmpty) Seq.empty else {
+          // reassembly joins whole windows, so splitting the rebuilt
+          // text back on the ORIGINAL window boundaries must succeed
+          val keptSet = scala.collection.mutable.ArrayBuffer[String]()
+          var rest = rebuilt
+          paras.foreach { pTxt =>
+            if (rest == pTxt || rest.startsWith(pTxt + " ")) {
+              keptSet += pTxt
+              rest = rest.stripPrefix(pTxt).stripPrefix(" ")
+            }
+          }
+          assert(rest.isEmpty, s"doc ${r.getLong(0)}: rebuilt is not a window subsequence")
+          keptSet.toSeq
+        }
+        assert(kept.size == nParas - nRemoved, s"doc ${r.getLong(0)} kept-count mismatch")
+      }
+      // paragraph mass: windows of the tokenized text == n_paras
+      val nWin = math.ceil(text.split(" ").count(_.nonEmpty) / 8.0).toLong
+      assert(nWin == nParas, s"doc ${r.getLong(0)} window-count mismatch")
+    }
+    assert(untouched > 0, "fixture should contain untouched docs")
+    assert(joined.length > untouched, "fixture should contain touched docs")
+  }
+
   test("r15 kneser-ney: conditional distributions sum to 1, discounted mass routes through continuation") {
     // the defining law of interpolated KN: for every context u,
     // Σ_v P_KN(v|u) over the WHOLE vocabulary is exactly 1 — the seen
