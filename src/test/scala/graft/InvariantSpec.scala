@@ -13,6 +13,45 @@ class InvariantSpec extends SparkSuite {
   private def rows(name: String): Array[Row] =
     SparkEntry.queries(name)(spark, Sf).collect()
 
+  test("r16 unigram EM: segmentations reassemble, DP is self-consistent, likelihood is monotone") {
+    val (trace, countsDf, total) = operators.CurationQueries.unigramEmTrace(spark, Sf)
+    assert(trace.size == 2)
+    def collected(i: Int) = trace(i)._2
+      .select("word", "wc", "best", "seg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2), r.getSeq[String](3)))
+    val (s1, s2) = (collected(0), collected(1))
+    val (theta0, theta1) = (trace(0)._1, trace(1)._1)
+    // law 1: every E-step segmentation reassembles its word exactly, is
+    // feasible (no -inf sentinel leaked), and the backtrace score equals
+    // the forward DP optimum — all EXACT integer identities
+    Seq((s1, theta0), (s2, theta1)).foreach { case (rows, theta) =>
+      rows.foreach { case (word, _, best, seg) =>
+        assert(seg.mkString("") == word, s"$word reassembly")
+        assert(best.last > -100000000000L, s"$word infeasible")
+        assert(best.last == seg.map(theta).sum, s"$word DP/backtrace mismatch")
+      }
+    }
+    // law 2 (E-step optimality, exact): under θ1, the iteration-2
+    // segmentation scores at least as high as the iteration-1 one —
+    // s1's pieces all survived into θ1 (count > 0), so both sides are
+    // defined and the comparison is pure integer arithmetic
+    val j11 = s1.map { case (_, wc, _, seg) => wc * seg.map(theta1).sum }.sum
+    val j12 = s2.map { case (_, wc, best, _) => wc * best.last }.sum
+    assert(j12 >= j11, s"E-step must not decrease likelihood: $j12 < $j11")
+    // law 3 (M-step, Gibbs up to quantization): re-estimating θ from s1's
+    // counts cannot lower s1's likelihood by more than the micro-nat
+    // rounding slack (≤ 0.5 micro per piece occurrence, so `occ` bounds it)
+    val j01 = s1.map { case (_, wc, best, _) => wc * best.last }.sum
+    val occ = s1.map { case (_, wc, _, seg) => wc * seg.size }.sum
+    assert(j11 >= j01 - occ, s"M-step dropped likelihood beyond quantization slack: $j11 < $j01 - $occ")
+    // law 4: the final count table is exactly the s2 occurrence census
+    val fromSegs = s2.flatMap { case (_, wc, _, seg) => seg.map(_ -> wc) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val fromDf = countsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromSegs == fromDf, "final counts != s2 census")
+    assert(total == fromSegs.values.sum)
+  }
+
   test("r16 paragraph rebuild: untouched docs round-trip byte-identical, removals conserve paragraph mass") {
     import org.apache.spark.sql.functions._
     val perDoc = operators.DedupQueries.paragraphRebuildPerDoc(spark, Sf)
