@@ -440,3 +440,137 @@ object BenchScale {
     spark.stop()
   }
 }
+
+/** 100× spot sweep (VERDICT r15 "what's missing" #4): the full scale gate
+  * stops at 10×, but the "design for 100 TB" claims rest on the five most
+  * scale-sensitive families — the persisted band-index probe, incremental
+  * cluster maintenance, the sorted-neighborhood fuzzy join, substring-span
+  * dedup, and the BM25/PRF retrieval stack. This leg re-measures exactly
+  * those queries at data_factor 100 (one leg, not the 431-query sweep) and
+  * writes BENCH_SCALE100.json with per-query factors and an adjudicated
+  * worst.
+  *
+  * Interpretation contract: the amplifier replicates every document
+  * verbatim, so at 100× each document is a 100-way duplicate cluster —
+  * maximal duplicate density by design. A LINEAR operator therefore
+  * measures factor ≈ reps (floored by [[BenchScale.BaseTimeFloor]] against
+  * constant overhead); the bound is 1.2·reps, and anything above it gets a
+  * median-of-3 adjudication plus a named cause in the artifact rather than
+  * a silent number.
+  */
+object BenchScale100 {
+  val SpotQueries: Seq[String] = Seq(
+    "dedup_index_maintenance", "dedup_index_census", "dedup_clusters_incremental",
+    "join_fuzzy_blocked", "dedup_substring_spans",
+    "sim_bm25_topk", "sim_prf_expansion")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaled = if (args.length > 0) args(0) else "target/scale100"
+    val reps = if (args.length > 1) args(1).toInt else 100
+    val factorBound = 1.2 * reps
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.session(s"local[$cpus]", "graft-benchscale100")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(scaled, "lineitem.parquet")))
+      ScaleGen.generate(spark, base, scaled, reps)
+
+    // warm both corpora and pre-stage the memoized per-fixture tables the
+    // spot families consume (the band index and corpus cluster labels are
+    // maintained-by-ingest tables in the production story — built outside
+    // query timing, exactly like the 10× sweep stages them)
+    for (dir <- Seq(base, scaled)) {
+      Tables.all.foreach(t => Tables.load(spark, dir, t).count())
+      operators.DedupQueries.bandIndex(spark, dir)._1.count()
+      operators.DedupQueries.corpusClusterLabels(spark, dir).count()
+    }
+    val nEvents = Tables.events(spark, base).count()
+    def canaryOnce(): Double =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("stream_payload_pipeline")(spark, base)
+          .write.mode("overwrite").format("noop").save()
+        nEvents / ((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => -1.0 }
+    val streamRate = {
+      val ok = Seq(canaryOnce(), canaryOnce(), canaryOnce()).filter(_ > 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+
+    val defs = SparkEntry.allDefs.filter(d => SpotQueries.contains(d.name))
+    def timeOne(d: QueryDef, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        d.run(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[benchscale100] ${d.name} @ $dir failed: ${e.getMessage}")
+          -1.0
+      } finally {
+        try {
+          spark.catalog.clearCache()
+          spark.catalog.listTables().collect()
+            .filter(_.isTemporary)
+            .foreach(t => spark.catalog.dropTempView(t.name))
+        } catch { case _: Throwable => () }
+      }
+    }
+    def floored(b: Double, sc: Double): Double =
+      sc / math.max(b, BenchScale.BaseTimeFloor)
+    def med3(a: Double, x: Double, y: Double): Double = {
+      val v = Seq(a, x, y).filter(_ > 0).sorted
+      if (v.isEmpty) -1.0 else v(v.size / 2)
+    }
+    val requeried = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def requeryOne(n: String, b: Double, sc: Double): (String, Double, Double, Double) = {
+      val d = defs.find(_.name == n).get
+      val (b2, sc2) = (timeOne(d, base), timeOne(d, scaled))
+      val (b3, sc3) = (timeOne(d, base), timeOne(d, scaled))
+      requeried(n) = Seq(b, sc, b2, sc2, b3, sc3)
+      val (bm, scm) = (med3(b, b2, b3), med3(sc, sc2, sc3))
+      println(f"[benchscale100] $n%-28s REQUERY(med3) base $bm%6.2f s  x$reps $scm%7.2f s  factor ${scm / bm}%6.2f")
+      (n, bm, scm, scm / bm)
+    }
+    val firstPass = defs.map { d =>
+      val b = timeOne(d, base)
+      val sc = timeOne(d, scaled)
+      val f = if (b > 0 && sc > 0) sc / b else -1.0
+      println(f"[benchscale100] ${d.name}%-28s base $b%6.2f s  x$reps $sc%7.2f s  factor $f%6.2f")
+      (d.name, b, sc, f)
+    }
+    // adjudicate every over-bound entry AND the global worst, median-of-3
+    var rows = firstPass.map { case r @ (n, b, sc, _) =>
+      if (b > 0 && sc > 0 && floored(b, sc) > factorBound) requeryOne(n, b, sc) else r
+    }
+    rows.filter(r => r._2 > 0 && r._3 > 0)
+      .sortBy(r => -floored(r._2, r._3)).headOption.foreach { case (n, b, sc, _) =>
+        if (!requeried.contains(n)) {
+          val i = rows.indexWhere(_._1 == n)
+          rows = rows.updated(i, requeryOne(n, b, sc))
+        }
+      }
+    val ok = rows.filter(r => r._2 > 0 && r._3 > 0)
+    val worst = if (ok.isEmpty) ("", -1.0)
+      else { val w = ok.maxBy(r => floored(r._2, r._3)); (w._1, floored(w._2, w._3)) }
+    val violations = rows.filter { case (_, b, sc, _) =>
+      b > 0 && sc > 0 && floored(b, sc) > factorBound
+    }.map(_._1)
+    val failures = rows.filter(_._4 <= 0).map(_._1)
+    val qs = rows.map { case (n, b, sc, f) =>
+      f""""$n":{"base_sec":$b%.3f,"scaled_sec":$sc%.3f,"factor":$f%.2f,"floored_factor":${floored(b, sc)}%.2f,"sublinearity":${floored(b, sc) / reps}%.3f}"""
+    }.mkString("{", ",", "}")
+    val req = requeried.map { case (n, ms) =>
+      val Seq(b1, sc1, b2, sc2, b3, sc3) = ms
+      f""""$n":{"base_runs":[$b1%.3f,$b2%.3f,$b3%.3f],"scaled_runs":[$sc1%.3f,$sc2%.3f,$sc3%.3f]}"""
+    }.mkString("{", ",", "}")
+    val viol = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      f"""{"metric":"scale100_spot_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$factorBound%.1f,"base_time_floor_sec":${BenchScale.BaseTimeFloor}%.1f,"duplicate_density_note":"the amplifier makes every document a $reps-way duplicate cluster; factors near $reps are LINEAR","violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty},"failed":$fails,"requeried_raw":$req,"worst_query":"${worst._1}","worst_floored_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"queries":$qs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE100.json"),
+      json.getBytes("UTF-8"))
+    println(json.take(1800))
+    spark.stop()
+  }
+}
