@@ -1492,7 +1492,18 @@ object SimilarityQueries extends QueryModule {
     * union.
     */
   def prfExpansion(s: SparkSession, dir: String): DataFrame = {
-    val (tf, dl, dfT, stats) = bm25Index(s, dir)
+    // PRF consumes the postings from ~10 subtrees (q, three weighted()
+    // arms, and each arm's df/dl/stats lineages), so unlike bm25TopK the
+    // lazy-below-the-gate recompute loses even at bench scale: the
+    // postings are materialized ONCE here regardless of the size gate
+    // (above the gate bm25Index already materializes to scratch parquet
+    // and this checkpoint is a cheap second hop on the materialized scan)
+    val (tfRaw, _, _, _) = bm25Index(s, dir)
+    val tf = tfRaw.localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
     val qDocs = Tables.documents(s, dir).select("doc_id")
       .filter(col("doc_id") % 100 === 0)
       .orderBy("doc_id").limit(50)
