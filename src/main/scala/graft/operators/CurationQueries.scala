@@ -1234,8 +1234,21 @@ object CurationQueries extends QueryModule {
     */
   private[graft] def bpeTrainLoop(enc0: DataFrame)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val (enc, learned, _) = bpeTrainLoopCapturing(enc0, Set.empty)
+    (enc, learned)
+  }
+
+  /** [[bpeTrainLoop]] plus per-step snapshots: `captureAt` names the merge
+    * counts whose encoding frames are kept (each already
+    * localCheckpoint()ed by the loop's per-step policy, so a snapshot is
+    * a handle, not extra work). Step 0 is the character-split init.
+    */
+  private[graft] def bpeTrainLoopCapturing(enc0: DataFrame, captureAt: Set[Int])
+      : (DataFrame, Seq[(Int, String, String, String, Long)], Map[Int, DataFrame]) = {
     val k = 20
     var enc = enc0.localCheckpoint()
+    val snaps = scala.collection.mutable.Map[Int, DataFrame]()
+    if (captureAt.contains(0)) snaps(0) = enc
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var exhausted = false
     while (learned.size < k && !exhausted) {
@@ -1247,9 +1260,10 @@ object CurationQueries extends QueryModule {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((learned.size + 1, l, r, l + r, c))
         enc = bpeApply(enc, l, r).localCheckpoint()
+        if (captureAt.contains(learned.size)) snaps(learned.size) = enc
       }
     }
-    (enc, learned.toSeq)
+    (enc, learned.toSeq, snaps.toMap)
   }
 
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
@@ -2207,7 +2221,61 @@ object CurationQueries extends QueryModule {
        |FROM cdw JOIN bwtok USING (word) JOIN uwtok USING (word)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Vocabulary-size curve: corpus fertility (tokens/word) as a function
+    * of BPE merge budget k ∈ {0, 5, 10, 20}, read off PREFIXES of the one
+    * learned merge sequence — the compression-vs-vocab-size curve a
+    * tokenizer bake-off plots before fixing the vocab budget. Because BPE
+    * merges are learned greedily, the k-merge tokenizer IS the first k
+    * merges of the k=20 run, so the whole curve costs ONE trainer loop
+    * (the per-step localCheckpoint makes each snapshot a handle, not a
+    * recompute). Scale shape: everything runs on the distinct-word frame;
+    * the curve aggregate is occurrence-weighted exact-integer sums. The
+    * DuckDB twin reads the same stages (enc0/enc5/enc10/enc20) of the
+    * shared 20-stage trainer CTE chain. Law (InvariantSpec): n_words is
+    * constant across k, tokens_per_word is non-increasing in k, and k=0
+    * tokenizes to exactly the corpus character count.
+    */
+  def vocabCurve(s: SparkSession, dir: String): DataFrame = {
+    val init = Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        expr(s"concat('$Sep2', regexp_replace(word, '(.)', '$$1$Sep2'))").as("e"))
+    val (fin, _, snaps) = bpeTrainLoopCapturing(init, Set(0, 5, 10, 20))
+    Seq(0, 5, 10, 20).map { k =>
+      snaps.getOrElse(k, fin)
+        .select(col("wc"),
+          ((length(col("e")) - length(expr(s"replace(e, '$Sep', '')"))) / 2 - 1)
+            .cast("long").as("n_tok"))
+        .agg(sum("wc").as("n_words"),
+          sum(col("wc") * col("n_tok")).as("total_tokens"))
+        .select(lit(k.toLong).as("n_merges"), col("n_words"), col("total_tokens"),
+          round(col("total_tokens").cast("double") / col("n_words").cast("double"), 4)
+            .as("tokens_per_word"))
+    }.reduce(_.unionByName(_)).orderBy("n_merges")
+  }
+
+  private def vocabCurveSql: String =
+    s"""$bpeTrainerCtesSql
+       |, curve AS (
+       |  SELECT 0 AS n_merges, wc, e FROM enc0
+       |  UNION ALL SELECT 5, wc, e FROM enc5
+       |  UNION ALL SELECT 10, wc, e FROM enc10
+       |  UNION ALL SELECT 20, wc, e FROM enc20
+       |)
+       |SELECT n_merges, n_words, total_tokens,
+       |  round(CAST(total_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+       |    AS tokens_per_word
+       |FROM (
+       |  SELECT CAST(n_merges AS BIGINT) AS n_merges,
+       |    CAST(sum(wc) AS BIGINT) AS n_words,
+       |    CAST(sum(wc * len(list_filter(string_split(e, chr(1)), t -> t <> '')))
+       |      AS BIGINT) AS total_tokens
+       |  FROM curve GROUP BY 1)
+       |ORDER BY n_merges""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_vocab_curve", vocabCurve, Some(vocabCurveSql)),
     QueryDef("curation_unigram_train", unigramTrain, Some(unigramTrainSql)),
     QueryDef("curation_tokenizer_compare", tokenizerCompare, Some(tokenizerCompareSql)),
     QueryDef("curation_tokenizer_fertility", tokenizerFertility,

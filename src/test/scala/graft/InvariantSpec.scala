@@ -13,6 +13,26 @@ class InvariantSpec extends SparkSuite {
   private def rows(name: String): Array[Row] =
     SparkEntry.queries(name)(spark, Sf).collect()
 
+  test("r16 vocab curve: constant word mass, monotone compression, k=0 is the character count") {
+    import org.apache.spark.sql.functions._
+    val curve = rows("curation_vocab_curve")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(curve.map(_._1) == Seq(0L, 5L, 10L, 20L))
+    // word mass never changes with the merge budget
+    assert(curve.map(_._2).distinct.size == 1)
+    // more merges can only shorten encodings: tokens non-increasing in k
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3, s"tokens increased from k=${a._1} to k=${b._1}")
+      assert(b._4 <= a._4 + 1e-9)
+    }
+    // zero merges tokenizes every word into its characters exactly
+    val chars = Tables.documents(spark, Sf)
+      .select(explode(expr("filter(split(text, ' ', -1), t -> t <> '')")).as("w"))
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(curve.head._3 == chars, s"k=0 tokens ${curve.head._3} != corpus chars $chars")
+  }
+
   test("r16 unigram EM: segmentations reassemble, DP is self-consistent, likelihood is monotone") {
     val (trace, countsDf, total) = operators.CurationQueries.unigramEmTrace(spark, Sf)
     assert(trace.size == 2)
