@@ -2020,8 +2020,11 @@ object DedupQueries extends QueryModule {
     * order-free sorted-collect; the accounting join is doc_id-keyed.
     * Nothing is all-pairs, nothing is driver-side.
     */
-  def paragraphRebuild(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = paragraphRebuildPerDoc(s, dir)
+  /** Per-source accounting over a per-doc rebuild frame (n_paras,
+    * n_removed, chars_removed, rebuilt) — shared by the exact and
+    * near-dup paragraph queries; both oracles recompute it identically.
+    */
+  private def paragraphAccounting(s: SparkSession, dir: String, perDoc: DataFrame): DataFrame =
     Tables.documents(s, dir).select("doc_id", "source", "text")
       .join(perDoc, Seq("doc_id"), "left")
       .groupBy("source")
@@ -2036,7 +2039,9 @@ object DedupQueries extends QueryModule {
           .otherwise(0L)).as("docs_roundtrip_exact"),
         sum(coalesce(col("chars_removed"), lit(0L))).as("chars_removed"))
       .orderBy("source")
-  }
+
+  def paragraphRebuild(s: SparkSession, dir: String): DataFrame =
+    paragraphAccounting(s, dir, paragraphRebuildPerDoc(s, dir))
 
   private val paragraphRebuildSql =
     s"""WITH tk AS (
@@ -2071,7 +2076,139 @@ object DedupQueries extends QueryModule {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-doc core of [[paragraphNearDup]] — the NEAR-dup sibling of
+    * [[paragraphRebuildPerDoc]]: windows of ≥ 4 words get 4-gram shingles
+    * → 16-hash MinHash → 4 band buckets; within each bucket the earliest
+    * (doc_id, position) member is the REPRESENTATIVE, and any later
+    * member whose exact shingle Jaccard against its representative
+    * reaches 0.5 is removed (the star-edge rule [[lshCandidates]] uses —
+    * per-bucket work is member-count sized, never all-pairs, so the
+    * shape survives duplicate-dense corpora). Windows under 4 words
+    * cannot shingle and are exempt (always kept) in BOTH engines.
+    */
+  private[graft] def paragraphNearDupPerDoc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val paras = Tables.documents(s, dir)
+      .withColumn("tk0", expr(toks))
+      .filter(size(col("tk0")) >= 1)
+      .withColumn("g",
+        explode(sequence(lit(0L), ceil(size(col("tk0")) / lit(8.0)).cast("long") - 1)))
+      .select(col("doc_id"), col("g"),
+        slice(col("tk0"), (col("g") * 8 + 1).cast("int"), lit(8)).as("wtk"))
+      .withColumn("para", array_join(col("wtk"), " "))
+    val banded = paras.filter(size(col("wtk")) >= 4)
+      .withColumn("shingles", expr("word_shingles(wtk, 4)"))
+      .withColumn("sig", expr("minhash_sig(shingles, 16)"))
+      .select(col("doc_id"), col("g"), col("shingles"),
+        explode(expr(
+          """transform(sequence(0, 3),
+            |  b -> named_struct('band', b, 'bhash', xxhash64(slice(sig, b * 4 + 1, 4))))""".stripMargin))
+          .as("bb"))
+      .select(col("doc_id"), col("g"), col("shingles"),
+        col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val ranked = banded.withColumn("rn",
+      row_number().over(Window.partitionBy("band", "bhash").orderBy(asc("doc_id"), asc("g"))))
+    val reps = ranked.filter(col("rn") === 1)
+      .select(col("band"), col("bhash"), col("shingles").as("rsh"))
+    // exact shingle Jaccard vs the bucket representative; the ratio of
+    // small-integer counts is IEEE-exact on both engines, so the 0.5
+    // threshold is portable without rounding
+    val removed = ranked.filter(col("rn") > 1)
+      .join(reps, Seq("band", "bhash"))
+      .filter(size(array_intersect(col("shingles"), col("rsh"))).cast("double") /
+        size(array_union(col("shingles"), col("rsh"))).cast("double") >= 0.5)
+      .select("doc_id", "g").distinct()
+      .withColumn("removed", lit(true))
+    paras.join(removed, Seq("doc_id", "g"), "left")
+      .withColumn("rm", coalesce(col("removed"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("rm"), length(col("para")).cast("long")).otherwise(0L))
+          .as("chars_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("rm"), struct(col("g"), col("para"))))),
+          x => x.getField("para")), " ").as("rebuilt"))
+  }
+
+  /** Paragraph-level NEAR-dup dedup WITH document reconstruction — the
+    * fuzzy sibling of [[paragraphRebuild]]: production pipelines remove
+    * not only byte-identical paragraphs but boilerplate variants (a
+    * changed word in an 8-word window still minhash-collides and clears
+    * the 0.5-Jaccard bar). Same output schema and accounting as the exact
+    * row, same hash-pinned round-trip law; the removal predicate is
+    * MinHash-band blocking plus an exact-Jaccard confirm against the
+    * bucket representative. Scale shape: one corpus pass explodes
+    * windows, signatures are window-local scalar work, bucket ranking is
+    * one exchange on the band key with bucket-sized groups, the confirm
+    * join is representative-star (linear in members), and reassembly is
+    * the rebuild row's doc-keyed sorted-collect.
+    */
+  def paragraphNearDup(s: SparkSession, dir: String): DataFrame =
+    paragraphAccounting(s, dir, paragraphNearDupPerDoc(s, dir))
+
+  private val paragraphNearDupSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $dToks AS w FROM documents
+       |), paras AS (
+       |  SELECT doc_id, g, w[g*8+1 : g*8+8] AS wtk,
+       |    array_to_string(w[g*8+1 : g*8+8], ' ') AS para
+       |  FROM tk, unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS u(g)
+       |  WHERE len(w) >= 1
+       |), shing AS (
+       |  SELECT doc_id, g,
+       |    list_distinct(list_transform(range(1, len(wtk) - 2),
+       |      i -> concat_ws(' ', wtk[i], wtk[i + 1], wtk[i + 2], wtk[i + 3]))) AS shingles
+       |  FROM paras WHERE len(wtk) >= 4
+       |), msig AS (
+       |  SELECT doc_id, g, shingles,
+       |    list_transform(range(0, 16), k -> list_min(list_transform(list_zip(
+       |      list_transform(shingles, sh -> CAST(('0x' || substr(md5(sh), 1, 13)) AS BIGINT)),
+       |      list_transform(shingles, sh -> CAST(('0x' || substr(md5(sh), 14, 13)) AS BIGINT))),
+       |      p -> p[1] + k * p[2]))) AS sig
+       |  FROM shing
+       |), banded AS (
+       |  SELECT doc_id, g, shingles, r.range AS band,
+       |    md5(concat_ws(',', sig[CAST(r.range * 4 + 1 AS INT)], sig[CAST(r.range * 4 + 2 AS INT)],
+       |                       sig[CAST(r.range * 4 + 3 AS INT)], sig[CAST(r.range * 4 + 4 AS INT)])) AS bhash
+       |  FROM msig CROSS JOIN range(0, 4) r
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY band, bhash ORDER BY doc_id, g) AS rn
+       |  FROM banded
+       |), reps AS (
+       |  SELECT band, bhash, shingles AS rsh FROM ranked WHERE rn = 1
+       |), removed AS (
+       |  SELECT DISTINCT m.doc_id, m.g
+       |  FROM ranked m JOIN reps USING (band, bhash)
+       |  WHERE m.rn > 1
+       |    AND CAST(len(list_intersect(m.shingles, rsh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(m.shingles, rsh))) AS DOUBLE) >= 0.5
+       |), per_doc AS (
+       |  SELECT p.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_paras,
+       |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN length(p.para) ELSE 0 END) AS BIGINT)
+       |      AS chars_removed,
+       |    array_to_string(list(p.para ORDER BY p.g) FILTER (WHERE r.doc_id IS NULL), ' ')
+       |      AS rebuilt
+       |  FROM paras p LEFT JOIN removed r ON p.doc_id = r.doc_id AND p.g = r.g
+       |  GROUP BY 1)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(p.n_paras, 0)) AS BIGINT) AS paras_total,
+       |  CAST(sum(coalesce(p.n_removed, 0)) AS BIGINT) AS paras_removed,
+       |  CAST(sum(CASE WHEN coalesce(p.n_removed, 0) > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS docs_touched,
+       |  CAST(sum(CASE WHEN coalesce(p.n_removed, 0) = 0
+       |      AND coalesce(p.rebuilt, '') = coalesce(d.text, '') THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS docs_roundtrip_exact,
+       |  CAST(sum(coalesce(p.chars_removed, 0)) AS BIGINT) AS chars_removed
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_paragraph_neardup", paragraphNearDup, Some(paragraphNearDupSql)),
     QueryDef("dedup_paragraph_rebuild", paragraphRebuild, Some(paragraphRebuildSql)),
     QueryDef("dedup_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
     QueryDef("dedup_impact_report", dedupImpact, Some(dedupImpactSql)),

@@ -13,6 +13,63 @@ class InvariantSpec extends SparkSuite {
   private def rows(name: String): Array[Row] =
     SparkEntry.queries(name)(spark, Sf).collect()
 
+  test("r16 paragraph near-dup: every removal is a justified fuzzy match, untouched docs round-trip") {
+    val perDoc = operators.DedupQueries.paragraphNearDupPerDoc(spark, Sf)
+      .select("doc_id", "n_paras", "n_removed", "rebuilt").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def windows(text: String): Seq[Seq[String]] =
+      text.split(" ").filter(_.nonEmpty).grouped(8).map(_.toSeq).toSeq
+    def shingles(w: Seq[String]): Set[String] =
+      if (w.size < 4) Set.empty
+      else w.sliding(4).map(_.mkString(" ")).toSet
+    // all windows in global (doc_id, g) order for the earlier-match search
+    val all = docs.toSeq.sortBy(_._1).flatMap { case (d, t) =>
+      windows(t).zipWithIndex.map { case (w, g) => (d, g.toLong, w) }
+    }
+    var removedTotal = 0
+    perDoc.foreach { case (docId, (_, nRemoved, rebuilt)) =>
+      val ws = windows(docs(docId))
+      if (nRemoved == 0) {
+        assert(rebuilt == docs(docId), s"doc $docId round-trip mismatch")
+      } else {
+        // greedy window walk recovers which windows were kept
+        var rest = rebuilt
+        val removed = scala.collection.mutable.ArrayBuffer[Int]()
+        ws.zipWithIndex.foreach { case (w, g) =>
+          val pTxt = w.mkString(" ")
+          if (rest == pTxt || rest.startsWith(pTxt + " "))
+            rest = rest.stripPrefix(pTxt).stripPrefix(" ")
+          else removed += g
+        }
+        assert(rest.isEmpty, s"doc $docId rebuilt not a window subsequence")
+        assert(removed.size == nRemoved, s"doc $docId removal count mismatch")
+        removed.foreach { g =>
+          val sh = shingles(ws(g))
+          // the removal predicate only fires on shingle-able windows and
+          // only when an EARLIER window matches at Jaccard >= 0.5 (the
+          // bucket representative is such a window, so existence is the
+          // necessary condition we can check without replaying MinHash)
+          assert(sh.nonEmpty, s"doc $docId window $g removed but under 4 words")
+          val justified = all.exists { case (d2, g2, w2) =>
+            (d2 < docId || (d2 == docId && g2 < g)) && {
+              val sh2 = shingles(w2)
+              sh2.nonEmpty && {
+                val inter = sh.intersect(sh2).size
+                val union = sh.union(sh2).size
+                inter.toDouble / union >= 0.5
+              }
+            }
+          }
+          assert(justified, s"doc $docId window $g removed without an earlier >=0.5 match")
+          removedTotal += 1
+        }
+      }
+    }
+    assert(removedTotal > 0, "fixture should produce near-dup removals")
+  }
+
   test("r16 vocab curve: constant word mass, monotone compression, k=0 is the character count") {
     import org.apache.spark.sql.functions._
     val curve = rows("curation_vocab_curve")
