@@ -29,6 +29,25 @@ object Graft {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Resolve a committed-artifact path against the git toplevel (ADVICE
+    * r16 #2): the bench/scale mains write BENCH_*.json where the round
+    * commits from, so a run launched from a subdirectory must not strand
+    * the artifact in cwd where it reads as missing/stale. Absolute paths
+    * (env overrides) pass through; an undeterminable git state falls back
+    * to cwd — the behavior before this helper existed.
+    */
+  def repoFile(name: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(name)
+    if (p.isAbsolute) return p
+    try {
+      val proc = new ProcessBuilder("git", "rev-parse", "--show-toplevel").start()
+      val root = new String(proc.getInputStream.readAllBytes, "UTF-8").trim
+      if (proc.waitFor() == 0 && root.nonEmpty)
+        java.nio.file.Paths.get(root).resolve(p)
+      else p
+    } catch { case _: Throwable => p }
+  }
 }
 
 /** Loader for the driver-generated fixture tables (TESTDATA.md).

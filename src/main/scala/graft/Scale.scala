@@ -434,7 +434,7 @@ object BenchScale {
       val policy = f"median-of-3 re-measure per side when floored factor > $RequeryMargin%.1f*factor_bound; survivors listed in near_bound"
       f"""{"metric":"scale_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$FactorBound%.1f,"base_time_floor_sec":$BaseTimeFloor%.1f,"requery_policy":"$policy","bound_exempt":$exempt,"violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty && skewViolations.isEmpty && rocksViolations.isEmpty},"failed":$fails,"near_bound":$nearBound,"requeried_raw":$req,"skew_sweep":$skew,"skew_violations":$skewViol,"streaming_rocksdb":$rocks,"streaming_rocksdb_violations":$rocksViol,"worst_query":"${worst._1}","worst_factor":${worst._2}%.2f,"worst_adjudication_settled":$adjudicationSettled,"worst_adjudication_requeries":$adjudicationExtra,"stream_events_per_sec":$streamRate%.0f,"throttled":$throttled,"pair_census":$census,"queries":$qs}"""
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+    java.nio.file.Files.write(Graft.repoFile("BENCH_SCALE.json"),
       json.getBytes("UTF-8"))
     println(json.take(1800))
     spark.stop()
@@ -568,7 +568,9 @@ object BenchScale100 {
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       f"""{"metric":"scale100_spot_sweep","base":"$base","scaled":"$scaled","data_factor":$reps,"n_queries":${rows.size},"factor_bound":$factorBound%.1f,"base_time_floor_sec":${BenchScale.BaseTimeFloor}%.1f,"duplicate_density_note":"the amplifier makes every document a $reps-way duplicate cluster; factors near $reps are LINEAR","violations":$viol,"within_bound":${violations.isEmpty && failures.isEmpty},"failed":$fails,"requeried_raw":$req,"worst_query":"${worst._1}","worst_floored_factor":${worst._2}%.2f,"stream_events_per_sec":$streamRate%.0f,"queries":$qs}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE100.json"),
+    // repo-rooted like BENCH_SCALE.json (ADVICE r16 #2): a run launched
+    // from a subdirectory must not strand the committed artifact in cwd
+    java.nio.file.Files.write(Graft.repoFile("BENCH_SCALE100.json"),
       json.getBytes("UTF-8"))
     println(json.take(1800))
     spark.stop()

@@ -774,8 +774,14 @@ object DedupQueries extends QueryModule {
     val (tbl, sigsPath) = bandIndexMemo.computeIfAbsent(
       s"${System.identityHashCode(s)}:${docsFixtureKey(dir)}#m$batchMod", _ => {
         val out = graft.Scratch.dir("graft-band-index")
+        // the session identity is part of the NAME, not just the memo key
+        // (ADVICE r16 #3): two live sessions in one JVM share a warehouse
+        // dir, so a session-independent name would let the second session's
+        // overwrite replace files the first session's catalog entry points
+        // at mid-read; a per-session suffix makes the two tables disjoint
         val tblName = ("graft_band_postings_" +
-          s"${docsFixtureKey(dir)}_m$batchMod").replaceAll("[^A-Za-z0-9]", "_")
+          s"${docsFixtureKey(dir)}_m${batchMod}_s${System.identityHashCode(s)}")
+          .replaceAll("[^A-Za-z0-9]", "_")
         val corpus = corpusSigsFrame(s, dir, batchMod).cache()
         dropManagedTable(s, tblName)
         mhBanded(corpus).write.mode("overwrite")

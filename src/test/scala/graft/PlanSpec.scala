@@ -243,8 +243,11 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("FullOuter"), p)
     // the base-arm aggregate feeds both the feedback ranking and the
     // merge through ONE exchange — execution dedupes the identical
-    // subtrees, which is what "never re-scored" looks like physically
-    assert(p.contains("ReusedExchange"), p)
+    // subtrees, which is what "never re-scored" looks like physically.
+    // Either reuse spelling counts (ADVICE r16 #4): AQE plans the same
+    // dedup as ReusedQueryStage, and pinning one optimizer artifact's
+    // name would fail the test on a config change with no regression.
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
   }
 
   test("sql-surface lowering: UnionLoop recursion, UDF-free SQL functions, identifier plan parity") {
