@@ -837,6 +837,40 @@ class InvariantSpec extends SparkSuite {
       s"multi-size n=3 disagrees with curation_contamination ($standalone)")
   }
 
+  test("r17 quality classifier: loss strictly monotone per GD step, scores on the micro grid, gate is exactly top-half") {
+    import org.apache.spark.sql.functions._
+    val (feats, ws) = operators.CurationQueries.clfTrain(spark, Sf)
+    // the trajectory is w0 (zeros) … w4: one snapshot per declared step
+    assert(ws.size == 5)
+    assert(ws.head.isEmpty, "w0 must be the zero model")
+    // law 1 (the VERDICT r16 done-bar): squared training loss strictly
+    // decreases at EVERY unrolled full-batch step — the divisor 80 was
+    // chosen as the largest measured step that keeps this strict at all
+    // three fixture scales, so equality here means the trainer stalled
+    val losses = ws.map(w => operators.CurationQueries.clfLoss(feats, w))
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss did not strictly decrease: $losses")
+    }
+    // law 2: weights stay bucket-bounded (≤ 256 hashed buckets + bias) and
+    // every key is a bucket the feature frame actually carries
+    val buckets = feats.select(explode(col("fx")).as("f"))
+      .select(col("f.b")).distinct().collect().map(_.getInt(0)).toSet
+    ws.tail.foreach { w =>
+      assert(w.keySet.subsetOf(buckets), "weight for a bucket no doc has")
+      assert(w.size <= 257)
+    }
+    // law 3: scores live on the micro grid and the percentile gate keeps
+    // exactly ceil(n/2) documents
+    val scored = operators.CurationQueries.clfScored(feats, ws.last)
+    val n = scored.count()
+    val bad = scored.filter(col("p") < 0 || col("p") > 1000000).count()
+    assert(bad == 0)
+    val kept = SparkEntry.queries("curation_quality_classifier_apply")(spark, Sf)
+      .agg(sum("n_kept"), sum("n_docs")).collect()(0)
+    assert(kept.getLong(1) == n)
+    assert(kept.getLong(0) == n - n / 2, s"gate kept ${kept.getLong(0)} of $n")
+  }
+
   test("dispersion index and granger F are finite; poisson rate test p-values in [0, 1]") {
     rows("agg_dispersion_index").foreach { r =>
       assert(r.getAs[Double]("dispersion") > 0.0)
