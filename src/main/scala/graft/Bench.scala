@@ -48,6 +48,8 @@ object Bench {
     operators.DedupQueries.clusterLabels(spark, sfDir).count()
     operators.DedupQueries.bandIndex(spark, sfDir)._1.count()
     operators.DedupQueries.corpusClusterLabels(spark, sfDir).count()
+    // the persisted IVF index pair (r17): same maintained-table policy
+    operators.SimilarityQueries.ivfIndex(spark, sfDir)._1.count()
     // the persisted sketch-partial tables: same maintained-pre-agg policy
     operators.AggQueries.hllPartials(spark, sfDir).count()
     operators.AggQueries.tdPartials(spark, sfDir).count()

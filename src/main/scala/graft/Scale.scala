@@ -173,6 +173,7 @@ object BenchScale {
       operators.DedupQueries.clusterLabels(spark, dir).count()
       operators.DedupQueries.bandIndex(spark, dir)._1.count()
       operators.DedupQueries.corpusClusterLabels(spark, dir).count()
+      operators.SimilarityQueries.ivfIndex(spark, dir)._1.count()
       operators.AggQueries.hllPartials(spark, dir).count()
       operators.AggQueries.tdPartials(spark, dir).count()
     }
@@ -483,6 +484,7 @@ object BenchScale100 {
       Tables.all.foreach(t => Tables.load(spark, dir, t).count())
       operators.DedupQueries.bandIndex(spark, dir)._1.count()
       operators.DedupQueries.corpusClusterLabels(spark, dir).count()
+      operators.SimilarityQueries.ivfIndex(spark, dir)._1.count()
     }
     val nEvents = Tables.events(spark, base).count()
     def canaryOnce(): Double =

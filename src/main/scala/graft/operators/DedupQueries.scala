@@ -727,7 +727,7 @@ object DedupQueries extends QueryModule {
     */
   private val bandIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def dropManagedTable(s: SparkSession, tbl: String): Unit = {
+  private[operators] def dropManagedTable(s: SparkSession, tbl: String): Unit = {
     // a managed table of the same name can survive from a PREVIOUS JVM in
     // the cwd warehouse; drop both catalog entry and stale location before
     // (re)writing — same hygiene as SourceQueries.dropManaged

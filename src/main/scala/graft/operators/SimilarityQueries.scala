@@ -1614,7 +1614,231 @@ object SimilarityQueries extends QueryModule {
       |  FROM rescored) WHERE rn <= 3
       |ORDER BY q_id, rn""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Persisted + incrementally maintained IVF index (VERDICT r16 "what's
+  // missing" #4) — the ANN twin of the dedup band-index recipe
+  // (DedupQueries.bandIndex): in the daily-crawl production story the IVF
+  // structure is a MAINTAINED table pair — coarse centroids (the trained
+  // quantizer, k × dim, tiny) plus per-vector list assignments (the
+  // posting lists, storing the vectors themselves) — built once per
+  // corpus snapshot by ingest, extended per batch by an ASSIGN-ONLY pass
+  // (never re-embedding or re-assigning the standing corpus), and probed
+  // by every ANN query against the merged (persisted ∪ delta) lists.
+  // sim_ivf_topk keeps demonstrating the IVF probe SHAPE per query; this
+  // family demonstrates its MAINTENANCE contract. The assignments table
+  // is BUCKETED (8) on list_id — exactly the probe join key — so the
+  // index side reads co-located with zero index-side exchange (PlanSpec
+  // pins it, mirroring the band-index pin). The DuckDB twin recomputes
+  // centroids + all assignments from scratch, so hash equality proves
+  // persisted-index ≡ recompute.
+  //
+  // Split contract (same as incrementalDedup): vec_id % 10 != batchMod is
+  // the standing corpus, == batchMod plays "today's batch"; batchMod
+  // defaults to 9 for the declared queries, and InvariantSpec replays the
+  // recompute-equivalence under an alternative split.
+  //
+  // Determinism: centroids are double-averaged per dimension then cast to
+  // FLOAT (collapses engine ulp drift — the ivfTopK/kmeansLloyd rule);
+  // assignment argmin orders by round(l2, 6) with a list-id tie-break
+  // (the kmeansLloyd rule); the probe ranks raw cosine with a vector-id
+  // tie-break and rounds at output (the bruteTopK rule).
+  // ------------------------------------------------------------------
+
+  private val ivfIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Memo key: dir + embeddings.parquet (mtime, size) — an in-place
+    * fixture regeneration must invalidate the persisted index.
+    */
+  private def embFixtureKey(dir: String): String = {
+    val fp = try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(dir, "embeddings.parquet"),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.lastModifiedTime.toMillis}:${a.size}"
+    } catch { case _: Throwable => "absent" }
+    s"$dir@$fp"
+  }
+
+  /** Coarse quantizer: per-label centroid vectors over `corpus`, keyed as
+    * list ids (double avg per dim → FLOAT, the cross-engine-stable form).
+    */
+  private[graft] def ivfCentroids(corpus: DataFrame): DataFrame = {
+    val centroidUdaf = udaf(new VectorCentroid, ExpressionEncoder[Seq[Float]]())
+    corpus.groupBy("label")
+      .agg(centroidUdaf(col("embedding")).as("centroid_d"))
+      .select(col("label").cast("int").as("list_id"),
+        expr("transform(centroid_d, x -> CAST(x AS FLOAT))").as("cemb"))
+  }
+
+  /** Assign each vector to its nearest list: broadcast of k centroid rows
+    * against the streamed input, argmin as a map-side-combinable min_by
+    * over round(l2, 6) with a list-id tie-break — the kmeansLloyd
+    * assignment plan, so per-vector cost is O(k · dim) and the only
+    * shuffle is the vec_id-keyed combine.
+    */
+  private[graft] def ivfAssign(df: DataFrame, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("d", round(expr("l2_sq(embedding, cemb)"), 6))
+      .groupBy("vec_id")
+      .agg(expr("min_by(list_id, struct(d, list_id))").as("list_id"),
+        first(col("embedding")).as("embedding"))
+      .select("vec_id", "list_id", "embedding")
+
+  /** The corpus-side train + assign lineage — the ONE pass that legally
+    * scans the complement (vec_id % 10 != batchMod). Exposed so PlanSpec's
+    * no-corpus-re-embed guard has a positive control: this frame's plan
+    * DOES carry the NOT-batch filter the absence-regex hunts for.
+    */
+  private[graft] def corpusAssignFrame(s: SparkSession, dir: String, batchMod: Int = 9): DataFrame = {
+    GraftFunctions.register(s)
+    val corpus = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 =!= batchMod)
+    ivfAssign(corpus, ivfCentroids(corpus))
+  }
+
+  /** The persisted index pair: (assignments table bucketed(8) on list_id,
+    * centroids parquet). Written ONCE per (session, fixture, split) from a
+    * single corpus pass and memoized — session identity in both the memo
+    * key AND the table name (the band-index rule: the in-memory catalog
+    * dies with its session, and two live sessions sharing a warehouse must
+    * not overwrite each other's files).
+    */
+  private[graft] def ivfIndex(s: SparkSession, dir: String, batchMod: Int = 9)
+      : (DataFrame, DataFrame) = {
+    GraftFunctions.register(s)
+    val (tbl, centsPath) = ivfIndexMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${embFixtureKey(dir)}#m$batchMod", _ => {
+        val out = graft.Scratch.dir("graft-ivf-index")
+        val tblName = ("graft_ivf_assign_" +
+          s"${embFixtureKey(dir)}_m${batchMod}_s${System.identityHashCode(s)}")
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val corpus = Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 10 =!= batchMod).cache()
+        val cents = ivfCentroids(corpus).cache()
+        cents.write.mode("overwrite").parquet(s"$out/centroids")
+        DedupQueries.dropManagedTable(s, tblName)
+        ivfAssign(corpus, cents).write.mode("overwrite")
+          .bucketBy(8, "list_id").saveAsTable(tblName)
+        cents.unpersist()
+        corpus.unpersist()
+        (tblName, s"$out/centroids")
+      })
+    (s.table(tbl), s.read.parquet(centsPath))
+  }
+
+  /** The per-batch delta: today's vectors assigned against the PERSISTED
+    * centroids — batch-sized work, no corpus scan anywhere in its lineage.
+    */
+  private[graft] def ivfDelta(s: SparkSession, dir: String, batchMod: Int = 9): DataFrame = {
+    val (_, cents) = ivfIndex(s, dir, batchMod)
+    val batch = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 === batchMod)
+      .select("vec_id", "embedding")
+    ivfAssign(batch, cents)
+  }
+
+  /** Incremental index maintenance + probe: merge one batch into the
+    * persisted IVF index (delta = assign-only) and run the batch's lowest
+    * vec_ids as queries against the MERGED lists — probing split as
+    * (q ⋈ index) ∪ (q ⋈ delta) so the index leg joins the bucketed table
+    * on exactly its bucketing key (a pre-union would discard the
+    * bucketing). Top-3 within the probed list, self excluded.
+    */
+  def indexMaintenanceAnn(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val (idx, _) = ivfIndex(s, dir)
+    val delta = ivfDelta(s, dir)
+    val q = delta.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("list_id").as("probe_list"),
+        col("embedding").as("q_emb"))
+    def probe(side: DataFrame): DataFrame = side
+      .join(broadcast(q),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
+      .select(col("q_id"), col("probe_list"), col("vec_id").as("c_id"), col("cos"))
+    val hits = probe(idx).unionByName(probe(delta))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("probe_list"), col("c_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Per-list census of the merged index: persisted size vs batch delta —
+    * the maintenance accounting row a daily ingest job emits. Reads ONLY
+    * the persisted table and the batch delta (never corpus embeddings).
+    */
+  def indexCensusAnn(s: SparkSession, dir: String): DataFrame = {
+    val (idx, _) = ivfIndex(s, dir)
+    val delta = ivfDelta(s, dir)
+    idx.groupBy("list_id").agg(count(lit(1)).as("n_corpus"))
+      .join(delta.groupBy("list_id").agg(count(lit(1)).as("n_batch")),
+        Seq("list_id"), "full_outer")
+      .na.fill(0L, Seq("n_corpus", "n_batch"))
+      .withColumn("n_total", col("n_corpus") + col("n_batch"))
+      .orderBy("list_id")
+  }
+
+  /** Shared from-scratch twin CTEs: centroids over the corpus slice, then
+    * EVERY vector (corpus and batch alike) assigned by the same rounded-l2
+    * argmin — the union of the persisted index and the delta is exactly
+    * this frame, which is the recompute-equivalence the oracle pins.
+    */
+  private def ivfCtesSql: String = {
+    def l2(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+    s"""corpus AS (
+       |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 <> 9
+       |), cents AS (
+       |  SELECT CAST(label AS INT) AS list_id,
+       |    list_transform(list(avg_v ORDER BY dim), x -> CAST(x AS FLOAT)) AS cemb
+       |  FROM (
+       |    SELECT label, dim, avg(CAST(v AS DOUBLE)) AS avg_v
+       |    FROM (SELECT label, unnest(embedding) AS v,
+       |            generate_subscripts(embedding, 1) AS dim
+       |          FROM corpus)
+       |    GROUP BY label, dim)
+       |  GROUP BY label
+       |), asg AS MATERIALIZED (
+       |  SELECT vec_id, embedding, list_id, is_batch FROM (
+       |    SELECT e.vec_id, e.embedding, c.list_id, e.vec_id % 10 = 9 AS is_batch,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${l2("e.embedding", "c.cemb")}, 6) ASC, c.list_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  private def indexMaintenanceAnnSql: String = {
+    val cos = cosineSqlDuck.replace("QA", "q.q_emb").replace("QB", "a.embedding")
+    s"""WITH ${ivfCtesSql}
+       |, q AS (
+       |  SELECT vec_id AS q_id, list_id AS probe_list, embedding AS q_emb
+       |  FROM asg WHERE is_batch AND vec_id < 100
+       |), ranked AS (
+       |  SELECT q.q_id, q.probe_list, a.vec_id AS c_id, $cos AS cos,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY $cos DESC, a.vec_id ASC) AS rn
+       |  FROM q JOIN asg a ON a.list_id = q.probe_list AND a.vec_id <> q.q_id)
+       |SELECT q_id, probe_list, c_id, round(cos, 4) AS cosine, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
+  private def indexCensusAnnSql: String =
+    s"""WITH ${ivfCtesSql}
+       |SELECT list_id,
+       |  CAST(coalesce(sum(CASE WHEN NOT is_batch THEN 1 END), 0) AS BIGINT) AS n_corpus,
+       |  CAST(coalesce(sum(CASE WHEN is_batch THEN 1 END), 0) AS BIGINT) AS n_batch,
+       |  CAST(count(*) AS BIGINT) AS n_total
+       |FROM asg GROUP BY list_id ORDER BY list_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_index_maintenance", indexMaintenanceAnn, Some(indexMaintenanceAnnSql)),
+    QueryDef("sim_index_census", indexCensusAnn, Some(indexCensusAnnSql)),
     QueryDef("sim_prf_expansion", prfExpansion, Some(prfExpansionSql)),
     QueryDef("sim_centroid_classify", centroidClassify, Some(centroidClassifySql)),
     QueryDef("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),

@@ -837,6 +837,30 @@ class InvariantSpec extends SparkSuite {
       s"multi-size n=3 disagrees with curation_contamination ($standalone)")
   }
 
+  test("r17 IVF index maintenance: persisted ∪ delta ≡ from-scratch assignment, under both splits") {
+    import org.apache.spark.sql.functions._
+    // the maintained-index contract is only real if the merged (persisted
+    // index ∪ assign-only delta) equals the from-scratch assignment of the
+    // WHOLE corpus against the same trained centroids — replayed under an
+    // alternative batch split so the equivalence isn't an artifact of the
+    // declared split's key distribution
+    for (m <- Seq(9, 7)) {
+      val (idx, _) = operators.SimilarityQueries.ivfIndex(spark, Sf, m)
+      val delta = operators.SimilarityQueries.ivfDelta(spark, Sf, m)
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "list_id").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val merged = toMap(idx) ++ toMap(delta)
+      val all = Tables.embeddings(spark, Sf)
+      val scratch = toMap(operators.SimilarityQueries.ivfAssign(
+        all.select("vec_id", "embedding"),
+        operators.SimilarityQueries.ivfCentroids(
+          all.filter(col("vec_id") % 10 =!= m))))
+      assert(merged.size == all.count(), s"split $m: merged index incomplete")
+      assert(merged == scratch, s"split $m: incremental != recompute")
+    }
+  }
+
   test("r17 quality classifier: loss strictly monotone per GD step, scores on the micro grid, gate is exactly top-half") {
     import org.apache.spark.sql.functions._
     val (feats, ws) = operators.CurationQueries.clfTrain(spark, Sf)

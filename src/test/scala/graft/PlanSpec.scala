@@ -708,6 +708,73 @@ class PlanSpec extends SparkSuite {
     assert(NotBatchRx.findFirstIn(d).isEmpty, d)
   }
 
+  private val NotBatchVecRx = """NOT \(\(vec_id#\d+L? % 10\) = 9\)""".r
+
+  test("ANN index maintenance: probe reads persisted IVF index + batch delta only — no corpus re-embed") {
+    // the daily-crawl contract, ANN edition (VERDICT r16 #4): centroids
+    // and corpus assignments are maintained tables, so the per-batch query
+    // must read them from disk and run embeddings scans ONLY over the
+    // batch slice — a regression that re-derives the corpus assignments
+    // inline would show the complement filter in the plan
+    val p = SparkEntry.queries("sim_index_maintenance")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf_assign"), p) // the bucketed assignments table
+    assert(p.contains("graft-ivf-index"), p)  // the centroids parquet
+    assert("""\(vec_id#\d+L? % 10\) = 9""".r.findFirstIn(p).nonEmpty, p)
+    assert(NotBatchVecRx.findFirstIn(p).isEmpty, p)
+    // POSITIVE CONTROL: the corpus-side train+assign lineage (the one
+    // pass that legally scans the complement) DOES carry the NOT-batch
+    // filter, so the absence-regex can see the regression it guards
+    val ctrl = operators.SimilarityQueries.corpusAssignFrame(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(NotBatchVecRx.findFirstIn(ctrl).nonEmpty, ctrl)
+    // the census row honors the same contract
+    val c = SparkEntry.queries("sim_index_census")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(c.contains("graft_ivf_assign"), c)
+    assert(NotBatchVecRx.findFirstIn(c).isEmpty, c)
+  }
+
+  test("ANN index probe: bucketed assignments side reaches the join with no shuffle") {
+    // same cluster-scale layout pin as the band-index probe: assignments
+    // are bucketed on list_id — exactly the probe join key — so the index
+    // side reads co-located; only the (tiny, broadcast) query frame moves.
+    // AQE off for the pin only: AdaptiveSparkPlanExec hides its input plan
+    // from collect(), so the structural walk needs the static plan.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val phys =
+      try SparkEntry.queries("sim_index_maintenance")(spark, Sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def scansIvfTable(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("graft_ivf_assign")) => f
+      }.nonEmpty
+    assert(scansIvfTable(phys), phys.toString)
+    def hasJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+        case j: BroadcastHashJoinExec => j
+      }.nonEmpty
+    val joinChildren = phys.collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+      case j: BroadcastHashJoinExec => Seq(j.left, j.right)
+    }.flatten.filter(c => scansIvfTable(c) && !hasJoin(c))
+    assert(joinChildren.nonEmpty, phys.toString)
+    joinChildren.foreach { side =>
+      val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"shuffle on the bucketed IVF index side of the probe join:\n$side")
+    }
+  }
+
   test("isotropy: pair-free sufficient statistics — no pair join of any kind") {
     // the whole point of the ‖Σx̂‖² identity is that mean pairwise cosine
     // needs NO pair enumeration: the plan must stay scan→agg with only the
