@@ -463,7 +463,11 @@ object BenchScale100 {
   val SpotQueries: Seq[String] = Seq(
     "dedup_index_maintenance", "dedup_index_census", "dedup_clusters_incremental",
     "join_fuzzy_blocked", "dedup_substring_spans",
-    "sim_bm25_topk", "sim_prf_expansion")
+    "sim_bm25_topk", "sim_prf_expansion",
+    // r17 additions (VERDICT r16 "what's missing" #2 and #4): the
+    // duplicate-density-sensitive banded paragraph shape, and the new
+    // maintained ANN index probe + census
+    "dedup_paragraph_neardup", "sim_index_maintenance", "sim_index_census")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1828,6 +1828,66 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Recall@3 of the maintained-index probe against exact brute force over
+    * the merged corpus — the nprobe=1 quality number that decides whether
+    * the coarse quantizer needs more lists or a wider probe before anyone
+    * trusts the index in production. The exact arm is the evaluation
+    * harness (broadcast queries × one streamed corpus pass), not the
+    * serving path; the approximate arm IS [[indexMaintenanceAnn]]'s probe.
+    */
+  def indexProbeRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val approx = indexMaintenanceAnn(s, dir)
+      .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+    val q = ivfDelta(s, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    val exact = cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "c_id")
+    exact
+      .join(approx, col("q_id") === col("a_q") && col("c_id") === col("a_c"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("a_c")).as("n_hits"))
+      .withColumn("recall_at_3",
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 4))
+      .orderBy("q_id")
+  }
+
+  private def indexProbeRecallSql: String = {
+    val cosP = cosineSqlDuck.replace("QA", "q.q_emb").replace("QB", "a.embedding")
+    val cosE = cosineSqlDuck.replace("QA", "q.q_emb").replace("QB", "c.embedding")
+    s"""WITH ${ivfCtesSql}
+       |, q AS (
+       |  SELECT vec_id AS q_id, list_id AS probe_list, embedding AS q_emb
+       |  FROM asg WHERE is_batch AND vec_id < 100
+       |), approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, a.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY $cosP DESC, a.vec_id ASC) AS rn
+       |    FROM q JOIN asg a ON a.list_id = q.probe_list AND a.vec_id <> q.q_id)
+       |  WHERE rn <= 3
+       |), exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY $cosE DESC, c.vec_id ASC) AS rn
+       |    FROM q JOIN embeddings c ON c.vec_id <> q.q_id)
+       |  WHERE rn <= 3)
+       |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(a.c_id) AS BIGINT) AS n_hits,
+       |  round(CAST(count(a.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS recall_at_3
+       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+  }
+
   private def indexCensusAnnSql: String =
     s"""WITH ${ivfCtesSql}
        |SELECT list_id,
@@ -1839,6 +1899,7 @@ object SimilarityQueries extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_index_maintenance", indexMaintenanceAnn, Some(indexMaintenanceAnnSql)),
     QueryDef("sim_index_census", indexCensusAnn, Some(indexCensusAnnSql)),
+    QueryDef("sim_index_probe_recall", indexProbeRecall, Some(indexProbeRecallSql)),
     QueryDef("sim_prf_expansion", prfExpansion, Some(prfExpansionSql)),
     QueryDef("sim_centroid_classify", centroidClassify, Some(centroidClassifySql)),
     QueryDef("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
