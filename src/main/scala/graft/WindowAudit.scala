@@ -50,6 +50,8 @@ object WindowAudit {
       "per-partition offset prefix (|shuffle partitions| rows; DistributedOrder)",
     "curation_quality_classifier_apply" ->
       "per-partition offset prefix (|shuffle partitions| rows; DistributedOrder)",
+    "curation_quality_classifier_holdout" ->
+      "per-partition offset prefix (|shuffle partitions| rows; DistributedOrder)",
     "curation_token_packing" ->
       "per-partition offset prefix (|shuffle partitions| rows; DistributedOrder)",
     "dedup_sorted_neighborhood" -> "collapsed sort-key frame",

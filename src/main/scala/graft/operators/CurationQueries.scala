@@ -2397,16 +2397,33 @@ object CurationQueries extends QueryModule {
     */
   private val clfMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[Map[Int, Long]])]()
+  private val clfFeatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def clfFeatsMemoized(s: SparkSession, dir: String): DataFrame =
+    clfFeatsMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${curationFixtureKey(dir)}", _ => clfFeats(s, dir))
 
   private[graft] def clfTrain(s: SparkSession, dir: String): (DataFrame, Seq[Map[Int, Long]]) =
+    clfTrainOn(s, dir, "full", identity)
+
+  /** The trainer, parameterized by the TRAIN slice (a filter over the
+    * shared feature frame): the full-corpus gate trains on everything;
+    * the holdout row trains on doc_id % 5 != 0 and scores the complement.
+    * Returns the FULL feature frame plus the weight trajectory — scoring
+    * any slice under any snapshot is the caller's choice.
+    */
+  private[graft] def clfTrainOn(s: SparkSession, dir: String, tag: String,
+      trainSlice: DataFrame => DataFrame): (DataFrame, Seq[Map[Int, Long]]) =
     clfMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}:${curationFixtureKey(dir)}", _ => {
-        val feats = clfFeats(s, dir)
-        val nDiv = feats.count().toDouble * ClfLrDiv
+      s"${System.identityHashCode(s)}:${curationFixtureKey(dir)}#$tag", _ => {
+        val feats = clfFeatsMemoized(s, dir)
+        val train = trainSlice(feats)
+        val nDiv = train.count().toDouble * ClfLrDiv
         var w = Map.empty[Int, Long]
         val trace = scala.collection.mutable.ArrayBuffer(w)
         for (_ <- 1 to ClfSteps) {
-          val g = clfScored(feats, w)
+          val g = clfScored(train, w)
             .select(col("y"), col("p"), explode(col("fx")).as("f"))
             .groupBy(col("f.b").as("b"))
             .agg(sum((col("y") * lit(1000000L) - col("p")) * col("f.x")).as("g"))
@@ -2490,7 +2507,15 @@ object CurationQueries extends QueryModule {
     * trainer twins; every stage MATERIALIZED because s_t feeds both g_t
     * and (via w_t) s_{t+1}.
     */
-  private def clfCtesSql: String = {
+  /** CTE-chain builder parameterized by the TRAIN and SCORE slices (SQL
+    * predicates over doc_id). Training stages read feats_tr; the final
+    * scoring stage LEFT-joins the weights so a held-out doc whose bucket
+    * the train slice never saw scores it at weight 0 — exactly the Spark
+    * side's coalesce inside the margin fold. For the full-corpus queries
+    * (train = score = TRUE) the left join is value-identical to the inner
+    * join it replaced (w$ClfSteps covers every bucket feats carries).
+    */
+  private def clfCtesFor(trainPred: String, scorePred: String): String = {
     val init =
       s"""lab AS MATERIALIZED (
          |  SELECT doc_id, source,
@@ -2507,19 +2532,21 @@ object CurationQueries extends QueryModule {
          |    GROUP BY 1, 2, 3, 4)
          |  UNION ALL
          |  SELECT doc_id, source, y, -1 AS bucket, CAST(1 AS BIGINT) AS x FROM lab
-         |), nn AS (SELECT CAST(count(*) AS DOUBLE) * $ClfLrDiv AS dv FROM lab
-         |), w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM feats)"""
+         |), feats_tr AS MATERIALIZED (
+         |  SELECT * FROM feats WHERE $trainPred
+         |), nn AS (SELECT CAST(count(*) AS DOUBLE) * $ClfLrDiv AS dv FROM lab WHERE $trainPred
+         |), w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM feats_tr)"""
         .stripMargin
     val steps = (1 to ClfSteps).map { t =>
       s""", s$t AS MATERIALIZED (
          |  SELECT f.doc_id, f.source, f.y,
          |    greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
          |      500000 + CAST(sum(w.w * f.x) AS BIGINT))) AS p
-         |  FROM feats f JOIN w${t - 1} w USING (bucket)
+         |  FROM feats_tr f JOIN w${t - 1} w USING (bucket)
          |  GROUP BY 1, 2, 3
          |), g$t AS (
          |  SELECT f.bucket, CAST(sum((f.y * 1000000 - p.p) * f.x) AS BIGINT) AS g
-         |  FROM feats f JOIN s$t p USING (doc_id) GROUP BY 1
+         |  FROM feats_tr f JOIN s$t p USING (doc_id) GROUP BY 1
          |), w$t AS MATERIALIZED (
          |  SELECT w.bucket,
          |    w.w + CAST(floor(CAST(g.g AS DOUBLE) / nn.dv) AS BIGINT) AS w
@@ -2530,15 +2557,58 @@ object CurationQueries extends QueryModule {
       s""", s${ClfSteps + 1} AS MATERIALIZED (
          |  SELECT f.doc_id, f.source, f.y,
          |    greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
-         |      500000 + CAST(sum(w.w * f.x) AS BIGINT))) AS p
-         |  FROM feats f JOIN w$ClfSteps w USING (bucket)
+         |      500000 + CAST(sum(coalesce(w.w, 0) * f.x) AS BIGINT))) AS p
+         |  FROM (SELECT * FROM feats WHERE $scorePred) f
+         |  LEFT JOIN w$ClfSteps w USING (bucket)
          |  GROUP BY 1, 2, 3
          |)""".stripMargin
     s"WITH $init\n$steps\n$fin"
   }
 
+  private def clfCtesSql: String = clfCtesFor("TRUE", "TRUE")
+
   private def qualityClassifierSql: String =
     s"""${clfCtesSql}
+       |, cut AS (
+       |  SELECT y, p, ntile(10) OVER (ORDER BY p, doc_id) AS decile
+       |  FROM s${ClfSteps + 1})
+       |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(avg(CAST(p AS DOUBLE)) / 1e6, 4) AS avg_score,
+       |  round(avg(CAST(y AS DOUBLE)), 4) AS label_rate
+       |FROM cut GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** Held-out evaluation of the trained gate — the generalization check a
+    * production quality classifier ships with: train on doc_id % 5 != 0,
+    * score the UNSEEN complement, and report the held-out decile
+    * calibration. A bucket the train slice never saw scores at weight 0
+    * on both engines (coalesce in the margin fold / LEFT-joined weights
+    * in the twin). Rising label_rate on unseen documents is the evidence
+    * the gate learned the signal rather than memorizing doc identities.
+    */
+  def qualityClassifierHoldout(s: SparkSession, dir: String): DataFrame = {
+    val (feats, ws) = clfTrainOn(s, dir, "tr5",
+      _.filter(col("doc_id") % 5 =!= 0))
+    val scored = clfScored(feats.filter(col("doc_id") % 5 === 0), ws.last)
+    val ranked = DistributedOrder
+      .globalRowNumber(scored, "grank", col("p"), col("doc_id"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_tot"))))
+    ranked
+      .withColumn("q", expr("n_tot div 10"))
+      .withColumn("r", expr("n_tot % 10"))
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN grank <= r * (q + 1)
+          |  THEN (grank - 1) div (q + 1)
+          |  ELSE r + (grank - r * (q + 1) - 1) div q END + 1 AS INT)"""
+          .stripMargin))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("p").cast("double")) / 1e6, 4).as("avg_score"),
+        round(avg(col("y").cast("double")), 4).as("label_rate"))
+      .orderBy("decile")
+  }
+
+  private def qualityClassifierHoldoutSql: String =
+    s"""${clfCtesFor("doc_id % 5 <> 0", "doc_id % 5 = 0")}
        |, cut AS (
        |  SELECT y, p, ntile(10) OVER (ORDER BY p, doc_id) AS decile
        |  FROM s${ClfSteps + 1})
@@ -2565,6 +2635,8 @@ object CurationQueries extends QueryModule {
       Some(qualityClassifierSql)),
     QueryDef("curation_quality_classifier_apply", qualityClassifierApply,
       Some(qualityClassifierApplySql)),
+    QueryDef("curation_quality_classifier_holdout", qualityClassifierHoldout,
+      Some(qualityClassifierHoldoutSql)),
     QueryDef("curation_vocab_curve", vocabCurve, Some(vocabCurveSql)),
     QueryDef("curation_unigram_train", unigramTrain, Some(unigramTrainSql)),
     QueryDef("curation_tokenizer_compare", tokenizerCompare, Some(tokenizerCompareSql)),

@@ -1888,6 +1888,116 @@ object SimilarityQueries extends QueryModule {
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
   }
 
+  /** Recall@3 at nprobe = 1 vs nprobe = 2 — the "widen the probe" knob
+    * with its measured payoff: each query probes its two nearest lists and
+    * both recall figures come out of ONE probe pass (the nprobe=1 arm is
+    * the lrn=1 subset). Structural law (InvariantSpec): recall_np2 ≥
+    * recall_np1 per query — any candidate outranking an exact-top-3 member
+    * is itself exact-top-3, so growing the candidate pool can only add
+    * exact members to the approximate top-3.
+    */
+  def indexProbe2Recall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val (idx, cents) = ivfIndex(s, dir)
+    val delta = ivfDelta(s, dir)
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wl = Window.partitionBy("q_id").orderBy(asc("ld"), asc("list_id"))
+    val qlists = q.crossJoin(broadcast(cents))
+      .withColumn("ld", round(expr("l2_sq(q_emb, cemb)"), 6))
+      .withColumn("lrn", row_number().over(wl))
+      .filter(col("lrn") <= 2)
+      .select(col("q_id"), col("q_emb"), col("list_id").as("probe_list"), col("lrn"))
+    def probe(side: DataFrame): DataFrame = side
+      .join(broadcast(qlists),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
+      .select(col("q_id"), col("lrn"), col("vec_id").as("c_id"), col("cos"))
+    val hits = probe(idx).unionByName(probe(delta))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    val ap1 = hits.filter(col("lrn") === 1)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("q_id").as("a1_q"), col("c_id").as("a1_c"))
+    val ap2 = hits
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("q_id").as("a2_q"), col("c_id").as("a2_c"))
+    val cand = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val exact = cand.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "c_id")
+    exact
+      .join(ap1, col("q_id") === col("a1_q") && col("c_id") === col("a1_c"), "left")
+      .join(ap2, col("q_id") === col("a2_q") && col("c_id") === col("a2_c"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("a1_c")).as("n_hits_np1"),
+        count(col("a2_c")).as("n_hits_np2"))
+      .select(col("q_id"), col("n_exact"),
+        col("n_hits_np1"),
+        round(col("n_hits_np1").cast("double") / col("n_exact").cast("double"), 4)
+          .as("recall_np1"),
+        col("n_hits_np2"),
+        round(col("n_hits_np2").cast("double") / col("n_exact").cast("double"), 4)
+          .as("recall_np2"))
+      .orderBy("q_id")
+  }
+
+  private def indexProbe2RecallSql: String = {
+    def l2(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+    val cosH = cosineSqlDuck.replace("QA", "ql.q_emb").replace("QB", "a.embedding")
+    val cosE = cosineSqlDuck.replace("QA", "q.q_emb").replace("QB", "c.embedding")
+    s"""WITH ${ivfCtesSql}
+       |, q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 10 = 9 AND vec_id < 100
+       |), qlists AS (
+       |  SELECT q_id, q_emb, list_id, lrn FROM (
+       |    SELECT q.q_id, q.q_emb, c.list_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(${l2("q.q_emb", "c.cemb")}, 6) ASC, c.list_id ASC) AS lrn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE lrn <= 2
+       |), hits AS (
+       |  SELECT ql.q_id, ql.lrn, a.vec_id AS c_id, $cosH AS cos
+       |  FROM qlists ql JOIN asg a
+       |    ON a.list_id = ql.list_id AND a.vec_id <> ql.q_id
+       |), ap1 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+       |    FROM hits WHERE lrn = 1) WHERE rn <= 3
+       |), ap2 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+       |    FROM hits) WHERE rn <= 3
+       |), exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY $cosE DESC, c.vec_id ASC) AS rn
+       |    FROM q JOIN embeddings c ON c.vec_id <> q.q_id)
+       |  WHERE rn <= 3)
+       |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(a1.c_id) AS BIGINT) AS n_hits_np1,
+       |  round(CAST(count(a1.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS recall_np1,
+       |  CAST(count(a2.c_id) AS BIGINT) AS n_hits_np2,
+       |  round(CAST(count(a2.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS recall_np2
+       |FROM exact e
+       |LEFT JOIN ap1 a1 ON e.q_id = a1.q_id AND e.c_id = a1.c_id
+       |LEFT JOIN ap2 a2 ON e.q_id = a2.q_id AND e.c_id = a2.c_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+  }
+
   private def indexCensusAnnSql: String =
     s"""WITH ${ivfCtesSql}
        |SELECT list_id,
@@ -1900,6 +2010,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("sim_index_maintenance", indexMaintenanceAnn, Some(indexMaintenanceAnnSql)),
     QueryDef("sim_index_census", indexCensusAnn, Some(indexCensusAnnSql)),
     QueryDef("sim_index_probe_recall", indexProbeRecall, Some(indexProbeRecallSql)),
+    QueryDef("sim_index_probe2_recall", indexProbe2Recall, Some(indexProbe2RecallSql)),
     QueryDef("sim_prf_expansion", prfExpansion, Some(prfExpansionSql)),
     QueryDef("sim_centroid_classify", centroidClassify, Some(centroidClassifySql)),
     QueryDef("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),

@@ -861,6 +861,29 @@ class InvariantSpec extends SparkSuite {
     }
   }
 
+  test("r17 probe widening: recall@3 at nprobe=2 dominates nprobe=1 and agrees with the single-probe row") {
+    import org.apache.spark.sql.functions._
+    // structural law: any candidate outranking an exact-top-3 member is
+    // itself exact-top-3, so the wider candidate pool can only ADD exact
+    // members to the approximate top-3 — recall_np2 >= recall_np1 per
+    // query, with equality allowed
+    val both = SparkEntry.queries("sim_index_probe2_recall")(spark, Sf)
+      .select("q_id", "recall_np1", "recall_np2").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(both.nonEmpty)
+    both.foreach { case (q, (r1, r2)) =>
+      assert(r2 >= r1, s"q $q: widening the probe LOWERED recall ($r1 -> $r2)")
+    }
+    // and the np1 arm is exactly the standalone single-probe row
+    val single = SparkEntry.queries("sim_index_probe_recall")(spark, Sf)
+      .select("q_id", "recall_at_3").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(single.keySet == both.keySet)
+    single.foreach { case (q, r) =>
+      assert(math.abs(both(q)._1 - r) < 1e-9, s"q $q: np1 arm disagrees")
+    }
+  }
+
   test("r17 quality classifier: loss strictly monotone per GD step, scores on the micro grid, gate is exactly top-half") {
     import org.apache.spark.sql.functions._
     val (feats, ws) = operators.CurationQueries.clfTrain(spark, Sf)
