@@ -81,18 +81,27 @@ object MiscQueries extends QueryModule {
 
   /** try_* family: errors become nulls instead of task failures (the
     * batch analogue of the reference's poison-record skip [REF A9]).
+    *
+    * The try_* projection sits ABOVE the global sort (optimization r17,
+    * guide §1/§2): a range-partitioned Sort samples its child once for
+    * partition boundaries and then computes it again for the shuffle, so
+    * an expensive projection below the sort runs TWICE over the corpus —
+    * try_to_timestamp over a never-matching string is the costliest
+    * expression in this module. Sorting the narrow source columns first
+    * and projecting after evaluates each try_* exactly once; the rows and
+    * their total (event_id) order are unchanged.
     */
   def tryFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+      .select(col("event_id"), col("value"), col("props"))
+      .orderBy("event_id")
       .select(
         col("event_id"),
-        expr("try_divide(value, CAST(event_id % 5 AS DOUBLE))").as("div_or_null"),
+        round(expr("try_divide(value, CAST(event_id % 5 AS DOUBLE))"), 4)
+          .as("div_or_null"),
         expr("try_cast(concat('x', event_id) AS INT)").as("bad_cast"),
         expr("try_cast(event_id AS INT)").as("good_cast"),
-        expr("try_to_timestamp(props)").as("bad_ts"))
-      .select(col("event_id"), round(col("div_or_null"), 4).as("div_or_null"),
-        col("bad_cast"), col("good_cast"), col("bad_ts").cast("string").as("bad_ts"))
-      .orderBy("event_id")
+        expr("try_to_timestamp(props)").cast("string").as("bad_ts"))
 
   private val tryFuncsSql =
     """SELECT event_id,

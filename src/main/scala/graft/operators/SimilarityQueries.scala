@@ -821,27 +821,46 @@ object SimilarityQueries extends QueryModule {
     s.conf.getOption("graft.bm25.materializeMinBytes")
       .map(_.toLong).getOrElse(4L << 20)
 
-  /** The shared BM25 inverted-index frames — (tf postings, doc lengths,
-    * document frequencies, corpus stats) — size-gated exactly as before;
-    * factored out so [[prfExpansion]] reuses one index build.
+  /** The shared BM25 inverted-index frames — (tf postings with the doc
+    * length inline, document frequencies, corpus stats) — size-gated
+    * exactly as before; factored out so [[prfExpansion]] and
+    * [[hybridRrf]] reuse one index build.
+    *
+    * The postings build is MAP-ONLY (optimization r17, guide §2.4): per-doc
+    * (term, tf) counting is intra-row work over the sorted token array
+    * (run-length boundaries via codegen'd HOFs), where the previous
+    * explode + groupBy(doc_id, term) shuffled every token INSTANCE of the
+    * corpus just to count within single documents. dl (doc length = Σ tf =
+    * token count) rides along from size(), so scoring never joins a
+    * separate doc-length frame — one join and one corpus-sized exchange
+    * removed from every consumer, at any scale.
     */
   private def bm25Index(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = "array_remove(split(text, ' ', -1), '')"
     val docsRel = Tables.documents(s, dir)
-    val terms = docsRel
-      .select(col("doc_id"), explode(expr(toks)).as("term"))
-    // the postings list (doc, term, tf). Several consumers derive from it
-    // (query side, scoring join, document frequency, document length), so
-    // the build is SIZE-GATED like the graph broadcasts: below the
-    // threshold the lineage stays lazy (measured faster — recompute inside
-    // whole-stage codegen beats a materialization round-trip at bench
-    // scale); above it the postings are written ONCE to scratch parquet
-    // and every consumer scans the materialized index — the disk-resident
-    // inverted index every retrieval system builds once per corpus, which
-    // is the only shape that survives 100 TB (four full re-tokenizations
-    // of the corpus do not).
-    val tfLineage = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // the postings list (doc, term, tf, dl). Several consumers derive from
+    // it (query side, scoring join, document frequency), so the build is
+    // SIZE-GATED like the graph broadcasts: below the threshold the
+    // lineage stays lazy (recompute inside whole-stage codegen beats a
+    // materialization round-trip at bench scale — and is now shuffle-free);
+    // above it the postings are written ONCE to scratch parquet and every
+    // consumer scans the materialized index — the disk-resident inverted
+    // index every retrieval system builds once per corpus, which is the
+    // only shape that survives 100 TB (four full re-tokenizations of the
+    // corpus do not).
+    val tfLineage = docsRel
+      .select(col("doc_id"), expr(s"array_sort($toks)").as("srt"))
+      .filter(size(col("srt")) > 0)
+      .withColumn("bs", expr(
+        "filter(sequence(1, size(srt)), i -> i = 1 OR element_at(srt, i) <> element_at(srt, i - 1))"))
+      .select(col("doc_id"), size(col("srt")).cast("long").as("dl"),
+        explode(expr(
+          "transform(bs, (b, j) -> struct(element_at(srt, b) AS term, " +
+            "CAST(IF(j + 2 > size(bs), size(srt) + 1, element_at(bs, j + 2)) - b AS BIGINT) AS tf))"))
+          .as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
+        col("dl"))
     val corpusBytes = docsRel.queryExecution.optimizedPlan.stats.sizeInBytes
     val tf =
       if (corpusBytes <= bm25MaterializeMinBytes(s)) tfLineage
@@ -850,16 +869,14 @@ object SimilarityQueries extends QueryModule {
         tfLineage.write.mode("overwrite").parquet(p)
         s.read.parquet(p)
       }
-    // doc length from the postings (sum of tf), not a second shuffle of
-    // the raw exploded terms
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
-    (tf, dl, dfT, stats)
+    val stats = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+    (tf, dfT, stats)
   }
 
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val (tf, dl, dfT, stats) = bm25Index(s, dir)
+    val (tf, dfT, stats) = bm25Index(s, dir)
     // fixed query budget: sort-limit on the tiny filtered id set plans as
     // TakeOrdered; the budget caps the broadcast side at any corpus size
     val qDocs = Tables.documents(s, dir).select("doc_id")
@@ -870,7 +887,6 @@ object SimilarityQueries extends QueryModule {
     val scored = tf
       .join(broadcast(q), col("term") === col("q_term") && col("doc_id") =!= col("q_id"))
       .join(dfT, "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("tfn",
@@ -946,20 +962,16 @@ object SimilarityQueries extends QueryModule {
       .filter(col("r_dense") <= 20)
       .select(col("q_id"), col("c_id"), col("r_dense"))
     // sparse arm — BM25 with the same formula as [[bm25TopK]], query set
-    // fixed to ids 0-9
-    val terms = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(expr("array_remove(split(text, ' ', -1), '')")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+    // fixed to ids 0-9; the postings/df/stats frames come from the ONE
+    // shared [[bm25Index]] build (map-only postings, dl inline) instead of
+    // a private explode + three shuffled aggregates
+    val (tf, dfT, stats) = bm25Index(s, dir)
     val qLex = tf.filter(col("doc_id") < 10)
       .select(col("doc_id").as("q_id"), col("term").as("q_term"))
     val wl = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
     val lex = tf
       .join(broadcast(qLex), col("term") === col("q_term") && col("doc_id") =!= col("q_id"))
       .join(dfT, "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("tfn",
@@ -1498,12 +1510,12 @@ object SimilarityQueries extends QueryModule {
     // postings are materialized ONCE here regardless of the size gate
     // (above the gate bm25Index already materializes to scratch parquet
     // and this checkpoint is a cheap second hop on the materialized scan)
-    val (tfRaw, _, _, _) = bm25Index(s, dir)
+    val (tfRaw, _, _) = bm25Index(s, dir)
     val tf = tfRaw.localCheckpoint()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl").cast("double")).as("avgdl"))
+    val stats = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"))
     val qDocs = Tables.documents(s, dir).select("doc_id")
       .filter(col("doc_id") % 100 === 0)
       .orderBy("doc_id").limit(50)
@@ -1511,7 +1523,6 @@ object SimilarityQueries extends QueryModule {
       .select(col("doc_id").as("q_id"), col("term").as("q_term"))
     def weighted(frame: DataFrame): DataFrame = frame
       .join(dfT, "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("tfn",

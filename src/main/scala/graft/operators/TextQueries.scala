@@ -1466,10 +1466,16 @@ object TextQueries extends QueryModule {
         .as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .filter(col("u") =!= col("v")) // self-loops carry no ranking signal
-    // undirected: each adjacency counts in both directions
-    val edges = bigrams
-      .unionByName(bigrams.select(col("v").as("u"), col("u").as("v")))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    // undirected: each adjacency counts in both directions — symmetrized
+    // AFTER the per-(u, v) count (optimization r17, guide §2.3): the old
+    // union of the corpus-sized bigram explode with its mirror ran the
+    // tokenize + explode pass TWICE; counting the directed instances once
+    // and mirroring the vocabulary²-bounded count frame computes the same
+    // w(u, v) = c(u→v) + c(v→u) with a single corpus pass.
+    val dirW = bigrams.groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = dirW
+      .unionByName(dirW.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum("w").as("w"))
     val outdeg = edges.groupBy("u").agg(sum("w").as("out_w"))
     val e = edges.join(outdeg, "u")
       .select(col("u"), col("v"), (col("w") / col("out_w").cast("double")).as("p"))
