@@ -14,14 +14,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    Graft.redirectTmpDir()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    Graft.fastLocalDir().foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warm: footer reads + buffer cache + codegen of the scan paths

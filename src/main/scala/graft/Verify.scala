@@ -11,13 +11,15 @@ object Verify {
     // the driver always passes exactly two args and gets the full dump).
     val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    Graft.redirectTmpDir()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    Graft.fastLocalDir().foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -1490,6 +1490,10 @@ object CurationQueries extends QueryModule {
     // (doc, bucket) count frame, which is localCheckpoint()ed because it
     // feeds BOTH the distribution fit and the scoring join — without the
     // materialization each consumer would re-run the corpus explode.
+    // (The in-row run-length variant was tried in the r17 optimization
+    // round and measured SLOWER here: md5 inside a HOF lambda runs
+    // interpreted, while the exploded md5 is whole-stage-codegen'd, and
+    // the removed exchange was already collapsed by the checkpoint.)
     val db = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .select(col("doc_id"), col("lang"), explode(expr(

@@ -1198,11 +1198,16 @@ object DedupQueries extends QueryModule {
     */
   def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // the shingled corpus feeds BOTH passes and, inside each pass, the
+    // bucket census, the ranked frame, and both sides of the neighbor
+    // self-join — materialize it once (optimization r17) instead of
+    // re-tokenizing + re-shingling per consumer subtree
     val docs = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 4)
       .withColumn("shingles", expr("word_shingles(tk, 4)"))
       .select("doc_id", "shingles")
+      .localCheckpoint()
     def pass(key: org.apache.spark.sql.Column): DataFrame = {
       val keyed = docs.withColumn("nkey", key)
       // order-preserving coarse bucket: ranks within bucket + cumulative
@@ -1280,6 +1285,10 @@ object DedupQueries extends QueryModule {
     * Jaccard candidate join).
     */
   def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    // the positional shingle frame feeds BOTH the cross-doc document-
+    // frequency census and the probe side of the dup-position join —
+    // materialize it once (optimization r17) instead of re-running the
+    // corpus explode + 8-token concat per consumer subtree
     val pos = Tables.documents(s, dir)
       .select(col("doc_id"), expr(toks).as("tk"))
       .filter(size(col("tk")) >= 8)
@@ -1288,6 +1297,7 @@ object DedupQueries extends QueryModule {
         col("tk"))
       .withColumn("sh", expr("concat_ws(' ', slice(tk, p, 8))"))
       .drop("tk")
+      .localCheckpoint()
     val shared = pos.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)

@@ -936,12 +936,17 @@ object GraphQueries extends QueryModule {
         .join(visited, Seq("seed", "node"), "left_anti")
     val f2 = nextHop(f1, v1).localCheckpoint()
     val f3 = nextHop(f2, v1.union(f2)).localCheckpoint()
-    def census(f: DataFrame, c: String) =
-      f.groupBy("seed").agg(count(lit(1)).as(c))
-    census(f1, "n_hop1")
-      .join(census(f2, "n_hop2"), Seq("seed"), "left")
-      .join(census(f3, "n_hop3"), Seq("seed"), "left")
-      .na.fill(0L, Seq("n_hop2", "n_hop3"))
+    // one hop-tagged union + a single pivot-style aggregate replaces the
+    // three per-hop censuses and the two joins that recombined them: every
+    // seed with a hop-2/3 count also has hop-1 neighbors, so the inner
+    // base of the old left-join chain is the same seed set
+    f1.select(col("seed"), lit(1).as("hop"))
+      .union(f2.select(col("seed"), lit(2).as("hop")))
+      .union(f3.select(col("seed"), lit(3).as("hop")))
+      .groupBy("seed")
+      .agg(sum(when(col("hop") === 1, 1L).otherwise(0L)).as("n_hop1"),
+        sum(when(col("hop") === 2, 1L).otherwise(0L)).as("n_hop2"),
+        sum(when(col("hop") === 3, 1L).otherwise(0L)).as("n_hop3"))
       .withColumn("h6", lit(6L) * col("n_hop1") + lit(3L) * col("n_hop2")
         + lit(2L) * col("n_hop3"))
       .select(col("seed"), col("n_hop1"), col("n_hop2"), col("n_hop3"),

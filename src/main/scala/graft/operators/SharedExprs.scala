@@ -18,4 +18,22 @@ object SharedExprs {
 
   /** The DuckDB twin of [[toks]]: value-identical list filter. */
   val dToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** In-row run-length counting (optimization r17, guide §2.4): over a
+    * SORTED array column, [[runLengthBounds]] yields the 1-based start
+    * index of every distinct-value run and [[runLengthCounts]] turns those
+    * boundaries into (elem, cnt BIGINT) structs — together they compute
+    * exactly what explode + groupBy(row_keys, elem).count computes, but as
+    * intra-row codegen'd HOF work with NO corpus-sized exchange. Used by
+    * the bm25 postings build and the per-doc term/bigram/bucket counters.
+    */
+  def runLengthBounds(srtCol: String): String =
+    s"filter(sequence(1, size($srtCol)), " +
+      s"i -> i = 1 OR element_at($srtCol, i) <> element_at($srtCol, i - 1))"
+
+  def runLengthCounts(srtCol: String, bsCol: String,
+      elemName: String, cntName: String): String =
+    s"transform($bsCol, (b, j) -> struct(element_at($srtCol, b) AS $elemName, " +
+      s"CAST(IF(j + 2 > size($bsCol), size($srtCol) + 1, " +
+      s"element_at($bsCol, j + 2)) - b AS BIGINT) AS $cntName))"
 }

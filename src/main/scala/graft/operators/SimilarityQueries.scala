@@ -852,12 +852,9 @@ object SimilarityQueries extends QueryModule {
     val tfLineage = docsRel
       .select(col("doc_id"), expr(s"array_sort($toks)").as("srt"))
       .filter(size(col("srt")) > 0)
-      .withColumn("bs", expr(
-        "filter(sequence(1, size(srt)), i -> i = 1 OR element_at(srt, i) <> element_at(srt, i - 1))"))
+      .withColumn("bs", expr(SharedExprs.runLengthBounds("srt")))
       .select(col("doc_id"), size(col("srt")).cast("long").as("dl"),
-        explode(expr(
-          "transform(bs, (b, j) -> struct(element_at(srt, b) AS term, " +
-            "CAST(IF(j + 2 > size(bs), size(srt) + 1, element_at(bs, j + 2)) - b AS BIGINT) AS tf))"))
+        explode(expr(SharedExprs.runLengthCounts("srt", "bs", "term", "tf")))
           .as("p"))
       .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
         col("dl"))

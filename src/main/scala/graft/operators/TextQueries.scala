@@ -1561,15 +1561,26 @@ object TextQueries extends QueryModule {
     * doc-keyed integer aggregate.
     */
   def kneserNeyLogprob(s: SparkSession, dir: String): DataFrame = {
-    val big = Tables.documents(s, dir)
+    // per-doc bigram MULTIPLICITIES are counted in-row (optimization r17,
+    // guide §2.4): run-length boundaries over the sorted per-doc bigram
+    // array replace the corpus-sized explode, so both the count-table
+    // build and the scoring join move (doc, bigram, c) TYPE rows, never
+    // per-instance rows. Per-doc Σ lp becomes Σ c·lp — identical up to
+    // double ulps, nine orders below the 4-dp rounding grid (the module's
+    // established cross-engine float-slack argument).
+    val bigc = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), expr(
+        """array_sort(transform(sequence(1, size(tk) - 1),
+          |  i -> named_struct('u', element_at(tk, i), 'v', element_at(tk, i + 1))))""".stripMargin)
+        .as("srt"))
+      .withColumn("bs", expr(SharedExprs.runLengthBounds("srt")))
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(tk) - 1),
-          |  i -> named_struct('u', element_at(tk, i), 'v', element_at(tk, i + 1)))""".stripMargin))
-        .as("p"))
-      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
-    val cb = big.groupBy("u", "v").agg(count(lit(1)).as("c_uv"))
+          SharedExprs.runLengthCounts("srt", "bs", "g", "c"))).as("p"))
+      .select(col("doc_id"), col("p.g.u").as("u"), col("p.g.v").as("v"),
+        col("p.c").as("c"))
+    val cb = bigc.groupBy("u", "v").agg(sum("c").as("c_uv"))
     val cu = cb.groupBy("u")
       .agg(sum("c_uv").as("c_u"), count(lit(1)).as("n_follow"))
     val cont = cb.groupBy("v").agg(count(lit(1)).as("n_prec"))
@@ -1582,9 +1593,9 @@ object TextQueries extends QueryModule {
           |    * (CAST(n_prec AS DOUBLE) / CAST(t_types AS DOUBLE))
           |)""".stripMargin))
       .select("u", "v", "lp")
-    big.join(lp, Seq("u", "v"))
+    bigc.join(lp, Seq("u", "v"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp"))
+      .agg(sum("c").as("n_bigrams"), sum(col("lp") * col("c")).as("sum_lp"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_lp"), 4).as("kn_logprob"),
         round(col("sum_lp") / col("n_bigrams").cast("double"), 4).as("kn_per_bigram"))
