@@ -285,6 +285,11 @@ object MediaPipeline extends QueryModule {
         }
       }
       .toDF()
+      // materialize the decoded features before the declared sort
+      // (optimization r17, guide §1/§2): the range sort samples its child
+      // for partition boundaries, and without the checkpoint that sampling
+      // pass re-ran the ENTIRE stage + decode chain a second time
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -369,6 +374,8 @@ object MediaPipeline extends QueryModule {
       }
       .toDF()
       .withColumn("peak_rms", round(col("peak_rms"), 4))
+      // checkpoint-before-sort: same double-decode guard as extractFeatures
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -432,6 +439,8 @@ object MediaPipeline extends QueryModule {
         }
       }
       .toDF()
+      // checkpoint-before-sort: same double-decode guard as extractFeatures
+      .localCheckpoint()
       .orderBy("doc_id", "frame_idx")
   }
 

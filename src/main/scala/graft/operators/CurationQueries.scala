@@ -868,10 +868,13 @@ object CurationQueries extends QueryModule {
     */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // first-seen census + probe side both read sh: one materialization
+    // (optimization r17)
     val sh = Tables.documents(s, dir)
       .withColumn("tk", expr(toks))
       .filter(size(col("tk")) >= 4)
       .select(col("doc_id"), explode(expr("word_shingles(tk, 4)")).as("shingle"))
+      .localCheckpoint()
     val firstSeen = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
     sh.join(firstSeen, "shingle")
       .groupBy("doc_id")

@@ -72,11 +72,14 @@ object DedupQueries extends QueryModule {
     // join (measured faster here than a count+broadcast-anti-join variant,
     // which shingles the corpus twice; at cluster scale either works — the
     // essential property is that no shingle can fan out more than MaxDf²)
+    // consumed by counts + BOTH self-join sides: materialize once
+    // (optimization r17) instead of three corpus explodes + df windows
     val sh = shingleFrame(s, dir)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy("source", "shingle")))
       .filter(col("df") <= MaxShingleDf)
       .drop("df")
+      .localCheckpoint()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
@@ -105,10 +108,12 @@ object DedupQueries extends QueryModule {
     * smaller doc_id is "contained").
     */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    // counts + both self-join sides: one materialization (optimization r17)
     val sh = shingleFrame(s, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= MaxShingleDf)
       .select("doc_id", "shingle")
+      .localCheckpoint()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
@@ -180,7 +185,9 @@ object DedupQueries extends QueryModule {
     * shingles, matched into doc_b's), never all-pairs.
     */
   def prefixFilter(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleFrame(s, dir).select("doc_id", "shingle")
+    // counts, the prefix windows, and both intersection probes all read
+    // sh: one materialization (optimization r17)
+    val sh = shingleFrame(s, dir).select("doc_id", "shingle").localCheckpoint()
     val prefix = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -1463,10 +1470,13 @@ object DedupQueries extends QueryModule {
       .select("doc_id")
     val survivors = batch.join(exactDup.withColumnRenamed("doc_id", "dup_id"),
       col("doc_id") === col("dup_id"), "left_anti")
+    // corpus leg, batch leg, and counts all read sh: one materialization
+    // (optimization r17)
     val sh = shingleFrame(s, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= MaxShingleDf)
       .select("doc_id", "shingle")
+      .localCheckpoint()
     val shCorpus = sh.join(corpus.select("doc_id"), "doc_id")
       .withColumnRenamed("doc_id", "corpus_id")
     val shBatch = sh.join(survivors.select("doc_id"), "doc_id")
@@ -1744,11 +1754,13 @@ object DedupQueries extends QueryModule {
   // pipelines; the recall join is pair-keyed.
   // ------------------------------------------------------------------
   def lshRecallEval(s: SparkSession, dir: String): DataFrame = {
+    // counts + both truth-join sides: one materialization (optimization r17)
     val sh = shingleFrame(s, dir)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy("source", "shingle")))
       .filter(col("df") <= MaxShingleDf)
       .drop("df")
+      .localCheckpoint()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
