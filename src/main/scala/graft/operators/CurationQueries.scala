@@ -514,11 +514,15 @@ object CurationQueries extends QueryModule {
       .cache()
     val nodes = e.select(col("src").as("host")).distinct()
     var ranks = nodes.withColumn("pr", lit(1.0 / 13))
+    // the rank/inflow frames are host-domain-bounded (≤ 13 rows BY
+    // CONSTRUCTION of the edge formula), so both per-iteration joins ride
+    // broadcasts (optimization r17): each of the 5 iterations plans one
+    // tiny inflow exchange instead of three
     for (_ <- 1 to 5) {
-      val inflow = e.join(ranks, e("src") === ranks("host"))
+      val inflow = e.join(broadcast(ranks), e("src") === ranks("host"))
         .select(col("dst"), (col("pr") * col("p")).as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
-      ranks = nodes.join(inflow, nodes("host") === inflow("dst"), "left")
+      ranks = nodes.join(broadcast(inflow), nodes("host") === inflow("dst"), "left")
         .select(col("host"),
           (lit(0.15 / 13) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
     }

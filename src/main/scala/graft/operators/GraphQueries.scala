@@ -1000,10 +1000,13 @@ object GraphQueries extends QueryModule {
     * and ride broadcasts.
     */
   def hits(s: SparkSession, dir: String): DataFrame = {
+    // the bipartite edge list feeds all three message rounds (a1, h1, a2):
+    // materialize the fact-join + distinct once (optimization r17)
     val e = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
       .distinct()
+      .localCheckpoint()
     val a1 = e.groupBy("sp").agg(count(lit(1)).as("a1"))
     val h1 = e.join(broadcast(a1), Seq("sp"))
       .groupBy("c").agg(sum("a1").as("h1"))

@@ -1420,10 +1420,14 @@ object SimilarityQueries extends QueryModule {
     * vector-vector pairs.
     */
   def centroidClassify(s: SparkSession, dir: String): DataFrame = {
+    // the quantized component frame feeds the centroid build, the vector
+    // norms, and the dot-product join: materialize the posexplode once
+    // (optimization r17)
     val qv = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .select(col("vec_id"), col("label"), col("pos"),
         expr("CAST(round(col * 1e6) AS BIGINT)").as("q"))
+      .localCheckpoint()
     val cent = qv.groupBy(col("label").as("c_label"), col("pos"))
       .agg(sum("q").as("cs"))
     val centNorm = cent.groupBy("c_label")
