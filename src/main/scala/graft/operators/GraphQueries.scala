@@ -1056,7 +1056,9 @@ object GraphQueries extends QueryModule {
   def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    // deg feeds the und2 build, the seed selection, and the final report
+    // join: materialize the degree census once (optimization r17)
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
     val und2 = und.join(deg, Seq("u")).localCheckpoint(true)
     val seed = deg.orderBy(col("d").desc, col("u").asc).limit(1)
       .select(col("u").as("node")).localCheckpoint(true)
