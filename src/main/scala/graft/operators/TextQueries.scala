@@ -184,7 +184,13 @@ object TextQueries extends QueryModule {
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val tokCode =
       "aggregate(sequence(1, length(t)), 0L, (acc, ci) -> (acc * 31 + ascii(substring(t, ci, 1))) % 1000003)"
+    // sort the narrow source FIRST, fingerprint after (optimization r17):
+    // the per-character rolling-hash lambdas are the most expensive
+    // projection in this module, and below the range sort they ran twice
+    // (once for boundary sampling, once for the shuffle)
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
       .select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp_seq"),
@@ -193,7 +199,6 @@ object TextQueries extends QueryModule {
           s"""aggregate(
              |  zip_with($toks, sequence(1, size($toks)), (t, pos) -> (($tokCode) * pos) % 1000003),
              |  0L, (acc, x) -> (acc + x) % 1000003)""".stripMargin).as("fp_rolling"))
-      .orderBy("doc_id")
   }
 
   private val fingerprintSql =

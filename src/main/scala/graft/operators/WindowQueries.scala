@@ -518,6 +518,10 @@ object WindowQueries extends QueryModule {
     */
   def streaks(s: SparkSession, dir: String): DataFrame = {
     // distinct active months per customer, as a linear month index
+    // (A repartition(o_custkey)-before-distinct variant was tried in the
+    // r17 optimization round and measured SLOWER: it ships every raw row
+    // before the map-side partial distinct can collapse repeat months —
+    // the two-exchange shape moves fewer bytes. guide §2.3.)
     val months = Tables.orders(s, dir)
       .select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
