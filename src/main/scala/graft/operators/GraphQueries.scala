@@ -924,6 +924,11 @@ object GraphQueries extends QueryModule {
     val e = edges(s, dir)
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    // (Two rebalanced checkpoint layouts — f1-eager/f3-lazy and
+    // all-lazy — were tried in the r17 optimization round and both
+    // measured SLOWER than this per-hop-checkpoint shape; the distinct
+    // exchanges do NOT dedupe across the census branches once the
+    // anti-join lineages diverge, so pipelining the hops re-expands them.)
     val seeds = deg.orderBy(col("d").desc, col("u").asc).limit(10)
       .select(col("u").as("seed"))
     val f1 = und.join(broadcast(seeds), col("u") === col("seed"))

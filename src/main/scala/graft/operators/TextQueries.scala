@@ -1487,6 +1487,11 @@ object TextQueries extends QueryModule {
       .cache()
     val nodes = e.select(col("u").as("word")).distinct()
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    // (A broadcast-ranks/broadcast-inflow iteration variant was tried in
+    // the r17 optimization round and measured SLOWER: each broadcast must
+    // eagerly materialize a frame whose lineage chains through every
+    // prior iteration, so the broadcast barriers serialize exactly the
+    // stages the shuffle pipeline overlaps.)
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("word"), (lit(1.0) / col("n")).as("pr"), col("n"))
     for (_ <- 1 to 4) {
