@@ -2136,6 +2136,10 @@ object DedupQueries extends QueryModule {
         col("bb.band").as("band"), col("bb.bhash").as("bhash"))
     val ranked = banded.withColumn("rn",
       row_number().over(Window.partitionBy("band", "bhash").orderBy(asc("doc_id"), asc("g"))))
+      // both the representative side and the candidate side of the confirm
+      // join read this ranked frame; checkpointed so the shingle + MinHash
+      // scalar work and the band-key window run ONCE, not once per side
+      .localCheckpoint()
     val reps = ranked.filter(col("rn") === 1)
       .select(col("band"), col("bhash"), col("shingles").as("rsh"))
     // exact shingle Jaccard vs the bucket representative; the ratio of
