@@ -288,8 +288,10 @@ object MediaPipeline extends QueryModule {
       // materialize the decoded features before the declared sort
       // (optimization r17, guide §1/§2): the range sort samples its child
       // for partition boundaries, and without the checkpoint that sampling
-      // pass re-ran the ENTIRE stage + decode chain a second time
-      .localCheckpoint()
+      // pass re-ran the ENTIRE stage + decode chain a second time;
+      // size-gated (r18): decoded media is corpus-sized
+      .transform(f => graft.operators.Materialize.gated(
+        Tables.documents(s, dir), f, "media-feats"))
       .orderBy("doc_id")
   }
 
@@ -374,8 +376,10 @@ object MediaPipeline extends QueryModule {
       }
       .toDF()
       .withColumn("peak_rms", round(col("peak_rms"), 4))
-      // checkpoint-before-sort: same double-decode guard as extractFeatures
-      .localCheckpoint()
+      // checkpoint-before-sort: same double-decode guard as
+      // extractFeatures; size-gated (r18)
+      .transform(f => graft.operators.Materialize.gated(
+        Tables.documents(s, dir), f, "media-audio"))
       .orderBy("doc_id")
   }
 
@@ -439,8 +443,10 @@ object MediaPipeline extends QueryModule {
         }
       }
       .toDF()
-      // checkpoint-before-sort: same double-decode guard as extractFeatures
-      .localCheckpoint()
+      // checkpoint-before-sort: same double-decode guard as
+      // extractFeatures; size-gated (r18)
+      .transform(f => graft.operators.Materialize.gated(
+        Tables.documents(s, dir), f, "media-frames"))
       .orderBy("doc_id", "frame_idx")
   }
 

@@ -1668,11 +1668,13 @@ object AnalyticsQueries extends QueryModule {
   // ------------------------------------------------------------------
   def marketBasket(s: SparkSession, dir: String): DataFrame = {
     // the item table feeds four consumers (both self-join sides, the
-    // margin counts, the order total) — localCheckpoint materializes the
-    // deduplicated pairs once instead of four lineitem scans + distincts
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .localCheckpoint()
+    // margin counts, the order total) — materialized once instead of four
+    // lineitem scans + distincts; size-gated (r18): distinct (order, part)
+    // pairs are fact-table-sized
+    val items = Materialize.gated(Tables.lineitem(s, dir),
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct(),
+      "basket-items")
     // the order total stays IN the plan as a broadcast single-row agg —
     // an eager driver-side count() would launch an extra job at
     // DataFrame-construction time (including on every explain)

@@ -873,12 +873,13 @@ object CurationQueries extends QueryModule {
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // first-seen census + probe side both read sh: one materialization
-    // (optimization r17)
-    val sh = Tables.documents(s, dir)
-      .withColumn("tk", expr(toks))
-      .filter(size(col("tk")) >= 4)
-      .select(col("doc_id"), explode(expr("word_shingles(tk, 4)")).as("shingle"))
-      .localCheckpoint()
+    // (optimization r17), size-gated (r18) — corpus-sized frame
+    val sh = Materialize.gated(Tables.documents(s, dir),
+      Tables.documents(s, dir)
+        .withColumn("tk", expr(toks))
+        .filter(size(col("tk")) >= 4)
+        .select(col("doc_id"), explode(expr("word_shingles(tk, 4)")).as("shingle")),
+      "novelty-sh")
     val firstSeen = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
     sh.join(firstSeen, "shingle")
       .groupBy("doc_id")
@@ -1501,14 +1502,15 @@ object CurationQueries extends QueryModule {
     // round and measured SLOWER here: md5 inside a HOF lambda runs
     // interpreted, while the exploded md5 is whole-stage-codegen'd, and
     // the removed exchange was already collapsed by the checkpoint.)
-    val db = Tables.documents(s, dir)
-      .withColumn("tk", expr(toks))
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "CASE WHEN size(tk) >= 2 THEN concat(tk, transform(sequence(1, size(tk) - 1), " +
-          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) ELSE tk END")).as("f"))
-      .withColumn("b", expr("CAST(conv(substring(md5(f), 1, 4), 16, 10) AS INT) % 256"))
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    val db = Materialize.gated(Tables.documents(s, dir),
+      Tables.documents(s, dir)
+        .withColumn("tk", expr(toks))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "CASE WHEN size(tk) >= 2 THEN concat(tk, transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) ELSE tk END")).as("f"))
+        .withColumn("b", expr("CAST(conv(substring(md5(f), 1, 4), 16, 10) AS INT) % 256"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n")),
+      "dsir-db")
     // raw + target bucket masses in ONE 256-row aggregate (raw covers
     // every bucket any document hashes to by construction; absent target
     // mass is the smoothed 0)
@@ -2363,18 +2365,20 @@ object CurationQueries extends QueryModule {
         """CAST(CASE WHEN size(array_distinct(tk)) / CAST(size(tk) AS DOUBLE) >= 0.5
           |  AND size(tk) >= 10 THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
       .select(col("doc_id"), col("source"), col("y"), col("tk"))
-    lab.select(col("doc_id"), col("source"), col("y"),
-        explode(col("tk")).as("token"))
-      .withColumn("b", expr(
-        "CAST(conv(substring(md5(CAST(token AS BINARY)), 1, 4), 16, 10) AS INT) % 256"))
-      .groupBy("doc_id", "source", "y", "b")
-      .agg(least(count(lit(1)), lit(10L)).cast("long").as("x"))
-      .groupBy("doc_id", "source", "y")
-      .agg(collect_list(struct(col("b"), col("x"))).as("fx0"))
-      .withColumn("fx", expr(
-        "concat(array(named_struct('b', -1, 'x', CAST(1 AS BIGINT))), fx0)"))
-      .drop("fx0")
-      .localCheckpoint()
+    // size-gated (r18): the feature frame is corpus-sized
+    Materialize.gated(Tables.documents(s, dir),
+      lab.select(col("doc_id"), col("source"), col("y"),
+          explode(col("tk")).as("token"))
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(CAST(token AS BINARY)), 1, 4), 16, 10) AS INT) % 256"))
+        .groupBy("doc_id", "source", "y", "b")
+        .agg(least(count(lit(1)), lit(10L)).cast("long").as("x"))
+        .groupBy("doc_id", "source", "y")
+        .agg(collect_list(struct(col("b"), col("x"))).as("fx0"))
+        .withColumn("fx", expr(
+          "concat(array(named_struct('b', -1, 'x', CAST(1 AS BIGINT))), fx0)"))
+        .drop("fx0"),
+      "clf-feats")
   }
 
   /** Margin + hard-sigmoid score under weight map `w` — order-free exact

@@ -73,13 +73,16 @@ object DedupQueries extends QueryModule {
     // which shingles the corpus twice; at cluster scale either works — the
     // essential property is that no shingle can fan out more than MaxDf²)
     // consumed by counts + BOTH self-join sides: materialize once
-    // (optimization r17) instead of three corpus explodes + df windows
-    val sh = shingleFrame(s, dir)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("source", "shingle")))
-      .filter(col("df") <= MaxShingleDf)
-      .drop("df")
-      .localCheckpoint()
+    // (optimization r17) instead of three corpus explodes + df windows;
+    // size-gated (r18): the shingle frame is corpus-sized, so above the
+    // input gate it goes to scratch parquet instead of pinned blocks
+    val sh = Materialize.gated(Tables.documents(s, dir),
+      shingleFrame(s, dir)
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("source", "shingle")))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df"),
+      "njac-sh")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
@@ -108,12 +111,14 @@ object DedupQueries extends QueryModule {
     * smaller doc_id is "contained").
     */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    // counts + both self-join sides: one materialization (optimization r17)
-    val sh = shingleFrame(s, dir)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= MaxShingleDf)
-      .select("doc_id", "shingle")
-      .localCheckpoint()
+    // counts + both self-join sides: one materialization (optimization
+    // r17), size-gated (r18) — corpus-sized frame
+    val sh = Materialize.gated(Tables.documents(s, dir),
+      shingleFrame(s, dir)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("df") <= MaxShingleDf)
+        .select("doc_id", "shingle"),
+      "cont-sh")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
@@ -186,8 +191,9 @@ object DedupQueries extends QueryModule {
     */
   def prefixFilter(s: SparkSession, dir: String): DataFrame = {
     // counts, the prefix windows, and both intersection probes all read
-    // sh: one materialization (optimization r17)
-    val sh = shingleFrame(s, dir).select("doc_id", "shingle").localCheckpoint()
+    // sh: one materialization (optimization r17), size-gated (r18)
+    val sh = Materialize.gated(Tables.documents(s, dir),
+      shingleFrame(s, dir).select("doc_id", "shingle"), "prefix-sh")
     val prefix = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -1209,12 +1215,14 @@ object DedupQueries extends QueryModule {
     // bucket census, the ranked frame, and both sides of the neighbor
     // self-join — materialize it once (optimization r17) instead of
     // re-tokenizing + re-shingling per consumer subtree
-    val docs = Tables.documents(s, dir)
-      .withColumn("tk", expr(toks))
-      .filter(size(col("tk")) >= 4)
-      .withColumn("shingles", expr("word_shingles(tk, 4)"))
-      .select("doc_id", "shingles")
-      .localCheckpoint()
+    // size-gated (r18): the shingled corpus is corpus-sized
+    val docs = Materialize.gated(Tables.documents(s, dir),
+      Tables.documents(s, dir)
+        .withColumn("tk", expr(toks))
+        .filter(size(col("tk")) >= 4)
+        .withColumn("shingles", expr("word_shingles(tk, 4)"))
+        .select("doc_id", "shingles"),
+      "sneigh-docs")
     def pass(key: org.apache.spark.sql.Column): DataFrame = {
       val keyed = docs.withColumn("nkey", key)
       // order-preserving coarse bucket: ranks within bucket + cumulative
@@ -1296,15 +1304,17 @@ object DedupQueries extends QueryModule {
     // frequency census and the probe side of the dup-position join —
     // materialize it once (optimization r17) instead of re-running the
     // corpus explode + 8-token concat per consumer subtree
-    val pos = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(toks).as("tk"))
-      .filter(size(col("tk")) >= 8)
-      .select(col("doc_id"), size(col("tk")).as("n_tok"),
-        explode(expr("sequence(1, size(tk) - 7)")).as("p"),
-        col("tk"))
-      .withColumn("sh", expr("concat_ws(' ', slice(tk, p, 8))"))
-      .drop("tk")
-      .localCheckpoint()
+    // size-gated (r18): the positional shingle frame is corpus-sized
+    val pos = Materialize.gated(Tables.documents(s, dir),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), size(col("tk")).as("n_tok"),
+          explode(expr("sequence(1, size(tk) - 7)")).as("p"),
+          col("tk"))
+        .withColumn("sh", expr("concat_ws(' ', slice(tk, p, 8))"))
+        .drop("tk"),
+      "spans-pos")
     val shared = pos.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -1471,12 +1481,13 @@ object DedupQueries extends QueryModule {
     val survivors = batch.join(exactDup.withColumnRenamed("doc_id", "dup_id"),
       col("doc_id") === col("dup_id"), "left_anti")
     // corpus leg, batch leg, and counts all read sh: one materialization
-    // (optimization r17)
-    val sh = shingleFrame(s, dir)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= MaxShingleDf)
-      .select("doc_id", "shingle")
-      .localCheckpoint()
+    // (optimization r17), size-gated (r18) — corpus-sized frame
+    val sh = Materialize.gated(Tables.documents(s, dir),
+      shingleFrame(s, dir)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("df") <= MaxShingleDf)
+        .select("doc_id", "shingle"),
+      "incr-sh")
     val shCorpus = sh.join(corpus.select("doc_id"), "doc_id")
       .withColumnRenamed("doc_id", "corpus_id")
     val shBatch = sh.join(survivors.select("doc_id"), "doc_id")
@@ -1592,8 +1603,9 @@ object DedupQueries extends QueryModule {
           |    'h', md5(substr(text, p.starts, p.ends - p.starts + 1))))"""
           .stripMargin))
       .select(col("doc_id"), col("chunks"))
-      .localCheckpoint()
-    val exploded = docs.select(col("doc_id"),
+    // size-gated (r18): the chunk frame is corpus-sized
+    val docsM = Materialize.gated(Tables.documents(s, dir), docs, "cdc-chunks")
+    val exploded = docsM.select(col("doc_id"),
       explode(col("chunks")).as("c")).select(col("doc_id"), col("c.len"), col("c.h"))
     val docFreq = exploded.select(col("h"), col("doc_id")).distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
@@ -1754,13 +1766,15 @@ object DedupQueries extends QueryModule {
   // pipelines; the recall join is pair-keyed.
   // ------------------------------------------------------------------
   def lshRecallEval(s: SparkSession, dir: String): DataFrame = {
-    // counts + both truth-join sides: one materialization (optimization r17)
-    val sh = shingleFrame(s, dir)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("source", "shingle")))
-      .filter(col("df") <= MaxShingleDf)
-      .drop("df")
-      .localCheckpoint()
+    // counts + both truth-join sides: one materialization (optimization
+    // r17), size-gated (r18) — corpus-sized frame
+    val sh = Materialize.gated(Tables.documents(s, dir),
+      shingleFrame(s, dir)
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("source", "shingle")))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df"),
+      "lshrec-sh")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
@@ -2134,12 +2148,15 @@ object DedupQueries extends QueryModule {
           .as("bb"))
       .select(col("doc_id"), col("g"), col("shingles"),
         col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    val ranked = banded.withColumn("rn",
-      row_number().over(Window.partitionBy("band", "bhash").orderBy(asc("doc_id"), asc("g"))))
-      // both the representative side and the candidate side of the confirm
-      // join read this ranked frame; checkpointed so the shingle + MinHash
-      // scalar work and the band-key window run ONCE, not once per side
-      .localCheckpoint()
+    // both the representative side and the candidate side of the confirm
+    // join read this ranked frame; materialized so the shingle + MinHash
+    // scalar work and the band-key window run ONCE, not once per side —
+    // size-gated (r18): the frame is corpus-sized
+    val ranked = Materialize.gated(Tables.documents(s, dir),
+      banded.withColumn("rn",
+        row_number().over(
+          Window.partitionBy("band", "bhash").orderBy(asc("doc_id"), asc("g")))),
+      "neardup-ranked")
     val reps = ranked.filter(col("rn") === 1)
       .select(col("band"), col("bhash"), col("shingles").as("rsh"))
     // exact shingle Jaccard vs the bucket representative; the ratio of

@@ -100,12 +100,14 @@ object GraphQueries extends QueryModule {
   def modularity(s: SparkSession, dir: String): DataFrame = {
     val brand = Tables.part(s, dir)
       .select(col("p_partkey").as("n"), col("p_brand"))
-    val eb = edges(s, dir)
-      .join(brand.select(col("n"), col("p_brand").as("bu")), col("u") === col("n"))
-      .drop("n")
-      .join(brand.select(col("n"), col("p_brand").as("bv")), col("v") === col("n"))
-      .drop("n")
-      .localCheckpoint()
+    // size-gated (r18): the labeled edge frame is edge-table-sized
+    val eb = Materialize.gated(edges(s, dir),
+      edges(s, dir)
+        .join(brand.select(col("n"), col("p_brand").as("bu")), col("u") === col("n"))
+        .drop("n")
+        .join(brand.select(col("n"), col("p_brand").as("bv")), col("v") === col("n"))
+        .drop("n"),
+      "graph-eb")
     val totalE = eb.count()
     val intra = eb.filter(col("bu") === col("bv"))
       .groupBy(col("bu").as("brand")).agg(count(lit(1)).as("intra_edges"))
@@ -167,12 +169,14 @@ object GraphQueries extends QueryModule {
   def conductance(s: SparkSession, dir: String): DataFrame = {
     val brand = Tables.part(s, dir)
       .select(col("p_partkey").as("n"), col("p_brand"))
-    val eb = edges(s, dir)
-      .join(brand.select(col("n"), col("p_brand").as("bu")), col("u") === col("n"))
-      .drop("n")
-      .join(brand.select(col("n"), col("p_brand").as("bv")), col("v") === col("n"))
-      .drop("n")
-      .localCheckpoint()
+    // size-gated (r18): the labeled edge frame is edge-table-sized
+    val eb = Materialize.gated(edges(s, dir),
+      edges(s, dir)
+        .join(brand.select(col("n"), col("p_brand").as("bu")), col("u") === col("n"))
+        .drop("n")
+        .join(brand.select(col("n"), col("p_brand").as("bv")), col("v") === col("n"))
+        .drop("n"),
+      "graph-eb")
     val totalE = eb.count() // scalar: 2|E| is a constant in φ's denominator
     val intra = eb.filter(col("bu") === col("bv"))
       .groupBy(col("bu").as("brand")).agg(count(lit(1)).as("intra_edges"))
@@ -915,10 +919,15 @@ object GraphQueries extends QueryModule {
     * disconnected graphs. The hop counts are DISTINCT-node sets per seed
     * (walk counts ≠ reachability — this is the set-semantics complement
     * of [[katzCentrality]]), and 6·H = 6n₁ + 3n₂ + 2n₃ is an EXACT
-    * integer, so the ranking never touches a double. Scale shape: three
-    * rounds of (seed, node)-keyed semi/anti joins over the edge table,
-    * with the seed set fixed at 10 — each round's frame is bounded by
-    * 10 × reachable-set, never all-pairs.
+    * integer, so the ranking never touches a double. Scale shape: one
+    * LONG bitmask per reached node (the seed set is ≤10 by construction),
+    * advanced by three hop joins of the edge table against the ≤|V|-row
+    * mask frame plus a node-keyed bit_or aggregate per hop; the mask
+    * frame's broadcast hint and its materialization are both size-gated
+    * (r18), so above the gate the hops run as shuffle joins over
+    * scratch-parquet masks — the reachable set of high-degree hubs is
+    * approximately the whole vertex set at corpus scale, which no driver
+    * can broadcast.
     */
   def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
@@ -942,6 +951,12 @@ object GraphQueries extends QueryModule {
     // replaced the three censuses measured 4.95 → 4.36; this mask shape
     // replaces that whole family.)
     val seedVals = seeds.collect().map(_.get(0)) // ≤10 rows by construction
+    if (seedVals.isEmpty)
+      // empty fixture: agg(array()) below would have zero aggregate
+      // children and fail analysis — return the (empty) result directly
+      return seeds.select(col("seed"), lit(0L).as("n_hop1"),
+        lit(0L).as("n_hop2"), lit(0L).as("n_hop3"),
+        lit(0.0).as("harmonic"))
     val seedBit = s.createDataFrame(
       java.util.Arrays.asList(seedVals.zipWithIndex.map { case (v, i) =>
         org.apache.spark.sql.Row(v, i)
@@ -953,13 +968,30 @@ object GraphQueries extends QueryModule {
           "bit", org.apache.spark.sql.types.IntegerType))))
     val m0 = seedBit.select(col("seed").as("node"),
       expr("shiftleft(CAST(1 AS BIGINT), bit)").as("mask"))
-    def hop(r: DataFrame): DataFrame =
+    // The broadcast hint on the mask frame is SIZE-GATED (r18): the frame
+    // grows to every reached node — on a corpus-scale graph the 3-hop
+    // neighborhood of the top-10 hubs is approximately the whole vertex
+    // set, and a mandatory broadcast there OOMs the driver. Below the
+    // gate (actual post-checkpoint stats, 16 bytes/row) the hint keeps
+    // the bench-scale plan; above it the hop falls back to a shuffle
+    // join, which is the shape that survives 100 TB.
+    val maskBroadcastMaxBytes = s.conf
+      .getOption("graft.graph.maskBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    def hop(r: DataFrame): DataFrame = {
+      val m = r.select(col("node").as("u"), col("mask"))
+      val small =
+        (try r.queryExecution.optimizedPlan.stats.sizeInBytes
+         catch { case _: Throwable => BigInt(Long.MaxValue) }) <=
+          BigInt(maskBroadcastMaxBytes)
       r.union(und
-          .join(broadcast(r.select(col("node").as("u"), col("mask"))), Seq("u"))
+          .join(if (small) broadcast(m) else m, Seq("u"))
           .select(col("v").as("node"), col("mask")))
         .groupBy("node").agg(expr("bit_or(mask)").as("mask"))
-    val r1 = hop(m0).localCheckpoint()
-    val r2 = hop(r1).localCheckpoint()
+    }
+    // mask materialization between hops, size-gated like the hint (r18)
+    val r1 = Materialize.gated(edges(s, dir), hop(m0), "harm-r1")
+    val r2 = Materialize.gated(edges(s, dir), hop(r1), "harm-r2")
     val r3 = hop(r2)
     def bitCounts(r: DataFrame, name: String): DataFrame =
       r.agg(array((0 until seedVals.length).map(i =>
@@ -1029,11 +1061,13 @@ object GraphQueries extends QueryModule {
   def hits(s: SparkSession, dir: String): DataFrame = {
     // the bipartite edge list feeds all three message rounds (a1, h1, a2):
     // materialize the fact-join + distinct once (optimization r17)
-    val e = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-      .distinct()
-      .localCheckpoint()
+    // size-gated (r18): distinct (cust, supplier) pairs are fact-scale
+    val e = Materialize.gated(Tables.lineitem(s, dir),
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct(),
+      "hits-e")
     val a1 = e.groupBy("sp").agg(count(lit(1)).as("a1"))
     val h1 = e.join(broadcast(a1), Seq("sp"))
       .groupBy("c").agg(sum("a1").as("h1"))
@@ -1085,8 +1119,10 @@ object GraphQueries extends QueryModule {
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
     // deg feeds the und2 build, the seed selection, and the final report
     // join: materialize the degree census once (optimization r17)
-    val deg = und.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
-    val und2 = und.join(deg, Seq("u")).localCheckpoint(true)
+    // size-gated (r18): deg is |V|-sized, und2 is 2|E|-sized
+    val deg = Materialize.gated(edges(s, dir),
+      und.groupBy("u").agg(count(lit(1)).as("d")), "ppr-deg")
+    val und2 = Materialize.gated(edges(s, dir), und.join(deg, Seq("u")), "ppr-und2")
     val seed = deg.orderBy(col("d").desc, col("u").asc).limit(1)
       .select(col("u").as("node")).localCheckpoint(true)
     val seedRestart = seed.select(col("node"), lit(150000000000L).as("val"))
@@ -1096,9 +1132,10 @@ object GraphQueries extends QueryModule {
         .select(col("v"), expr("r DIV d").as("c"))
         .groupBy("v").agg(sum("c").as("infl"))
         .select(col("v").as("node"), expr("(infl * 85) DIV 100").as("val"))
-      ranks = inflow.unionByName(seedRestart)
-        .groupBy("node").agg(sum("val").as("r"))
-        .localCheckpoint(true)
+      ranks = Materialize.gated(edges(s, dir),
+        inflow.unionByName(seedRestart)
+          .groupBy("node").agg(sum("val").as("r")),
+        "ppr-ranks")
     }
     ranks.join(deg, col("node") === col("u"))
       .orderBy(col("r").desc, col("node").asc)

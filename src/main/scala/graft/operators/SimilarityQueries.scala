@@ -1423,11 +1423,13 @@ object SimilarityQueries extends QueryModule {
     // the quantized component frame feeds the centroid build, the vector
     // norms, and the dot-product join: materialize the posexplode once
     // (optimization r17)
-    val qv = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("label"), col("pos"),
-        expr("CAST(round(col * 1e6) AS BIGINT)").as("q"))
-      .localCheckpoint()
+    // size-gated (r18): the component frame is |vectors|×dims-sized
+    val qv = Materialize.gated(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          expr("CAST(round(col * 1e6) AS BIGINT)").as("q")),
+      "centroid-qv")
     val cent = qv.groupBy(col("label").as("c_label"), col("pos"))
       .agg(sum("q").as("cs"))
     val centNorm = cent.groupBy("c_label")
@@ -1508,11 +1510,16 @@ object SimilarityQueries extends QueryModule {
     // PRF consumes the postings from ~10 subtrees (q, three weighted()
     // arms, and each arm's df/dl/stats lineages), so unlike bm25TopK the
     // lazy-below-the-gate recompute loses even at bench scale: the
-    // postings are materialized ONCE here regardless of the size gate
-    // (above the gate bm25Index already materializes to scratch parquet
-    // and this checkpoint is a cheap second hop on the materialized scan)
+    // postings are materialized ONCE here. Above the size gate bm25Index
+    // has ALREADY materialized them to scratch parquet, so the frame is a
+    // plain scan and checkpointing it again would just pin a corpus-sized
+    // postings list in executor storage (r18) — reuse the scan as-is.
     val (tfRaw, _, _) = bm25Index(s, dir)
-    val tf = tfRaw.localCheckpoint()
+    val corpusBytes = Tables.documents(s, dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val tf =
+      if (corpusBytes <= bm25MaterializeMinBytes(s)) tfRaw.localCheckpoint()
+      else tfRaw
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = tf.groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
