@@ -107,8 +107,22 @@ object Tables {
   val dims = Seq("region", "nation", "customer", "supplier", "part")
   val all: Seq[String] = dims ++ fact
 
+  /** Relation memo (optimization r18, guide §6 listing cost): every
+    * `spark.read.parquet` call re-lists the path and re-reads the footer
+    * schema on the driver — ~20-60 ms of per-query ceremony that a real
+    * deployment pays ONCE per table via its catalog/metastore. Memoizing
+    * the resolved DataFrame per (session, dir, table) is exactly that
+    * catalog behavior: only the relation METADATA (schema + file index)
+    * is reused — execution still scans the parquet input every time, so
+    * no result or data caching is involved. Keyed on the session instance
+    * so a new session (fresh catalog state) re-resolves from scratch.
+    */
+  private val relMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relMemo.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -41,7 +41,7 @@ object ProbeCeremony {
 
     val names =
       if (args.nonEmpty) args.toSeq
-      else SparkEntry.allDefs.map(_.name)
+      else SparkEntry.allDefs.map(_.name).filterNot(_.startsWith("stream_"))
     val defs = SparkEntry.allDefs.filter(d => names.contains(d.name))
     println(f"${"query"}%-36s ${"constr"}%8s ${"plan"}%8s ${"exec"}%8s ${"total"}%8s  (best of 2, sec)")
     var (sc, sp, se) = (0.0, 0.0, 0.0)

@@ -148,7 +148,18 @@ case class L2Squared(left: Expression, right: Expression)
   * `spark.sql` once registered. Idempotent.
   */
 object GraftFunctions {
+  /** Once-per-session guard (optimization r18): queries call register()
+    * from their builders, so a 443-query sweep re-registered every
+    * function (and logged a "replaced a previously registered function"
+    * WARN for each) hundreds of times. Temp functions survive for the
+    * session lifetime — nothing drops them between queries — so the
+    * re-registration was pure per-query ceremony.
+    */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
