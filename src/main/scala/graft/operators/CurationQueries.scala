@@ -508,11 +508,16 @@ object CurationQueries extends QueryModule {
           (col("doc_id") * col("doc_id") + 1) % 13).as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     val outdeg = edges.groupBy("src").agg(sum("w").as("out_w"))
-    // transition probabilities; cached — 5 iterations re-read this frame
+    // transition probabilities — 5 iterations re-read this frame. It is
+    // ≤ 13×13 rows BY CONSTRUCTION of the host formula, but .cache()
+    // left the corpus-scan lineage in the plan, so the unrolled pyramid
+    // planned a 92-Exchange tree; localCheckpoint (optimization r18,
+    // guide §3.3 plan-size) truncates it — one corpus pass, then every
+    // iteration plans over a ≤169-row leaf.
     val e = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("out_w").cast("double")).as("p"))
-      .cache()
-    val nodes = e.select(col("src").as("host")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("host")).distinct().localCheckpoint()
     var ranks = nodes.withColumn("pr", lit(1.0 / 13))
     // the rank/inflow frames are host-domain-bounded (≤ 13 rows BY
     // CONSTRUCTION of the edge formula), so both per-iteration joins ride

@@ -1482,10 +1482,19 @@ object TextQueries extends QueryModule {
       .unionByName(dirW.select(col("v").as("u"), col("u").as("v"), col("w")))
       .groupBy("u", "v").agg(sum("w").as("w"))
     val outdeg = edges.groupBy("u").agg(sum("w").as("out_w"))
-    val e = edges.join(outdeg, "u")
-      .select(col("u"), col("v"), (col("w") / col("out_w").cast("double")).as("p"))
-      .cache()
-    val nodes = e.select(col("u").as("word")).distinct()
+    // e and nodes feed every one of the 4 unrolled iterations; .cache()
+    // computed them once at runtime but left the FULL corpus lineage in
+    // the plan, so the unrolled pyramid planned a 176-Exchange tree
+    // (optimization r18, guide §3.3 plan-size): materializing truncates
+    // the lineage — each iteration now plans over a leaf scan. Size-gated
+    // like every corpus-derived frame (both are vocabulary-bounded, but
+    // vocabulary grows with the corpus).
+    val e = Materialize.gated(Tables.documents(s, dir),
+      edges.join(outdeg, "u")
+        .select(col("u"), col("v"), (col("w") / col("out_w").cast("double")).as("p")),
+      "textrank-e")
+    val nodes = Materialize.gated(Tables.documents(s, dir),
+      e.select(col("u").as("word")).distinct(), "textrank-nodes")
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
     // (A broadcast-ranks/broadcast-inflow iteration variant was tried in
     // the r17 optimization round and measured SLOWER: each broadcast must
