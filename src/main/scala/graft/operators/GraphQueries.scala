@@ -793,7 +793,13 @@ object GraphQueries extends QueryModule {
         .union(pairs.join(lbl, col("v") === col("n"))
           .select(col("u").as("n"), col("lbl")))
         .groupBy("n").agg(min("lbl").as("lbl"))
-    val l2 = step(step(nodes.withColumn("lbl", col("n"))))
+    // round-1 labels feed THREE subtrees of round 2 (the identity leg +
+    // both join orientations): materialize once (optimization r18,
+    // size-gated — the label table is |V|-sized) so round 2 plans over a
+    // leaf instead of triplicating the round-1 join pyramid
+    val l1 = Materialize.gated(edges(s, dir),
+      step(nodes.withColumn("lbl", col("n"))), "lprop-l1")
+    val l2 = step(l1)
     l2.groupBy(col("lbl").as("label"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(desc("n_members"), asc("label"))
@@ -1127,15 +1133,21 @@ object GraphQueries extends QueryModule {
       .select(col("u").as("node")).localCheckpoint(true)
     val seedRestart = seed.select(col("node"), lit(150000000000L).as("val"))
     var ranks = seed.select(col("node"), lit(1000000000000L).as("r"))
-    for (_ <- 1 to 4) {
+    for (i <- 1 to 4) {
       val inflow = und2.join(ranks, col("u") === col("node"))
         .select(col("v"), expr("r DIV d").as("c"))
         .groupBy("v").agg(sum("c").as("infl"))
         .select(col("v").as("node"), expr("(infl * 85) DIV 100").as("val"))
-      ranks = Materialize.gated(edges(s, dir),
-        inflow.unionByName(seedRestart)
-          .groupBy("node").agg(sum("val").as("r")),
-        "ppr-ranks")
+      val next = inflow.unionByName(seedRestart)
+        .groupBy("node").agg(sum("val").as("r"))
+      // materialize every SECOND round (optimization r18): per-round
+      // eager checkpoints made the query a chain of 4 sequential jobs
+      // whose ceremony dominated the tiny per-round compute; a 2-round
+      // lineage (two join+agg levels over the materialized und2 leaf)
+      // plans fine, so half the barriers buys the same flattening
+      ranks =
+        if (i % 2 == 0) Materialize.gated(edges(s, dir), next, "ppr-ranks")
+        else next
     }
     ranks.join(deg, col("node") === col("u"))
       .orderBy(col("r").desc, col("node").asc)

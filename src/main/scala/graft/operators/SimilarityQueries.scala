@@ -1538,6 +1538,10 @@ object SimilarityQueries extends QueryModule {
     // stage 1: first-pass BM25 top-3 feedback docs per query; the
     // UNROUNDED sum is kept alongside so stage 3 can reuse this arm
     // instead of re-scoring it
+    // (r18 counter-finding: materializing this stage-1 frame for its two
+    // consumers measured FLAT — exec dropped 2.9 -> 1.4 s but the eager
+    // materialization paid the same back in construct; physical exchange
+    // reuse was already deduplicating the scoring join. Reverted.)
     val firstPass = weighted(
         tf.join(broadcast(q), col("term") === col("q_term") && col("doc_id") =!= col("q_id")))
       .groupBy("q_id", "doc_id")
