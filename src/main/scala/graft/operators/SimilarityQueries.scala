@@ -872,6 +872,25 @@ object SimilarityQueries extends QueryModule {
     (tf, dfT, stats)
   }
 
+  /** Per-posting BM25 weight columns: idf(term) and tfn(term, doc)
+    * computed ONCE on the |postings| rows (optimization r18, guide §2.3
+    * compute-before-the-expansion): idf depends only on the term and tfn
+    * only on the posting, but the old shape computed both AFTER the query
+    * join — on the fixture that is 4.48M pair rows re-deriving the
+    * log()/division arithmetic that 116k posting rows determine (38×
+    * redundant scalar work, and the df/stats joins ran per pair frame
+    * instead of per postings frame). Contribution values are bit-identical
+    * (same expressions over the same inputs in the same order), so every
+    * consumer's rounded sums are unchanged — oracle-verified at both SFs.
+    */
+  private def bm25Weights(tf: DataFrame, dfT: DataFrame, stats: DataFrame): DataFrame =
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tfn",
+        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .select(col("doc_id"), col("term"), col("idf"), col("tfn"))
+
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
     val (tf, dfT, stats) = bm25Index(s, dir)
     // fixed query budget: sort-limit on the tiny filtered id set plans as
@@ -881,13 +900,8 @@ object SimilarityQueries extends QueryModule {
       .orderBy("doc_id").limit(50)
     val q = tf.join(broadcast(qDocs), "doc_id")
       .select(col("doc_id").as("q_id"), col("term").as("q_term"))
-    val scored = tf
+    val scored = bm25Weights(tf, dfT, stats)
       .join(broadcast(q), col("term") === col("q_term") && col("doc_id") =!= col("q_id"))
-      .join(dfT, "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("tfn",
-        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
       .groupBy("q_id", "doc_id")
       .agg(round(sum(col("idf") * col("tfn")), 4).as("bm25"))
     val w = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
@@ -966,13 +980,8 @@ object SimilarityQueries extends QueryModule {
     val qLex = tf.filter(col("doc_id") < 10)
       .select(col("doc_id").as("q_id"), col("term").as("q_term"))
     val wl = Window.partitionBy("q_id").orderBy(desc("bm25"), asc("doc_id"))
-    val lex = tf
+    val lex = bm25Weights(tf, dfT, stats)
       .join(broadcast(qLex), col("term") === col("q_term") && col("doc_id") =!= col("q_id"))
-      .join(dfT, "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("tfn",
-        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
       .groupBy("q_id", "doc_id")
       .agg(round(sum(col("idf") * col("tfn")), 4).as("bm25"))
       .withColumn("r_lex", row_number().over(wl))
@@ -1529,12 +1538,10 @@ object SimilarityQueries extends QueryModule {
       .orderBy("doc_id").limit(50)
     val q = tf.join(broadcast(qDocs), "doc_id")
       .select(col("doc_id").as("q_id"), col("term").as("q_term"))
-    def weighted(frame: DataFrame): DataFrame = frame
-      .join(dfT, "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("tfn",
-        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+    // per-posting idf/tfn computed ONCE (r18, see bm25Weights): the three
+    // scoring arms join their broadcast query sides against the weighted
+    // postings instead of re-deriving idf/tfn per expanded pair row
+    val wtf = bm25Weights(tf, dfT, stats)
     // stage 1: first-pass BM25 top-3 feedback docs per query; the
     // UNROUNDED sum is kept alongside so stage 3 can reuse this arm
     // instead of re-scoring it
@@ -1542,8 +1549,8 @@ object SimilarityQueries extends QueryModule {
     // consumers measured FLAT — exec dropped 2.9 -> 1.4 s but the eager
     // materialization paid the same back in construct; physical exchange
     // reuse was already deduplicating the scoring join. Reverted.)
-    val firstPass = weighted(
-        tf.join(broadcast(q), col("term") === col("q_term") && col("doc_id") =!= col("q_id")))
+    val firstPass = wtf
+      .join(broadcast(q), col("term") === col("q_term") && col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("idf") * col("tfn")).as("base_raw"))
       .withColumn("bm25", round(col("base_raw"), 4))
@@ -1551,7 +1558,7 @@ object SimilarityQueries extends QueryModule {
     val fb = firstPass.withColumn("rn", row_number().over(wQ))
       .filter(col("rn") <= 3).select(col("q_id"), col("doc_id"))
     // stage 2: top-2 expansion terms from the feedback docs' term weights
-    val fbTerms = weighted(tf.join(broadcast(fb), "doc_id"))
+    val fbTerms = wtf.join(broadcast(fb), "doc_id")
       .groupBy("q_id", "term")
       .agg(round(sum(col("idf") * col("tfn")), 6).as("exp_score"))
       .join(q.withColumnRenamed("q_term", "term"), Seq("q_id", "term"), "left_anti")
@@ -1562,9 +1569,9 @@ object SimilarityQueries extends QueryModule {
     // stage 3: score ONLY the expansion terms (≤ 2/query) against the
     // postings and merge with the already-computed base arm — round
     // once over the two raw sums, never re-join the base terms
-    val expArm = weighted(
-        tf.join(broadcast(expTerms),
-          col("term") === col("q_term") && col("doc_id") =!= col("q_id")))
+    val expArm = wtf
+      .join(broadcast(expTerms),
+        col("term") === col("q_term") && col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("qw") * col("idf") * col("tfn")).as("exp_raw"))
     val rescored = firstPass.select("q_id", "doc_id", "base_raw")
