@@ -124,6 +124,18 @@ object Tables {
     relMemo.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Same relation memo for IMMUTABLE staging parquet paths (the
+    * memoized corpus-snapshot tables: graph edges, CC labels, band-index
+    * signatures, sketch partials — each written exactly once per fixture
+    * key and never overwritten). Mutable scratch dirs (e.g. the reused
+    * delta-closure output) must keep calling spark.read.parquet directly:
+    * a memoized relation would serve a stale file listing after an
+    * overwrite.
+    */
+  def loadPath(spark: SparkSession, path: String): DataFrame =
+    relMemo.computeIfAbsent((spark, path, "#path"),
+      _ => spark.read.parquet(path))
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

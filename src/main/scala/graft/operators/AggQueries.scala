@@ -789,7 +789,7 @@ object AggQueries extends QueryModule {
         .write.mode("overwrite").parquet(out)
       out
     })
-    s.read.parquet(path)
+    graft.Tables.loadPath(s, path)
   }
 
   /** The merge side alone — per-nation estimate from partials only.
@@ -836,7 +836,7 @@ object AggQueries extends QueryModule {
         .write.mode("overwrite").parquet(out)
       out
     })
-    s.read.parquet(path)
+    graft.Tables.loadPath(s, path)
   }
 
   /** The digest-merge side alone (PlanSpec scan-set pin). */

@@ -803,7 +803,7 @@ object DedupQueries extends QueryModule {
         corpus.unpersist()
         (tblName, s"$out/sigs")
       })
-    (s.table(tbl), s.read.parquet(sigsPath))
+    (s.table(tbl), graft.Tables.loadPath(s, sigsPath))
   }
 
   /** The per-batch signature frame (doc_id, sig) for the doc_id % 10 ==
@@ -905,7 +905,7 @@ object DedupQueries extends QueryModule {
       try convergeLabels(s, pairs, out) finally pairs.unpersist()
       out
     })
-    s.read.parquet(path)
+    graft.Tables.loadPath(s, path)
   }
 
   /** Incremental near-dup cluster maintenance — the closure companion to
@@ -1097,7 +1097,7 @@ object DedupQueries extends QueryModule {
       computeClusterLabels(s, dir, out)
       out
     })
-    s.read.parquet(path)
+    graft.Tables.loadPath(s, path)
   }
 
   /** Runs the label propagation to convergence and writes the converged

@@ -56,7 +56,8 @@ object GraphQueries extends QueryModule {
       buildEdges(s, dir).write.mode("overwrite").parquet(out)
       out
     })
-    s.read.parquet(path)
+    // immutable staging parquet: memoized relation (r18, Tables.loadPath)
+    graft.Tables.loadPath(s, path)
   }
 
   /** The edge derivation itself: one shuffle instead of a self-join —
@@ -1133,21 +1134,20 @@ object GraphQueries extends QueryModule {
       .select(col("u").as("node")).localCheckpoint(true)
     val seedRestart = seed.select(col("node"), lit(150000000000L).as("val"))
     var ranks = seed.select(col("node"), lit(1000000000000L).as("r"))
-    for (i <- 1 to 4) {
+    for (_ <- 1 to 4) {
       val inflow = und2.join(ranks, col("u") === col("node"))
         .select(col("v"), expr("r DIV d").as("c"))
         .groupBy("v").agg(sum("c").as("infl"))
         .select(col("v").as("node"), expr("(infl * 85) DIV 100").as("val"))
-      val next = inflow.unionByName(seedRestart)
-        .groupBy("node").agg(sum("val").as("r"))
-      // materialize every SECOND round (optimization r18): per-round
-      // eager checkpoints made the query a chain of 4 sequential jobs
-      // whose ceremony dominated the tiny per-round compute; a 2-round
-      // lineage (two join+agg levels over the materialized und2 leaf)
-      // plans fine, so half the barriers buys the same flattening
-      ranks =
-        if (i % 2 == 0) Materialize.gated(edges(s, dir), next, "ppr-ranks")
-        else next
+      // (r18 counter-finding: materializing only every SECOND round —
+      // half the barrier jobs, 2-round lineage over the und2 leaf —
+      // measured SLOWER in full sweeps: 3.2-3.4 s across three sweeps vs
+      // 2.4 s with per-round barriers, solo probes noise-bounded either
+      // way. The per-round eager checkpoint stands.)
+      ranks = Materialize.gated(edges(s, dir),
+        inflow.unionByName(seedRestart)
+          .groupBy("node").agg(sum("val").as("r")),
+        "ppr-ranks")
     }
     ranks.join(deg, col("node") === col("u"))
       .orderBy(col("r").desc, col("node").asc)

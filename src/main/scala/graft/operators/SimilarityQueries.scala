@@ -1754,7 +1754,7 @@ object SimilarityQueries extends QueryModule {
         corpus.unpersist()
         (tblName, s"$out/centroids")
       })
-    (s.table(tbl), s.read.parquet(centsPath))
+    (s.table(tbl), graft.Tables.loadPath(s, centsPath))
   }
 
   /** The per-batch delta: today's vectors assigned against the PERSISTED

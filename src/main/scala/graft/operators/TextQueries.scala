@@ -877,6 +877,10 @@ object TextQueries extends QueryModule {
         .groupBy("doc_id")
         .agg(countDistinct(col("i") + col("off")).as(out))
     }
+    // (r18 counter-finding: materializing g2/g5 for their census + probe
+    // consumers measured SLOWER — 1.97 -> 2.4/3.0 s probe total; the
+    // eager round-trip of the corpus×positions frame exceeds what AQE
+    // exchange reuse already saves. Lazy shape stands.)
     val g2 = posGrams(2)
     // the 2-gram top-fraction rolls up from the same positional frame the
     // coverage probe uses — one 2-gram explode, not two
